@@ -1,0 +1,80 @@
+package graft.dedup
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection over a text column —
+  * the scale path for fuzzy dedup: shingle → k minhashes → b bands →
+  * bucket equi-join → exact-Jaccard verification of candidates only.
+  *
+  * All-pairs Jaccard is O(n²) and impossible at 100 TB; LSH reduces it
+  * to an equi-join on (band, bandHash) whose cost tracks the number of
+  * genuinely similar pairs. With b bands of r rows (k = b·r), a pair of
+  * Jaccard s collides with probability 1-(1-s^r)^b — the (b, r) defaults
+  * (16, 4) put the S-curve threshold near s ≈ 0.5.
+  *
+  * Hashing: per-permutation minhash is `min over shingles of
+  * xxhash64(shingle ⊕ permutation-salt)` — xxhash64 is Spark's codegen'd
+  * 64-bit hash; the salt string makes the k permutations independent.
+  * Everything below is built-in higher-order functions, so the signature
+  * computation is one narrow codegen'd projection over the corpus.
+  */
+object MinHashLSH {
+
+  /** k minhash permutations: hash each shingle string ONCE (xxhash64),
+    * then derive the k permutations by re-hashing the 64-bit value with
+    * the permutation index — avoids k string passes over the corpus;
+    * the k re-hashes are long-arithmetic inside codegen. */
+  def signature(text: Column, shingleN: Int, numHashes: Int): Column = {
+    val hs = transform(TextFunctions.shingles(text, shingleN), s => xxhash64(s))
+    array((0 until numHashes).map { k =>
+      array_min(transform(hs, h => xxhash64(h, lit(k))))
+    }: _*)
+  }
+
+  /** Candidate pairs + exact verification.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
+    *         jaccard computed exactly on the shingle sets.
+    */
+  def duplicatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                     threshold: Double = 0.5): DataFrame = {
+    val r = numHashes / bands
+    val withSig = docs.select(
+      col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), shingleN).as("sh"),
+      signature(col(textCol), shingleN, numHashes).as("sig"))
+
+    // band key: hash of the band's slice of the signature. Only
+    // (id, band, bandkey) flows into the self-join — the shingle arrays
+    // would otherwise be replicated `bands`× through the shuffle.
+    val banded = withSig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandkey")
+
+    // bucket equi-join on (band, bandkey); distinct pairs across bands
+    val cand = banded.select(col("band"), col("bandkey"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bandkey"), col("id").as("id_b")),
+        Seq("band", "bandkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // exact Jaccard on the candidates only: re-attach shingle sets to
+    // the (few) surviving pairs
+    val shapes = withSig.select(col("id"), col("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = inter.cast("double") /
+      (size(col("sh_a")) + size(col("sh_b")) - inter)
+    cand
+      .join(shapes.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shapes.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

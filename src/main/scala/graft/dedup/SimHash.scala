@@ -1,0 +1,60 @@
+package graft.dedup
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection: 64-bit locality-sensitive content
+  * signature; similar documents differ in few bits (small Hamming
+  * distance).
+  *
+  * Signature: for each bit j, sum over tokens of ±1 according to bit j
+  * of xxhash64(token); the sign of the sum sets bit j. Built entirely
+  * from higher-order array functions — one codegen'd projection per doc.
+  *
+  * Pairing at scale uses the pigeonhole trick: to find all pairs with
+  * Hamming distance ≤ 3, split the 64-bit signature into 4 16-bit
+  * blocks — any qualifying pair agrees exactly on ≥ 1 block, so an
+  * equi-join per block finds all candidates without an all-pairs scan.
+  */
+object SimHash {
+
+  /** 64-bit simhash of the token multiset as a long. Bit j is set when
+    * more than half the token hashes have bit j set — equivalent to the
+    * classic ±1 vote sum being positive (2·count_set − n > 0). Shifts
+    * are unrolled statically (Spark's shiftright takes a literal bit
+    * count); Catalyst's common-subexpression elimination shares the
+    * token-hash array across the 64 bit counters. */
+  def simhash64(text: Column): Column = {
+    val hs = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    val n = size(hs)
+    (0 until 64).map { j =>
+      val cntSet = size(filter(hs, h => shiftright(h, j).bitwiseAND(1) === 1))
+      when(cntSet * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Pairs with Hamming(simhash) ≤ maxDist, via 16-bit-block pigeonhole
+    * blocking + exact Hamming verification on candidates.
+    * @return (id_a, id_b, hamming) with id_a < id_b.
+    */
+  def duplicatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     maxDist: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val blocked = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "block")
+      .withColumnRenamed("col", "blockval")
+    val l = blocked.select(col("block"), col("blockval"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val rj = blocked.select(col("block"), col("blockval"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(rj, Seq("block", "blockval"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data pipeline pack:
+  * tokenization, shingling, stopword/quality stats, language-ID
+  * scoring, fingerprinting. Everything is built from codegen'd
+  * `org.apache.spark.sql.functions` (no UDFs): these run inside
+  * whole-stage codegen and scale linearly with the text volume — the
+  * 100 TB path is a narrow map over the documents table, no shuffle.
+  *
+  * Float convention: ratios are produced by a single int/int → double
+  * division (and rational arithmetic on those), which is bit-identical
+  * across engines — keeps the DuckDB oracle exact. No transcendentals.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Type-token ratio: lexical diversity in [0,1]. */
+  def typeTokenRatio(text: Column): Column =
+    distinctTokenCount(text).cast("double") / tokenCount(text)
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard / MinHash
+    * dedup. Short docs (< n tokens) collapse to one whole-text shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + lit(1), lit(n)), " "))))
+      .otherwise(array(array_join(t, " ")))
+  }
+
+  /** |tokens ∩ wordlist|. */
+  def wordlistHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(typedLit(words), t)))
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    wordlistHits(text, stopwords).cast("double") / tokenCount(text)
+
+  /** Mean token length, derived arithmetically from char count (single
+    * division keeps it oracle-exact): (chars - (n-1) separators) / n. */
+  def meanTokenLength(text: Column): Column =
+    (length(text) - (tokenCount(text) - lit(1))).cast("double") / tokenCount(text)
+
+  /** Language-ID by stopword-profile hit counting. Profiles are checked
+    * in declaration order; the first language whose hit count is maximal
+    * and positive wins; zero hits everywhere → "und". A real n-gram
+    * model drops in behind the same Column contract. */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val hits = profiles.map { case (lang, words) => lang -> wordlistHits(text, words) }
+    val maxHits = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h === maxHits && h > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** English/German/French/Spanish marker profiles (tiny but real). */
+  val defaultProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+  )
+
+  /** Content fingerprint: md5 over the sorted distinct token set —
+    * stable under token reordering (bag-of-words duplicate catcher). */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " ").cast("binary"))
+
+  /** Exact-duplicate hash: md5 of the raw utf-8 bytes. */
+  def exactHash(text: Column): Column = md5(text.cast("binary"))
+
+  /** Composite quality score in [0,1] from rational-only arithmetic:
+    * 0.5·stopword-ratio + 0.3·min(n_tokens,100)/100 + 0.2·[3 ≤ mean token len ≤ 8]. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    stopwordRatio(text, stopwords) * lit(0.5) +
+      (least(tokenCount(text), lit(100)).cast("double") / 100.0) * lit(0.3) +
+      when(meanTokenLength(text).between(3.0, 8.0), lit(1.0)).otherwise(lit(0.0)) * lit(0.2)
+}

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Ad-hoc analytical queries over the star schema — the silver-layer
+  * analysis surface (SURVEY §2.4 [inferred, optional]) plus the window /
+  * set operators that round out the engine beyond strict parity. These
+  * are the bench headliners: aggregation-heavy shapes whose plans must
+  * stay partial-agg + broadcast-join at scale.
+  */
+object AnalyticsQueries {
+  import Tables.load
+
+  private val dec = DecimalType(18, 2)
+  private val dec6 = DecimalType(28, 6)
+
+  val all: Seq[Q] = Seq(
+
+    // TPC-H Q1-shaped pricing summary: the canonical partial+final
+    // HashAggregate. All sums decimal-exact, cast to double at the end.
+    Q("agg_pricing_summary", (spark, dir) =>
+      load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec6))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order")),
+      oracle = Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus"""), bench = true),
+
+    // ROLLUP grouping sets over the nation→region hierarchy.
+    Q("agg_rollup", (spark, dir) => {
+      val c = load(spark, dir, "customer")
+      val n = broadcast(load(spark, dir, "nation"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(dec)).cast("double").as("total_bal"))
+    }, oracle = Some("""
+      SELECT n_name, c_mktsegment, count(*) AS n_customers,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, c_mktsegment)""")),
+
+    // Ranking window: top-3 orders per customer (deterministic
+    // tie-break on the unique order key).
+    Q("window_topk", (spark, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      load(spark, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast(dec).cast("double").as("price"), col("rk"))
+    }, oracle = Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price, rk
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+            FROM orders)
+      WHERE rk <= 3"""), bench = true),
+
+    // Analytic window: per-supplier running quantity over ship time —
+    // exact decimal running sum (order-independent of float issues),
+    // frame ordered by a unique triple.
+    Q("window_running_sum", (spark, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(spark, dir, "lineitem")
+        .withColumn("running_qty", sum(col("l_quantity").cast(dec)).over(w).cast("double"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+    }, oracle = Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      FROM lineitem""")),
+
+    // Semi join — EXISTS (customers who placed a high-value order).
+    Q("join_semi", (spark, dir) => {
+      val c = load(spark, dir, "customer")
+      val o = load(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }, oracle = Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""")),
+
+    // Anti join — NOT EXISTS.
+    Q("join_anti", (spark, dir) => {
+      val c = load(spark, dir, "customer")
+      val o = load(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }, oracle = Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""")),
+
+    // Set ops beyond union: INTERSECT / EXCEPT (distinct semantics).
+    Q("set_intersect", (spark, dir) => {
+      val hi = load(spark, dir, "orders").filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey"))
+      val recent = load(spark, dir, "orders")
+        .filter(col("o_orderdate") > lit("1997-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      hi.intersect(recent)
+    }, oracle = Some("""
+      SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate > TIMESTAMP '1997-01-01 00:00:00'""")),
+
+    Q("set_except", (spark, dir) => {
+      val all = load(spark, dir, "customer").select(col("c_custkey"))
+      val buyers = load(spark, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      all.except(buyers)
+    }, oracle = Some("""
+      SELECT c_custkey FROM customer
+      EXCEPT
+      SELECT o_custkey AS c_custkey FROM orders""")),
+
+    // Global sort + limit (top-k without a window).
+    Q("sort_limit_topk", (spark, dir) =>
+      load(spark, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(dec).cast("double").as("price")),
+      oracle = Some("""
+      SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""")),
+  )
+}

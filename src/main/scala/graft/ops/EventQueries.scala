@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics: tumbling-window aggregation (batch and
+  * Structured Streaming), sessionization, and event-type funnels over
+  * the `events` table. Timestamps follow the ns→µs truncation
+  * convention of [[Tables.loadEvents]].
+  */
+object EventQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Hourly tumbling window per event_type — batch window() plan.
+    Q("events_window_hourly", (spark, dir) =>
+      Tables.loadEvents(spark, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("n_events"), col("total_value")),
+      oracle = Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2"""), bench = true),
+
+    // The same aggregation through the real Structured Streaming path
+    // (readStream → watermark → windowed agg → memory sink): the
+    // streaming result must equal the batch oracle exactly.
+    Q("events_stream_hourly", (spark, dir) =>
+      graft.streaming.EventStreams.hourlyByType(spark, dir),
+      oracle = Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2""")),
+
+    // Sessionization: a session breaks after >30 min of user inactivity.
+    // lag + flag + running count — the classic gaps-and-islands plan;
+    // at scale this is one shuffle on user_id and sorted windows within
+    // partitions (no global sort).
+    Q("events_sessionize", (spark, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = Tables.loadEvents(spark, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+      flagged
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+    }, oracle = Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(ts) AS session_start,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM sess GROUP BY user_id, session_id"""), bench = true),
+
+    // Daily per-type event funnel with conversion-style share-of-day —
+    // two-level aggregation reusing the first shuffle's partitioning.
+    Q("events_daily_share", (spark, dir) => {
+      val daily = Tables.loadEvents(spark, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy(col("day"))
+      daily.withColumn("day_total", sum(col("n_events")).over(w))
+        .withColumn("share", col("n_events").cast("double") / col("day_total"))
+        .select(col("day"), col("event_type"), col("n_events"),
+          col("day_total"), col("share"))
+    }, oracle = Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2)
+      SELECT day, event_type, n_events,
+             CAST(sum(n_events) OVER (PARTITION BY day) AS BIGINT) AS day_total,
+             CAST(n_events AS DOUBLE) / CAST(sum(n_events) OVER (PARTITION BY day) AS BIGINT) AS share
+      FROM daily""")),
+  )
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.pipeline.Upsert
+import org.apache.spark.sql.functions._
+
+/** O1/O2 — the hand-rolled Delta-equivalent MERGE, exercised through
+  * [[graft.pipeline.Upsert]] on the test tables, with the merge
+  * semantics spelled out in ANSI SQL for the DuckDB oracle:
+  * matched target rows take the source row's values (UpdateAll),
+  * unmatched target rows persist, unmatched source rows insert.
+  */
+object MergeQueries {
+  import Tables.load
+
+  val all: Seq[Q] = Seq(
+
+    // O1 — SCD1 merge on a single natural key. Target: most suppliers;
+    // source: an "incremental batch" that updates every 3rd supplier's
+    // name/balance and inserts brand-new keys (suppkey+1000000).
+    Q("o1_scd1_merge", (spark, dir) => {
+      val sup = load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("decimal(18,2)").as("s_acctbal"))
+      val target = sup.filter(col("s_suppkey") % 7 =!= 0)
+      val updates = sup.filter(col("s_suppkey") % 3 === 0)
+        .select(col("s_suppkey"), concat(col("s_name"), lit(" up")).as("s_name"),
+          (col("s_acctbal") + lit(10)).cast("decimal(18,2)").as("s_acctbal"))
+      val inserts = sup.filter(col("s_suppkey") % 5 === 0)
+        .select((col("s_suppkey") + 1000000L).as("s_suppkey"), col("s_name"),
+          col("s_acctbal"))
+      val merged = Upsert.merge(target, updates.unionByName(inserts), Seq("s_suppkey"))
+      merged.select(col("s_suppkey"), col("s_name"),
+        col("s_acctbal").cast("double").as("s_acctbal"))
+    }, oracle = Some("""
+      WITH sup AS (
+        SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+        FROM supplier),
+      target AS (SELECT * FROM sup WHERE s_suppkey % 7 <> 0),
+      src AS (
+        SELECT s_suppkey, s_name || ' up' AS s_name,
+               CAST(s_acctbal + 10 AS DECIMAL(18,2)) AS s_acctbal
+        FROM sup WHERE s_suppkey % 3 = 0
+        UNION ALL
+        SELECT s_suppkey + 1000000, s_name, s_acctbal
+        FROM sup WHERE s_suppkey % 5 = 0)
+      SELECT COALESCE(s.s_suppkey, t.s_suppkey) AS s_suppkey,
+             CASE WHEN s.s_suppkey IS NOT NULL THEN s.s_name ELSE t.s_name END AS s_name,
+             CAST(CASE WHEN s.s_suppkey IS NOT NULL THEN s.s_acctbal ELSE t.s_acctbal END AS DOUBLE) AS s_acctbal
+      FROM target t LEFT JOIN src s ON t.s_suppkey = s.s_suppkey
+      UNION ALL
+      SELECT s.s_suppkey, s.s_name, CAST(s.s_acctbal AS DOUBLE)
+      FROM src s LEFT JOIN target t ON s.s_suppkey = t.s_suppkey
+      WHERE t.s_suppkey IS NULL""")),
+
+    // O2 — composite-key merge on the fact grain (l_orderkey,
+    // l_linenumber): an update batch re-prices recent lines; the merge
+    // key is the full grain, mirroring the reference's 4-surrogate-key
+    // conjunction (`gold_fact_sales.ipynb:72816-72819`).
+    Q("o2_fact_merge", (spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      val target = li.filter(col("l_orderkey") % 4 =!= 0)
+      // The grain is not unique in the data (same quirk as the
+      // reference's 4-key fact grain, SURVEY §2.3 O2): pre-aggregate the
+      // source to the merge grain — the documented resolution — so the
+      // strict Delta-parity duplicate check passes.
+      val src = li.filter(col("l_orderkey") % 6 === 0)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(col("qty")).cast("decimal(18,2)").as("qty"),
+          sum(col("price") * lit(2)).cast("decimal(18,2)").as("price"))
+      val merged = Upsert.merge(target, src, Seq("l_orderkey", "l_linenumber"))
+      merged.select(col("l_orderkey"), col("l_linenumber"),
+        col("qty").cast("double").as("qty"), col("price").cast("double").as("price"))
+    }, oracle = Some("""
+      WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        FROM lineitem),
+      target AS (SELECT * FROM li WHERE l_orderkey % 4 <> 0),
+      src AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(sum(qty) AS DECIMAL(18,2)) AS qty,
+               CAST(sum(price * 2) AS DECIMAL(18,2)) AS price
+        FROM li WHERE l_orderkey % 6 = 0
+        GROUP BY l_orderkey, l_linenumber)
+      SELECT t.l_orderkey, t.l_linenumber,
+             CAST(CASE WHEN s.l_orderkey IS NOT NULL THEN s.qty ELSE t.qty END AS DOUBLE) AS qty,
+             CAST(CASE WHEN s.l_orderkey IS NOT NULL THEN s.price ELSE t.price END AS DOUBLE) AS price
+      FROM target t LEFT JOIN src s
+        ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+      UNION ALL
+      SELECT s.l_orderkey, s.l_linenumber, CAST(s.qty AS DOUBLE), CAST(s.price AS DOUBLE)
+      FROM src s LEFT JOIN target t
+        ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+      WHERE t.l_orderkey IS NULL""")),
+  )
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis pack over the `documents` table: token statistics,
+  * quality scoring, language-ID, fingerprinting. All pure narrow
+  * projections (codegen'd, shuffle-free) — the 100 TB path is
+  * embarrassingly parallel over document partitions.
+  */
+object TextQueries {
+  import Tables.load
+
+  private val stop = Seq("the", "a", "of", "and", "to")
+
+  val all: Seq[Q] = Seq(
+
+    // Token counting: whitespace tokens, distinct types, diversity.
+    Q("text_token_stats", (spark, dir) =>
+      load(spark, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        distinctTokenCount(col("text")).as("n_types"),
+        typeTokenRatio(col("text")).as("ttr")),
+      oracle = Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_types,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+      FROM documents"""), bench = true),
+
+    // Quality scoring: stopword ratio, mean token length, composite
+    // score — rational arithmetic only (oracle-exact doubles).
+    Q("text_quality", (spark, dir) =>
+      load(spark, dir, "documents").select(
+        col("doc_id"),
+        stopwordRatio(col("text"), stop).as("stopword_ratio"),
+        meanTokenLength(col("text")).as("mean_token_len"),
+        qualityScore(col("text"), stop).as("quality_score")),
+      oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS nc
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+                 / len(toks) AS stopword_ratio,
+               CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len,
+               len(toks) AS n_tokens
+        FROM t)
+      SELECT doc_id, stopword_ratio, mean_token_len,
+             stopword_ratio * 0.5
+             + (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) * 0.3
+             + (CASE WHEN mean_token_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.2
+               AS quality_score
+      FROM m""")),
+
+    // Language-ID: stopword-profile hit counting, first-max-wins over
+    // (en, de, es, fr), zero hits → 'und'.
+    Q("text_langid", (spark, dir) =>
+      load(spark, dir, "documents").select(
+        col("doc_id"), col("lang").as("lang_label"),
+        langId(col("text"), defaultProfiles).as("lang_pred"),
+        wordlistHits(col("text"), defaultProfiles.head._2).as("en_hits")),
+      oracle = Some("""
+      WITH h AS (
+        SELECT doc_id, lang AS lang_label,
+          CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to'], x))) AS INT) AS en_h,
+          CAST(len(list_filter(string_split(text,' '), x -> list_contains(['der','die','das','und','ist'], x))) AS INT) AS de_h,
+          CAST(len(list_filter(string_split(text,' '), x -> list_contains(['el','la','los','y','es'], x))) AS INT) AS es_h,
+          CAST(len(list_filter(string_split(text,' '), x -> list_contains(['le','la','les','et','est'], x))) AS INT) AS fr_h
+        FROM documents)
+      SELECT doc_id, lang_label,
+             CASE
+               WHEN en_h = greatest(en_h, de_h, es_h, fr_h) AND en_h > 0 THEN 'en'
+               WHEN de_h = greatest(en_h, de_h, es_h, fr_h) AND de_h > 0 THEN 'de'
+               WHEN es_h = greatest(en_h, de_h, es_h, fr_h) AND es_h > 0 THEN 'es'
+               WHEN fr_h = greatest(en_h, de_h, es_h, fr_h) AND fr_h > 0 THEN 'fr'
+               ELSE 'und'
+             END AS lang_pred,
+             en_h AS en_hits
+      FROM h""")),
+
+    // Document fingerprinting: exact-bytes hash + order-invariant
+    // bag-of-words fingerprint.
+    Q("text_fingerprint", (spark, dir) =>
+      load(spark, dir, "documents").select(
+        col("doc_id"),
+        exactHash(col("text")).as("fp_exact"),
+        fingerprint(col("text")).as("fp_bow")),
+      oracle = Some("""
+      SELECT doc_id, md5(text) AS fp_exact,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bow
+      FROM documents""")),
+  )
+}

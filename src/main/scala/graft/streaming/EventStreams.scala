@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming path for the events table: file source →
+  * event-time windowed aggregation → sink. The reference's incremental
+  * loads are batch replays with a watermark (SURVEY §1.3); this module
+  * is the genuine streaming generalization — same declarative
+  * transform, `readStream`/`writeStream` around it.
+  *
+  * Scale design: event-time tumbling windows + watermark bound the
+  * state store; keys are (window, event_type) so state cardinality is
+  * #types × #open-windows regardless of input rate. For local
+  * verification the memory sink in complete mode is driven to the end
+  * of the (finite) input with `processAllAvailable()` — the batch
+  * window() aggregation over the same files is the oracle.
+  */
+object EventStreams {
+
+  /** Raw-nanos schema of events.parquet as read with nanosAsLong. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** Hourly tumbling-window aggregate per event_type, streaming. Runs
+    * the query to completion over the finite input and returns the
+    * result as a batch DataFrame. */
+  def hourlyByType(spark: SparkSession, dir: String, queryName: String = "graft_events_hourly"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      // the file-stream source wants a directory; select the single
+      // events file out of the sf dir with a glob filter
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+}
