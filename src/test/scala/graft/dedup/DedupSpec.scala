@@ -1,0 +1,59 @@
+package graft.dedup
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** LSH dedup paths vs the exact ground truth on the test corpus —
+  * the recall contract the rows-only driver queries rely on. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(sf("0.01") + "/documents.parquet")
+
+  /** Exact 3-shingle Jaccard pairs at threshold (all-pairs ground truth). */
+  private lazy val exactPairs: Set[(Long, Long)] = {
+    val d = docs.select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jac", inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .filter(col("jac") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("corpus has planted near-duplicates (sanity)") {
+    assert(exactPairs.nonEmpty)
+  }
+
+  test("MinHash LSH finds every exact-Jaccard pair ≥ threshold (recall 1.0 here)") {
+    val got = MinHashLSH.duplicatePairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.subsetOf(got),
+      s"missed: ${exactPairs -- got}")
+    // and no false positives below threshold (verification step filters)
+    assert(got.subsetOf(exactPairs), s"extra: ${got -- exactPairs}")
+  }
+
+  test("identical texts have identical simhash (hamming 0) and are paired") {
+    val pairs = SimHash.duplicatePairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every exact-duplicate text pair must appear at distance 0
+    val exactDups = docs.as("a").join(docs.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simhashPairs = pairs.map(p => (p._1, p._2)).toSet
+    assert(exactDups.subsetOf(simhashPairs))
+    pairs.filter(p => exactDups.contains((p._1, p._2)))
+      .foreach(p => assert(p._3 === 0))
+  }
+
+  test("simhash signature is deterministic across evaluations") {
+    val s1 = docs.select(SimHash.simhash64(col("text"))).collect().map(_.getLong(0))
+    val s2 = docs.select(SimHash.simhash64(col("text"))).collect().map(_.getLong(0))
+    assert(s1 === s2)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+  import TextFunctions._
+
+  private def one(c: org.apache.spark.sql.Column, text: String) =
+    Seq(text).toDF("t").select(c.as("v")).head()
+
+  test("token statistics") {
+    assert(one(tokenCount($"t"), "a b c b").getInt(0) === 4)
+    assert(one(distinctTokenCount($"t"), "a b c b").getInt(0) === 3)
+    assert(one(typeTokenRatio($"t"), "a b c b").getDouble(0) === 0.75)
+    assert(one(tokenCount($"t"), "solo").getInt(0) === 1)
+  }
+
+  test("shingles: sliding distinct n-grams; short docs collapse to whole text") {
+    assert(one(shingles($"t", 3), "a b c d").getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(one(shingles($"t", 3), "a b").getSeq[String](0) === Seq("a b"))
+    // repeated shingles dedup
+    assert(one(shingles($"t", 2), "x y x y").getSeq[String](0) === Seq("x y", "y x"))
+  }
+
+  test("stopword ratio and quality score are rational-exact") {
+    assert(one(stopwordRatio($"t", Seq("the", "a")), "the cat a hat").getDouble(0) === 0.5)
+    assert(one(meanTokenLength($"t"), "ab cd").getDouble(0) === 2.0)
+  }
+
+  test("langId: first maximal profile wins; no hits → und") {
+    val profiles = Seq("en" -> Seq("the"), "de" -> Seq("der"))
+    assert(one(langId($"t", profiles), "the dog").getString(0) === "en")
+    assert(one(langId($"t", profiles), "der hund").getString(0) === "de")
+    assert(one(langId($"t", profiles), "xyz").getString(0) === "und")
+    // tie → declaration order (en before de)
+    assert(one(langId($"t", profiles), "the der").getString(0) === "en")
+  }
+
+  test("fingerprint is invariant under token reordering; exactHash is not") {
+    val df = Seq(("a b c", "c b a")).toDF("x", "y")
+    val r = df.select(
+      (fingerprint($"x") === fingerprint($"y")).as("fp_eq"),
+      (exactHash($"x") === exactHash($"y")).as("ex_eq")).head()
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === false)
+  }
+}

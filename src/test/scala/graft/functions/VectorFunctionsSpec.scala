@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+  import VectorFunctions._
+
+  test("dot / norm / cosine on known vectors") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    val r = df.select(
+      vdot($"a", $"b").as("dot"),
+      vnorm($"a").as("na"),
+      cosine($"a", $"a").as("self"),
+      l2sq($"a", $"b").as("d2")).head()
+    assert(r.getDouble(0) === 32.0)
+    assert(r.getDouble(1) === math.sqrt(14.0))
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12) // self-cosine ≈ 1
+    assert(r.getDouble(3) === 27.0)
+  }
+
+  test("cosine is symmetric and bounded") {
+    val e = spark.read.parquet(sf("0.001") + "/embeddings.parquet").limit(50)
+    val a = e.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val scores = a.crossJoin(b).filter($"ia" < $"ib")
+      .select(cosine($"va", $"vb").as("ab"), cosine($"vb", $"va").as("ba"))
+      .collect()
+    scores.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(0) >= -1.0000001 && r.getDouble(0) <= 1.0000001)
+    }
+  }
+
+  test("SRP-LSH: identical vectors share a bucket; bucket in range") {
+    val e = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+      .withColumn("bucket", srpBucket($"embedding", 8))
+    val buckets = e.select("bucket").collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 256))
+    // deterministic
+    val again = e.select("bucket").collect().map(_.getLong(0))
+    assert(buckets === again)
+  }
+
+  test("SRP-LSH recall: most brute-force top-1 neighbours share the query's bucket at 4 planes") {
+    // with 4 hyperplanes (16 buckets) the nearest neighbour should very
+    // often fall in the same bucket — a sanity floor, not a guarantee
+    val e = spark.read.parquet(sf("0.001") + "/embeddings.parquet").limit(200)
+      .withColumn("bucket", srpBucket($"embedding", 4))
+    val a = e.select($"vec_id".as("ia"), $"embedding".as("va"), $"bucket".as("ba"))
+    val b = e.select($"vec_id".as("ib"), $"embedding".as("vb"), $"bucket".as("bb"))
+    val top1 = a.crossJoin(b).filter($"ia" =!= $"ib")
+      .withColumn("score", cosine($"va", $"vb"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"ia")
+          .orderBy($"score".desc, $"ib")))
+      .filter($"rk" === 1)
+    // chance rate with 16 buckets is 1/16 = 0.0625; the LSH must beat it
+    // (these synthetic embeddings are near-orthogonal — top-1 cosine is
+    // only ~0.5 — so the absolute rate stays modest)
+    val hit = top1.filter($"ba" === $"bb").count().toDouble / top1.count()
+    assert(hit > 0.0625, s"same-bucket top-1 rate $hit not better than chance")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end golden replay (SURVEY §5, FIXTURES §6): full load →
+  * incremental 1 → incremental 2 → idempotence, with every BASELINE.md
+  * correctness invariant asserted. Runs the real SalesPipeline against
+  * the reference's own CSVs (read-only). */
+class PipelineSpec extends SparkTestBase {
+
+  private val ref = "/root/reference"
+  private lazy val root = tmpDir("pipeline_golden")
+  private lazy val pipe = {
+    val p = SalesPipeline(spark, root)
+    p.run(s"$ref/SalesData.csv")
+    p
+  }
+
+  private def counts: Map[String, Long] =
+    (DimensionBuilder.specs.map(_.name) :+ "factsales")
+      .map(n => n -> pipe.table(n).count()).toMap
+
+  test("full load reproduces every BASELINE row count") {
+    assert(counts === Map(
+      "dim_branch" -> 1836L, "dim_dealer" -> 267L, "dim_model" -> 277L,
+      "dim_date" -> 1156L, "factsales" -> 1849L))
+  }
+
+  test("silver schema is the reference's 13 columns with exact types") {
+    pipe // force full load
+    val silver = spark.read.parquet(s"$root/warehouse/silver/carsales")
+    assert(silver.schema === Schemas.silver)
+  }
+
+  test("derived columns match the reference's golden outputs") {
+    pipe
+    val silver = spark.read.parquet(s"$root/warehouse/silver/carsales")
+    // RevPerUnit: long/long → double (13363978/2 = 6681989.0)
+    val r = silver.filter(col("Revenue") === 13363978L && col("Units_Sold") === 2L)
+    assert(r.head().getAs[Double]("RevPerUnit") === 6681989.0)
+    // model_category = split prefix
+    val m = silver.filter(col("Model_ID") === "Mah-M167")
+    assert(m.head().getAs[String]("model_category") === "Mah")
+  }
+
+  test("gold schemas match the reference star schema") {
+    pipe
+    assert(pipe.table("dim_branch").schema === Schemas.dimBranch)
+    assert(pipe.table("dim_date").schema === Schemas.dimDate) // Day/Month/Year dropped
+    assert(pipe.table("factsales").schema === Schemas.factSales)
+  }
+
+  test("surrogate keys are contiguous 1..N on the natural-key order") {
+    pipe
+    val keys = pipe.table("dim_dealer").select("dim_dealer_key")
+      .collect().map(_.getLong(0)).sorted
+    assert(keys === (1L to 267L).toArray)
+  }
+
+  test("incremental batch 1: new entities inserted, existing keys untouched") {
+    pipe
+    val dealerKeysBefore = pipe.table("dim_dealer")
+      .select("Dealer_ID", "dim_dealer_key").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    pipe.run(s"$ref/IncrementalSales.csv")
+    assert(counts === Map(
+      "dim_branch" -> 1840L, "dim_dealer" -> 268L, "dim_model" -> 278L,
+      "dim_date" -> 1158L, "factsales" -> 1853L))
+    // no-hyphen model: category is the whole string
+    val zyx = pipe.table("dim_model").filter(col("Model_ID") === "ZYXM13")
+    assert(zyx.head().getAs[String]("model_category") === "ZYXM13")
+    // existing surrogate keys unchanged
+    val after = pipe.table("dim_dealer").select("Dealer_ID", "dim_dealer_key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    dealerKeysBefore.foreach { case (k, v) => assert(after(k) === v) }
+  }
+
+  test("incremental batch 2: SCD1 updates in place, counts and keys stable") {
+    pipe.run(s"$ref/IncrementalSales.csv")
+    val keysBefore = pipe.table("dim_dealer").select("Dealer_ID", "dim_dealer_key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    pipe.run(s"$ref/IncrementalSalesUpdate.csv")
+    val d = pipe.table("dim_dealer")
+    assert(d.filter(col("DealerName").endsWith(" up")).count() === 3)
+    // the quoted-comma dealer got its update through the CSV parser
+    assert(d.filter(col("DealerName") === "Fisker, Karma Motors up").count() === 1)
+    assert(counts("dim_dealer") === 268L && counts("factsales") === 1853L)
+    val keysAfter = pipe.table("dim_dealer").select("Dealer_ID", "dim_dealer_key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keysAfter === keysBefore)
+  }
+
+  test("replaying a batch is a no-op (merge idempotence)") {
+    pipe.run(s"$ref/IncrementalSalesUpdate.csv")
+    val before = counts
+    val namesBefore = pipe.table("dim_dealer").select("DealerName")
+      .collect().map(r => Option(r.getString(0)).getOrElse("")).sorted
+    pipe.run(s"$ref/IncrementalSalesUpdate.csv")
+    assert(counts === before)
+    val namesAfter = pipe.table("dim_dealer").select("DealerName")
+      .collect().map(r => Option(r.getString(0)).getOrElse("")).sorted
+    assert(namesAfter === namesBefore)
+  }
+}
