@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** MinHash + banded LSH near-duplicate detection over a text column —
@@ -14,24 +14,25 @@ import org.apache.spark.sql.functions._
   * Jaccard s collides with probability 1-(1-s^r)^b — the (b, r) defaults
   * (16, 4) put the S-curve threshold near s ≈ 0.5.
   *
-  * Hashing: per-permutation minhash is `min over shingles of
-  * xxhash64(shingle ⊕ permutation-salt)` — xxhash64 is Spark's codegen'd
-  * 64-bit hash; the salt string makes the k permutations independent.
-  * Everything below is built-in higher-order functions, so the signature
-  * computation is one narrow codegen'd projection over the corpus.
+  * Signature computation shape matters: a naive `array(k × array_min(
+  * transform(shingles…)))` projection re-evaluates the shingling k times
+  * (Catalyst does not CSE across array elements — measured 64× blowup).
+  * Instead we explode to (id, shingleHash) rows ONCE and take k `min`
+  * aggregates — one narrow pass + one partial-agg shuffle on id, the
+  * same plan shape at any scale.
   */
 object MinHashLSH {
 
-  /** k minhash permutations: hash each shingle string ONCE (xxhash64),
-    * then derive the k permutations by re-hashing the 64-bit value with
-    * the permutation index — avoids k string passes over the corpus;
-    * the k re-hashes are long-arithmetic inside codegen. */
-  def signature(text: Column, shingleN: Int, numHashes: Int): Column = {
-    val hs = transform(TextFunctions.shingles(text, shingleN), s => xxhash64(s))
-    array((0 until numHashes).map { k =>
-      array_min(transform(hs, h => xxhash64(h, lit(k))))
-    }: _*)
-  }
+  /** (id, sig: array<long>[numHashes]) — per-permutation minhash is
+    * min over shingles of xxhash64(xxhash64(shingle), perm). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextFunctions.shingles(col(textCol), shingleN)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+      .groupBy("id")
+      .agg(array((0 until numHashes).map(k => min(xxhash64(col("h"), lit(k)))): _*)
+        .as("sig"))
 
   /** Candidate pairs + exact verification.
     *
@@ -42,15 +43,12 @@ object MinHashLSH {
                      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                      threshold: Double = 0.5): DataFrame = {
     val r = numHashes / bands
-    val withSig = docs.select(
-      col(idCol).as("id"),
-      TextFunctions.shingles(col(textCol), shingleN).as("sh"),
-      signature(col(textCol), shingleN, numHashes).as("sig"))
+    val sig = signatures(docs, idCol, textCol, shingleN, numHashes)
 
     // band key: hash of the band's slice of the signature. Only
-    // (id, band, bandkey) flows into the self-join — the shingle arrays
-    // would otherwise be replicated `bands`× through the shuffle.
-    val banded = withSig.select(col("id"),
+    // (id, band, bandkey) flows into the self-join — shingle sets and
+    // signatures stay out of the shuffle.
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band")
@@ -66,7 +64,8 @@ object MinHashLSH {
 
     // exact Jaccard on the candidates only: re-attach shingle sets to
     // the (few) surviving pairs
-    val shapes = withSig.select(col("id"), col("sh"))
+    val shapes = docs.select(col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), shingleN).as("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val jac = inter.cast("double") /
       (size(col("sh_a")) + size(col("sh_b")) - inter)

@@ -34,13 +34,30 @@ object SimHash {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Aggregation-shaped signature computation for whole tables: explode
+    * to (id, tokenHash) once, 64 signed-count aggregates, assemble the
+    * sign bits — avoids the 64× token-array re-evaluation the Column
+    * form costs on wide corpora (same plan-shape rationale as
+    * [[MinHashLSH.signatures]]). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = (0 until 64).map { j =>
+      val vote = sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+      .groupBy("id")
+      .agg(sig.as("sig"))
+  }
+
   /** Pairs with Hamming(simhash) ≤ maxDist, via 16-bit-block pigeonhole
     * blocking + exact Hamming verification on candidates.
     * @return (id_a, id_b, hamming) with id_a < id_b.
     */
   def duplicatePairs(docs: DataFrame, idCol: String, textCol: String,
                      maxDist: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val sigs = signatures(docs, idCol, textCol)
     val blocked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.dedup.{MinHashLSH, SimHash}
+import graft.dedup.{ExactJaccard, MinHashLSH, SimHash}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 
@@ -26,22 +26,14 @@ object DedupQueries {
       FROM documents GROUP BY md5(text)""")),
 
     // Exact 3-gram-shingle Jaccard over lang-blocked pairs — ground
-    // truth for fuzzy dedup. Quadratic within blocks; usable as an
-    // oracle/recall-check, not the 100 TB path (that's the LSH below).
-    Q("dedup_ngram_jaccard", (spark, dir) => {
-      val d = load(spark, dir, "documents").select(
-        col("doc_id"), col("lang"),
-        TextFunctions.shingles(col("text"), 3).as("sh"))
-      val a = d.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = d.select(col("lang"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      a.join(b, Seq("lang"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("jaccard",
-          inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-    }, oracle = Some("""
+    // truth for fuzzy dedup, computed with the inverted-index join
+    // (pair space generated only by co-occurring shingles; see
+    // [[graft.dedup.ExactJaccard]]). The oracle mirrors the same
+    // inverted-index formulation.
+    Q("dedup_ngram_jaccard", (spark, dir) =>
+      ExactJaccard.pairs(load(spark, dir, "documents"), "doc_id", "text", "lang",
+        shingleN = 3, threshold = 0.5),
+      oracle = Some("""
       WITH d AS (
         SELECT doc_id, lang,
                CASE WHEN len(string_split(text,' ')) >= 3
@@ -49,13 +41,19 @@ object DedupQueries {
                            range(1, len(string_split(text,' ')) - 1),
                            i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
                     ELSE [text] END AS sh
-        FROM documents)
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""")),
+        FROM documents),
+      ex AS (SELECT doc_id, lang, unnest(sh) AS s FROM d),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM ex a JOIN ex b
+          ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM d)
+      SELECT id_a, id_b,
+             CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5"""), bench = true),
 
     // MinHash + banded LSH — the linear-ish scale path. Rows-only here;
     // recall vs dedup_ngram_jaccard is asserted in DedupSpec.
