@@ -1,0 +1,94 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for the embedding hot path.
+  *
+  * This is the one place in the engine where a custom `Expression` is
+  * genuinely warranted (SURVEY §7.3): the higher-order-function cosine
+  * (`zip_with` + `aggregate`) materializes an intermediate array per
+  * pair, which an ANN join evaluates millions of times. The native form
+  * is a single allocation-free loop over both `ArrayData`, with
+  * `doGenCode` keeping it inside whole-stage codegen.
+  *
+  * Semantics are BIT-IDENTICAL to the HOF form (and the DuckDB oracle):
+  * each accumulator (dot, ‖a‖², ‖b‖²) is an independent sequential
+  * left fold in double precision; interleaving them in one loop does
+  * not change any accumulator's addition order.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == ArrayType(FloatType, containsNull = false) ||
+        left.dataType == ArrayType(FloatType, containsNull = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+
+  /** Register in the session's function registry (idempotent); the
+    * public `call_function` route then builds Columns over the native
+    * expression — Spark 4 keeps Expression→Column constructors
+    * private[sql]. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+
+  /** Column API for the native cosine (session must be registered —
+    * [[register]] is cheap and idempotent, call it per query). */
+  def cosine_sim(spark: org.apache.spark.sql.SparkSession,
+                 a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+  }
+}

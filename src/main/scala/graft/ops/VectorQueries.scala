@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.functions.VectorFunctions._
+import graft.functions.expressions.VectorExpressions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,7 +34,7 @@ object VectorQueries {
         .orderBy(col("score").desc, col("neighbor_id"))
       queries.join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
           col("query_id") =!= col("neighbor_id"))
-        .withColumn("score", cosine(col("qv"), col("embedding")))
+        .withColumn("score", VectorExpressions.cosine_sim(spark, col("qv"), col("embedding")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
@@ -60,7 +61,7 @@ object VectorQueries {
       val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, Seq("label"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("score", cosine(col("va"), col("vb")))
+        .withColumn("score", VectorExpressions.cosine_sim(spark, col("va"), col("vb")))
         .filter(col("score") >= 0.4)
         .select(col("id_a"), col("id_b"), col("score"))
     }, oracle = Some(s"""
@@ -80,7 +81,7 @@ object VectorQueries {
       val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, Seq("bucket"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("score", cosine(col("va"), col("vb")))
+        .withColumn("score", VectorExpressions.cosine_sim(spark, col("va"), col("vb")))
         .filter(col("score") >= 0.3)
         .select(col("id_a"), col("id_b"), col("score"))
         .orderBy(col("id_a"), col("id_b"))

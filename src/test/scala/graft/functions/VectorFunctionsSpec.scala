@@ -20,6 +20,26 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(r.getDouble(3) === 27.0)
   }
 
+  test("native cosine_sim expression bit-matches the HOF cosine, incl. via SQL") {
+    import graft.functions.expressions.VectorExpressions
+    val e = spark.read.parquet(sf("0.001") + "/embeddings.parquet").limit(100)
+    val a = e.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val pairs = a.crossJoin(b).filter($"ia" < $"ib")
+    val mismatches = pairs
+      .withColumn("c1", cosine($"va", $"vb"))
+      .withColumn("c2", VectorExpressions.cosine_sim(spark, $"va", $"vb"))
+      .filter($"c1" =!= $"c2").count()
+    assert(mismatches === 0)
+    // SQL surface
+    VectorExpressions.register(spark)
+    e.createOrReplaceTempView("emb_t")
+    val sqlSelf = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM emb_t LIMIT 5")
+      .collect().map(_.getDouble(0))
+    sqlSelf.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
   test("cosine is symmetric and bounded") {
     val e = spark.read.parquet(sf("0.001") + "/embeddings.parquet").limit(50)
     val a = e.select($"vec_id".as("ia"), $"embedding".as("va"))
