@@ -77,6 +77,23 @@ object TextFunctions {
   /** Exact-duplicate hash: md5 of the raw utf-8 bytes. */
   def exactHash(text: Column): Column = md5(text.cast("binary"))
 
+  /** BPE-ish sub-word pieces: maximal runs of letters / digits /
+    * single other non-space chars — the pre-tokenization regex shape a
+    * byte-pair tokenizer applies before merges. */
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def bpePieceCount(text: Column): Column = size(bpePieces(text))
+
+  /** Polynomial rolling hash over the character stream:
+    * h ← (31·h + ascii(c)) mod 1e9+7. Stays in long range (no overflow)
+    * so it is expressible identically in ANSI SQL for the oracle. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % 1000000007L)
+
   /** Composite quality score in [0,1] from rational-only arithmetic:
     * 0.5·stopword-ratio + 0.3·min(n_tokens,100)/100 + 0.2·[3 ≤ mean token len ≤ 8]. */
   def qualityScore(text: Column, stopwords: Seq[String]): Column =

@@ -82,16 +82,38 @@ object TextQueries {
              en_h AS en_hits
       FROM h""")),
 
-    // Document fingerprinting: exact-bytes hash + order-invariant
-    // bag-of-words fingerprint.
+    // Document fingerprinting: exact-bytes hash, order-invariant
+    // bag-of-words fingerprint, and a polynomial rolling hash.
     Q("text_fingerprint", (spark, dir) =>
       load(spark, dir, "documents").select(
         col("doc_id"),
         exactHash(col("text")).as("fp_exact"),
-        fingerprint(col("text")).as("fp_bow")),
+        fingerprint(col("text")).as("fp_bow"),
+        rollingHash(col("text")).as("fp_rolling")),
       oracle = Some("""
       SELECT doc_id, md5(text) AS fp_exact,
-             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bow
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bow,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_rolling
+      FROM documents""")),
+
+    // BPE-ish sub-word pre-tokenization: piece counts vs whitespace
+    // tokens (the token-budget estimator a training pipeline runs).
+    Q("text_bpe_tokens", (spark, dir) =>
+      load(spark, dir, "documents").select(
+        col("doc_id"),
+        bpePieceCount(col("text")).as("n_pieces"),
+        tokenCount(col("text")).as("n_ws_tokens"),
+        (bpePieceCount(col("text")).cast("double") / tokenCount(col("text")))
+          .as("pieces_per_token")),
+      oracle = Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_pieces,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS pieces_per_token
       FROM documents""")),
   )
 }

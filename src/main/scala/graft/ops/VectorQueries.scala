@@ -70,6 +70,70 @@ object VectorQueries {
         ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE $oracleCos >= 0.4""")),
 
+    // Per-label centroids: array aggregation via posexplode →
+    // (label, dim) partial sums → reassemble ordered by dim. Exact
+    // DECIMAL sums make the mean order-independent (oracle-exact);
+    // the two-level groupBy is one shuffle keyed (label, dim) — the
+    // same plan at any corpus size.
+    Q("embed_label_centroids", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      val dims = e.select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        // float→double first (exact widening — float→decimal casts
+        // round differently across engines), then an exact decimal sum
+        .agg((sum(col("col").cast("double").cast("decimal(30,14)")).cast("double")
+          / count(lit(1))).as("mean"), count(lit(1)).as("n"))
+      dims.groupBy(col("label"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+            s => s.getField("mean")).as("centroid"),
+          max(col("n")).as("n_vecs"))
+        .select(col("label"), col("centroid"), col("n_vecs"))
+    }, oracle = Some("""
+      WITH ex AS (
+        SELECT label, u.pos, u.v
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) - 1 AS pos) u),
+      dims AS (
+        SELECT label, pos,
+               CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,14))) AS DOUBLE) / count(*) AS mean,
+               count(*) AS n
+        FROM ex GROUP BY label, pos)
+      SELECT label, array_agg(mean ORDER BY pos) AS centroid,
+             max(n) AS n_vecs
+      FROM dims GROUP BY label""")),
+
+    // IVF-style ANN — coarse quantization: every 25th vector is a
+    // deterministic "centroid"; vectors assign to their nearest
+    // centroid cell; queries probe ONLY their own cell. The candidate
+    // set shrinks by ~nlist× vs brute force — the standard
+    // inverted-file trade (recall asserted vs brute force in the spec).
+    Q("sim_ivf_probe", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      val cents = broadcast(e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
+      // assign: argmax cosine over centroids (row_number on broadcast join)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cscore").desc, col("cent_id"))
+      val assigned = e.crossJoin(cents)
+        .withColumn("cscore", VectorExpressions.cosine_sim(spark, col("embedding"), col("cv")))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val queries = assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      queries.join(assigned.select(col("vec_id").as("neighbor_id"),
+          col("embedding"), col("cent_id")), Seq("cent_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("score", VectorExpressions.cosine_sim(spark, col("qv"), col("embedding")))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+    }),
+
     // SRP-LSH bucketed ANN — the scale path: bucket on an 8-bit
     // sign-random-projection signature, search within bucket only.
     // Algorithm-specific hashing → rows-only; recall vs the brute-force

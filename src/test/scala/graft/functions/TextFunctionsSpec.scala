@@ -38,6 +38,21 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(one(langId($"t", profiles), "the der").getString(0) === "en")
   }
 
+  test("BPE-ish pieces split letter runs, digit runs, and single symbols") {
+    assert(one(bpePieces($"t"), "foo42 bar-baz").getSeq[String](0)
+      === Seq("foo", "42", "bar", "-", "baz"))
+    assert(one(bpePieceCount($"t"), "plain words here").getInt(0) === 3)
+  }
+
+  test("rolling hash: polynomial over chars, stays under the modulus") {
+    // h("ab") = (0*31+97)*31+98 mod 1e9+7 = 3105
+    assert(one(rollingHash($"t"), "ab").getLong(0) === (97L * 31 + 98))
+    val h1 = one(rollingHash($"t"), "hello world").getLong(0)
+    val h2 = one(rollingHash($"t"), "hello worlD").getLong(0)
+    assert(h1 !== h2)
+    assert(h1 >= 0 && h1 < 1000000007L)
+  }
+
   test("fingerprint is invariant under token reordering; exactHash is not") {
     val df = Seq(("a b c", "c b a")).toDF("x", "y")
     val r = df.select(

@@ -63,6 +63,21 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(buckets === again)
   }
 
+  test("IVF probe returns genuine neighbours: rank-1 hits overlap brute-force top-5") {
+    val dir = sf("0.001")
+    val ivf = graft.SparkEntry.queries("sim_ivf_probe")(spark, dir)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val brute = graft.SparkEntry.queries("sim_topk_bruteforce")(spark, dir)
+      .select($"query_id", $"neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // IVF's top hit should usually be among brute-force top-5 (same-cell
+    // neighbours are the near ones); require a majority, not perfection
+    val hits = ivf.count { case (q, n) => brute.getOrElse(q, Set.empty).contains(n) }
+    assert(hits * 2 > ivf.size, s"IVF top-1 in brute top-5 for only $hits/${ivf.size} queries")
+  }
+
   test("SRP-LSH recall: most brute-force top-1 neighbours share the query's bucket at 4 planes") {
     // with 4 hyperplanes (16 buckets) the nearest neighbour should very
     // often fall in the same bucket — a sanity floor, not a guarantee
