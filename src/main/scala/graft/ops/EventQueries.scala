@@ -74,6 +74,30 @@ object EventQueries {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       FROM sess GROUP BY user_id, session_id"""), bench = true),
 
+    // The same sessionization through the STATEFUL streaming path
+    // (flatMapGroupsWithState + event-time timeout): closed sessions
+    // emit on gap, open sessions time out via watermark. Must equal the
+    // batch gaps-and-islands result exactly — same oracle.
+    Q("events_stream_sessionize", (spark, dir) =>
+      graft.streaming.SessionizeStream.sessionize(spark, dir),
+      oracle = Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(ts) AS session_start,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM sess GROUP BY user_id, session_id""")),
+
     // Daily per-type event funnel with conversion-style share-of-day —
     // two-level aggregation reusing the first shuffle's partitioning.
     Q("events_daily_share", (spark, dir) => {

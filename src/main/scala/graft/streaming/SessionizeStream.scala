@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionization with `flatMapGroupsWithState` —
+  * the engine's custom-state operator: per-user sessions close after
+  * 30 min of event-time inactivity; closed sessions emit immediately,
+  * open sessions live in the state store with an event-time timeout.
+  *
+  * State size is one open session per active user — bounded by user
+  * cardinality, not event volume; the watermark garbage-collects
+  * timed-out users. That is the 100 TB shape for streaming
+  * sessionization (the batch gaps-and-islands plan in
+  * [[graft.ops.EventQueries]] is its replay twin, and the DuckDB
+  * oracle for both).
+  *
+  * Finite-replay protocol: a parquet file stream emits the events file
+  * first, then three far-future sentinel batches. Sentinel batch 1
+  * advances the watermark past every real session's timeout; batch 2
+  * triggers the timeouts (watermarks take effect one microbatch after
+  * the data that moved them). Sentinel rows carry user_id = -1 and are
+  * filtered from the output.
+  */
+object SessionizeStream {
+
+  private val GapUs = 1800000000L // 30 min in µs
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, usec: Long,
+                event_id: Long, cents: Long)
+  case class SessState(startUs: Long, lastUs: Long, n: Long, cents: Long)
+  case class SessOut(user_id: Long, start_us: Long, n_events: Long, cents: Long)
+
+  private def fn(uid: Long, it: Iterator[Ev],
+                 state: GroupState[SessState]): Iterator[SessOut] = {
+    def close(s: SessState) = SessOut(uid, s.startUs, s.n, s.cents)
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(close).toList
+      state.remove()
+      return out.iterator
+    }
+    val evs = it.toVector.sortBy(e => (e.usec, e.event_id))
+    if (evs.isEmpty) return Iterator.empty
+    var open = state.getOption
+    val closed = Vector.newBuilder[SessOut]
+    evs.foreach { e =>
+      open match {
+        case Some(s) if e.usec - s.lastUs <= GapUs =>
+          open = Some(SessState(s.startUs, e.usec, s.n + 1, s.cents + e.cents))
+        case Some(s) =>
+          closed += close(s)
+          open = Some(SessState(e.usec, e.usec, 1, e.cents))
+        case None =>
+          open = Some(SessState(e.usec, e.usec, 1, e.cents))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp((s.lastUs + GapUs) / 1000) // ms epoch
+    }
+    closed.result().iterator
+  }
+
+  /** Run the stateful sessionization over the finite events table and
+    * return (user_id, session_id, n_events, session_start,
+    * session_value) — the exact shape of the batch sessionize query. */
+  def sessionize(spark: SparkSession, dir: String,
+                 queryName: String = "graft_sessions"): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    // staging dir: events file + two far-future sentinel files
+    val stage = new java.io.File(s"/root/repo/target/tmp/stream_sess_${dir.hashCode.abs}")
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    stage.mkdirs()
+    org.apache.commons.io.FileUtils.copyFile(
+      new java.io.File(s"$dir/events.parquet"),
+      new java.io.File(stage, "0_events.parquet"))
+    val maxNs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max("ts")).head().getLong(0)
+    Seq(1, 2, 3).foreach { i =>
+      val sentinelNs = maxNs + i * 3600L * 1000000000L
+      val tmp = new java.io.File(stage, s"tmp_sent$i")
+      Seq((-1L, sentinelNs, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      // the file-stream source does NOT list nested directories — move
+      // the part file up into the stage dir as a flat sibling
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(stage, s"z_sent$i.parquet")
+      org.apache.commons.io.FileUtils.moveFile(part, target)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+      // stagger mod-times so the source orders: events, sent1, sent2, sent3
+      target.setLastModified(System.currentTimeMillis() + i * 2000L)
+    }
+
+    val stream = spark.readStream
+      .schema(EventStreams.rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", false)
+      .parquet(stage.getAbsolutePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "0 seconds")
+      // keep the watermarked ts column itself through the typed view —
+      // projecting it away would drop the event-time watermark marker
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("usec"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      .as[Ev]
+
+    val sessions = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+
+    val q = sessions.toDF().writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally q.stop()
+
+    spark.table(queryName)
+      .filter(col("user_id") >= 0)
+      .withColumn("session_id",
+        row_number().over(Window.partitionBy(col("user_id")).orderBy(col("start_us")))
+          .cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        (col("cents").cast("double") / 100.0).as("session_value"))
+  }
+}
