@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface: string, date, null-handling, conditional,
+  * JSON, and pivot shapes — the everyday SQL layer a user of the engine
+  * expects, each oracle-matched function-for-function against DuckDB.
+  * (Functions with divergent cross-engine semantics — e.g. round's
+  * HALF_UP vs HALF_EVEN, dayofweek origins — are deliberately excluded
+  * from oracle outputs.)
+  */
+object FuncQueries {
+  import Tables.load
+
+  val all: Seq[Q] = Seq(
+
+    Q("func_strings", (spark, dir) =>
+      load(spark, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        lpad(col("p_size").cast("string"), 5, "0").as("size_padded"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        regexp_replace(col("p_name"), "a", "@").as("name_subst"),
+        translate(col("p_brand"), "#", "-").as("brand_dash"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len")),
+      oracle = Some("""
+      SELECT p_partkey, upper(p_name) AS name_upper,
+             lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_padded,
+             substring(p_type, 1, 5) AS type_prefix,
+             regexp_replace(p_name, 'a', '@', 'g') AS name_subst,
+             translate(p_brand, '#', '-') AS brand_dash,
+             concat_ws('|', p_brand, p_type) AS brand_type,
+             CAST(length(p_name) AS INT) AS name_len
+      FROM part""")),
+
+    Q("func_dates", (spark, dir) =>
+      load(spark, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .as("days_since_95"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date")),
+      oracle = Some("""
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INT) AS y,
+             CAST(month(o_orderdate) AS INT) AS m,
+             CAST(day(o_orderdate) AS INT) AS d,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+               AS days_since_95,
+             CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date
+      FROM orders""")),
+
+    Q("func_nulls", (spark, dir) =>
+      load(spark, dir, "customer").select(
+        col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(default)"))
+          .as("seg_defaulted"),
+        (nullif(col("c_mktsegment"), lit("BUILDING")) <=> lit("MACHINERY"))
+          .as("nullsafe_eq"),
+        isnull(nullif(col("c_mktsegment"), lit("BUILDING"))).as("is_building")),
+      oracle = Some("""
+      SELECT c_custkey,
+             nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+             coalesce(nullif(c_mktsegment, 'BUILDING'), '(default)') AS seg_defaulted,
+             nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'MACHINERY'
+               AS nullsafe_eq,
+             nullif(c_mktsegment, 'BUILDING') IS NULL AS is_building
+      FROM customer""")),
+
+    Q("func_conditional", (spark, dir) =>
+      load(spark, dir, "supplier").select(
+        col("s_suppkey"),
+        when(col("s_acctbal") < 0, lit("debt"))
+          .when(col("s_acctbal") < 5000, lit("low"))
+          .otherwise(lit("high")).as("bal_band"),
+        greatest(col("s_acctbal"), lit(0.0)).as("bal_floor"),
+        least(col("s_nationkey"), lit(10)).as("nat_capped"),
+        abs(col("s_acctbal")).as("bal_abs")),
+      oracle = Some("""
+      SELECT s_suppkey,
+             CASE WHEN s_acctbal < 0 THEN 'debt'
+                  WHEN s_acctbal < 5000 THEN 'low'
+                  ELSE 'high' END AS bal_band,
+             greatest(s_acctbal, 0.0) AS bal_floor,
+             least(s_nationkey, 10) AS nat_capped,
+             abs(s_acctbal) AS bal_abs
+      FROM supplier""")),
+
+    // JSON extraction from the events props column + aggregate over the
+    // extracted value.
+    Q("func_json", (spark, dir) =>
+      Tables.loadEvents(spark, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("k_total"),
+          max(col("k")).as("k_max")),
+      oracle = Some("""
+      SELECT event_type,
+             count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+             max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+      FROM events GROUP BY event_type""")),
+
+    // Pivot: documents per (source, lang) spread wide — Spark's pivot
+    // relational operator; the oracle uses equivalent FILTER aggregates
+    // (explicit pivot values keep both schemas static).
+    Q("agg_pivot_langs", (spark, dir) =>
+      load(spark, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("en", "de", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      oracle = Some("""
+      SELECT source,
+             count(*) FILTER (lang = 'en') AS en,
+             count(*) FILTER (lang = 'de') AS de,
+             count(*) FILTER (lang = 'es') AS es,
+             count(*) FILTER (lang = 'fr') AS fr,
+             count(*) FILTER (lang = 'zh') AS zh
+      FROM documents GROUP BY source""")),
+  )
+}
