@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.expressions.{CosineSimilarity, MinHashAgg}
+
+/** Session-extension entry point: registers the engine's native
+  * functions at session build time, so a cluster deployment enables
+  * them with `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (no per-session registry calls needed):
+  *
+  *   - `cosine_sim(a, b)`   — codegen'd float-vector cosine
+  *   - `minhash_agg(h, k)`  — one-pass MinHash sketch aggregate
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+      (exprs: Seq[Expression]) => MinHashAgg(exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Int])))
+  }
+}

@@ -16,8 +16,9 @@ object SparkEntry {
 
   def packs: Seq[Q] =
     ParityQueries.all ++ MergeQueries.all ++ AnalyticsQueries.all ++
-      FuncQueries.all ++ EventQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ VectorQueries.all ++ MultimodalQueries.all
+      JoinSetQueries.all ++ FuncQueries.all ++ EventQueries.all ++
+      TextQueries.all ++ DedupQueries.all ++ VectorQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-style revenue rollup — the reference's core analytical shape

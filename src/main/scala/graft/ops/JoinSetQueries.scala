@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Remaining join flavours and bag-semantics set operations, plus the
+  * SQL-string path with subqueries (scalar + correlated) — completing
+  * the relational algebra surface beyond the reference's left joins.
+  */
+object JoinSetQueries {
+  import Tables.load
+
+  private val dec = DecimalType(18, 2)
+
+  val all: Seq[Q] = Seq(
+
+    // FULL OUTER join: customers vs per-customer order rollup — both
+    // unmatched sides survive with nulls.
+    Q("join_full_outer", (spark, dir) => {
+      val c = load(spark, dir, "customer")
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_name"))
+      val o = load(spark, dir, "orders")
+        .filter(col("o_custkey") % 2 === 0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_custkey"), col("n_orders"))
+    }, oracle = Some("""
+      SELECT c.c_custkey, c.c_name, o.o_custkey, o.n_orders
+      FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0) c
+      FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+                 WHERE o_custkey % 2 = 0 GROUP BY o_custkey) o
+        ON c.c_custkey = o.o_custkey""")),
+
+    // CROSS join (small × small): the region-nation grid.
+    Q("join_cross", (spark, dir) =>
+      load(spark, dir, "region").select(col("r_regionkey"), col("r_name"))
+        .crossJoin(load(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+      oracle = Some("""
+      SELECT r_regionkey, r_name, n_nationkey, n_name
+      FROM region CROSS JOIN nation""")),
+
+    // Bag-semantics set ops: duplicates preserved by multiplicity.
+    Q("set_except_all", (spark, dir) => {
+      val allBuyers = load(spark, dir, "orders").select(col("o_custkey"))
+      val bigBuyers = load(spark, dir, "orders")
+        .filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      allBuyers.exceptAll(bigBuyers)
+    }, oracle = Some("""
+      SELECT o_custkey FROM orders
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_totalprice > 150000""")),
+
+    Q("set_intersect_all", (spark, dir) => {
+      val early = load(spark, dir, "orders")
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val urgent = load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      early.intersectAll(urgent)
+    }, oracle = Some("""
+      SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""")),
+
+    // SQL-string path with a scalar subquery (price relative to the
+    // global max — a single deterministic double division).
+    Q("sql_scalar_subquery", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      spark.sql("""
+        SELECT o_orderkey,
+               o_totalprice / (SELECT max(o_totalprice) FROM orders) AS price_vs_max
+        FROM orders WHERE o_totalprice > 300000""")
+    }, oracle = Some("""
+      SELECT o_orderkey,
+             o_totalprice / (SELECT max(o_totalprice) FROM orders) AS price_vs_max
+      FROM orders WHERE o_totalprice > 300000""")),
+
+    // SQL-string path with a correlated EXISTS subquery.
+    Q("sql_correlated_exists", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      spark.sql("""
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)""")
+    }, oracle = Some("""
+      SELECT s_suppkey, s_name FROM supplier s
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)""")),
+
+    // Explicit null ordering in a global sort (nulls first) with a
+    // deterministic tie-break.
+    Q("sort_nulls_first", (spark, dir) =>
+      load(spark, dir, "customer")
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+        .orderBy(col("seg").asc_nulls_first, col("c_custkey"))
+        .limit(200),
+      oracle = Some("""
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+      FROM customer
+      ORDER BY seg ASC NULLS FIRST, c_custkey LIMIT 200""")),
+
+    // Approximate distinct (HLL++ sketch) — engine-specific sketch, so
+    // rows-only here; the relative-error bound is asserted in spec.
+    Q("agg_approx_distinct", (spark, dir) =>
+      load(spark, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))),
+  )
+}
