@@ -101,6 +101,33 @@ object JoinSetQueries {
       FROM customer
       ORDER BY seg ASC NULLS FIRST, c_custkey LIMIT 200""")),
 
+    // As-of join (composed union+window operator, graft.operators
+    // .AsOfJoin): each purchase event picks the user's latest view
+    // event at-or-before it. Oracle is DuckDB's NATIVE ASOF JOIN —
+    // two independent as-of implementations must agree row-for-row.
+    Q("asof_join_events", (spark, dir) => {
+      val ev = Tables.loadEvents(spark, dir)
+      // right side deduped to one view per (user, ts): as-of ties are
+      // ambiguous, every engine resolves them arbitrarily
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      graft.operators.AsOfJoin.asofLeft(purchases, views,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts")
+        .select(col("user_id"), col("purchase_id"), col("view_id"))
+    }, oracle = Some("""
+      WITH v AS (
+        SELECT user_id, ts, max(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+      p AS (
+        SELECT user_id, ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id, p.purchase_id, v.view_id
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts >= v.ts"""), bench = true),
+
     // Approximate distinct (HLL++ sketch) — engine-specific sketch, so
     // rows-only here; the relative-error bound is asserted in spec.
     Q("agg_approx_distinct", (spark, dir) =>
