@@ -128,6 +128,31 @@ object JoinSetQueries {
       FROM p ASOF LEFT JOIN v
         ON p.user_id = v.user_id AND p.ts >= v.ts"""), bench = true),
 
+    // Range join (composed bucketed equi-join, graft.operators
+    // .RangeJoin): events matched to non-uniform value bands. Oracle is
+    // DuckDB's native inequality join — two independent range-join
+    // implementations must agree.
+    Q("range_join_bands", (spark, dir) => {
+      import spark.implicits._
+      val bands = Seq(
+        ("micro", 0.0, 1.0), ("small", 1.0, 5.0), ("mid", 5.0, 20.0),
+        ("large", 20.0, 100.0), ("huge", 100.0, 1000.0))
+        .toDF("band", "lo", "hi")
+      val ev = Tables.loadEvents(spark, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.operators.RangeJoin.bucketed(ev, "value", bands, "lo", "hi", width = 5.0)
+        .groupBy(col("band"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("value_total"))
+    }, oracle = Some("""
+      WITH bands(band, lo, hi) AS (VALUES
+        ('micro', 0.0, 1.0), ('small', 1.0, 5.0), ('mid', 5.0, 20.0),
+        ('large', 20.0, 100.0), ('huge', 100.0, 1000.0))
+      SELECT band, event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total
+      FROM events JOIN bands ON value >= lo AND value < hi
+      GROUP BY band, event_type""")),
+
     // Approximate distinct (HLL++ sketch) — engine-specific sketch, so
     // rows-only here; the relative-error bound is asserted in spec.
     Q("agg_approx_distinct", (spark, dir) =>
