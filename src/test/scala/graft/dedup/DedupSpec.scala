@@ -51,6 +51,16 @@ class DedupSpec extends SparkTestBase {
       .foreach(p => assert(p._3 === 0))
   }
 
+  test("DedupClusters: chain, triangle, and pair resolve to min-id components") {
+    // chain 1-2-3-4, triangle 10-11, 11-12, 10-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val comp = DedupClusters.components(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("simhash signature is deterministic across evaluations") {
     val s1 = docs.select(SimHash.simhash64(col("text"))).collect().map(_.getLong(0))
     val s2 = docs.select(SimHash.simhash64(col("text"))).collect().map(_.getLong(0))
