@@ -153,6 +153,41 @@ object JoinSetQueries {
       FROM events JOIN bands ON value >= lo AND value < hi
       GROUP BY band, event_type""")),
 
+    // Data-quality audit: referential integrity + null/domain checks in
+    // one pass — the post-load validation an ETL pipeline runs on its
+    // star schema (here: lineitem's FKs vs part/supplier, measure
+    // domains).
+    Q("dq_integrity_audit", (spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+      val p = load(spark, dir, "part").select(col("p_partkey"))
+      val s = load(spark, dir, "supplier").select(col("s_suppkey"))
+      val orphansPart = li.join(p, li("l_partkey") === p("p_partkey"), "left_anti").count()
+      val orphansSupp = li.join(s, li("l_suppkey") === s("s_suppkey"), "left_anti").count()
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        lit(orphansPart).as("orphan_partkeys"),
+        lit(orphansSupp).as("orphan_suppkeys"),
+        sum(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1L).otherwise(0L))
+          .as("bad_quantity"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L))
+          .as("bad_discount"),
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("null_returnflag"))
+    }, oracle = Some("""
+      SELECT count(*) AS n_rows,
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+               AS orphan_partkeys,
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+               AS orphan_suppkeys,
+             CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bad_quantity,
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bad_discount,
+             CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_returnflag
+      FROM lineitem""")),
+
     // Approximate distinct (HLL++ sketch) — engine-specific sketch, so
     // rows-only here; the relative-error bound is asserted in spec.
     Q("agg_approx_distinct", (spark, dir) =>

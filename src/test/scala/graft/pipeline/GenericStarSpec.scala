@@ -1,0 +1,39 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The SCD1 dimension builder is generic — not car-sales-specific:
+  * build a star schema over the TPC-H tables with the same machinery. */
+class GenericStarSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("DimensionBuilder + Upsert build and maintain a TPC-H customer dim") {
+    val spec = DimSpec("dim_customer", "dim_customer_key", "c_name", Seq("c_mktsegment"))
+    val customers = spark.read.parquet(sf("0.001") + "/customer.parquet")
+      .select(col("c_name"), col("c_mktsegment"))
+
+    // initial build from an empty sink
+    val sink0 = DimensionBuilder.emptySeed(spark, spec)
+    val dim1 = DimensionBuilder.plan(customers, sink0, spec).cache()
+    assert(dim1.count() === customers.select("c_name").distinct().count())
+    val keys = dim1.select(spec.dimKey).collect().map(_.getLong(0)).sorted
+    assert(keys === (1L to keys.length).toArray)
+
+    // incremental: one changed attribute + one new natural key
+    val batch = customers.limit(1)
+      .select(col("c_name"), lit("CHANGED").as("c_mktsegment"))
+      .unionByName(Seq(("brand-new-customer", "NEWSEG"))
+        .toDF("c_name", "c_mktsegment"))
+    val planned = DimensionBuilder.plan(batch.toDF("c_name", "c_mktsegment"), dim1, spec)
+    val dim2 = Upsert.merge(dim1, planned, Seq(spec.dimKey))
+    assert(dim2.count() === dim1.count() + 1)
+    assert(dim2.filter(col("c_mktsegment") === "CHANGED").count() === 1)
+    // changed row kept its surrogate key
+    val changedName = batch.head().getString(0)
+    val k1 = dim1.filter(col("c_name") === changedName).head().getLong(0)
+    val k2 = dim2.filter(col("c_name") === changedName).head().getLong(0)
+    assert(k1 === k2)
+  }
+}
