@@ -19,6 +19,20 @@ object Scale {
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** Bucketed table sink: co-partitions the table on the join key at
+    * write time (`bucketBy`), so equi-joins between tables bucketed on
+    * the same key and count need NO shuffle on either side — the
+    * pre-partitioning is reused across every downstream join/agg on
+    * that key. The big-fact ⋈ big-fact case broadcast can't cover.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Salted left equi-join for skewed keys.
     *
     * A hash-partitioned join sends every row of a hot key to one task.

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the physical plans the engine promises
+  * (README "Design for scale") are asserted, not assumed — pushdown
+  * reaching the scan, broadcast dim joins, partial aggregation, and
+  * shuffle-free bucketed joins.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("watermark filter is pushed into the parquet scan") {
+    val p = planOf("s3_incremental_watermark")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p.take(800))
+  }
+
+  test("column pruning: pricing summary reads only needed columns") {
+    val p = planOf("agg_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      readSchema)
+    assert(p.contains("partial_sum"), "no partial (map-side) aggregation")
+  }
+
+  test("fact-style multiway join broadcasts every dimension side") {
+    val p = planOf("r11_multiway_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3, p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    val li = spark.read.parquet(sf("0.001") + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = spark.read.parquet(sf("0.001") + "/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Scale.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
+    Scale.writeBucketed(o, "b_orders", "o_orderkey", 8)
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      // disable broadcast so the bucketing (not size) must eliminate
+      // the shuffle
+      .hint("merge")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+      p.take(1200))
+    assert(joined.count() === li.count())
+  }
+}
