@@ -37,6 +37,16 @@ object EventQueries {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2""")),
 
+    // The production streaming shape: APPEND mode + watermark — windows
+    // emit once on finalization and their state is dropped. Same oracle.
+    Q("events_stream_hourly_append", (spark, dir) =>
+      graft.streaming.EventStreams.hourlyByTypeAppend(spark, dir),
+      oracle = Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2""")),
+
     // Sessionization: a session breaks after >30 min of user inactivity.
     // lag + flag + running count — the classic gaps-and-islands plan;
     // at scale this is one shuffle on user_id and sorted windows within

@@ -29,6 +29,38 @@ object EventStreams {
     StructField("props", StringType),
   ))
 
+  /** Production-shape hourly aggregation: APPEND output mode — a window
+    * emits exactly once, when the watermark passes its end, and its
+    * state is then dropped (bounded state at any input rate, unlike
+    * complete mode which retains every window forever). The finite
+    * input is staged with far-future sentinels so every real window
+    * finalizes; sentinel rows are filtered from the result. */
+  def hourlyByTypeAppend(spark: SparkSession, dir: String,
+                         queryName: String = "graft_events_hourly_append"): DataFrame = {
+    val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "hourly_append")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", false)
+      .parquet(stagePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName).filter(col("event_type") =!= "sentinel")
+  }
+
   /** Hourly tumbling-window aggregate per event_type, streaming. Runs
     * the query to completion over the finite input and returns the
     * result as a batch DataFrame. */

@@ -63,16 +63,17 @@ object SessionizeStream {
     closed.result().iterator
   }
 
-  /** Run the stateful sessionization over the finite events table and
-    * return (user_id, session_id, n_events, session_start,
-    * session_value) — the exact shape of the batch sessionize query. */
-  def sessionize(spark: SparkSession, dir: String,
-                 queryName: String = "graft_sessions"): DataFrame = {
+  /** Stage the finite events file plus three far-future sentinel files
+    * (flat siblings — the file-stream source does not list nested
+    * dirs; staggered mod-times fix the processing order). The sentinel
+    * batches drive the event-time watermark past every real window /
+    * session so append-mode results and timeouts flush completely.
+    * Returns the staging dir to stream from. */
+  private[graft] def stageWithSentinels(spark: SparkSession, dir: String,
+                                        tag: String): String = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-    // staging dir: events file + two far-future sentinel files
-    val stage = new java.io.File(s"/root/repo/target/tmp/stream_sess_${dir.hashCode.abs}")
+    val stage = new java.io.File(s"/root/repo/target/tmp/stream_${tag}_${dir.hashCode.abs}")
     org.apache.commons.io.FileUtils.deleteDirectory(stage)
     stage.mkdirs()
     org.apache.commons.io.FileUtils.copyFile(
@@ -86,21 +87,28 @@ object SessionizeStream {
       Seq((-1L, sentinelNs, -1L, "sentinel", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      // the file-stream source does NOT list nested directories — move
-      // the part file up into the stage dir as a flat sibling
       val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
       val target = new java.io.File(stage, s"z_sent$i.parquet")
       org.apache.commons.io.FileUtils.moveFile(part, target)
       org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-      // stagger mod-times so the source orders: events, sent1, sent2, sent3
       target.setLastModified(System.currentTimeMillis() + i * 2000L)
     }
+    stage.getAbsolutePath
+  }
+
+  /** Run the stateful sessionization over the finite events table and
+    * return (user_id, session_id, n_events, session_start,
+    * session_value) — the exact shape of the batch sessionize query. */
+  def sessionize(spark: SparkSession, dir: String,
+                 queryName: String = "graft_sessions"): DataFrame = {
+    import spark.implicits._
+    val stagePath = stageWithSentinels(spark, dir, "sess")
 
     val stream = spark.readStream
       .schema(EventStreams.rawSchema)
       .option("maxFilesPerTrigger", 1)
       .option("latestFirst", false)
-      .parquet(stage.getAbsolutePath)
+      .parquet(stagePath)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "0 seconds")
       // keep the watermarked ts column itself through the typed view —
