@@ -27,21 +27,35 @@ object DedupClusters {
     *         cluster_id = min node id of the component */
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .union(pairs.select(col(bCol).cast("long").as("a"), col(aCol).cast("long").as("b")))
+    // The pair graph is orders of magnitude smaller than the corpus
+    // (only detected duplicates appear); run the iteration at a small
+    // fixed parallelism so each round is not dominated by empty-task
+    // overhead. At genuinely large pair counts, raise `parts` (or use
+    // the large-star/small-star variant).
+    val parts = 4
+    // cache the (possibly expensive) pair detection before the
+    // symmetrizing union references it twice
+    val p = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .cache()
+    val edges = p
+      .union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .repartition(parts, col("a"))
       .cache()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
+      .repartition(parts, col("node"))
       .cache()
     var prevSum = labels.agg(sum("label")).head().getLong(0)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // labels = one row per node IN A DUPLICATE PAIR — small relative
+      // to the corpus, so broadcast keeps each round shuffle-light
       val neighborMin = edges
-        .join(labels, edges("b") === labels("node"))
+        .join(broadcast(labels), edges("b") === labels("node"))
         .groupBy(col("a").as("node")).agg(min(col("label")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
+      val next = labels.join(broadcast(neighborMin), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .cache()
@@ -52,6 +66,7 @@ object DedupClusters {
       prevSum = s
       iter += 1
     }
+    p.unpersist()
     edges.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))
   }
