@@ -21,20 +21,34 @@ import org.apache.spark.sql.functions._
   */
 object ExactJaccard {
 
-  /** @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
+  /** @param maxShingleDf when set, shingles occurring in more than this
+    *        many documents (within a block) are dropped from BOTH the
+    *        index and the set sizes — i.e. Jaccard over the non-stop
+    *        shingles. This bounds the worst bucket of the join at scale;
+    *        `None` (default) keeps exact full-set semantics.
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
     *         pairs restricted to equal values of `blockCol` (e.g. lang). */
   def pairs(docs: DataFrame, idCol: String, textCol: String, blockCol: String,
-            shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+            shingleN: Int = 3, threshold: Double = 0.5,
+            maxShingleDf: Option[Int] = None): DataFrame = {
     val d = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       TextFunctions.shingles(col(textCol), shingleN).as("sh"))
-    val ex = d.select(col("id"), col("blk"), explode(col("sh")).as("s"))
+    val ex0 = d.select(col("id"), col("blk"), explode(col("sh")).as("s"))
+    val ex = maxShingleDf.fold(ex0) { cap =>
+      val hot = ex0.groupBy(col("blk"), col("s"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+        .select(col("blk"), col("s"))
+      ex0.join(hot, Seq("blk", "s"), "left_anti")
+    }
     val inter = ex.alias("a")
       .join(ex.alias("b"),
         col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
           col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("i"))
-    val sizes = d.select(col("id"), size(col("sh")).as("n"))
+    // sizes over the SAME (possibly df-capped) shingle stream, so the
+    // Jaccard denominator matches the intersection's universe
+    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")

@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.SparkTestBase
 import graft.functions.TextFunctions
+import graft.dedup.ExactJaccard
 import org.apache.spark.sql.functions._
 
 /** LSH dedup paths vs the exact ground truth on the test corpus —
@@ -49,6 +50,18 @@ class DedupSpec extends SparkTestBase {
     assert(exactDups.subsetOf(simhashPairs))
     pairs.filter(p => exactDups.contains((p._1, p._2)))
       .foreach(p => assert(p._3 === 0))
+  }
+
+  test("ExactJaccard df-cap: no-op at high cap, prunes at low cap") {
+    val uncapped = ExactJaccard.pairs(docs, "doc_id", "text", "lang").count()
+    val highCap = ExactJaccard.pairs(docs, "doc_id", "text", "lang",
+      maxShingleDf = Some(1000000)).count()
+    assert(highCap === uncapped)
+    val lowCap = ExactJaccard.pairs(docs, "doc_id", "text", "lang",
+      maxShingleDf = Some(1)).count()
+    // with df ≤ 1 only document-unique shingles remain → no shared
+    // shingles → no pairs
+    assert(lowCap === 0)
   }
 
   test("DedupClusters: chain, triangle, and pair resolve to min-id components") {
