@@ -56,6 +56,30 @@ object AnalyticsQueries {
       FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
       GROUP BY ROLLUP (n_name, c_mktsegment)""")),
 
+    // CUBE grouping sets: all 4 aggregation levels in one pass.
+    Q("agg_cube", (spark, dir) => {
+      val o = load(spark, dir, "orders")
+      o.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("total"))
+    }, oracle = Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    // Exact interpolated median (percentile, not the approx sketch) —
+    // quantities are small integers stored as double, so the (a+b)/2
+    // interpolation is bit-exact across engines.
+    Q("agg_median", (spark, dir) =>
+      load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          count(lit(1)).as("n")),
+      oracle = Some("""
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag""")),
+
     // Ranking window: top-3 orders per customer (deterministic
     // tie-break on the unique order key).
     Q("window_topk", (spark, dir) => {

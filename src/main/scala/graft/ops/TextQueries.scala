@@ -99,6 +99,50 @@ object TextQueries {
                (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_rolling
       FROM documents""")),
 
+    // Edit-distance near-duplicates, scalably: all-pairs Levenshtein is
+    // O(n²·len²), so candidates come from the shingle inverted index at
+    // a permissive Jaccard (≥ 0.3) and only those few pairs pay the
+    // exact Levenshtein verification (dist ≤ len/4). The oracle mirrors
+    // the same candidate+verify composition.
+    Q("text_levenshtein_near", (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val cand = graft.dedup.ExactJaccard.pairs(docs, "doc_id", "text", "lang",
+        shingleN = 3, threshold = 0.3).select(col("id_a"), col("id_b"))
+      val texts = docs.select(col("doc_id"), col("text"))
+      cand
+        .join(texts.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+        .join(texts.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        .withColumn("dist", levenshtein(col("ta"), col("tb")))
+        .filter(col("dist") * 4 <= greatest(length(col("ta")), length(col("tb"))))
+        .select(col("id_a"), col("id_b"), col("dist"))
+    }, oracle = Some("""
+      WITH d AS (
+        SELECT doc_id, lang, text,
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, len(string_split(text,' ')) - 1),
+                           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                    ELSE [text] END AS sh
+        FROM documents),
+      ex AS (SELECT doc_id, lang, unnest(sh) AS s FROM d),
+      cnt AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM ex a JOIN ex b
+          ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+      cand AS (
+        SELECT id_a, id_b FROM cnt
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3)
+      SELECT id_a, id_b,
+             CAST(levenshtein(da.text, db.text) AS INT) AS dist
+      FROM cand JOIN d da ON da.doc_id = id_a
+                JOIN d db ON db.doc_id = id_b
+      WHERE levenshtein(da.text, db.text) * 4
+              <= greatest(length(da.text), length(db.text))""")),
+
     // BPE-ish sub-word pre-tokenization: piece counts vs whitespace
     // tokens (the token-budget estimator a training pipeline runs).
     Q("text_bpe_tokens", (spark, dir) =>
