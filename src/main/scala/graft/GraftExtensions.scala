@@ -19,12 +19,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters =
+              Map("message" -> s"cosine_sim expects 2 arguments, got ${exprs.length}"))
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
     e.injectFunction((
       new FunctionIdentifier("minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
-      (exprs: Seq[Expression]) => MinHashAgg(exprs.head,
-        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-          .asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => MinHashAgg.fromExprs(exprs)))
   }
 }

@@ -23,51 +23,62 @@ import org.apache.spark.sql.functions._
 object DedupClusters {
 
   /** @param pairs edge list (undirected, one row per pair)
+    * @param numPartitions parallelism for the iteration; 0 → derive
+    *        from the session's shuffle partitions. The pair graph is
+    *        orders of magnitude smaller than the corpus, so this stays
+    *        modest to avoid empty-task overhead — raise it for
+    *        genuinely large pair counts.
     * @return (node, cluster_id) for every node appearing in a pair;
     *         cluster_id = min node id of the component */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-                 maxIter: Int = 20): DataFrame = {
-    // The pair graph is orders of magnitude smaller than the corpus
-    // (only detected duplicates appear); run the iteration at a small
-    // fixed parallelism so each round is not dominated by empty-task
-    // overhead. At genuinely large pair counts, raise `parts` (or use
-    // the large-star/small-star variant).
-    val parts = 4
-    // cache the (possibly expensive) pair detection before the
-    // symmetrizing union references it twice
+                 maxIter: Int = 20, numPartitions: Int = 0): DataFrame = {
+    val spark = pairs.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(4, math.min(spark.sessionState.conf.numShufflePartitions, 32))
+    // Materialize the (possibly expensive) pair detection ONCE and
+    // DURABLY before iterating. cache() alone is evictable: under
+    // memory pressure each propagation round would silently re-run the
+    // whole upstream detector (e.g. the exact-Jaccard inverted-index
+    // join), turning an O(diameter) loop into O(diameter × detection).
+    // localCheckpoint truncates lineage and spills to disk instead of
+    // recomputing.
     val p = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .cache()
+      .cache() // referenced twice by the symmetrizing union below
     val edges = p
       .union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .repartition(parts, col("a"))
-      .cache()
+      .localCheckpoint(true)
+    p.unpersist()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .repartition(parts, col("node"))
-      .cache()
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
+      .localCheckpoint(true)
+    // coalesce guards the empty pair graph (sum over zero rows is null)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (iter < maxIter && !converged) {
       // labels = one row per node IN A DUPLICATE PAIR — small relative
-      // to the corpus, so broadcast keeps each round shuffle-light
+      // to the corpus, so broadcast keeps each round shuffle-light;
+      // localCheckpoint truncates the per-round lineage so round N
+      // never replays rounds 1..N-1.
       val neighborMin = edges
         .join(broadcast(labels), edges("b") === labels("node"))
         .groupBy(col("a").as("node")).agg(min(col("label")).as("nmin"))
       val next = labels.join(broadcast(neighborMin), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      val s = next.agg(sum("label")).head().getLong(0)
-      labels.unpersist()
+        .localCheckpoint(true)
+      val s = labelSum(next)
       labels = next
       converged = s == prevSum
       prevSum = s
       iter += 1
     }
-    p.unpersist()
-    edges.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 }

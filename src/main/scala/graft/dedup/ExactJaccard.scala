@@ -31,9 +31,19 @@ object ExactJaccard {
   def pairs(docs: DataFrame, idCol: String, textCol: String, blockCol: String,
             shingleN: Int = 3, threshold: Double = 0.5,
             maxShingleDf: Option[Int] = None): DataFrame = {
-    val d = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      TextFunctions.shingles(col(textCol), shingleN).as("sh"))
+    // Tokenize in its own projection (one regex split per row — see
+    // [[TextFunctions.shinglesFromTokens]]), then materialize the
+    // exploded posting list ONCE with localCheckpoint: the plan below
+    // references it four times (both join sides + both size joins),
+    // and without the checkpoint each reference re-runs the full
+    // shingling scan — exactly what a real system avoids by
+    // materializing the inverted index before self-joining it.
+    val toks = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val d = toks.select(col("id"), col("blk"),
+      TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("sh"))
     val ex0 = d.select(col("id"), col("blk"), explode(col("sh")).as("s"))
+      .localCheckpoint(true)
     val ex = maxShingleDf.fold(ex0) { cap =>
       val hot = ex0.groupBy(col("blk"), col("s"))
         .agg(count(lit(1)).as("df")).filter(col("df") > cap)

@@ -30,8 +30,9 @@ object MinHashLSH {
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int, numHashes: Int): DataFrame = {
     val spark = docs.sparkSession
-    docs.select(col(idCol).as("id"),
-        explode(TextFunctions.shingles(col(textCol), shingleN)).as("s"))
+    docs.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        explode(TextFunctions.shinglesFromTokens(col("toks"), shingleN)).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
       .groupBy("id")
       .agg(graft.functions.expressions.MinHashAgg.minhash_agg(spark, col("h"), numHashes)
@@ -68,8 +69,9 @@ object MinHashLSH {
 
     // exact Jaccard on the candidates only: re-attach shingle sets to
     // the (few) surviving pairs
-    val shapes = docs.select(col(idCol).as("id"),
-      TextFunctions.shingles(col(textCol), shingleN).as("sh"))
+    val shapes = docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"), TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val jac = inter.cast("double") /
       (size(col("sh_a")) + size(col("sh_b")) - inter)

@@ -28,14 +28,26 @@ object TextFunctions {
     distinctTokenCount(text).cast("double") / tokenCount(text)
 
   /** Word n-gram shingles (distinct), the unit for Jaccard / MinHash
-    * dedup. Short docs (< n tokens) collapse to one whole-text shingle. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      array_distinct(transform(sequence(lit(0), size(t) - n),
-        i => array_join(slice(t, i + lit(1), lit(n)), " "))))
-      .otherwise(array(array_join(t, " ")))
-  }
+    * dedup. Short docs (< n tokens) collapse to one whole-text shingle.
+    *
+    * Prefer [[shinglesFromTokens]] over an already-projected token
+    * column in hot paths: this convenience form embeds `split(text)`
+    * at every reference site, and the lambda slices re-run the regex
+    * split per shingle position (plus Catalyst's pushed-down not-null
+    * filters re-evaluate the whole tree — measured 3-4× per-row
+    * blowup on the inverted-index build). */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
+
+  /** Shingles over a materialized token-array column. Hoisting the
+    * tokenization into its own projection means the split happens once
+    * per row — CollapseProject declines to inline a non-cheap
+    * expression referenced more than once, so the projection boundary
+    * survives optimization. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+      .otherwise(array(array_join(toks, " ")))
 
   /** |tokens ∩ wordlist|. */
   def wordlistHits(text: Column, words: Seq[String]): Column =

@@ -84,13 +84,29 @@ case class MinHashAgg(child: Expression, k: Int,
 }
 
 object MinHashAgg {
+  /** Validated builder for the SQL registries: arity, foldability, and
+    * type of `k` are checked up front so a misuse like `minhash_agg(h)`
+    * or `minhash_agg(h, k_col)` is a clear analysis-time error, not an
+    * IndexOutOfBounds/ClassCastException from deep in planning. */
+  def fromExprs(exprs: Seq[Expression]): MinHashAgg = {
+    def fail(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" -> s"minhash_agg: $msg"))
+    if (exprs.length != 2)
+      fail(s"expects exactly 2 arguments (hash, k), got ${exprs.length}")
+    if (!exprs(1).foldable)
+      fail("k must be a constant integer literal")
+    exprs(1).eval(InternalRow.empty) match {
+      case i: java.lang.Integer if i > 0 => MinHashAgg(exprs.head, i)
+      case other => fail(s"k must be a positive INT literal, got $other")
+    }
+  }
+
   /** Register `minhash_agg(hash, k)` for SQL + call_function use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_agg",
-      exprs => MinHashAgg(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]),
-      "scala_udf")
+      "minhash_agg", fromExprs, "scala_udf")
 
   def minhash_agg(spark: org.apache.spark.sql.SparkSession,
                   hashCol: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {

@@ -25,8 +25,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(FloatType, containsNull = false) ||
-        left.dataType == ArrayType(FloatType, containsNull = true))
+    // BOTH children must be array<float>: getFloat on a double-backed
+    // ArrayData would silently read the wrong bytes, not throw.
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"cosine_sim expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
@@ -82,7 +87,14 @@ object VectorExpressions {
     * private[sql]. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+      "cosine_sim", exprs => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters =
+              Map("message" -> s"cosine_sim expects 2 arguments, got ${exprs.length}"))
+        CosineSimilarity(exprs.head, exprs(1))
+      }, "scala_udf")
 
   /** Column API for the native cosine (session must be registered —
     * [[register]] is cheap and idempotent, call it per query). */

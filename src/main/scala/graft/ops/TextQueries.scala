@@ -112,6 +112,11 @@ object TextQueries {
       cand
         .join(texts.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
         .join(texts.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        // length-difference pre-filter: |len_a − len_b| is a lower
+        // bound on the edit distance, so this rejects pairs BEFORE the
+        // O(len²) Levenshtein without changing the result set
+        .filter(abs(length(col("ta")) - length(col("tb"))) * 4
+          <= greatest(length(col("ta")), length(col("tb"))))
         .withColumn("dist", levenshtein(col("ta"), col("tb")))
         .filter(col("dist") * 4 <= greatest(length(col("ta")), length(col("tb"))))
         .select(col("id_a"), col("id_b"), col("dist"))

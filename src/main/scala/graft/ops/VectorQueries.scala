@@ -71,38 +71,39 @@ object VectorQueries {
       WHERE $oracleCos >= 0.4""")),
 
     // Per-label centroids: array aggregation via posexplode →
-    // (label, dim) partial sums → reassemble ordered by dim. Exact
-    // DECIMAL sums make the mean order-independent (oracle-exact);
-    // the two-level groupBy is one shuffle keyed (label, dim) — the
-    // same plan at any corpus size.
+    // (label, dim) partial sums. Exact DECIMAL sums make the mean
+    // order-independent (oracle-exact); one shuffle keyed (label, dim)
+    // — the same plan at any corpus size. Output is one scalar row per
+    // (label, dimension) — the relational shape (array columns are
+    // un-hashable by generic result comparators; a consumer wanting
+    // the packed vector reassembles with
+    // array_agg(mean ORDER BY pos) in one more agg).
     Q("embed_label_centroids", (spark, dir) => {
       val e = load(spark, dir, "embeddings")
-      val dims = e.select(col("label"), posexplode(col("embedding")))
+      // Order-independent, cross-engine-exact mean: quantize each
+      // component by an EXACT power-of-two multiply (v·2²⁰ in double is
+      // exact — no rounding), floor to integers, sum exactly as longs,
+      // divide once in double. Every step is bit-identical in any
+      // IEEE-754 engine, unlike decimal casts of arbitrary doubles
+      // (HALF_UP boundary values round differently across engines).
+      // Quantization error ≤ 2⁻²⁰ ≈ 1e-6 — below float32 input noise.
+      e.select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), col("pos"))
-        // float→double first (exact widening — float→decimal casts
-        // round differently across engines), then an exact decimal sum
-        .agg((sum(col("col").cast("double").cast("decimal(30,14)")).cast("double")
-          / count(lit(1))).as("mean"), count(lit(1)).as("n"))
-      dims.groupBy(col("label"))
-        .agg(
-          transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
-            s => s.getField("mean")).as("centroid"),
-          max(col("n")).as("n_vecs"))
-        .select(col("label"), col("centroid"), col("n_vecs"))
+        .agg((sum(floor(col("col").cast("double") * lit(1048576.0))).cast("double")
+          / (count(lit(1)) * lit(1048576.0))).as("mean"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("pos"), col("mean"), col("n_vecs"))
     }, oracle = Some("""
       WITH ex AS (
         SELECT label, u.pos, u.v
         FROM embeddings,
              LATERAL (SELECT unnest(embedding) AS v,
-                             generate_subscripts(embedding, 1) - 1 AS pos) u),
-      dims AS (
-        SELECT label, pos,
-               CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,14))) AS DOUBLE) / count(*) AS mean,
-               count(*) AS n
-        FROM ex GROUP BY label, pos)
-      SELECT label, array_agg(mean ORDER BY pos) AS centroid,
-             max(n) AS n_vecs
-      FROM dims GROUP BY label""")),
+                             generate_subscripts(embedding, 1) - 1 AS pos) u)
+      SELECT label, pos,
+             CAST(CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / (count(*) * 1048576.0) AS mean,
+             count(*) AS n_vecs
+      FROM ex GROUP BY label, pos""")),
 
     // IVF-style ANN — coarse quantization: every 25th vector is a
     // deterministic "centroid"; vectors assign to their nearest

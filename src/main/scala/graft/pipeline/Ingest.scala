@@ -77,8 +77,13 @@ object Ingest {
         Upsert.overwriteAtomic(spark, fresh.unionByName(changed), bronzePath)
     }
     // One ungrouped max over the (already small) incremental batch.
+    // The mark must never REGRESS: a changed-rows-only batch contains
+    // only Date_IDs at-or-below the old mark, and persisting that max
+    // would make unchanged rows look "fresh" again on later batches.
     val row = spark.read.parquet(bronzePath).agg(max("Date_ID")).first()
-    Option(row.getString(0)).orElse(watermark)
+    Option(row.getString(0))
+      .map(m => watermark.fold(m)(w => Ordering[String].max(w, m)))
+      .orElse(watermark)
   }
 
   /** Watermark state: a 1-row JSON file next to the bronze dir

@@ -74,6 +74,11 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("DedupClusters: empty pair graph yields empty components (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(DedupClusters.components(empty, "id_a", "id_b").count() === 0L)
+  }
+
   test("simhash signature is deterministic across evaluations") {
     val s1 = docs.select(SimHash.simhash64(col("text"))).collect().map(_.getLong(0))
     val s2 = docs.select(SimHash.simhash64(col("text"))).collect().map(_.getLong(0))

@@ -37,6 +37,17 @@ class MinHashAggSpec extends SparkTestBase {
     out.foreach(r => assert(r.getSeq[Long](1).length === 8))
   }
 
+  test("misuse is a clear analysis-time error: wrong arity, non-constant k") {
+    MinHashAgg.register(spark)
+    Seq((1, 10L)).toDF("g", "h").createOrReplaceTempView("mh_err_t")
+    val e1 = intercept[Exception](
+      spark.sql("SELECT minhash_agg(h) FROM mh_err_t").collect())
+    assert(e1.getMessage.contains("minhash_agg"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT minhash_agg(h, g) FROM mh_err_t GROUP BY g").collect())
+    assert(e2.getMessage.contains("minhash_agg"))
+  }
+
   test("similar sets have similar signatures (minhash property)") {
     // two sets sharing 90% of elements should agree on most slots
     val base = Seq.tabulate(100)(i => i.toLong * 6151)

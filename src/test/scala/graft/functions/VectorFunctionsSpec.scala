@@ -40,6 +40,17 @@ class VectorFunctionsSpec extends SparkTestBase {
     sqlSelf.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
   }
 
+  test("cosine_sim rejects non-float arrays on BOTH sides (no silent byte misread)") {
+    import graft.functions.expressions.VectorExpressions
+    VectorExpressions.register(spark)
+    spark.range(1).selectExpr("array(CAST(1.0 AS FLOAT)) AS f",
+      "array(CAST(1.0 AS DOUBLE)) AS d").createOrReplaceTempView("cs_t")
+    // right side double-backed: must fail analysis, not read wrong bytes
+    intercept[Exception](spark.sql("SELECT cosine_sim(f, d) FROM cs_t").collect())
+    intercept[Exception](spark.sql("SELECT cosine_sim(d, f) FROM cs_t").collect())
+    assert(spark.sql("SELECT cosine_sim(f, f) FROM cs_t").collect().head.getDouble(0) === 1.0)
+  }
+
   test("cosine is symmetric and bounded") {
     val e = spark.read.parquet(sf("0.001") + "/embeddings.parquet").limit(50)
     val a = e.select($"vec_id".as("ia"), $"embedding".as("va"))

@@ -46,8 +46,11 @@ class IngestSpec extends SparkTestBase {
     assert(b.filter(col("DealerName").endsWith(" up")).count() === 3)
     // replaying batch 2: the 3 rows are now unchanged; only the XYZ row
     // (absent from current bronze) re-loads
-    Ingest.ingest(spark, "/root/reference/IncrementalSalesUpdate.csv", bronze, wm2)
+    val wm3 = Ingest.ingest(spark, "/root/reference/IncrementalSalesUpdate.csv", bronze, wm2)
     assert(spark.read.parquet(bronze).count() === 1)
+    // the mark must never regress, even when the batch holds only
+    // rows below the old mark
+    assert(wm3 === Some("DT01247"))
   }
 
   test("watermark state round-trips") {
