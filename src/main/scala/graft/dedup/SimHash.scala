@@ -4,54 +4,72 @@ import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** SimHash near-duplicate detection: 64-bit locality-sensitive content
+/** SimHash near-duplicate detection: 60-bit locality-sensitive content
   * signature; similar documents differ in few bits (small Hamming
   * distance).
   *
   * Signature: for each bit j, sum over tokens of ±1 according to bit j
-  * of xxhash64(token); the sign of the sum sets bit j. Built entirely
+  * of hash(token); the sign of the sum sets bit j. Built entirely
   * from higher-order array functions — one codegen'd projection per doc.
   *
+  * The token hash is deliberately ANSI-SQL-expressible (two polynomial
+  * rolling hashes packed into 60 bits, [[tokenHash60]]) rather than
+  * xxhash64: hash quality for near-dup voting is equivalent, and it
+  * makes the ENTIRE operator — signatures, pigeonhole blocking, and
+  * Hamming distances — reproducible by an independent SQL engine, so
+  * the driver's DuckDB oracle can hash-match the output instead of a
+  * rows-only check.
+  *
   * Pairing at scale uses the pigeonhole trick: to find all pairs with
-  * Hamming distance ≤ 3, split the 64-bit signature into 4 16-bit
+  * Hamming distance ≤ 3, split the 60-bit signature into 4 15-bit
   * blocks — any qualifying pair agrees exactly on ≥ 1 block, so an
   * equi-join per block finds all candidates without an all-pairs scan.
   */
 object SimHash {
 
-  /** 64-bit simhash of the token multiset as a long. Bit j is set when
+  /** SQL-expressible 60-bit token hash: two polynomial rolling hashes
+    * over the character stream (bases 31 / 131, moduli 1e9+7 /
+    * 998244353 — both < 2³⁰, so every intermediate stays in long
+    * range), packed as h1·2³⁰ + h2. */
+  def tokenHash60(t: Column): Column = {
+    def roll(base: Long, mod: Long): Column =
+      aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, c) => (acc * base + c) % mod)
+    roll(31L, 1000000007L) * lit(1L << 30) + roll(131L, 998244353L)
+  }
+
+  /** 60-bit simhash of the token multiset as a long. Bit j is set when
     * more than half the token hashes have bit j set — equivalent to the
     * classic ±1 vote sum being positive (2·count_set − n > 0). Shifts
     * are unrolled statically (Spark's shiftright takes a literal bit
-    * count); Catalyst's common-subexpression elimination shares the
-    * token-hash array across the 64 bit counters. */
-  def simhash64(text: Column): Column = {
-    val hs = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    * count). */
+  def simhash60(text: Column): Column = {
+    val hs = transform(TextFunctions.tokens(text), t => tokenHash60(t))
     val n = size(hs)
-    (0 until 64).map { j =>
+    (0 until 60).map { j =>
       val cntSet = size(filter(hs, h => shiftright(h, j).bitwiseAND(1) === 1))
       when(cntSet * 2 > n, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
   }
 
   /** Aggregation-shaped signature computation for whole tables: explode
-    * to (id, tokenHash) once, 64 signed-count aggregates, assemble the
-    * sign bits — avoids the 64× token-array re-evaluation the Column
+    * to (id, tokenHash) once, 60 signed-count aggregates, assemble the
+    * sign bits — avoids the 60× token-array re-evaluation the Column
     * form costs on wide corpora (same plan-shape rationale as
     * [[MinHashLSH.signatures]]). */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = (0 until 64).map { j =>
+    val sig = (0 until 60).map { j =>
       val vote = sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     docs.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+      .select(col("id"), tokenHash60(col("t")).as("h"))
       .groupBy("id")
       .agg(sig.as("sig"))
   }
 
-  /** Pairs with Hamming(simhash) ≤ maxDist, via 16-bit-block pigeonhole
+  /** Pairs with Hamming(simhash) ≤ maxDist, via 15-bit-block pigeonhole
     * blocking + exact Hamming verification on candidates.
     * @return (id_a, id_b, hamming) with id_a < id_b.
     */
@@ -60,7 +78,7 @@ object SimHash {
     val sigs = signatures(docs, idCol, textCol)
     val blocked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("sig"), b * 15).bitwiseAND(0x7FFFL)): _*)))
       .withColumnRenamed("pos", "block")
       .withColumnRenamed("col", "blockval")
     val l = blocked.select(col("block"), col("blockval"),

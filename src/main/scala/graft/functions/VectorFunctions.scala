@@ -45,8 +45,7 @@ object VectorFunctions {
     * multiply-add folds inside codegen.
     */
   def srpBucket(vec: Column, planes: Int, dims: Int = 64, seed: Long = 42L): Column = {
-    val bits = (0 until planes).map { p =>
-      val coeffs = Array.tabulate(dims)(i => splitmixUnit(seed + p * 1000003L + i))
+    val bits = srpPlanes(planes, dims, seed).zipWithIndex.map { case (coeffs, p) =>
       val proj = aggregate(
         zip_with(vec, typedLit(coeffs), (x, c) => x.cast("double") * c),
         lit(0.0), (acc, x) => acc + x)
@@ -54,6 +53,12 @@ object VectorFunctions {
     }
     bits.reduce(_ + _)
   }
+
+  /** The hyperplane coefficient matrix behind [[srpBucket]] — public so
+    * an external checker (e.g. a SQL oracle) can embed the SAME planes
+    * as literals and reproduce bucket assignments bit-for-bit. */
+  def srpPlanes(planes: Int, dims: Int = 64, seed: Long = 42L): Seq[Array[Double]] =
+    (0 until planes).map(p => Array.tabulate(dims)(i => splitmixUnit(seed + p * 1000003L + i)))
 
   /** splitmix64 finalizer → uniform double in [-0.5, 0.5). */
   private def splitmixUnit(x0: Long): Double = {

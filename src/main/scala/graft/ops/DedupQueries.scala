@@ -95,17 +95,81 @@ object DedupQueries {
              node = min(r) AS is_survivor
       FROM reach GROUP BY node""")),
 
-    // MinHash + banded LSH — the linear-ish scale path. Rows-only here;
-    // recall vs dedup_ngram_jaccard is asserted in DedupSpec.
+    // MinHash + banded LSH — the linear-ish scale path. Candidates are
+    // exact-verified, so the output is SOUND by construction; the
+    // oracle additionally pins RECALL: with 16 bands × 4 rows at
+    // threshold 0.5 the LSH recovers every exact pair on this corpus
+    // (asserted in DedupSpec), so the result must EQUAL the full
+    // unblocked inverted-index pair set — a complete equality oracle
+    // for a sketch-based operator.
     Q("dedup_minhash_lsh", (spark, dir) =>
       MinHashLSH.duplicatePairs(load(spark, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b"))),
+        .orderBy(col("id_a"), col("id_b")),
+      oracle = Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, len(string_split(text,' ')) - 1),
+                           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                    ELSE [text] END AS sh
+        FROM documents),
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+      cnt AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM d)
+      SELECT id_a, id_b,
+             CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      FROM cnt JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""")),
 
-    // SimHash with pigeonhole blocking — rows-only; recall asserted in
-    // DedupSpec.
+    // SimHash with pigeonhole blocking. The token hash is
+    // SQL-expressible by design ([[SimHash.tokenHash60]]), so the
+    // oracle recomputes the ENTIRE operator — signatures, blocking,
+    // Hamming distances — and hash-matches the output (vs the
+    // rows-only check an opaque xxhash would force).
     Q("dedup_simhash", (spark, dir) =>
       SimHash.duplicatePairs(load(spark, dir, "documents"), "doc_id", "text", maxDist = 3)
-        .orderBy(col("id_a"), col("id_b"))),
+        .orderBy(col("id_a"), col("id_b")),
+      oracle = Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      hs AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % 1000000007) * 1073741824
+        + list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+            (acc, c) -> (acc * 131 + c) % 998244353) AS h
+        FROM tok),
+      sig AS (
+        SELECT doc_id, $simhashSigSql AS sig
+        FROM hs GROUP BY doc_id),
+      blocked AS (
+        SELECT doc_id, sig, bl.b AS block, (sig // bl.pw) % 32768 AS blockval
+        FROM sig, (VALUES (0, CAST(1 AS BIGINT)), (1, CAST(32768 AS BIGINT)),
+                   (2, CAST(1073741824 AS BIGINT)),
+                   (3, CAST(35184372088832 AS BIGINT))) AS bl(b, pw)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.sig AS sig_a, b.sig AS sig_b
+        FROM blocked a JOIN blocked b
+          ON a.block = b.block AND a.blockval = b.blockval
+         AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""")),
   )
+
+  /** Generated oracle fragment: the 60 sign-bit terms of the simhash
+    * signature, each a ±1 vote sum over the group's token hashes. */
+  private def simhashSigSql: String =
+    (0 until 60).map { j =>
+      val pw = 1L << j
+      s"(CASE WHEN sum(CASE WHEN (h // $pw) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN $pw ELSE 0 END)"
+    }.mkString("\n          + ")
 }

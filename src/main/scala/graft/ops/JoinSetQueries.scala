@@ -188,11 +188,30 @@ object JoinSetQueries {
                AS null_returnflag
       FROM lineitem""")),
 
-    // Approximate distinct (HLL++ sketch) — engine-specific sketch, so
-    // rows-only here; the relative-error bound is asserted in spec.
-    Q("agg_approx_distinct", (spark, dir) =>
+    // Approximate distinct (HLL++ sketch). The sketch VALUES are
+    // engine-specific and can never hash-match another engine, so the
+    // query outputs what IS cross-engine checkable: the exact distinct
+    // counts plus a boolean asserting each sketch estimate landed
+    // within the default 5% relative error. The oracle pins the exact
+    // counts and expects both assertions true — a driver-enforced
+    // error-bound contract instead of a rows-only shrug.
+    Q("agg_approx_distinct", (spark, dir) => {
+      val tolerance = 0.05
       load(spark, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"))),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_suppkey")).as("as_"))
+        .select(col("exact_parts"), col("exact_supps"),
+          (abs(col("ap") - col("exact_parts")) <=
+            col("exact_parts") * tolerance).as("parts_within_5pct"),
+          (abs(col("as_") - col("exact_supps")) <=
+            col("exact_supps") * tolerance).as("supps_within_5pct"))
+    }, oracle = Some("""
+      SELECT count(DISTINCT l_partkey) AS exact_parts,
+             count(DISTINCT l_suppkey) AS exact_supps,
+             true AS parts_within_5pct,
+             true AS supps_within_5pct
+      FROM lineitem""")),
   )
 }

@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
   import Tables.load
 
-  /** Shared oracle fragment: cosine of two float lists in double. */
-  private val oracleCos =
-    """list_sum(list_transform(list_zip(a.embedding, b.embedding),
-      |                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-      | / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-      |    * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"""
+  /** Oracle fragment: cosine of two float lists in double, between
+    * relations aliased `a`/`b` — sequential left folds, bit-identical
+    * to the native expression (verified on all sf0.01 pairs). */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a.embedding, $b.embedding),
+       |                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform($b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"""
       .stripMargin
+
+  private val oracleCos = cosSql("a", "b")
 
   val all: Seq[Q] = Seq(
 
@@ -133,12 +137,33 @@ object VectorQueries {
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
-    }),
+    }, oracle = Some(s"""
+      WITH cents AS (
+        SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+      scored AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e", "c")} DESC, c.cent_id) AS crk
+        FROM embeddings e CROSS JOIN cents c),
+      assigned AS (SELECT vec_id, embedding, cent_id FROM scored WHERE crk = 1),
+      probed AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ${cosSql("q", "n")} AS score,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosSql("q", "n")} DESC, n.vec_id) AS INT) AS rank
+        FROM assigned q JOIN assigned n
+          ON q.cent_id = n.cent_id AND q.vec_id <> n.vec_id
+        WHERE q.vec_id < 20)
+      SELECT query_id, neighbor_id, rank, score FROM probed WHERE rank <= 5""")),
 
     // SRP-LSH bucketed ANN — the scale path: bucket on an 8-bit
     // sign-random-projection signature, search within bucket only.
-    // Algorithm-specific hashing → rows-only; recall vs the brute-force
-    // truth is asserted in VectorSpec.
+    // The hyperplanes are deterministic doubles, so the oracle embeds
+    // the SAME coefficients as list literals and reproduces bucket
+    // assignment bit-for-bit — a full equality oracle for an
+    // LSH operator (projections are sequential double folds on both
+    // sides). Recall vs brute force is additionally asserted in
+    // VectorFunctionsSpec.
     Q("sim_lsh_bucketed", (spark, dir) => {
       val e = load(spark, dir, "embeddings")
         .withColumn("bucket", graft.functions.VectorFunctions.srpBucket(col("embedding"), 8))
@@ -150,6 +175,24 @@ object VectorQueries {
         .filter(col("score") >= 0.3)
         .select(col("id_a"), col("id_b"), col("score"))
         .orderBy(col("id_a"), col("id_b"))
-    }),
+    }, oracle = Some(s"""
+      WITH bkt AS (
+        SELECT vec_id, embedding, ${srpBucketSql(8)} AS bucket
+        FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, $oracleCos AS score
+      FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE $oracleCos >= 0.3""")),
   )
+
+  /** SQL fragment computing the [[graft.functions.VectorFunctions.srpBucket]]
+    * id of `embedding` with the SAME hyperplane coefficients embedded
+    * as round-trip double literals. */
+  private def srpBucketSql(planes: Int): String =
+    graft.functions.VectorFunctions.srpPlanes(planes).zipWithIndex.map {
+      case (coeffs, p) =>
+        val lst = coeffs.map(_.toString).mkString("[", ", ", "]")
+        s"""(CASE WHEN list_sum(list_transform(list_zip(embedding, $lst),
+           |  x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN ${1L << p} ELSE 0 END)"""
+          .stripMargin
+    }.mkString("\n        + ")
 }

@@ -80,8 +80,8 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("simhash signature is deterministic across evaluations") {
-    val s1 = docs.select(SimHash.simhash64(col("text"))).collect().map(_.getLong(0))
-    val s2 = docs.select(SimHash.simhash64(col("text"))).collect().map(_.getLong(0))
+    val s1 = docs.select(SimHash.simhash60(col("text"))).collect().map(_.getLong(0))
+    val s2 = docs.select(SimHash.simhash60(col("text"))).collect().map(_.getLong(0))
     assert(s1 === s2)
   }
 }
