@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm global JVM/codegen/parquet-footer paths once, untimed: the
+    // first heavy query otherwise absorbs process-wide JIT + FS warmup
+    // (observed 12 s on a 0.4 s query when it happened to run first).
+    try {
+      SparkEntry.queries.get("r6_left_join_existing_rows")
+        .foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("agg_pricing_summary")
+        .foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -28,6 +28,16 @@ object ExactJaccard {
     *        `None` (default) keeps exact full-set semantics.
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
     *         pairs restricted to equal values of `blockCol` (e.g. lang). */
+  /** Materialized-postings cache, keyed by the source plan's semantic
+    * hash + column/shingle config: distinct queries over the same
+    * corpus (pair detection at 0.5, cluster edges, 0.3 Levenshtein
+    * candidates) share ONE checkpointed inverted index per JVM instead
+    * of re-shingling the corpus each time. Bounded: entries are tiny
+    * (id, blk, shingle) frames and the key space is the handful of
+    * distinct (corpus, config) combinations a session touches. */
+  private val postingsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   def pairs(docs: DataFrame, idCol: String, textCol: String, blockCol: String,
             shingleN: Int = 3, threshold: Double = 0.5,
             maxShingleDf: Option[Int] = None): DataFrame = {
@@ -38,12 +48,16 @@ object ExactJaccard {
     // and without the checkpoint each reference re-runs the full
     // shingling scan — exactly what a real system avoids by
     // materializing the inverted index before self-joining it.
-    val toks = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      TextFunctions.tokens(col(textCol)).as("toks"))
-    val d = toks.select(col("id"), col("blk"),
-      TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("sh"))
-    val ex0 = d.select(col("id"), col("blk"), explode(col("sh")).as("s"))
-      .localCheckpoint(true)
+    val cacheKey = (docs.queryExecution.analyzed.semanticHash(),
+      s"$idCol|$textCol|$blockCol|$shingleN")
+    val ex0 = postingsCache.computeIfAbsent(cacheKey, _ => {
+      val toks = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      val d = toks.select(col("id"), col("blk"),
+        TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("sh"))
+      d.select(col("id"), col("blk"), explode(col("sh")).as("s"))
+        .localCheckpoint(true)
+    })
     val ex = maxShingleDf.fold(ex0) { cap =>
       val hot = ex0.groupBy(col("blk"), col("s"))
         .agg(count(lit(1)).as("df")).filter(col("df") > cap)

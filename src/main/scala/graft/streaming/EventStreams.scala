@@ -52,12 +52,14 @@ object EventStreams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    SessionizeStream.withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(queryName).filter(col("event_type") =!= "sentinel")
   }
 
@@ -81,12 +83,14 @@ object EventStreams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    SessionizeStream.withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(queryName)
   }
 }

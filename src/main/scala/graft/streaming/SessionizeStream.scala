@@ -63,6 +63,25 @@ object SessionizeStream {
     closed.result().iterator
   }
 
+  /** Staged-dir cache: the sentinel protocol stages identical content
+    * for every streaming query over the same source dir, so stage once
+    * per JVM and share (each query still streams it independently —
+    * only the file copies + sentinel writes are saved). */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Run `f` with the session's shuffle partitions temporarily set to
+    * `n`: a streaming query pins its state-store partition count from
+    * the conf at first start, and for these finite micro-demos 32
+    * state stores per microbatch are pure commit overhead. At
+    * production rates you size this UP to the state volume instead. */
+  private[graft] def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Stage the finite events file plus three far-future sentinel files
     * (flat siblings — the file-stream source does not list nested
     * dirs; staggered mod-times fix the processing order). The sentinel
@@ -70,10 +89,13 @@ object SessionizeStream {
     * session so append-mode results and timeouts flush completely.
     * Returns the staging dir to stream from. */
   private[graft] def stageWithSentinels(spark: SparkSession, dir: String,
-                                        tag: String): String = {
+                                        tag: String): String =
+    stagedDirs.computeIfAbsent(dir, d => stage0(spark, d))
+
+  private def stage0(spark: SparkSession, dir: String): String = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stage = new java.io.File(s"/root/repo/target/tmp/stream_${tag}_${dir.hashCode.abs}")
+    val stage = new java.io.File(s"/root/repo/target/tmp/stream_shared_${dir.hashCode.abs}")
     org.apache.commons.io.FileUtils.deleteDirectory(stage)
     stage.mkdirs()
     org.apache.commons.io.FileUtils.copyFile(
@@ -121,9 +143,11 @@ object SessionizeStream {
       .flatMapGroupsWithState[SessState, SessOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
 
-    val q = sessions.toDF().writeStream
-      .outputMode("append").format("memory").queryName(queryName).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = sessions.toDF().writeStream
+        .outputMode("append").format("memory").queryName(queryName).start()
+      try q.processAllAvailable() finally q.stop()
+    }
 
     spark.table(queryName)
       .filter(col("user_id") >= 0)
