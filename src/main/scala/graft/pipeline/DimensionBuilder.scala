@@ -40,6 +40,20 @@ final case class DimSpec(name: String, dimKey: String, naturalKey: String,
   def allCols: Seq[String] = dimKey +: naturalKey +: attrs
 }
 
+/** Surrogate-key generation mode for new dimension rows. */
+sealed trait KeyMode
+object KeyMode {
+  /** maxKey + row_number() over natural key: deterministic, contiguous,
+    * replayable — the engine default (SURVEY §4.2 refinement). */
+  case object Deterministic extends KeyMode
+  /** The reference's literal semantics (`gold_dim_branch.ipynb:60233`):
+    * maxKey + monotonically_increasing_id() + 1 — partition-striped ids,
+    * so keys are unique but gap-ridden and NOT reproducible across
+    * runs/partitionings. Offered as a drop-in fidelity flag; golden
+    * replays require [[Deterministic]]. */
+  case object Faithful extends KeyMode
+}
+
 object DimensionBuilder {
 
   val specs: Seq[DimSpec] = Seq(
@@ -51,7 +65,8 @@ object DimensionBuilder {
 
   /** Pure plan: given silver and the current sink state, produce the
     * post-build dimension relation. No I/O — unit-testable. */
-  def plan(silver: DataFrame, sink: DataFrame, spec: DimSpec): DataFrame = {
+  def plan(silver: DataFrame, sink: DataFrame, spec: DimSpec,
+           keyMode: KeyMode = KeyMode.Deterministic): DataFrame = {
     // R1/R2 — distinct natural key + attributes
     val src = silver.select(spec.cols.map(col): _*).distinct()
 
@@ -68,12 +83,17 @@ object DimensionBuilder {
     // R7 — scalar max as a broadcast 1-row frame (no driver collect)
     val maxKey = sink.agg(coalesce(max(col(spec.dimKey)), lit(0L)).as("__maxkey"))
 
-    // R8 — deterministic surrogate keys for new rows
-    val w = Window.orderBy(spec.naturalKey)
+    // R8 — surrogate keys for new rows (mode-dependent, see [[KeyMode]])
+    val keyExpr = keyMode match {
+      case KeyMode.Deterministic =>
+        col("__maxkey") + row_number().over(Window.orderBy(spec.naturalKey))
+      case KeyMode.Faithful =>
+        col("__maxkey") + monotonically_increasing_id() + lit(1L)
+    }
     val fresh = joined.filter(col(spec.dimKey).isNull)
       .select(spec.cols.map(c => col(s"src.$c")): _*)
       .crossJoin(broadcast(maxKey))
-      .withColumn(spec.dimKey, (col("__maxkey") + row_number().over(w)).cast("long"))
+      .withColumn(spec.dimKey, keyExpr.cast("long"))
       .drop("__maxkey")
 
     // R9/R10 — reorder key first, positional union

@@ -23,17 +23,21 @@ object Ingest {
 
   /** S1 — CSV source. Header row, UTF-8 BOM on the header, quoted fields
     * with embedded commas ("Fisker, Karma Motors"), empty strings → null.
-    * Declared schema: no inference pass (the reference's
-    * `inferSchema=True` would cost a full extra scan at scale).
+    * Default: declared schema, no inference pass. `inferSchema = true`
+    * reproduces the reference's literal option (`TESTING
+    * NOTEBOOK.ipynb:22`) — it costs a full extra scan of the input, so
+    * it is an opt-in fidelity flag, not the scale default.
     */
-  def readSalesCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read
+  def readSalesCsv(spark: SparkSession, path: String,
+                   inferSchema: Boolean = false): DataFrame = {
+    val base = spark.read
       .option("header", true)
       .option("quote", "\"")
       .option("escape", "\"")
-      // univocity strips the BOM when the header is matched as text
-      .schema(Schemas.raw)
-      .csv(path)
+    // univocity strips the BOM when the header is matched as text
+    if (inferSchema) base.option("inferSchema", true).csv(path)
+    else base.schema(Schemas.raw).csv(path)
+  }
 
   /** S3 — watermark filter: keep only rows strictly past the persisted
     * high-water mark. `Date_ID` is an ordered string surrogate (DTnnnnn)

@@ -6,10 +6,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * A+B+C): CSV → bronze (watermark) → silver → 4 SCD1 dims → fact.
   *
   * The reference runs this as six notebooks with an `incremental_flag`
-  * widget (S12, `gold_dim_branch.ipynb:62`); here it is one `run(csv)`
-  * call — full-vs-incremental is decided by the persisted watermark +
-  * table existence (S8), not an operator flag.
+  * widget (S12, `gold_dim_branch.ipynb:62`); here full-vs-incremental
+  * is decided by the persisted watermark + table existence (S8) by
+  * default ([[RunMode.Auto]]), with a manual override mirroring the
+  * reference's flag for operational fidelity.
   */
+
+/** Manual full/incremental override (the reference's
+  * `incremental_flag` widget, `gold_dim_branch.ipynb:62`). */
+sealed trait RunMode
+object RunMode {
+  /** Watermark + table existence decide — the engine default. */
+  case object Auto extends RunMode
+  /** Reference flag '0': ignore persisted state, drop gold, reload the
+    * batch as an initial full load. */
+  case object ForceFull extends RunMode
+  /** Reference flag '1': require prior state (fails fast if no
+    * watermark has ever been persisted — the reference would silently
+    * mis-merge in that situation). */
+  case object ForceIncremental extends RunMode
+}
+
 final case class SalesPipeline(spark: SparkSession, root: String) {
 
   val catalog: GoldCatalog = GoldCatalog(spark, s"$root/warehouse")
@@ -20,8 +37,19 @@ final case class SalesPipeline(spark: SparkSession, root: String) {
   /** One batch: ingest a CSV past the watermark, refresh silver, build
     * gold. Re-runnable; an already-seen batch is filtered to zero rows
     * by the watermark and the merges are no-ops (idempotence, §5). */
-  def run(csvPath: String): Unit = {
+  def run(csvPath: String, mode: RunMode = RunMode.Auto): Unit = {
     catalog.ensureDatabases()
+    mode match {
+      case RunMode.ForceFull =>
+        // reset to the initial-load branch: no watermark, no gold
+        (DimensionBuilder.specs.map(_.name) :+ "factsales")
+          .foreach(t => catalog.dropTable("gold", t))
+        new java.io.File(watermarkPath).delete()
+      case RunMode.ForceIncremental =>
+        require(Ingest.readWatermark(watermarkPath).isDefined,
+          "RunMode.ForceIncremental requires a persisted watermark (run a full load first)")
+      case RunMode.Auto => ()
+    }
     val wm = Ingest.readWatermark(watermarkPath)
     val newWm = Ingest.ingest(spark, csvPath, bronzePath, wm)
 

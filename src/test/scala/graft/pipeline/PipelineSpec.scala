@@ -103,4 +103,35 @@ class PipelineSpec extends SparkTestBase {
       .collect().map(r => Option(r.getString(0)).getOrElse("")).sorted
     assert(namesAfter === namesBefore)
   }
+
+  test("RunMode.ForceFull drops gold + watermark and reloads as initial") {
+    // after the incremental batches above, a forced full load of the
+    // original CSV must reproduce the pristine initial-load counts
+    pipe.run(s"$ref/SalesData.csv", RunMode.ForceFull)
+    assert(counts === Map(
+      "dim_branch" -> 1836L, "dim_dealer" -> 267L, "dim_model" -> 277L,
+      "dim_date" -> 1156L, "factsales" -> 1849L))
+  }
+
+  test("RunMode.ForceIncremental fails fast without persisted state") {
+    val fresh = SalesPipeline(spark, tmpDir("pipeline_forceinc"))
+    intercept[IllegalArgumentException](
+      fresh.run(s"$ref/SalesData.csv", RunMode.ForceIncremental))
+  }
+
+  test("KeyMode.Faithful: unique keys above maxKey (reference mono-id semantics)") {
+    import spark.implicits._
+    val spec = DimensionBuilder.specs.find(_.name == "dim_dealer").get
+    val silver = Seq(("D1", "Alpha"), ("D2", "Beta"), ("D3", "Gamma"))
+      .toDF("Dealer_ID", "DealerName")
+    val sink = Seq((5L, "D0", "Zero")).toDF("dim_dealer_key", "Dealer_ID", "DealerName")
+    // plan() is src-driven: all three dealers are new (D0 stays in the
+    // sink via the merge, not via plan), so 3 fresh keys, all unique
+    // and above the sink's max key (5)
+    val out = DimensionBuilder.plan(silver, sink, spec, KeyMode.Faithful)
+      .select("dim_dealer_key").collect().map(_.getLong(0))
+    assert(out.length === 3)
+    assert(out.distinct.length === 3)
+    assert(out.forall(_ > 5L))
+  }
 }
