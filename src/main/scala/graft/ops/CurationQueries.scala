@@ -1,0 +1,223 @@
+package graft.ops
+
+import graft.dedup.{DedupClusters, ExactJaccard}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data CURATION pack: the selection / packing / scoring
+  * operations a large-scale pipeline runs after dedup — deterministic
+  * hash-stratified sampling, token-budget sharding (a distributed
+  * prefix sum), rational TF-IDF term ranking, quality-based cluster
+  * survivor election, and int8 embedding quantization. Every query is
+  * transcendental-free (rational/integer arithmetic only) so the
+  * DuckDB oracle hash-matches bit-for-bit.
+  */
+object CurationQueries {
+  import Tables.load
+
+  private val stop = Seq("the", "a", "of", "and", "to")
+
+  /** DuckDB fragment: parse a lowercase hex string column `hx` into a
+    * BIGINT via a character fold (DuckDB cannot cast '0x…' literals). */
+  private def hexFoldSql(hx: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($hx, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, c) -> acc * 16 + c - CASE WHEN c >= 97 THEN 87 ELSE 48 END)"""
+      .stripMargin
+
+  /** Distributed prefix-sum sharding over (doc_id, n): range-partition,
+    * per-partition running sums, broadcast exclusive offsets. The
+    * result is IDENTICAL for any `numParts` (asserted in CurationSpec)
+    * — only the offsets window touches a single partition, and it holds
+    * one row per partition, not per document. */
+  private[graft] def tokenBudgetShards(docs: org.apache.spark.sql.DataFrame,
+                                       numParts: Int, budget: Int): org.apache.spark.sql.DataFrame = {
+    val parts = docs.repartitionByRange(numParts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    val withLocal = parts.withColumn("local_cum", sum(col("n")).over(wLocal))
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("pid")).agg(sum(col("n")).as("ptot"))
+      .withColumn("offset", coalesce(sum(col("ptot")).over(wOff), lit(0L)))
+      .select(col("pid"), col("offset"))
+    withLocal.join(broadcast(offsets), "pid")
+      .withColumn("cum", col("local_cum") + col("offset"))
+      .withColumn("shard", expr(s"(cum - n) div $budget"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("shard_tokens"))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Deterministic hash-stratified 5% sample: content-hash bucket
+    // (md5 prefix mod 20) — reproducible across runs/engines/cluster
+    // sizes, unlike rand()-based sampling; a pure filter, so it scales
+    // as a narrow map over the corpus with the predicate pushed down.
+    Q("sample_hash_stratified", (spark, dir) =>
+      load(spark, dir, "documents")
+        .withColumn("bucket",
+          conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long") % 20)
+        .filter(col("bucket") === 0)
+        .select(col("doc_id"), col("lang")),
+      oracle = Some(s"""
+      SELECT doc_id, lang FROM documents
+      WHERE ${hexFoldSql("substr(md5(text), 1, 6)")} % 20 = 0""")),
+
+    // Token-budget sharding: shard k = docs whose RUNNING token total
+    // (in doc_id order) starts in [k·4096, (k+1)·4096). Implemented as
+    // a DISTRIBUTED prefix sum — range-repartition, per-partition
+    // running sums, plus broadcast per-partition offsets — NOT a
+    // single-partition global window (the result is identical for any
+    // partition boundaries, so the plan scales to any corpus size).
+    Q("pack_token_budget", (spark, dir) =>
+      tokenBudgetShards(load(spark, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n")),
+        numParts = 16, budget = 4096),
+      oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+      c AS (
+        SELECT doc_id, n,
+               sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT CAST((cum - n) // 4096 AS BIGINT) AS shard, count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS shard_tokens
+      FROM c GROUP BY 1""")),
+
+    // Rational TF-IDF top-3 terms per document: score = tf · N / df —
+    // rank-equivalent within a fixed document family to the log form
+    // but transcendental-free, so both engines compute identical
+    // doubles. One narrow explode + two keyed aggregations; the
+    // ranking window partitions by doc_id (state ∝ distinct terms per
+    // doc, never global).
+    Q("text_tfidf_topk", (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("t"))
+      tf.join(dfreq, "t").crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"), col("score"))
+    }, oracle = Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      s AS (
+        SELECT tf.doc_id, tf.t, tf.tf, dfreq.df,
+               CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score,
+               row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df DESC, tf.t) AS rk
+        FROM tf JOIN dfreq USING (t) CROSS JOIN n)
+      SELECT doc_id, t AS term, tf, df, score FROM s WHERE rk <= 3""")),
+
+    // Quality-based survivor election: in each duplicate cluster keep
+    // the highest-quality member (ties → min doc_id) — the dedup
+    // POLICY a curation pipeline applies on top of cluster detection
+    // (min-id survival is a special case). Composes the cluster
+    // operator with the quality score; the oracle recomputes both.
+    Q("dedup_survivor_quality", (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val pairs = ExactJaccard.pairs(docs, "doc_id", "text", "lang",
+        shingleN = 3, threshold = 0.5)
+      val clusters = DedupClusters.components(pairs, "id_a", "id_b")
+      val quality = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), stop).as("q"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("q").desc, col("doc_id"))
+      clusters.join(quality, clusters("node") === quality("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(max(when(col("rk") === 1, col("doc_id"))).as("survivor_id"),
+          count(lit(1)).as("n_members"),
+          max(col("q")).as("best_quality"))
+    }, oracle = Some("""
+      WITH RECURSIVE d AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, len(string_split(text,' ')) - 1),
+                           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                    ELSE [text] END AS sh
+        FROM documents),
+      ex AS (SELECT doc_id, lang, unnest(sh) AS s FROM d),
+      cnt AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM ex a JOIN ex b
+          ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+      pairs AS (
+        SELECT id_a, id_b FROM cnt
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b),
+      clusters AS (
+        SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+      qual AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text,' '),
+                     x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+                 / len(string_split(text,' ')) * 0.5
+               + (CAST(least(len(string_split(text,' ')), 100) AS DOUBLE) / 100.0) * 0.3
+               + (CASE WHEN CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+                            / len(string_split(text,' ')) BETWEEN 3.0 AND 8.0
+                       THEN 1.0 ELSE 0.0 END) * 0.2 AS q
+        FROM documents),
+      ranked AS (
+        SELECT c.cluster_id, c.node, qual.q,
+               row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY qual.q DESC, c.node) AS rk
+        FROM clusters c JOIN qual ON qual.doc_id = c.node)
+      SELECT cluster_id,
+             max(CASE WHEN rk = 1 THEN node END) AS survivor_id,
+             count(*) AS n_members,
+             max(q) AS best_quality
+      FROM ranked GROUP BY cluster_id""")),
+
+    // Symmetric int8 quantization per embedding: q = floor(v/‖v‖∞·127)
+    // with the per-vector scale carried alongside — the storage shape
+    // a trained-index pipeline writes. All steps (abs-max fold, one
+    // double divide+multiply, floor) are bit-identical across engines.
+    Q("embed_quantize_int8", (spark, dir) =>
+      load(spark, dir, "embeddings")
+        .withColumn("scale",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .select(col("vec_id"), col("scale"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos"),
+          when(col("scale") === 0.0, lit(0L))
+            .otherwise(floor(col("col").cast("double") / col("scale") * lit(127.0)))
+            .as("q"),
+          col("scale")),
+      oracle = Some("""
+      WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings),
+      ex AS (
+        SELECT vec_id, scale, u.pos, u.v
+        FROM s, LATERAL (SELECT unnest(embedding) AS v,
+                                generate_subscripts(embedding, 1) - 1 AS pos) u)
+      SELECT vec_id, pos,
+             CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(CAST(v AS DOUBLE) / scale * 127.0) AS BIGINT) END AS q,
+             scale
+      FROM ex""")),
+  )
+}

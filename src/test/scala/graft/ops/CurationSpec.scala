@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Curation-pack semantics: partition-invariance of the distributed
+  * prefix sum, sampling determinism, survivor optimality, and the
+  * quantization error bound. Value-level oracle parity is the driver's
+  * DuckDB compare; these pin the algorithmic contracts. */
+class CurationSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(sf("0.01") + "/documents.parquet")
+  private lazy val emb = spark.read.parquet(sf("0.01") + "/embeddings.parquet")
+
+  test("token-budget prefix sum is partition-count invariant") {
+    val counts = docs.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
+    def shards(p: Int): Set[(Long, Long, Long)] =
+      CurationQueries.tokenBudgetShards(counts, p, 4096)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(shards(3) === shards(16))
+    assert(shards(1) === shards(16))
+  }
+
+  test("token-budget shards partition the corpus exactly") {
+    val counts = docs.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
+    val out = CurationQueries.tokenBudgetShards(counts, 8, 4096).collect()
+    assert(out.map(_.getLong(1)).sum === docs.count())
+    val totalTokens = counts.agg(sum("n")).head().getLong(0)
+    assert(out.map(_.getLong(2)).sum === totalTokens)
+  }
+
+  test("hash-stratified sample is deterministic and ~5%") {
+    val q = graft.SparkEntry.queries("sample_hash_stratified")
+    val a = q(spark, sf("0.01")).collect().map(_.getLong(0)).sorted.toSeq
+    val b = q(spark, sf("0.01")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    val rate = a.size.toDouble / docs.count()
+    assert(rate > 0.01 && rate < 0.12) // md5 buckets ≈ uniform
+  }
+
+  test("quality survivor is a member of its cluster with maximal quality") {
+    val out = graft.SparkEntry.queries("dedup_survivor_quality")(spark, sf("0.01"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val quality = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), Seq("the", "a", "of", "and", "to")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { case (_, survivor, n, best) =>
+      assert(n >= 2) // clusters come from duplicate pairs
+      assert(math.abs(quality(survivor) - best) < 1e-12)
+    }
+  }
+
+  test("int8 quantization: q in [-127, 127] and reconstruction error ≤ scale/127") {
+    val out = graft.SparkEntry.queries("embed_quantize_int8")(spark, sf("0.01"))
+    val joined = out.join(
+        emb.select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("pos", "v"))), Seq("vec_id", "pos"))
+      .select(col("q"), col("scale"), col("v").cast("double").as("v"))
+      .collect()
+    joined.foreach { r =>
+      val (q, scale, v) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      assert(q >= -127 && q <= 127)
+      if (scale > 0) assert(math.abs(v - q * scale / 127.0) <= scale / 127.0 + 1e-12)
+    }
+  }
+}
