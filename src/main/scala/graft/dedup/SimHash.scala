@@ -31,11 +31,29 @@ object SimHash {
     * over the character stream (bases 31 / 131, moduli 1e9+7 /
     * 998244353 — both < 2³⁰, so every intermediate stays in long
     * range), packed as h1·2³⁰ + h2. */
-  def tokenHash60(t: Column): Column = {
+  def tokenHash60(t: Column): Column =
+    hashFromChars(transform(split(t, ""), c => ascii(c).cast("long")))
+
+  /** [[tokenHash60]] over an already-materialized char-code array —
+    * hoist the split into its own projection on hot paths so the regex
+    * split runs once, not once per fold.
+    *
+    * Rolling hashes have no avalanche — similar tokens yield
+    * correlated bits, which would inflate simhash's false-collision
+    * rate — so both halves are finished with a modular multiplicative
+    * cross-mix: gᵢ = (hᵢ·2654435761 + h₍other₎) mod p₃₀. Every product
+    * stays below 2⁶² (mod inputs < 2³⁰, multiplier < 2³², plus a 2³⁰
+    * addend), so the expression is exact in any signed-64 SQL engine. */
+  def hashFromChars(chars: Column): Column = {
     def roll(base: Long, mod: Long): Column =
-      aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
-        lit(0L), (acc, c) => (acc * base + c) % mod)
-    roll(31L, 1000000007L) * lit(1L << 30) + roll(131L, 998244353L)
+      aggregate(chars, lit(0L), (acc, c) => (acc * base + c) % mod)
+    val h1 = roll(31L, 1000000007L)
+    val h2 = roll(131L, 998244353L)
+    val p = 1073741789L // largest prime < 2^30
+    val a = 2654435761L // Knuth's multiplicative constant
+    val g1 = (h1 * a + h2) % p
+    val g2 = (h2 * a + h1) % p
+    g1 * lit(1L << 30) + g2
   }
 
   /** 60-bit simhash of the token multiset as a long. Bit j is set when
@@ -53,18 +71,24 @@ object SimHash {
   }
 
   /** Aggregation-shaped signature computation for whole tables: explode
-    * to (id, tokenHash) once, 60 signed-count aggregates, assemble the
-    * sign bits — avoids the 60× token-array re-evaluation the Column
-    * form costs on wide corpora (same plan-shape rationale as
+    * to (id, token), pre-aggregate the multiset to (id, token, cnt) —
+    * the ±1 instance votes collapse to ±cnt votes per DISTINCT token,
+    * an identical sum that hashes each distinct token once instead of
+    * once per occurrence — then 60 signed-count aggregates assemble
+    * the sign bits (same plan-shape rationale as
     * [[MinHashLSH.signatures]]). */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sig = (0 until 60).map { j =>
-      val vote = sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      val vote = sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1,
+        col("cnt")).otherwise(-col("cnt")))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     docs.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .select(col("id"), tokenHash60(col("t")).as("h"))
+      .groupBy(col("id"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("chars", transform(split(col("t"), ""), c => ascii(c).cast("long")))
+      .select(col("id"), col("cnt"), hashFromChars(col("chars")).as("h"))
       .groupBy("id")
       .agg(sig.as("sig"))
   }

@@ -138,15 +138,20 @@ object DedupQueries {
       oracle = Some(s"""
       WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-      hs AS (
+      rolls AS (
         SELECT doc_id,
           list_reduce(list_prepend(CAST(0 AS BIGINT),
             list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
-            (acc, c) -> (acc * 31 + c) % 1000000007) * 1073741824
-        + list_reduce(list_prepend(CAST(0 AS BIGINT),
+            (acc, c) -> (acc * 31 + c) % 1000000007) AS r1,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
             list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
-            (acc, c) -> (acc * 131 + c) % 998244353) AS h
+            (acc, c) -> (acc * 131 + c) % 998244353) AS r2
         FROM tok),
+      hs AS (
+        SELECT doc_id,
+               ((r1 * 2654435761 + r2) % 1073741789) * 1073741824
+             + ((r2 * 2654435761 + r1) % 1073741789) AS h
+        FROM rolls),
       sig AS (
         SELECT doc_id, $simhashSigSql AS sig
         FROM hs GROUP BY doc_id),
