@@ -18,7 +18,7 @@ object SparkEntry {
     ParityQueries.all ++ MergeQueries.all ++ AnalyticsQueries.all ++
       JoinSetQueries.all ++ FuncQueries.all ++ EventQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ VectorQueries.all ++
-      MultimodalQueries.all ++ CurationQueries.all
+      MultimodalQueries.all ++ CurationQueries.all ++ ScaleQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star-style revenue rollup — the reference's core analytical shape

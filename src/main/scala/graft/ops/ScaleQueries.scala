@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.dedup.ExactJaccard
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern pack: the shapes a 100 TB deployment actually runs —
+  * salted two-phase aggregation, salted skew joins, sketch-accuracy
+  * contracts, stratified per-group sampling, and exact integer
+  * PageRank over the duplicate graph. Each query's RESULT is
+  * deliberately equal to a plain declarative form (salting and
+  * two-phase execution must never change answers), so the DuckDB
+  * oracle both checks correctness and PROVES the rewrite is
+  * semantics-preserving.
+  */
+object ScaleQueries {
+  import Tables.load
+
+  val all: Seq[Q] = Seq(
+
+    // Two-phase salted aggregation: groupBy(key, salt) partial → final
+    // groupBy(key). On a skewed key distribution the hot key fans out
+    // across `salt` tasks in phase 1 instead of melting one reducer.
+    // Decimal partial sums keep the total EXACTLY equal to the plain
+    // single-phase aggregate (decimal addition is associative), which
+    // is what the plain-GROUP-BY oracle asserts.
+    Q("agg_salted_twophase", (spark, dir) => {
+      val ev = Tables.loadEvents(spark, dir)
+      val partial = ev
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16L)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(18,2)")).as("pv"))
+      partial.groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n_events"),
+          sum(col("pv")).cast("double").as("total_value"))
+    }, oracle = Some("""
+      SELECT event_type, count(*) AS n_events,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+               AS total_value
+      FROM events GROUP BY event_type""")),
+
+    // Salted skew join (Scale.saltedLeftJoin): the left side spreads a
+    // hot key over 16 sub-keys, the small side replicates per salt.
+    // Row-identical to the plain join — asserted by the plain-SQL
+    // oracle over the aggregated result.
+    Q("join_salted_skew", (spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"))
+      val s = load(spark, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Scale.saltedLeftJoin(li, s, Seq("l_suppkey"), col("l_extendedprice"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    }, oracle = Some("""
+      SELECT s_nationkey, count(*) AS n_lines,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+               AS revenue
+      FROM lineitem LEFT JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY s_nationkey""")),
+
+    // Sketch-accuracy contract for approximate quantiles: the
+    // percentile_approx estimate must land between the exact 45th and
+    // 55th percentiles (rank-error bound of the KLL/GK-style sketch at
+    // the chosen accuracy). Output = exact median + the bound check;
+    // the oracle pins the exact values and expects the check true.
+    Q("agg_approx_quantile_bound", (spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+      li.agg(
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+          expr("percentile(l_extendedprice, 0.45)").as("lo"),
+          expr("percentile(l_extendedprice, 0.55)").as("hi"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("ap"))
+        .select(col("exact_p50"),
+          col("ap").between(col("lo"), col("hi")).as("approx_within_decile"))
+    }, oracle = Some("""
+      SELECT quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+             true AS approx_within_decile
+      FROM lineitem""")),
+
+    // Stratified fixed-size sampling: 20 docs per language, selected by
+    // content-hash order — deterministic reservoir-equivalent sampling
+    // (same members on any cluster size / run), one window per stratum.
+    Q("sample_stratified_topk", (spark, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text")), col("doc_id"))
+      load(spark, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("doc_id"))
+    }, oracle = Some("""
+      SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+        FROM documents) WHERE rk <= 20""")),
+
+    // Exact integer PageRank (3 unrolled power iterations, damping
+    // 85/100) over the duplicate-pair graph: ranks are 2^40-scaled
+    // integers and every step is integer division/summation, so the
+    // result is bit-exact on any engine and any partitioning — the
+    // floating-point order-dependence that normally makes distributed
+    // PageRank unreproducible is gone by construction. Iterations are
+    // map-side joins on the (small) edge list; at web scale the same
+    // unrolled plan runs on a bucketed edge table.
+    Q("graph_pagerank_dups", (spark, dir) => {
+      val pairs = ExactJaccard.pairs(load(spark, dir, "documents"),
+        "doc_id", "text", "lang", shingleN = 3, threshold = 0.5)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+        .distinct().localCheckpoint(true)
+      val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      var ranks: DataFrame = deg.select(col("node"), lit(1L << 40).as("rank"))
+      for (_ <- 1 to 3) {
+        val contribs = edges
+          .join(ranks.withColumnRenamed("node", "a"), "a")
+          .join(deg.withColumnRenamed("node", "a"), "a")
+          .groupBy(col("b").as("node"))
+          .agg(sum(expr("rank div deg")).as("inflow"))
+        ranks = deg.select(col("node"))
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit((15L * (1L << 40)) / 100L)
+              + expr("85 * coalesce(inflow, 0L) div 100")).as("rank"))
+      }
+      ranks
+    }, oracle = Some(s"""
+      WITH d AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, len(string_split(text,' ')) - 1),
+                           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                    ELSE [text] END AS sh
+        FROM documents),
+      ex AS (SELECT doc_id, lang, unnest(sh) AS s FROM d),
+      cnt AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM ex a JOIN ex b
+          ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+      pairs AS (
+        SELECT id_a, id_b FROM cnt
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+              FROM edges GROUP BY a),
+      r0 AS (SELECT node, CAST(1099511627776 AS BIGINT) AS rank FROM deg),
+      ${(1 to 3).map(pagerankIterSql).mkString(",\n      ")}
+      SELECT node, rank FROM r3""")),
+  )
+
+  /** One unrolled integer-PageRank iteration as a CTE pair: inflow
+    * aggregation + damped update (mirrors the Spark loop body). */
+  private def pagerankIterSql(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""c$i AS (
+       |        SELECT e.b AS node,
+       |               CAST(sum($prev.rank // deg.deg) AS BIGINT) AS inflow
+       |        FROM edges e
+       |        JOIN $prev ON $prev.node = e.a
+       |        JOIN deg ON deg.node = e.a
+       |        GROUP BY e.b),
+       |      r$i AS (
+       |        SELECT deg.node,
+       |               164926744166 + 85 * coalesce(c$i.inflow, 0) // 100 AS rank
+       |        FROM deg LEFT JOIN c$i ON c$i.node = deg.node)"""
+      .stripMargin
+  }
+}
