@@ -26,15 +26,20 @@ object CurationQueries {
        |  (acc, c) -> acc * 16 + c - CASE WHEN c >= 97 THEN 87 ELSE 48 END)"""
       .stripMargin
 
-  /** Distributed prefix-sum sharding over (doc_id, n): range-partition,
-    * per-partition running sums, broadcast exclusive offsets. The
-    * result is IDENTICAL for any `numParts` (asserted in CurationSpec)
-    * — only the offsets window touches a single partition, and it holds
-    * one row per partition, not per document. */
+  /** Distributed prefix-sum sharding over (doc_id, n): bucket by an
+    * ARITHMETIC doc_id range (pid = doc_id div ceil(range/numParts) —
+    * no `spark_partition_id`, so the bucket is a pure column and the
+    * per-bucket window's hash requirement is the ONLY shuffle of the
+    * doc set), per-bucket running sums, broadcast exclusive offsets
+    * (a numParts-row frame). The result is IDENTICAL for any
+    * `numParts` (asserted in CurationSpec). */
   private[graft] def tokenBudgetShards(docs: org.apache.spark.sql.DataFrame,
                                        numParts: Int, budget: Int): org.apache.spark.sql.DataFrame = {
-    val parts = docs.repartitionByRange(numParts, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+    val bounds = docs.agg(max(col("doc_id")).as("__maxid"))
+    val parts = docs.crossJoin(broadcast(bounds))
+      .withColumn("pid",
+        expr(s"doc_id div ((__maxid + $numParts) div $numParts)"))
+      .drop("__maxid")
     val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
     val withLocal = parts.withColumn("local_cum", sum(col("n")).over(wLocal))
     val wOff = Window.orderBy(col("pid"))

@@ -57,4 +57,24 @@ class PlanSpec extends SparkTestBase {
       p.take(1200))
     assert(joined.count() === li.count())
   }
+
+  test("salted join keeps the salt in the join key") {
+    val p = planOf("join_salted_skew")
+    assert(p.contains("__salt"), p.take(800))
+  }
+
+  test("token-budget prefix sum: arithmetic buckets, single-partition window only for offsets") {
+    val p = planOf("pack_token_budget")
+    // no range repartition (the bucket is an arithmetic column); the
+    // document-level running sum is partitioned by that bucket — the
+    // remaining SinglePartition exchanges carry only 1-row aggregates
+    // and the numParts-row offsets frame
+    assert(!p.toLowerCase.contains("rangepartitioning"), p.take(1200))
+    assert(p.contains("hashpartitioning(pid"), p.take(1200))
+  }
+
+  test("tfidf top-k ranking uses the WindowGroupLimit pushdown") {
+    val p = planOf("text_tfidf_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
 }
