@@ -85,6 +85,19 @@ object EventQueries {
       FROM sess GROUP BY user_id, session_id"""), bench = true),
 
     // The same sessionization through the STATEFUL streaming path
+    // Streaming → gold MERGE via foreachBatch: update-mode hourly agg
+    // upserted per microbatch with the engine's SCD1 merge; the final
+    // gold table must equal the one-shot batch aggregation exactly —
+    // same oracle as the batch/streaming hourly queries.
+    Q("events_stream_merge_gold", (spark, dir) =>
+      graft.streaming.EventStreams.hourlyMergeToGold(spark, dir,
+        s"/root/repo/target/tmp/stream_gold_${dir.hashCode.abs}/hourly"),
+      oracle = Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2""")),
+
     // (flatMapGroupsWithState + event-time timeout): closed sessions
     // emit on gap, open sessions time out via watermark. Must equal the
     // batch gaps-and-islands result exactly — same oracle.

@@ -63,6 +63,53 @@ object EventStreams {
     spark.table(queryName).filter(col("event_type") =!= "sentinel")
   }
 
+  /** Streaming → gold MERGE: the production stream-to-star pattern.
+    * UPDATE-mode hourly aggregation, each microbatch upserted into a
+    * parquet gold table via `foreachBatch` + the engine's SCD1 merge
+    * ([[graft.pipeline.Upsert.mergeIntoPath]]) keyed on (hour_start,
+    * event_type). Decimal partial sums make the post-replay table equal
+    * the one-shot batch aggregation EXACTLY, however the input was
+    * split into microbatches — which is what the batch oracle asserts.
+    * At scale this is the continuous-ingest shape for every gold table
+    * in the medallion pipeline (bounded state via the watermark; the
+    * merge touches only the hours present in the batch). */
+  def hourlyMergeToGold(spark: SparkSession, dir: String,
+                        goldPath: String): DataFrame = {
+    val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "merge_gold",
+      splitEvents = 4)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(goldPath))
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", false)
+      .parquet(stagePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+    SessionizeStream.withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.filter(col("event_type") =!= "sentinel")
+          if (!b.isEmpty) {
+            if (new java.io.File(goldPath).exists())
+              graft.pipeline.Upsert.mergeIntoPath(spark, goldPath, b,
+                Seq("hour_start", "event_type"))
+            else b.write.mode("overwrite").parquet(goldPath)
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(goldPath)
+  }
+
   /** Hourly tumbling-window aggregate per event_type, streaming. Runs
     * the query to completion over the finite input and returns the
     * result as a batch DataFrame. */

@@ -87,20 +87,46 @@ object SessionizeStream {
     * dirs; staggered mod-times fix the processing order). The sentinel
     * batches drive the event-time watermark past every real window /
     * session so append-mode results and timeouts flush completely.
+    * `splitEvents > 1` splits the events across that many part files so
+    * `maxFilesPerTrigger=1` yields multiple REAL microbatches (needed
+    * to exercise per-batch sinks like the foreachBatch merge).
     * Returns the staging dir to stream from. */
   private[graft] def stageWithSentinels(spark: SparkSession, dir: String,
-                                        tag: String): String =
-    stagedDirs.computeIfAbsent(dir, d => stage0(spark, d))
+                                        tag: String, splitEvents: Int = 1): String =
+    stagedDirs.computeIfAbsent(s"$dir|$splitEvents",
+      _ => stage0(spark, dir, splitEvents))
 
-  private def stage0(spark: SparkSession, dir: String): String = {
+  private def stage0(spark: SparkSession, dir: String, splitEvents: Int): String = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stage = new java.io.File(s"/root/repo/target/tmp/stream_shared_${dir.hashCode.abs}")
+    val stage = new java.io.File(
+      s"/root/repo/target/tmp/stream_shared_${dir.hashCode.abs}_$splitEvents")
     org.apache.commons.io.FileUtils.deleteDirectory(stage)
     stage.mkdirs()
-    org.apache.commons.io.FileUtils.copyFile(
-      new java.io.File(s"$dir/events.parquet"),
-      new java.io.File(stage, "0_events.parquet"))
+    if (splitEvents <= 1)
+      org.apache.commons.io.FileUtils.copyFile(
+        new java.io.File(s"$dir/events.parquet"),
+        new java.io.File(stage, "0_events.parquet"))
+    else {
+      // split by TIME RANGE so microbatches arrive in event-time order
+      // — the shape real ingest has. Nothing is late against the
+      // watermark, and batch boundaries fall inside hours, so later
+      // batches both INSERT new hours and UPDATE boundary hours in the
+      // per-batch sink (exercising the merge path). Part-file names
+      // encode the range order; sorted staging mtimes preserve it.
+      val tmp = new java.io.File(stage, "tmp_split")
+      spark.read.parquet(s"$dir/events.parquet")
+        .repartitionByRange(splitEvents, col("ts"))
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      tmp.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex
+        .foreach { case (part, i) =>
+          val target = new java.io.File(stage, f"0_events_$i%02d.parquet")
+          org.apache.commons.io.FileUtils.moveFile(part, target)
+          target.setLastModified(System.currentTimeMillis() - 60000L + i * 1000L)
+        }
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
     val maxNs = spark.read.parquet(s"$dir/events.parquet")
       .agg(max("ts")).head().getLong(0)
     Seq(1, 2, 3).foreach { i =>
