@@ -26,6 +26,13 @@ import org.apache.hadoop.fs.Path
   * table. For 100 TB targets, partition the table and call
   * [[Upsert.merge]] per affected partition (the watermark design in
   * [[Ingest]] means incremental batches touch few partitions).
+  *
+  * Atomicity: [[overwriteAtomic]]'s staging + rename swap is atomic on
+  * HDFS/local filesystems but not on object stores. [[TxLog]] supplies
+  * the log-based commit protocol (rename-if-absent manifests, snapshot
+  * isolation, time travel, optimistic concurrency) for deployments that
+  * need Delta-style transactional guarantees on top of these merge
+  * semantics.
   */
 object Upsert {
 

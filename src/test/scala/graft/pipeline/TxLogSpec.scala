@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Transaction-log table format: commit protocol, snapshot isolation /
+  * time travel, SCD1 merge commits, optimistic-conflict retry, vacuum. */
+class TxLogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fresh(name: String) = TxLog(spark, tmpDir(s"txlog_$name"))
+
+  test("overwrite/append commits version and snapshot reads see them") {
+    val t = fresh("basic")
+    assert(!t.exists() && t.currentVersion() === -1L)
+    val v0 = t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(v0 === 0L && t.currentVersion() === 0L)
+    val v1 = t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(v1 === 1L)
+    assert(t.snapshot().count() === 3)
+    // time travel: version 0 still reads the pre-append state
+    assert(t.snapshot(0).count() === 2)
+  }
+
+  test("merge commit has SCD1 semantics and compacts to one snapshot dir") {
+    val t = fresh("merge")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.merge(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    val rows = t.snapshot().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // time travel across the merge
+    val before = t.snapshot(t.currentVersion() - 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before === Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("optimistic commit survives a version collision (loser retries)") {
+    val t = fresh("conflict")
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    // simulate a concurrent winner by pre-creating the next version file
+    val root = t.root
+    val next = new java.io.File(s"$root/_txlog/00000001.json")
+    val cur = new java.io.File(s"$root/_txlog/00000000.json")
+    java.nio.file.Files.copy(cur.toPath, next.toPath)
+    // this commit's first attempt collides with 00000001 → retries to 2
+    val v = t.append(Seq((2L, "b")).toDF("id", "v"))
+    assert(v === 2L)
+    assert(t.snapshot().count() === 2)
+  }
+
+  test("vacuum drops unreferenced data dirs and old manifests; recent versions still read") {
+    val t = fresh("vacuum")
+    (0 until 5).foreach(i => t.overwrite(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    t.vacuum(keepVersions = 2)
+    // newest two snapshots read fine
+    assert(t.snapshot().collect().head.getString(1) === "v4")
+    assert(t.snapshot(3).collect().head.getString(1) === "v3")
+    // older manifests are gone
+    intercept[Exception](t.snapshot(0).collect())
+    // exactly two data dirs remain (each overwrite snapshot = 1 dir)
+    val dirs = new java.io.File(s"${t.root}/data").listFiles().count(_.isDirectory)
+    assert(dirs === 2)
+  }
+
+  test("carries the real SCD1 pipeline: dealer dim golden replay through TxLog sinks") {
+    val t = fresh("scd1")
+    val spec = DimensionBuilder.specs.find(_.name == "dim_dealer").get
+    def silverOf(csv: String) =
+      Silver.transform(Ingest.toBronze(
+        Ingest.readSalesCsv(spark, s"/root/reference/$csv")))
+    // full load → overwrite commit
+    val full = DimensionBuilder.plan(silverOf("SalesData.csv"),
+      DimensionBuilder.emptySeed(spark, spec), spec)
+    t.overwrite(full)
+    assert(t.snapshot().count() === 267)
+    // incremental batches → merge commits
+    Seq("IncrementalSales.csv", "IncrementalSalesUpdate.csv").foreach { csv =>
+      val dim = DimensionBuilder.plan(silverOf(csv), t.snapshot(), spec)
+      t.merge(dim, Seq(spec.dimKey))
+    }
+    val d = t.snapshot()
+    assert(d.count() === 268)
+    assert(d.filter(col("DealerName").endsWith(" up")).count() === 3)
+    // time travel: the pre-incremental snapshot still shows 267 dealers
+    assert(t.snapshot(0).count() === 267)
+  }
+
+  test("readers never see half-committed state: data lands before the manifest") {
+    val t = fresh("atomicity")
+    t.overwrite(spark.range(1000).toDF("id"))
+    // a reader resolving the snapshot NOW sees version 0 complete
+    assert(t.snapshot().count() === 1000)
+    // the log dir contains only fully-renamed manifests (no _tmp_ files)
+    val leftover = new java.io.File(s"${t.root}/_txlog").listFiles()
+      .map(_.getName).filter(_.startsWith("_tmp_"))
+    assert(leftover.isEmpty)
+  }
+}
