@@ -96,6 +96,35 @@ object ScaleQueries {
                row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
         FROM documents) WHERE rk <= 20""")),
 
+    // Incremental materialized-view maintenance: a gold aggregate is
+    // kept current by COMBINING partial aggregates from the base view
+    // and the new batch (full-outer join + coalesced sums) instead of
+    // recomputing over all history — the self-maintainable-aggregate
+    // algebra (count/sum merge; avg derives from them). Decimal sums
+    // make the combined result EXACTLY equal the full recompute, which
+    // is what the plain-GROUP-BY oracle asserts. At 100 TB the base
+    // never rescans: maintenance cost ∝ batch size.
+    Q("agg_incremental_maintain", (spark, dir) => {
+      val ev = Tables.loadEvents(spark, dir)
+      def part(pred: org.apache.spark.sql.Column) = ev.filter(pred)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("v"))
+      val base = part(col("event_id") % 10 < 8)
+        .select(col("event_type"), col("n").as("bn"), col("v").as("bv"))
+      val delta = part(col("event_id") % 10 >= 8)
+        .select(col("event_type"), col("n").as("dn"), col("v").as("dv"))
+      base.join(delta, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_events"),
+          (coalesce(col("bv"), lit(java.math.BigDecimal.ZERO).cast("decimal(28,2)"))
+            + coalesce(col("dv"), lit(java.math.BigDecimal.ZERO).cast("decimal(28,2)")))
+            .cast("double").as("total_value"))
+    }, oracle = Some("""
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY event_type""")),
+
     // Exact integer PageRank (3 unrolled power iterations, damping
     // 85/100) over the duplicate-pair graph: ranks are 2^40-scaled
     // integers and every step is integer division/summation, so the
