@@ -76,7 +76,7 @@ object EventStreams {
   def hourlyMergeToGold(spark: SparkSession, dir: String,
                         goldPath: String): DataFrame = {
     val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "merge_gold",
-      splitEvents = 4)
+      splitEvents = 3)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(goldPath))
     val stream = spark.readStream
       .schema(rawSchema)
