@@ -53,4 +53,32 @@ object Multimodal {
       .withColumn("n_frames", length(col("payload")) % 5 + lit(1))
       .select(col("doc_id"),
         explode(sequence(lit(0L), col("n_frames").cast("long") - 1)).as("frame_idx"))
+
+  /** Aspect-fit resize planning into a `box`×`box` target: the longer
+    * side pins to `box`, the shorter scales by the same integer ratio —
+    * pure integer arithmetic over the decoded dimensions (a narrow
+    * projection; the actual pixel resample happens at the codec
+    * boundary like [[FakeCodec.decode]]). */
+  def resizeFit(spark: SparkSession, docs: DataFrame, box: Int): DataFrame =
+    decodeMeta(spark, docs).toDF()
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("width") >= col("height"), lit(box.toLong))
+          .otherwise(expr(s"(width * $box) div height")).as("out_w"),
+        when(col("width") >= col("height"), expr(s"(height * $box) div width"))
+          .otherwise(lit(box.toLong)).as("out_h"))
+
+  /** 8-bucket byte-class histogram per document, normalized — the
+    * deterministic stand-in for a learned embedding (decode → feature
+    * → vector). One codegen'd projection per (doc, bucket); no UDF. */
+  def byteHistogram(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        transform(split(col("text"), ""), c => pmod(ascii(c), lit(256))).as("codes"))
+      .select(col("doc_id"), col("codes"),
+        explode(sequence(lit(0), lit(7))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        (size(filter(col("codes"), x => shiftright(x, 5) === col("pos")))
+          .cast("double") / size(col("codes"))).as("v"))
 }
