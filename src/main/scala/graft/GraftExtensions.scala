@@ -6,16 +6,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.expressions.{CosineSimilarity, MinHashAgg}
 
 /** Session-extension entry point: registers the engine's native
-  * functions at session build time, so a cluster deployment enables
-  * them with `--conf spark.sql.extensions=graft.GraftExtensions`
+  * functions and planner strategies at session build time, so a
+  * cluster deployment enables them with
+  * `--conf spark.sql.extensions=graft.GraftExtensions`
   * (no per-session registry calls needed):
   *
   *   - `cosine_sim(a, b)`   — codegen'd float-vector cosine
   *   - `minhash_agg(h, k)`  — one-pass MinHash sketch aggregate
+  *   - as-of join planning  — [[graft.plans.AsOfJoinStrategy]]
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

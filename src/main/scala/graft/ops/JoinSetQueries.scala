@@ -128,6 +128,33 @@ object JoinSetQueries {
       FROM p ASOF LEFT JOIN v
         ON p.user_id = v.user_id AND p.ts >= v.ts"""), bench = true),
 
+    // The SAME as-of semantics through the native custom operator
+    // (graft.plans.NativeAsOfJoin: LogicalPlan + Strategy + merge
+    // SparkPlan): one forward pass over hash-clustered, (key,ts)-sorted
+    // children — no union materialization, no window state. THREE
+    // independent as-of implementations (this, the composed form
+    // above, DuckDB's native ASOF) must agree row-for-row.
+    Q("asof_join_native", (spark, dir) => {
+      val ev = Tables.loadEvents(spark, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      graft.plans.NativeAsOfJoin.asofLeft(purchases, views,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts")
+        .select(col("user_id"), col("purchase_id"), col("view_id"))
+    }, oracle = Some("""
+      WITH v AS (
+        SELECT user_id, ts, max(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+      p AS (
+        SELECT user_id, ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id, p.purchase_id, v.view_id
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts >= v.ts""")),
+
     // Range join (composed bucketed equi-join, graft.operators
     // .RangeJoin): events matched to non-uniform value bands. Oracle is
     // DuckDB's native inequality join — two independent range-join
