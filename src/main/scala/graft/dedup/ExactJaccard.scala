@@ -21,6 +21,43 @@ import org.apache.spark.sql.functions._
   */
 object ExactJaccard {
 
+  /** Asymmetric variant for INCREMENTAL dedup: pair each document of
+    * `fresh` against `base` only (never base×base — the base corpus was
+    * already deduped when it was ingested). Cost tracks the batch's
+    * co-occurrence with the index, not the corpus size — the shape a
+    * continuously-ingesting pipeline runs per batch at 100 TB (the base
+    * posting list is the persistent inverted index; here both sides are
+    * built on the fly).
+    * @return (id_new, id_base, jaccard) with jaccard ≥ threshold,
+    *         blocked by `blockCol`. */
+  def pairsAgainst(fresh: DataFrame, base: DataFrame, idCol: String,
+                   textCol: String, blockCol: String,
+                   shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def postings(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("blk"),
+        TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("sh"))
+      .select(col("id"), col("blk"), explode(col("sh")).as("s"))
+      .localCheckpoint(true)
+    val exN = postings(fresh)
+    val exB = postings(base)
+    val inter = exN.alias("n")
+      .join(exB.alias("b"),
+        col("n.blk") === col("b.blk") && col("n.s") === col("b.s"))
+      .groupBy(col("n.id").as("id_new"), col("b.id").as("id_base"))
+      .agg(count(lit(1)).as("i"))
+    val sizesN = exN.groupBy(col("id")).agg(count(lit(1)).as("nn"))
+    val sizesB = exB.groupBy(col("id")).agg(count(lit(1)).as("nb"))
+    inter
+      .join(sizesN.select(col("id").as("id_new"), col("nn")), "id_new")
+      .join(sizesB.select(col("id").as("id_base"), col("nb")), "id_base")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("nn") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_base"), col("jaccard"))
+  }
+
   /** @param maxShingleDf when set, shingles occurring in more than this
     *        many documents (within a block) are dropped from BOTH the
     *        index and the set sizes — i.e. Jaccard over the non-stop

@@ -127,6 +127,39 @@ object DedupQueries {
                 JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""")),
 
+    // Incremental dedup: a NEW batch (doc_id % 5 = 0) is paired against
+    // the existing BASE corpus only — base×base is never re-paired
+    // (it was deduped at its own ingest time), so per-batch cost tracks
+    // the batch, not corpus history. The production shape for
+    // continuously-ingested training data.
+    Q("dedup_incremental", (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      ExactJaccard.pairsAgainst(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", "lang", shingleN = 3, threshold = 0.5)
+    }, oracle = Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, len(string_split(text,' ')) - 1),
+                           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                    ELSE [text] END AS sh
+        FROM documents),
+      exn AS (SELECT doc_id, lang, unnest(sh) AS s FROM d WHERE doc_id % 5 = 0),
+      exb AS (SELECT doc_id, lang, unnest(sh) AS s FROM d WHERE doc_id % 5 <> 0),
+      cnt AS (
+        SELECT n.doc_id AS id_new, b.doc_id AS id_base, count(*) AS i
+        FROM exn n JOIN exb b ON n.lang = b.lang AND n.s = b.s
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM d)
+      SELECT id_new, id_base,
+             CAST(i AS DOUBLE) / (sn.n + sb.n - i) AS jaccard
+      FROM cnt JOIN sizes sn ON sn.doc_id = id_new
+               JOIN sizes sb ON sb.doc_id = id_base
+      WHERE CAST(i AS DOUBLE) / (sn.n + sb.n - i) >= 0.5""")),
+
     // SimHash with pigeonhole blocking. The token hash is
     // SQL-expressible by design ([[SimHash.tokenHash60]]), so the
     // oracle recomputes the ENTIRE operator — signatures, blocking,
