@@ -21,27 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object ExactJaccard {
 
-  /** Asymmetric variant for INCREMENTAL dedup: pair each document of
-    * `fresh` against `base` only (never base×base — the base corpus was
-    * already deduped when it was ingested). Cost tracks the batch's
-    * co-occurrence with the index, not the corpus size — the shape a
-    * continuously-ingesting pipeline runs per batch at 100 TB (the base
-    * posting list is the persistent inverted index; here both sides are
-    * built on the fly).
-    * @return (id_new, id_base, jaccard) with jaccard ≥ threshold,
-    *         blocked by `blockCol`. */
-  def pairsAgainst(fresh: DataFrame, base: DataFrame, idCol: String,
-                   textCol: String, blockCol: String,
-                   shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    def postings(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+  /** The materialized (id, blk, shingle) posting list of a corpus —
+    * the inverted index every exact-similarity operator here joins on.
+    * Cached per (corpus plan, config) via [[postingsCache]], so every
+    * caller in a session shares one build. */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+               blockCol: String, shingleN: Int = 3): DataFrame = {
+    val cacheKey = (docs.queryExecution.analyzed.semanticHash(),
+      s"$idCol|$textCol|$blockCol|$shingleN")
+    postingsCache.computeIfAbsent(cacheKey, _ => {
+      val toks = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
         TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col("id"), col("blk"),
+      val d = toks.select(col("id"), col("blk"),
         TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("sh"))
-      .select(col("id"), col("blk"), explode(col("sh")).as("s"))
-      .localCheckpoint(true)
-    val exN = postings(fresh)
-    val exB = postings(base)
+      d.select(col("id"), col("blk"), explode(col("sh")).as("s"))
+        .localCheckpoint(true)
+    })
+  }
+
+  /** Asymmetric variant for INCREMENTAL dedup, over pre-built posting
+    * lists: pair each document of the `exN` side against `exB` only
+    * (never base×base — the base corpus was already deduped when it was
+    * ingested). Cost tracks the batch's co-occurrence with the index,
+    * not the corpus size — the shape a continuously-ingesting pipeline
+    * runs per batch at 100 TB, with `exB` as the persistent inverted
+    * index. Both sides can be filters over ONE shared [[postings]]
+    * build.
+    * @return (id_new, id_base, jaccard) with jaccard ≥ threshold,
+    *         blocked by the postings' `blk` column. */
+  def pairsAgainst(exN: DataFrame, exB: DataFrame,
+                   threshold: Double = 0.5): DataFrame = {
     val inter = exN.alias("n")
       .join(exB.alias("b"),
         col("n.blk") === col("b.blk") && col("n.s") === col("b.s"))
@@ -85,16 +94,7 @@ object ExactJaccard {
     // and without the checkpoint each reference re-runs the full
     // shingling scan — exactly what a real system avoids by
     // materializing the inverted index before self-joining it.
-    val cacheKey = (docs.queryExecution.analyzed.semanticHash(),
-      s"$idCol|$textCol|$blockCol|$shingleN")
-    val ex0 = postingsCache.computeIfAbsent(cacheKey, _ => {
-      val toks = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        TextFunctions.tokens(col(textCol)).as("toks"))
-      val d = toks.select(col("id"), col("blk"),
-        TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("sh"))
-      d.select(col("id"), col("blk"), explode(col("sh")).as("s"))
-        .localCheckpoint(true)
-    })
+    val ex0 = postings(docs, idCol, textCol, blockCol, shingleN)
     val ex = maxShingleDf.fold(ex0) { cap =>
       val hot = ex0.groupBy(col("blk"), col("s"))
         .agg(count(lit(1)).as("df")).filter(col("df") > cap)

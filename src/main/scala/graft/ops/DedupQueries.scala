@@ -134,10 +134,13 @@ object DedupQueries {
     // continuously-ingested training data.
     Q("dedup_incremental", (spark, dir) => {
       val docs = load(spark, dir, "documents")
+      // one shared posting build (cached across the dedup family);
+      // batch/base are filters over it
+      val ex = ExactJaccard.postings(docs, "doc_id", "text", "lang", shingleN = 3)
       ExactJaccard.pairsAgainst(
-        docs.filter(col("doc_id") % 5 === 0),
-        docs.filter(col("doc_id") % 5 =!= 0),
-        "doc_id", "text", "lang", shingleN = 3, threshold = 0.5)
+        ex.filter(col("id") % 5 === 0),
+        ex.filter(col("id") % 5 =!= 0),
+        threshold = 0.5)
     }, oracle = Some("""
       WITH d AS (
         SELECT doc_id, lang,
