@@ -29,7 +29,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // also land the line in a file: sbt interleaves its own [success]
+    // logging with stdout, which can defeat tail-line JSON parsing
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/target/bench.json"), json.getBytes)
     spark.stop()
   }
 }
