@@ -96,6 +96,33 @@ object ScaleQueries {
                row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
         FROM documents) WHERE rk <= 20""")),
 
+    // Heavy-hitter sketch contract: freqItems (Karp-style streaming
+    // sketch, one pass, no shuffle of the full stream) guarantees NO
+    // FALSE NEGATIVES above the support threshold. The query outputs
+    // every exactly-frequent token with a boolean "the sketch caught
+    // it"; the oracle pins the exact frequent set and expects every
+    // boolean true — the same driver-enforced accuracy-contract shape
+    // as the approx-distinct/quantile queries.
+    Q("agg_freq_items_contract", (spark, dir) => {
+      val tok = load(spark, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      val support = 0.01
+      val sketch = broadcast(tok.stat.freqItems(Seq("t"), support))
+      val total = broadcast(tok.agg(count(lit(1)).as("n_total")))
+      tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(total)
+        .filter(col("cnt") > col("n_total") * support)
+        .crossJoin(sketch)
+        .select(col("t"), col("cnt"),
+          array_contains(col("t_freqItems"), col("t")).as("in_sketch"))
+    }, oracle = Some("""
+      WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      n AS (SELECT count(*) AS n_total FROM tok)
+      SELECT t, count(*) AS cnt, true AS in_sketch
+      FROM tok, n GROUP BY t, n.n_total
+      HAVING count(*) > n_total * 0.01""")),
+
     // Incremental materialized-view maintenance: a gold aggregate is
     // kept current by COMBINING partial aggregates from the base view
     // and the new batch (full-outer join + coalesced sums) instead of
