@@ -24,6 +24,16 @@ class GraftExtensionsSpec extends SparkTestBase {
         "SELECT minhash_agg(h, 4) AS sig FROM VALUES (1L), (2L), (3L) AS t(h)")
         .head().getSeq[Long](0)
       assert(sig.length === 4)
+      // the injected planner strategy plans the custom as-of node
+      import org.apache.spark.sql.functions.col
+      val l = s2.range(3).select(col("id").as("k"), col("id").as("lts"))
+      val r = s2.range(2).select(col("id").as("k"), col("id").as("rts"),
+        (col("id") * 10).as("x"))
+      val joined = org.apache.spark.sql.graft.GraftSqlBridge.ofRows(s2,
+        graft.plans.AsOfJoinPlan(l.queryExecution.analyzed,
+          r.queryExecution.analyzed, Seq("k"), "lts", "rts"))
+      assert(joined.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+      assert(joined.count() === 3)
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
