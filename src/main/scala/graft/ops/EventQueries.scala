@@ -85,6 +85,19 @@ object EventQueries {
       FROM sess GROUP BY user_id, session_id"""), bench = true),
 
     // The same sessionization through the STATEFUL streaming path
+    // Stream-stream interval join (both sides watermarked, join
+    // condition time-bounds each side → bounded state): purchases ×
+    // same-user views within the preceding 30 minutes. Oracle is the
+    // equivalent batch inequality join.
+    Q("events_stream_join", (spark, dir) =>
+      graft.streaming.EventStreams.purchaseViewJoin(spark, dir),
+      oracle = Some("""
+      SELECT p.event_id AS purchase_id, v.event_id AS view_id
+      FROM events p, events v
+      WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        AND p.user_id = v.user_id
+        AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts""")),
+
     // Streaming → gold MERGE via foreachBatch: update-mode hourly agg
     // upserted per microbatch with the engine's SCD1 merge; the final
     // gold table must equal the one-shot batch aggregation exactly —

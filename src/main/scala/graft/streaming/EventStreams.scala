@@ -110,6 +110,42 @@ object EventStreams {
     spark.read.parquet(goldPath)
   }
 
+  /** Stream-stream interval join: each purchase inner-joins the same
+    * user's views from the 30 minutes at-or-before it. BOTH sides are
+    * watermarked and the join condition time-bounds each side relative
+    * to the other, so the join state is garbage-collected as the
+    * watermark advances — the bounded-state contract that makes
+    * stream-stream joins viable at production rates (unbounded-state
+    * joins are rejected by Spark outright). Sentinel rows ride along on
+    * both sides to advance the watermark, match only each other
+    * (user_id −1, > 30 min apart), and are filtered from the output. */
+  def purchaseViewJoin(spark: SparkSession, dir: String,
+                       queryName: String = "graft_stream_join"): DataFrame = {
+    val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "ssj")
+    def side(t: String): DataFrame = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", false)
+      .parquet(stagePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === t || col("event_type") === "sentinel")
+      .withWatermark("ts", "0 seconds")
+    val p = side("purchase").select(col("user_id").as("p_user"),
+      col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val v = side("view").select(col("user_id").as("v_user"),
+      col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val joined = p.join(v, expr(
+      "p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"))
+    SessionizeStream.withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .outputMode("append").format("memory").queryName(queryName).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+      .filter(col("p_user") >= 0)
+      .select(col("purchase_id"), col("view_id"))
+  }
+
   /** Hourly tumbling-window aggregate per event_type, streaming. Runs
     * the query to completion over the finite input and returns the
     * result as a batch DataFrame. */
