@@ -33,9 +33,6 @@ object DedupClusters {
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIter: Int = 20, numPartitions: Int = 0): DataFrame = {
     val spark = pairs.sparkSession
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else math.max(4, math.min(spark.sessionState.conf.numShufflePartitions, 32))
     // Materialize the (possibly expensive) pair detection ONCE and
     // DURABLY before iterating. cache() alone is evictable: under
     // memory pressure each propagation round would silently re-run the
@@ -45,6 +42,17 @@ object DedupClusters {
     // recomputing.
     val p = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .cache() // referenced twice by the symmetrizing union below
+    // size the iteration parallelism to the ACTUAL pair-graph size
+    // (known cheaply once p is cached): dedup graphs are orders of
+    // magnitude smaller than the corpus, and empty-task overhead
+    // dominates rounds run at corpus-sized parallelism.
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else {
+        val m = p.count()
+        math.max(4, math.min(spark.sessionState.conf.numShufflePartitions,
+          (m / 20000L).toInt + 4))
+      }
     val edges = p
       .union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -61,18 +69,26 @@ object DedupClusters {
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = labels.isEmpty
-    while (iter < maxIter && !converged) {
+    // one propagation step: labels ← min(self, neighbours)
+    def step(ls: DataFrame): DataFrame = {
       // labels = one row per node IN A DUPLICATE PAIR — small relative
       // to the corpus, so broadcast keeps each round shuffle-light;
       // localCheckpoint truncates the per-round lineage so round N
       // never replays rounds 1..N-1.
       val neighborMin = edges
-        .join(broadcast(labels), edges("b") === labels("node"))
+        .join(broadcast(ls), edges("b") === ls("node"))
         .groupBy(col("a").as("node")).agg(min(col("label")).as("nmin"))
-      val next = labels.join(broadcast(neighborMin), Seq("node"), "left")
+      ls.join(broadcast(neighborMin), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
+    }
+    while (iter < maxIter && !converged) {
+      // TWO propagation steps per convergence check: the check is a
+      // driver action, and duplicate clusters converge in very few
+      // steps — halving the action count costs at most one extra
+      // (cheap) step on odd-diameter graphs
+      val next = step(step(labels))
       val s = labelSum(next)
       labels = next
       converged = s == prevSum
