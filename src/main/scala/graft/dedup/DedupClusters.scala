@@ -28,10 +28,17 @@ object DedupClusters {
     *        orders of magnitude smaller than the corpus, so this stays
     *        modest to avoid empty-task overhead — raise it for
     *        genuinely large pair counts.
+    * @param maxBroadcastNodes guard for the per-round broadcast of the
+    *        label frame: dedup graphs normally satisfy "nodes in pairs
+    *        ≪ corpus", but a pathological corpus where most documents
+    *        are duplicates would blow past the broadcast threshold —
+    *        above this node count the rounds fall back to shuffle
+    *        (hash) joins, which are unconditionally safe.
     * @return (node, cluster_id) for every node appearing in a pair;
     *         cluster_id = min node id of the component */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-                 maxIter: Int = 20, numPartitions: Int = 0): DataFrame = {
+                 maxIter: Int = 20, numPartitions: Int = 0,
+                 maxBroadcastNodes: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     // Materialize the (possibly expensive) pair detection ONCE and
     // DURABLY before iterating. cache() alone is evictable: under
@@ -66,19 +73,24 @@ object DedupClusters {
     // coalesce guards the empty pair graph (sum over zero rows is null)
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    val nodeCount = labels.count()
     var prevSum = labelSum(labels)
     var iter = 0
-    var converged = labels.isEmpty
-    // one propagation step: labels ← min(self, neighbours)
+    var converged = nodeCount == 0L
+    // labels = one row per node IN A DUPLICATE PAIR — normally small
+    // relative to the corpus, so broadcast keeps each round
+    // shuffle-light; the guard falls back to hash joins when the label
+    // frame is too big to ship to every executor.
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nodeCount <= maxBroadcastNodes) broadcast(df) else df
+    // one propagation step: labels ← min(self, neighbours);
+    // localCheckpoint truncates the per-round lineage so round N
+    // never replays rounds 1..N-1.
     def step(ls: DataFrame): DataFrame = {
-      // labels = one row per node IN A DUPLICATE PAIR — small relative
-      // to the corpus, so broadcast keeps each round shuffle-light;
-      // localCheckpoint truncates the per-round lineage so round N
-      // never replays rounds 1..N-1.
       val neighborMin = edges
-        .join(broadcast(ls), edges("b") === ls("node"))
+        .join(maybeBroadcast(ls), edges("b") === ls("node"))
         .groupBy(col("a").as("node")).agg(min(col("label")).as("nmin"))
-      ls.join(broadcast(neighborMin), Seq("node"), "left")
+      ls.join(maybeBroadcast(neighborMin), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(true)

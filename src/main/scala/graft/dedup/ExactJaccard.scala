@@ -84,9 +84,30 @@ object ExactJaccard {
   private val postingsCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
+  /** Thresholded-pairs cache, same keying discipline as
+    * [[postingsCache]] plus the pair-space config. Four operators run
+    * the IDENTICAL pair detection (near-dup report, cluster edges,
+    * survivor election, duplicate-graph PageRank); the candidate join +
+    * Jaccard filter is the expensive part, so the checkpointed RESULT
+    * is what they must share — caching only the postings still re-ran
+    * the join per caller. Entries are small by construction (only
+    * pairs above threshold survive). */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   def pairs(docs: DataFrame, idCol: String, textCol: String, blockCol: String,
             shingleN: Int = 3, threshold: Double = 0.5,
             maxShingleDf: Option[Int] = None): DataFrame = {
+    val cacheKey = (docs.queryExecution.analyzed.semanticHash(),
+      s"$idCol|$textCol|$blockCol|$shingleN|$threshold|$maxShingleDf")
+    pairsCache.computeIfAbsent(cacheKey, _ =>
+      pairsUncached(docs, idCol, textCol, blockCol, shingleN, threshold,
+        maxShingleDf).localCheckpoint(true))
+  }
+
+  private def pairsUncached(docs: DataFrame, idCol: String, textCol: String,
+                            blockCol: String, shingleN: Int, threshold: Double,
+                            maxShingleDf: Option[Int]): DataFrame = {
     // Tokenize in its own projection (one regex split per row — see
     // [[TextFunctions.shinglesFromTokens]]), then materialize the
     // exploded posting list ONCE with localCheckpoint: the plan below

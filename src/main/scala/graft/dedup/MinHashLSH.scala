@@ -28,27 +28,44 @@ object MinHashLSH {
     * (single k-slot buffer per group; 3× faster than k separate `min`
     * aggregates and order/partitioning-independent). */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int, numHashes: Int): DataFrame = {
-    val spark = docs.sparkSession
-    docs.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col("id"),
-        explode(TextFunctions.shinglesFromTokens(col("toks"), shingleN)).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+                 shingleN: Int, numHashes: Int): DataFrame =
+    signaturesOver(explodedShingles(docs, idCol, textCol, shingleN), numHashes)
+
+  /** Signatures over a pre-exploded (id, s) shingle stream — lets the
+    * LSH share [[ExactJaccard.postings]]' checkpointed inverted index
+    * instead of re-running tokenize+shingle+explode over the corpus. */
+  def signaturesOver(ex: DataFrame, numHashes: Int): DataFrame = {
+    val spark = ex.sparkSession
+    ex.select(col("id"), xxhash64(col("s")).as("h"))
       .groupBy("id")
       .agg(graft.functions.expressions.MinHashAgg.minhash_agg(spark, col("h"), numHashes)
         .as("sig"))
   }
 
+  private def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        explode(TextFunctions.shinglesFromTokens(col("toks"), shingleN)).as("s"))
+
   /** Candidate pairs + exact verification.
     *
+    * @param sharedPostings a pre-built (id, s[, …]) exploded shingle
+    *        frame (e.g. [[ExactJaccard.postings]]) to reuse for BOTH
+    *        the signatures and the exact verification — without it the
+    *        corpus is shingled twice just for this operator, and a
+    *        third time by any exact-Jaccard query in the same session.
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
     *         jaccard computed exactly on the shingle sets.
     */
   def duplicatePairs(docs: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                     threshold: Double = 0.5): DataFrame = {
+                     threshold: Double = 0.5,
+                     sharedPostings: Option[DataFrame] = None): DataFrame = {
     val r = numHashes / bands
-    val sig = signatures(docs, idCol, textCol, shingleN, numHashes)
+    val ex = sharedPostings.getOrElse(
+      explodedShingles(docs, idCol, textCol, shingleN))
+    val sig = signaturesOver(ex, numHashes)
 
     // band key: hash of the band's slice of the signature. Only
     // (id, band, bandkey) flows into the self-join — shingle sets and
@@ -67,11 +84,11 @@ object MinHashLSH {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // exact Jaccard on the candidates only: re-attach shingle sets to
-    // the (few) surviving pairs
-    val shapes = docs
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col("id"), TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("sh"))
+    // exact Jaccard on the candidates only: re-assemble shingle sets
+    // from the shared exploded stream and attach to the (few)
+    // surviving pairs (shingles are distinct per doc by construction,
+    // so collect_list rebuilds the set)
+    val shapes = ex.groupBy(col("id")).agg(collect_list(col("s")).as("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val jac = inter.cast("double") /
       (size(col("sh_a")) + size(col("sh_b")) - inter)

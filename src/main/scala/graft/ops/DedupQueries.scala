@@ -102,10 +102,17 @@ object DedupQueries {
     // (asserted in DedupSpec), so the result must EQUAL the full
     // unblocked inverted-index pair set — a complete equality oracle
     // for a sketch-based operator.
-    Q("dedup_minhash_lsh", (spark, dir) =>
-      MinHashLSH.duplicatePairs(load(spark, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b")),
+    Q("dedup_minhash_lsh", (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      // share the checkpointed inverted index with the exact-Jaccard
+      // family (same corpus/config key → one shingling per session);
+      // the blk tag rides along unused — LSH banding is unblocked
+      MinHashLSH.duplicatePairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        sharedPostings =
+          Some(ExactJaccard.postings(docs, "doc_id", "text", "lang", shingleN = 3)))
+        .orderBy(col("id_a"), col("id_b"))
+    },
       oracle = Some("""
       WITH d AS (
         SELECT doc_id,

@@ -59,7 +59,7 @@ final case class SalesPipeline(spark: SparkSession, root: String) {
     // mirrors the reference where bronze/silver carry only the
     // post-watermark copy (TESTING NOTEBOOK cell 1 output).
     Silver.write(Silver.transform(bronze), silverPath)
-    val silver = spark.read.parquet(silverPath)
+    val silver = Silver.read(spark, silverPath)
 
     DimensionBuilder.specs.foreach(spec =>
       DimensionBuilder.build(spark, catalog, silver, spec))

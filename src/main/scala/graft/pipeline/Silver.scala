@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Silver transform (R12): bronze + two derived columns.
@@ -24,8 +24,24 @@ object Silver {
       .withColumn("model_category", split(col("Model_ID"), "-").getItem(0))
       .withColumn("RevPerUnit", col("Revenue") / col("Units_Sold"))
 
-  /** S5 — silver parquet sink. Overwrite for a full load; append for an
+  /** S5 — silver parquet sink, Hive-partitioned by Year/Month (the
+    * SURVEY §7.5 100 TB posture: silver is the volume table, and both
+    * the incremental ingest and typical analytics are time-scoped, so
+    * Year/Month dirs give partition-pruned scans and let an
+    * incremental batch land as a handful of new partition dirs instead
+    * of rewriting history). Overwrite for a full load; append for an
     * incremental batch (the bronze watermark guarantees no replays). */
   def write(silver: DataFrame, path: String, mode: String = "overwrite"): Unit =
-    silver.write.mode(mode).parquet(path)
+    silver.write.mode(mode).partitionBy("Year", "Month").parquet(path)
+
+  /** Read silver back in the reference's canonical 13-column order.
+    * The schema is supplied explicitly (partition columns included —
+    * Spark matches Year/Month to the discovered dirs by name): this
+    * pins the declared [[Schemas.silver]] ordering/types AND makes a
+    * zero-row silver readable (a partitioned overwrite of an empty
+    * batch leaves no files to infer from, which is legal state after
+    * an already-seen batch replays to nothing). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.silver).parquet(path)
+      .select(Schemas.silver.fieldNames.map(col).toSeq: _*)
 }

@@ -77,4 +77,28 @@ class PlanSpec extends SparkTestBase {
     val p = planOf("text_tfidf_topk")
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
+
+  test("point lookup on a partitioned gold table prunes partitions at the scan") {
+    val gold = "/root/repo/target/tmp/planspec_gold/hourly"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(gold).getParentFile)
+    graft.streaming.EventStreams.hourlyMergeToGold(spark, sf("0.001"), gold)
+    val lookup = spark.read.parquet(gold)
+      .filter(col("event_date") === lit(java.sql.Date.valueOf("2024-01-03")))
+    val p = lookup.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (dir-level pruning),
+    // not as a post-scan Filter over a full read
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_date"), p.take(1200))
+    // and the pruned scan must read strictly fewer files than the table
+    val all = spark.read.parquet(gold)
+    def files(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves().map {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+        case _ => 0L
+      }.sum
+    assert(files(lookup) > 0 && files(lookup) < files(all),
+      s"pruned=${files(lookup)} total=${files(all)}")
+  }
 }

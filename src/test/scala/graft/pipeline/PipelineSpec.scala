@@ -30,13 +30,13 @@ class PipelineSpec extends SparkTestBase {
 
   test("silver schema is the reference's 13 columns with exact types") {
     pipe // force full load
-    val silver = spark.read.parquet(s"$root/warehouse/silver/carsales")
+    val silver = Silver.read(spark, s"$root/warehouse/silver/carsales")
     assert(silver.schema === Schemas.silver)
   }
 
   test("derived columns match the reference's golden outputs") {
     pipe
-    val silver = spark.read.parquet(s"$root/warehouse/silver/carsales")
+    val silver = Silver.read(spark, s"$root/warehouse/silver/carsales")
     // RevPerUnit: long/long → double (13363978/2 = 6681989.0)
     val r = silver.filter(col("Revenue") === 13363978L && col("Units_Sold") === 2L)
     assert(r.head().getAs[Double]("RevPerUnit") === 6681989.0)
