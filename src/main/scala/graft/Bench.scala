@@ -22,6 +22,13 @@ object Bench {
     // deterministic (sorted) order: stable round-over-round per-query
     // comparison, and cache-sharing families (dedup_*) run adjacently
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Collect the PREVIOUS query's garbage outside the timing window:
+      // heavy queries (streaming state stores, graph iterations) leave
+      // multi-GB young-gen debt, and without this the full-GC pause
+      // lands on whatever cheap query runs next — measured as a flat
+      // ~5 s floor on six structurally-trivial queries in round 2
+      // (diagnosis in BASELINE.md).
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
