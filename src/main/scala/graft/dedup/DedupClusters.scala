@@ -8,17 +8,18 @@ import org.apache.spark.sql.functions._
   * connected components are the duplicate clusters; the canonical
   * survivor per cluster is the minimum id.
   *
-  * Algorithm: min-label propagation — every node starts labeled with
-  * itself; each round takes the min of its own and its neighbours'
-  * labels; converges in O(component diameter) rounds. Labels decrease
-  * monotonically, so the global label sum is a convergence metric (one
-  * scalar to the driver per round — the only driver traffic).
-  *
-  * Scale note: rounds are self-joins on the edge list, shuffling on
-  * node id — fine while components are small (dedup clusters are).
-  * Pathological chain-shaped graphs would want the large-star/
-  * small-star variant; duplicate clusters in practice have tiny
-  * diameters.
+  * Algorithm: min-label propagation WITH pointer-doubling — every node
+  * starts labeled with itself; each round takes the min of its own and
+  * its neighbours' labels, then shortcuts `label ← label(label)` (the
+  * label value is itself a node id, so one extra self-join jumps each
+  * pointer two hops at once — the large-star/small-star idea).
+  * Propagation alone converges in O(diameter) rounds, which silently
+  * truncates on pathological chain graphs; with the shortcut the bound
+  * is O(log diameter) and a maxIter of 20 covers diameters past 2^20.
+  * Labels decrease monotonically, so the global label sum is a
+  * convergence metric (one scalar to the driver per round — the only
+  * driver traffic); exhausting maxIter un-converged throws rather than
+  * returning partial components.
   */
 object DedupClusters {
 
@@ -83,23 +84,34 @@ object DedupClusters {
     // frame is too big to ship to every executor.
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (nodeCount <= maxBroadcastNodes) broadcast(df) else df
-    // one propagation step: labels ← min(self, neighbours);
-    // localCheckpoint truncates the per-round lineage so round N
-    // never replays rounds 1..N-1.
+    // one round: propagate labels ← min(self, neighbours), then
+    // pointer-double labels ← label(label). localCheckpoint truncates
+    // the per-round lineage so round N never replays rounds 1..N-1
+    // (and keeps the shortcut's self-join from recomputing the
+    // propagation twice).
     def step(ls: DataFrame): DataFrame = {
       val neighborMin = edges
         .join(maybeBroadcast(ls), edges("b") === ls("node"))
         .groupBy(col("a").as("node")).agg(min(col("label")).as("nmin"))
-      ls.join(maybeBroadcast(neighborMin), Seq("node"), "left")
+      val prop = ls.join(maybeBroadcast(neighborMin), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
+      // shortcut: every label is a node id, so label(label) is defined
+      // and stays within the component; left join for the (root) nodes
+      // whose label is themselves
+      val lab2 = prop.select(col("node").as("pnode"), col("label").as("plabel"))
+      prop.alias("p")
+        .join(maybeBroadcast(lab2).alias("q"),
+          col("p.label") === col("q.pnode"), "left")
+        .select(col("p.node").as("node"),
+          coalesce(col("q.plabel"), col("p.label")).as("label"))
+        .localCheckpoint(true)
     }
     while (iter < maxIter && !converged) {
-      // TWO propagation steps per convergence check: the check is a
-      // driver action, and duplicate clusters converge in very few
-      // steps — halving the action count costs at most one extra
-      // (cheap) step on odd-diameter graphs
+      // TWO rounds per convergence check: the check is a driver
+      // action, and duplicate clusters converge in very few rounds —
+      // halving the action count costs at most one extra (cheap) round
       val next = step(step(labels))
       val s = labelSum(next)
       labels = next
@@ -107,6 +119,8 @@ object DedupClusters {
       prevSum = s
       iter += 1
     }
+    require(converged,
+      s"connected components did not converge in ${2 * maxIter} rounds — raise maxIter")
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 }

@@ -126,10 +126,10 @@ object DimensionBuilder {
     if (exists) {
       // O1 — SCD1 merge on the surrogate key, exactly the reference's
       // `merge(…, 'trg.dim_branch_key = src.dim_branch_key')`: batch
-      // rows update-in-place / insert; sink rows outside the batch stay.
-      Upsert.mergeIntoPath(spark, catalog.tablePath("gold", spec.name),
-        result, Seq(spec.dimKey))
-      catalog.refresh("gold", spec.name)
+      // rows update-in-place / insert; sink rows outside the batch
+      // stay. Committed through the table's transaction log — the
+      // pre-merge snapshot stays time-travelable.
+      catalog.mergeInto("gold", spec.name, result, Seq(spec.dimKey))
     } else catalog.saveAsTable(result, "gold", spec.name)
   }
 }

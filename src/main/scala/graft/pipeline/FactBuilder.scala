@@ -49,8 +49,7 @@ object FactBuilder {
         sum("Units_Sold").as("Units_Sold"),
         (sum("Revenue") / sum("Units_Sold")).as("RevPerUnit"))
         .select(fact.columns.map(col).toSeq: _*)
-      Upsert.mergeIntoPath(spark, catalog.tablePath("gold", "factsales"), src, factKeys)
-      catalog.refresh("gold", "factsales")
+      catalog.mergeInto("gold", "factsales", src, factKeys)
     } else catalog.saveAsTable(fact, "gold", "factsales")
   }
 }

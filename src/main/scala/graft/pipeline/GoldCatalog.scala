@@ -5,14 +5,23 @@ import org.apache.hadoop.fs.Path
 
 /** Catalog layer (S7–S9): maps the reference's 3-level Unity Catalog
   * namespace `cars_catalog.gold.<table>` onto Spark's 2-level session
-  * catalog as database `gold` (SURVEY §4.3), with parquet-dir-backed
-  * external tables under a warehouse root.
+  * catalog as database `gold` (SURVEY §4.3), with TxLog-backed
+  * transactional tables under a warehouse root.
   *
   * `CREATE CATALOG cars_catalog` / `CREATE SCHEMA …` in the reference
   * (`db_notebook.ipynb:39,78,101`) become `CREATE DATABASE IF NOT
   * EXISTS`; `spark.catalog.tableExists('cars_catalog.gold.dim_branch')`
   * (`gold_dim_branch.ipynb:43065`) keeps its exact role as the
   * initial-vs-incremental gate (S8).
+  *
+  * Storage: every gold table is a [[TxLog]] table — the same log-based
+  * commit protocol (rename-if-absent manifests, snapshot isolation,
+  * time travel, vacuum) the reference gets from Delta
+  * (`gold_dim_branch.ipynb:88162-88175` writes `format('delta')`).
+  * The initial load and every SCD1 merge commit a fresh single-dir
+  * snapshot, so each version is simultaneously compacted; SQL
+  * registration points `gold.<table>` at the current snapshot's data
+  * dir and is re-pointed after each commit.
   */
 final case class GoldCatalog(spark: SparkSession, warehouse: String) {
 
@@ -23,37 +32,55 @@ final case class GoldCatalog(spark: SparkSession, warehouse: String) {
 
   def tablePath(db: String, table: String): String = s"$warehouse/$db/$table"
 
-  /** S8 — existence probe: a parquet dir with a _SUCCESS commit marker.
-    * (Catalog registration is session-scoped; the filesystem is the
-    * durable truth, as with the reference's external-location tables.) */
-  def tableExists(db: String, table: String): Boolean = {
-    val p = new Path(tablePath(db, table), "_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  /** The transaction log backing a gold table. */
+  def txlog(db: String, table: String): TxLog =
+    TxLog(spark, tablePath(db, table))
 
-  /** S6 — managed-table sink with external path: write parquet +
-    * register in the session catalog so SQL sees `gold.dim_branch`. */
+  /** S8 — existence probe: a committed TxLog version. (The log is the
+    * durable truth, as with the reference's Delta tables; catalog
+    * registration is session-scoped.) */
+  def tableExists(db: String, table: String): Boolean =
+    txlog(db, table).exists()
+
+  /** S6 — managed-table sink with external path: an overwrite-style
+    * TxLog commit + session-catalog registration so SQL sees
+    * `gold.dim_branch`. */
   def saveAsTable(df: DataFrame, db: String, table: String): Unit = {
-    val path = tablePath(db, table)
-    df.write.mode("overwrite").parquet(path)
+    txlog(db, table).overwrite(df)
     register(db, table)
   }
 
-  def register(db: String, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
-    spark.sql(
-      s"CREATE TABLE $db.$table USING parquet LOCATION '${tablePath(db, table)}'")
+  /** SCD1 MERGE commit against the current snapshot (O1/O2), then
+    * re-point the SQL registration at the new snapshot. */
+  def mergeInto(db: String, table: String, src: DataFrame,
+                keys: Seq[String]): Unit = {
+    txlog(db, table).merge(src, keys)
+    register(db, table)
   }
 
-  /** S9 — catalog table scan. */
+  /** Register `db.table` over the CURRENT snapshot's data dir. Every
+    * pipeline commit is a single-dir snapshot (overwrite + merge both
+    * rewrite), so a plain parquet LOCATION suffices; multi-dir
+    * (append-built) snapshots stay readable through [[table]]. */
+  def register(db: String, table: String): Unit = {
+    val dirs = txlog(db, table).snapshotDataDirs()
+    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+    if (dirs.length == 1)
+      spark.sql(
+        s"CREATE TABLE $db.$table USING parquet LOCATION '${dirs.head}'")
+  }
+
+  /** S9 — catalog table scan: snapshot-isolated read of the latest
+    * committed version. */
   def table(db: String, table: String): DataFrame =
-    spark.read.parquet(tablePath(db, table))
+    txlog(db, table).snapshot()
 
-  def refresh(db: String, table: String): Unit =
-    if (spark.catalog.tableExists(s"$db.$table"))
-      spark.sql(s"REFRESH TABLE $db.$table")
+  /** Historical read — the reference's `VERSION AS OF` time travel. */
+  def tableAt(db: String, table: String, version: Long): DataFrame =
+    txlog(db, table).snapshot(version)
 
-  /** S7 — DROP TABLE IF EXISTS (reference `drop table.ipynb:24-32`). */
+  /** S7 — DROP TABLE IF EXISTS (reference `drop table.ipynb:24-32`):
+    * unregister and remove data + log. */
   def dropTable(db: String, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $db.$table")
     val p = new Path(tablePath(db, table))

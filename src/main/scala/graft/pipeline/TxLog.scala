@@ -64,61 +64,107 @@ final case class TxLog(spark: SparkSession, root: String) {
     txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  /** Snapshot read of `version` (default: latest). Fails on an empty
-    * table — callers use [[exists]] for the initial-load branch. */
-  def snapshot(version: Long = -1L): DataFrame = {
+  /** Data dirs referenced by `version`'s snapshot (default: latest) —
+    * exposed so a catalog layer can point SQL registrations at a
+    * single-dir snapshot directly. */
+  def snapshotDataDirs(version: Long = -1L): Seq[String] = {
     val v = if (version >= 0) version else currentVersion()
     require(v >= 0, s"TxLog table at $root has no commits")
-    val dirs = readManifest(v).map(d => s"$dataDir/$d")
-    spark.read.parquet(dirs: _*) // manifests always reference ≥1 dir
+    readManifest(v).map(d => s"$dataDir/$d")
   }
 
-  /** Write `df` as a new data dir and commit a snapshot manifest.
-    * `carryOver` lists data dirs from the previous snapshot that stay
-    * live (append semantics); empty = overwrite semantics. Retries the
-    * optimistic commit up to 5 times on version collisions. */
-  private def commit(df: DataFrame, carryOver: Seq[String]): Long = {
+  /** Snapshot read of `version` (default: latest). Fails on an empty
+    * table — callers use [[exists]] for the initial-load branch. */
+  def snapshot(version: Long = -1L): DataFrame =
+    spark.read.parquet(snapshotDataDirs(version): _*) // manifests always reference ≥1 dir
+
+  /** Write `df` fully into a fresh uuid data dir (no manifest yet —
+    * unreferenced dirs are invisible to readers and GC'd by vacuum). */
+  private def writeDataDir(df: DataFrame): String = {
     val uuid = java.util.UUID.randomUUID().toString
     df.write.mode("overwrite").parquet(s"$dataDir/$uuid")
-    val lines = (carryOver :+ uuid).mkString("\n")
+    uuid
+  }
+
+  /** Attempt to commit `lines` as EXACTLY `version`'s manifest.
+    * Rename-if-absent is the atomic primitive (true on HDFS/local;
+    * object stores use a DynamoDB-style lock in production — same
+    * contract as delta-on-S3): a concurrent winner makes the
+    * destination exist and the rename return false. Returns whether
+    * THIS writer won `version`. */
+  private def tryCommitManifest(version: Long, lines: Seq[String]): Boolean = {
+    val tmp = new Path(s"$logDir/_tmp_${java.util.UUID.randomUUID()}")
+    fs.mkdirs(new Path(logDir))
+    val out = fs.create(tmp, false)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val won = !fs.exists(manifestPath(version)) &&
+      fs.rename(tmp, manifestPath(version))
+    if (!won) fs.delete(tmp, true)
+    won
+  }
+
+  private val MaxRaceRetries = 5
+
+  /** Overwrite-style commit: the new snapshot is exactly `df`. The
+    * payload is independent of the previous snapshot, so losing an
+    * optimistic race only slides the version number. */
+  def overwrite(df: DataFrame): Long = {
+    val uuid = writeDataDir(df)
     var attempt = 0
-    while (attempt < 5) {
+    while (attempt < MaxRaceRetries) {
       val next = currentVersion() + 1
-      val tmp = new Path(s"$logDir/_tmp_$uuid")
-      fs.mkdirs(new Path(logDir))
-      val out = fs.create(tmp, false)
-      try out.write(lines.getBytes("UTF-8")) finally out.close()
-      // rename-if-absent IS the commit; a concurrent winner makes the
-      // destination exist and the rename return false → retry
-      if (!fs.exists(manifestPath(next)) && fs.rename(tmp, manifestPath(next)))
-        return next
-      fs.delete(tmp, true)
+      if (tryCommitManifest(next, Seq(uuid))) return next
       attempt += 1
     }
     throw new java.io.IOException(
-      s"TxLog commit lost ${5} optimistic races at $root")
+      s"TxLog overwrite lost $MaxRaceRetries optimistic races at $root")
   }
 
-  /** Overwrite-style commit: the new snapshot is exactly `df`. */
-  def overwrite(df: DataFrame): Long = commit(df, Seq.empty)
-
-  /** Append-style commit: previous snapshot stays live, `df` adds. */
+  /** Append-style commit: previous snapshot stays live, `df` adds.
+    * The carried-over dir list is re-read INSIDE the retry loop — a
+    * loser that recommitted its pre-race view would silently drop the
+    * winner's data (lost update); re-reading makes concurrent appends
+    * serialize losslessly (pinned by the TxLogSpec race test). */
   def append(df: DataFrame): Long = {
-    val prev = if (exists()) readManifest(currentVersion()) else Seq.empty
-    commit(df, prev)
+    val uuid = writeDataDir(df)
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val cur = currentVersion()
+      val prev = if (cur >= 0) readManifest(cur) else Seq.empty
+      if (tryCommitManifest(cur + 1, prev :+ uuid)) return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog append lost $MaxRaceRetries optimistic races at $root")
   }
 
   /** SCD1 MERGE commit: upsert `src` by `keys` against the current
     * snapshot (same semantics as [[Upsert.merge]]) and commit the
     * merged relation as a fresh single-dir snapshot — the rewrite
     * doubles as compaction, exactly what `DeltaTable.merge` +
-    * OPTIMIZE achieve on the reference's gold tables. */
+    * OPTIMIZE achieve on the reference's gold tables.
+    *
+    * Optimistic TRANSACTION, not just an optimistic rename: the merge
+    * result depends on the snapshot it read, so on losing the version
+    * race the whole merge recomputes against the new snapshot (the
+    * stale merged dir is abandoned to vacuum). Committing the stale
+    * result at a later version would undo the winner's changes —
+    * Delta raises ConcurrentModification here; we re-merge, which is
+    * equivalent to retrying the transaction. */
   def merge(src: DataFrame, keys: Seq[String]): Long = {
-    require(exists(), s"TxLog table at $root has no commits to merge into")
-    val merged = Upsert.merge(snapshot(), src, keys)
-    // materialize before the commit swaps the snapshot out from under
-    // the plan (merged reads the current snapshot's files)
-    commit(merged.localCheckpoint(true), Seq.empty)
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val base = currentVersion()
+      require(base >= 0, s"TxLog table at $root has no commits to merge into")
+      // materialize before the commit swaps the snapshot out from
+      // under the plan (merged reads the base snapshot's files)
+      val merged = Upsert.merge(snapshot(base), src, keys).localCheckpoint(true)
+      val uuid = writeDataDir(merged)
+      if (tryCommitManifest(base + 1, Seq(uuid))) return base + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog merge lost $MaxRaceRetries optimistic races at $root")
   }
 
   /** Garbage-collect data dirs unreferenced by any of the newest

@@ -45,6 +45,25 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("DedupClusters broadcast and shuffle paths agree on a high-duplicate corpus") {
+    // pathological shape for the broadcast guard: nearly every doc is
+    // in a duplicate pair (label frame ≈ corpus), chain + clique mix
+    val rnd = new Random(11)
+    val chain = (0L until 300L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val extra = Seq.fill(200)((rnd.nextInt(1000).toLong + 1000L,
+      rnd.nextInt(1000).toLong + 1000L)).filter { case (a, b) => a != b }
+    val edges = (chain ++ extra).toDF("id_a", "id_b")
+    val expected = unionFind(chain ++ extra)
+    // broadcast path (default guard) and forced shuffle path
+    // (maxBroadcastNodes = 0) must produce identical components
+    Seq(2000000L, 0L).foreach { cutoff =>
+      val got = DedupClusters.components(edges, "id_a", "id_b",
+        maxBroadcastNodes = cutoff)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"maxBroadcastNodes=$cutoff")
+    }
+  }
+
   test("Upsert.merge is idempotent on 10 random keyed frames") {
     val rnd = new Random(7)
     (1 to 10).foreach { trial =>

@@ -75,6 +75,12 @@ class PipelineSpec extends SparkTestBase {
     val after = pipe.table("dim_dealer").select("Dealer_ID", "dim_dealer_key")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     dealerKeysBefore.foreach { case (k, v) => assert(after(k) === v) }
+    // gold commits go through the transaction log: the pre-incremental
+    // snapshot is still readable (time travel), one version back
+    val log = pipe.catalog.txlog("gold", "dim_dealer")
+    assert(log.currentVersion() >= 1)
+    assert(log.snapshot(log.currentVersion() - 1).count() === 267L)
+    assert(log.snapshot().count() === 268L)
   }
 
   test("incremental batch 2: SCD1 updates in place, counts and keys stable") {

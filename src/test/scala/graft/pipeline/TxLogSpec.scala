@@ -85,6 +85,50 @@ class TxLogSpec extends SparkTestBase {
     assert(t.snapshot(0).count() === 267)
   }
 
+  test("concurrent writers: every version has exactly one winner, losers land on later versions") {
+    val t = fresh("race")
+    t.overwrite(Seq((0L, "base")).toDF("id", "v"))
+    // 4 threads × 2 appends racing the same table. The rename-if-absent
+    // protocol must (a) give every commit a DISTINCT version and (b)
+    // lose no data — each loser re-reads the winner's manifest before
+    // retrying, so the final snapshot carries all 8 appended rows.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = t.append(Seq((i.toLong, s"w$i")).toDF("id", "v"))
+        })
+      }
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // one winner per version: all 8 commits got distinct versions 1..8
+      assert(versions.sorted === (1L to 8L))
+    } finally pool.shutdown()
+    assert(t.currentVersion() === 8L)
+    // lossless: every writer's row is in the final snapshot
+    assert(t.snapshot().count() === 9)
+    assert(t.snapshot().agg(sum("id")).head().getLong(0) === (1 to 8).sum.toLong)
+  }
+
+  test("concurrent merges re-run the transaction on conflict (no lost update)") {
+    val t = fresh("mergerace")
+    t.overwrite(Seq((1L, 0L), (2L, 0L)).toDF("id", "n"))
+    // two racing merges on DIFFERENT keys; if the loser committed its
+    // stale pre-race result, the winner's update would be silently
+    // undone. The re-merge retry must preserve both.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = Seq(1L, 2L).map { k =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = t.merge(Seq((k, k * 10)).toDF("id", "n"), Seq("id"))
+        })
+      }
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.sorted === Seq(1L, 2L))
+    } finally pool.shutdown()
+    val rows = t.snapshot().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(1L -> 10L, 2L -> 20L))
+  }
+
   test("readers never see half-committed state: data lands before the manifest") {
     val t = fresh("atomicity")
     t.overwrite(spark.range(1000).toDF("id"))
