@@ -111,6 +111,25 @@ object EventQueries {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2""")),
 
+    // Streaming exact dedup: dropDuplicates state = one entry per
+    // distinct key; emits first occurrences only. Batch DISTINCT is
+    // the oracle.
+    Q("events_stream_dedup", (spark, dir) =>
+      graft.streaming.EventStreams.streamingDedup(spark, dir),
+      oracle = Some("""
+      SELECT DISTINCT user_id, event_type FROM events""")),
+
+    // Streaming dedup with WATERMARK-BOUNDED state (the continuous-
+    // ingest shape): key includes the event hour, replay is split by
+    // time range, so the 2h-delay state covers every recurrence and
+    // batch DISTINCT stays an exact oracle.
+    Q("events_stream_dedup_bounded", (spark, dir) =>
+      graft.streaming.EventStreams.streamingDedupBounded(spark, dir),
+      oracle = Some("""
+      SELECT DISTINCT user_id, event_type,
+             date_trunc('hour', ts) AS hour_start
+      FROM events""")),
+
     // (flatMapGroupsWithState + event-time timeout): closed sessions
     // emit on gap, open sessions time out via watermark. Must equal the
     // batch gaps-and-islands result exactly — same oracle.

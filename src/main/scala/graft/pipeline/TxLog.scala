@@ -56,13 +56,42 @@ final case class TxLog(spark: SparkSession, root: String) {
 
   private def manifestPath(v: Long) = new Path(f"$logDir/$v%08d.json")
 
-  private def readManifest(v: Long): Seq[String] = {
+  /** Parsed manifest: optional partition column + (dir, optional
+    * partition value) entries. Line format (versioned trivial format; a
+    * real log would be JSON actions — the commit protocol is the point
+    * here):
+    * {{{
+    *   #partcol=<name>      // optional header: table is partition-tagged
+    *   <dir>                // dir covers the whole table
+    *   <dir>\t<partValue>   // dir carries this partition's live rows
+    * }}}
+    * A dir may appear on several lines (one per partition it is live
+    * for); rows of OTHER partitions inside such a dir are dead —
+    * superseded by a later merge — and filtered out on read. */
+  private def readManifestFull(v: Long): (Option[String], Seq[(String, Option[String])]) = {
     val in = fs.open(manifestPath(v))
     val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    // one data-dir name per line (versioned trivial format; a real log
-    // would be JSON actions — the commit protocol is the point here)
-    txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val lines = txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val partCol = lines.collectFirst {
+      case l if l.startsWith("#partcol=") => l.stripPrefix("#partcol=")
+    }
+    val entries = lines.filterNot(_.startsWith("#")).map { l =>
+      l.split('\t') match {
+        case Array(d) => (d, None)
+        case Array(d, p) => (d, Some(p))
+        case _ => throw new java.io.IOException(s"bad manifest line: $l")
+      }
+    }
+    (partCol, entries)
   }
+
+  private def manifestLines(partCol: Option[String],
+                            entries: Seq[(String, Option[String])]): Seq[String] =
+    partCol.map(c => s"#partcol=$c").toSeq ++
+      entries.map { case (d, t) => d + t.fold("")("\t" + _) }
+
+  private def readManifest(v: Long): Seq[String] =
+    readManifestFull(v)._2.map(_._1).distinct
 
   /** Data dirs referenced by `version`'s snapshot (default: latest) —
     * exposed so a catalog layer can point SQL registrations at a
@@ -74,9 +103,28 @@ final case class TxLog(spark: SparkSession, root: String) {
   }
 
   /** Snapshot read of `version` (default: latest). Fails on an empty
-    * table — callers use [[exists]] for the initial-load branch. */
-  def snapshot(version: Long = -1L): DataFrame =
-    spark.read.parquet(snapshotDataDirs(version): _*) // manifests always reference ≥1 dir
+    * table — callers use [[exists]] for the initial-load branch.
+    * On a partition-tagged table each dir is read restricted to the
+    * partitions it is live for (a pushed-down IN filter — row groups
+    * of dead partitions are skipped via parquet min/max stats). */
+  def snapshot(version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else currentVersion()
+    require(v >= 0, s"TxLog table at $root has no commits")
+    val (partCol, entries) = readManifestFull(v)
+    partCol match {
+      case None =>
+        spark.read.parquet(entries.map(e => s"$dataDir/${e._1}").distinct: _*)
+      case Some(pc) =>
+        entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
+          val df = spark.read.parquet(s"$dataDir/$d")
+          val tags = es.flatMap(_._2)
+          // untagged line inside a tagged manifest = dir covers all
+          if (tags.length < es.length) df
+          else df.filter(org.apache.spark.sql.functions.col(pc)
+            .cast("string").isin(tags: _*))
+        }.reduce(_.unionByName(_))
+    }
+  }
 
   /** Write `df` fully into a fresh uuid data dir (no manifest yet —
     * unreferenced dirs are invisible to readers and GC'd by vacuum). */
@@ -138,6 +186,82 @@ final case class TxLog(spark: SparkSession, root: String) {
       s"TxLog append lost $MaxRaceRetries optimistic races at $root")
   }
 
+  /** Distinct partition values of `partCol` in `df`, as strings —
+    * partition METADATA (bounded by partitions-per-frame), the one
+    * sanctioned driver round-trip of the partitioned commit path. */
+  private def partValues(df: DataFrame, partCol: String): Seq[String] =
+    df.select(org.apache.spark.sql.functions.col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+
+  /** Overwrite-style commit that TAGS the new snapshot's manifest with
+    * the partitions present in `df`, enabling partition-pruned
+    * [[mergePartitioned]] commits afterwards. `partCol` stays a normal
+    * column in the data; pruning happens at the manifest level. */
+  def overwritePartitioned(df: DataFrame, partCol: String): Long = {
+    val uuid = writeDataDir(df)
+    val lines = manifestLines(Some(partCol),
+      partValues(snapshotOfDir(uuid), partCol).map(p => (uuid, Some(p))))
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val next = currentVersion() + 1
+      if (tryCommitManifest(next, lines)) return next
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog overwritePartitioned lost $MaxRaceRetries optimistic races at $root")
+  }
+
+  private def snapshotOfDir(uuid: String): DataFrame =
+    spark.read.parquet(s"$dataDir/$uuid")
+
+  /** Partition-pruned SCD1 MERGE commit — the 100 TB shape of [[merge]]
+    * for time-partitioned tables: only the partitions present in `src`
+    * are read, merged, and rewritten; every other partition's (dir,
+    * partition) manifest lines carry over UNTOUCHED into the new
+    * snapshot. An incremental batch hitting 3 of 10,000 daily
+    * partitions costs 3 partitions of I/O, not a table rewrite — the
+    * file-level pruning a Delta MERGE gets from partition predicates,
+    * done at the manifest level here.
+    *
+    * A table whose current snapshot is not tagged on `partCol` (first
+    * partitioned merge, or tagged on a different column) is merged in
+    * full ONCE and re-tagged; subsequent merges prune. Same optimistic
+    * re-merge-on-conflict transaction protocol as [[merge]]. */
+  def mergePartitioned(src: DataFrame, keys: Seq[String],
+                       partCol: String): Long = {
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val base = currentVersion()
+      require(base >= 0, s"TxLog table at $root has no commits to merge into")
+      val (pcOpt, entries) = readManifestFull(base)
+      val affected = partValues(src, partCol).toSet
+      val pruned = pcOpt.contains(partCol) && entries.forall(_._2.isDefined)
+      val (target, carry) =
+        if (pruned) {
+          val byDir = entries.groupBy(_._1)
+          val touched = byDir.toSeq.sortBy(_._1).flatMap { case (d, es) =>
+            val hit = es.flatMap(_._2).filter(affected)
+            if (hit.isEmpty) None
+            else Some(snapshotOfDir(d).filter(
+              org.apache.spark.sql.functions.col(partCol)
+                .cast("string").isin(hit: _*)))
+          }
+          val t =
+            if (touched.nonEmpty) touched.reduce(_.unionByName(_))
+            else snapshot(base).filter(org.apache.spark.sql.functions.lit(false))
+          (t, entries.filter { case (_, p) => !p.exists(affected) })
+        } else (snapshot(base), Seq.empty[(String, Option[String])])
+      val merged = Upsert.merge(target, src, keys).localCheckpoint(true)
+      val uuid = writeDataDir(merged)
+      val lines = manifestLines(Some(partCol),
+        carry ++ partValues(merged, partCol).map(p => (uuid, Some(p))))
+      if (tryCommitManifest(base + 1, lines)) return base + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog mergePartitioned lost $MaxRaceRetries optimistic races at $root")
+  }
+
   /** SCD1 MERGE commit: upsert `src` by `keys` against the current
     * snapshot (same semantics as [[Upsert.merge]]) and commit the
     * merged relation as a fresh single-dir snapshot — the rewrite
@@ -165,6 +289,21 @@ final case class TxLog(spark: SparkSession, root: String) {
     }
     throw new java.io.IOException(
       s"TxLog merge lost $MaxRaceRetries optimistic races at $root")
+  }
+
+  /** OPTIMIZE-style compaction commit: rewrite the current snapshot as
+    * one fresh data dir. Append-built and partition-merged tables
+    * accumulate a dir per batch — readers then pay per-dir listing and
+    * small-file overhead; compaction folds them into one dir in a
+    * normal versioned commit (no data change; time travel still
+    * reaches the fragmented layout until [[vacuum]] reclaims it).
+    * Partition tags survive: a tagged table is re-tagged from the
+    * compacted data. */
+  def compact(): Long = {
+    require(exists(), s"TxLog table at $root has no commits to compact")
+    val (pc, _) = readManifestFull(currentVersion())
+    val snap = snapshot().localCheckpoint(true)
+    pc.fold(overwrite(snap))(c => overwritePartitioned(snap, c))
   }
 
   /** Garbage-collect data dirs unreferenced by any of the newest

@@ -163,6 +163,63 @@ object EventStreams {
       .select(col("purchase_id"), col("view_id"))
   }
 
+  /** Streaming EXACT dedup: `dropDuplicates` over the dedup key emits
+    * each key's first occurrence and suppresses every later one. State
+    * = one entry per distinct key, unbounded by input volume but NOT
+    * by key cardinality — the variant you run when the dedup horizon
+    * is "all of history" and the key set fits the state store (e.g.
+    * content hashes of a curated corpus). [[streamingDedupBounded]] is
+    * the watermark-bounded production shape. */
+  def streamingDedup(spark: SparkSession, dir: String,
+                     queryName: String = "graft_stream_dedup"): DataFrame = {
+    val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "dedup",
+      splitEvents = 3)
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("latestFirst", false)
+      .parquet(stagePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    SessionizeStream.withStatePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode("append").format("memory").queryName(queryName).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName).filter(col("user_id") >= 0)
+  }
+
+  /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * drops a key's state once the watermark passes its last-seen event
+    * time + delay, so state tracks the active horizon, not history —
+    * the 100 TB continuous-ingest shape. Exactness over the finite
+    * replay is by construction: the dedup key includes the event HOUR
+    * and the replay is split by TIME RANGE, so a key recurs only
+    * within its own hour, and an hour straddles at most one batch
+    * boundary — always inside the 2-hour delay. The batch DISTINCT is
+    * therefore an exact oracle. */
+  def streamingDedupBounded(spark: SparkSession, dir: String,
+                            queryName: String = "graft_stream_dedup_wm"): DataFrame = {
+    val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "dedupwm",
+      splitEvents = 3)
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("latestFirst", false)
+      .parquet(stagePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+      .select(col("ts"), col("user_id"), col("event_type"), col("hour_start"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour_start")
+      .select(col("user_id"), col("event_type"), col("hour_start"))
+    SessionizeStream.withStatePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode("append").format("memory").queryName(queryName).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName).filter(col("user_id") >= 0)
+  }
+
   /** Hourly tumbling-window aggregate per event_type, streaming. Runs
     * the query to completion over the finite input and returns the
     * result as a batch DataFrame. */

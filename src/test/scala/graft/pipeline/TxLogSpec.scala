@@ -85,6 +85,71 @@ class TxLogSpec extends SparkTestBase {
     assert(t.snapshot(0).count() === 267)
   }
 
+  test("partitioned merge rewrites only the partitions in the batch, carrying the rest") {
+    val t = fresh("partmerge")
+    val base = Seq(("a", 1L, "x1"), ("a", 2L, "x2"), ("b", 3L, "x3"), ("c", 4L, "x4"))
+      .toDF("day", "id", "v")
+    t.overwritePartitioned(base, "day")
+    val v0dirs = t.snapshotDataDirs(0)
+    assert(v0dirs.length === 1)
+    // batch touches only day=b: update id=3, insert id=5
+    val v1 = t.mergePartitioned(
+      Seq(("b", 3L, "X3"), ("b", 5L, "x5")).toDF("day", "id", "v"),
+      Seq("id"), "day")
+    assert(v1 === 1L)
+    val rows = t.snapshot().collect()
+      .map(r => r.getLong(1) -> (r.getString(0), r.getString(2))).toMap
+    assert(rows === Map(1L -> ("a", "x1"), 2L -> ("a", "x2"),
+      3L -> ("b", "X3"), 4L -> ("c", "x4"), 5L -> ("b", "x5")))
+    // partition pruning is structural: the untouched partitions' rows
+    // still live in the ORIGINAL v0 dir (carried manifest lines), only
+    // day=b got a new dir — no full-table rewrite happened
+    val v1dirs = t.snapshotDataDirs(1)
+    assert(v1dirs.length === 2 && v1dirs.contains(v0dirs.head))
+    // time travel across the partitioned merge
+    assert(t.snapshot(0).filter(col("id") === 3L).head().getString(2) === "x3")
+    assert(t.snapshot(0).count() === 4)
+  }
+
+  test("partitioned merge on an untagged table re-tags once, then prunes") {
+    val t = fresh("retag")
+    t.overwrite(Seq(("a", 1L, "x1"), ("b", 2L, "x2")).toDF("day", "id", "v"))
+    // first partitioned merge: full rewrite + re-tag
+    t.mergePartitioned(Seq(("a", 1L, "X1")).toDF("day", "id", "v"), Seq("id"), "day")
+    assert(t.snapshotDataDirs(1).length === 1)
+    // second: pruned — day=b's line carries over from version 1's dir
+    t.mergePartitioned(Seq(("a", 3L, "x3")).toDF("day", "id", "v"), Seq("id"), "day")
+    val v2dirs = t.snapshotDataDirs(2)
+    assert(v2dirs.length === 2 && v2dirs.contains(t.snapshotDataDirs(1).head))
+    val rows = t.snapshot().collect()
+      .map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(rows === Map(1L -> "X1", 2L -> "x2", 3L -> "x3"))
+  }
+
+  test("compaction folds a fragmented snapshot into one dir, preserving content and tags") {
+    val t = fresh("compact")
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.snapshotDataDirs().length === 3)
+    val before = t.snapshot().collect().map(_.getLong(0)).sorted
+    val v = t.compact()
+    assert(v === 3L && t.snapshotDataDirs().length === 1)
+    assert(t.snapshot().collect().map(_.getLong(0)).sorted === before)
+    // time travel still reaches the fragmented layout
+    assert(t.snapshotDataDirs(2).length === 3)
+    // partitioned table: tags survive compaction (next merge prunes)
+    val p = fresh("compact_part")
+    p.overwritePartitioned(Seq(("a", 1L), ("b", 2L)).toDF("day", "id"), "day")
+    p.mergePartitioned(Seq(("a", 3L)).toDF("day", "id"), Seq("id"), "day")
+    p.compact()
+    assert(p.snapshotDataDirs().length === 1)
+    p.mergePartitioned(Seq(("b", 4L)).toDF("day", "id"), Seq("id"), "day")
+    // pruned merge: compacted dir carried for day=a, new dir for day=b
+    assert(p.snapshotDataDirs().length === 2)
+    assert(p.snapshot().count() === 4)
+  }
+
   test("concurrent writers: every version has exactly one winner, losers land on later versions") {
     val t = fresh("race")
     t.overwrite(Seq((0L, "base")).toDF("id", "v"))
