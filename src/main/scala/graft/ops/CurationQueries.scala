@@ -56,6 +56,77 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Benchmark DECONTAMINATION — the train/test-overlap sweep every
+    // serious training corpus runs: flag corpus documents sharing ≥ 5
+    // distinct 3-gram shingles with any benchmark document (doc_id %
+    // 17 = 0 stands in for the benchmark set). Reuses the session's
+    // checkpointed inverted index (same build as the dedup family);
+    // the join cost tracks benchmark co-occurrence, not corpus², and
+    // the benchmark side of the index is small enough to broadcast at
+    // any corpus scale.
+    Q("text_decontaminate", (spark, dir) => {
+      val ex = ExactJaccard.postings(load(spark, dir, "documents"),
+        "doc_id", "text", "lang", shingleN = 3)
+      ex.filter(col("id") % 17 =!= 0).alias("c")
+        .join(ex.filter(col("id") % 17 === 0).alias("b"),
+          col("c.blk") === col("b.blk") && col("c.s") === col("b.s"))
+        .groupBy(col("c.id").as("doc_id"), col("b.id").as("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+    }, oracle = Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, len(string_split(text,' ')) - 1),
+                           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                    ELSE [text] END AS sh
+        FROM documents),
+      ex AS (SELECT doc_id, lang, unnest(sh) AS s FROM d)
+      SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM ex c JOIN ex b ON c.lang = b.lang AND c.s = b.s
+      WHERE c.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+      GROUP BY 1, 2 HAVING count(*) >= 5""")),
+
+    // Vocabulary OOV-rate filter: rank tokens by corpus document
+    // frequency (ties broken lexically — deterministic), take the top
+    // 100 as the vocabulary, score every document by its rate of
+    // out-of-vocabulary tokens. Two aggregations + one broadcast join
+    // of the (tiny) vocab — the shape scales because the vocab frame
+    // is V rows regardless of corpus size.
+    Q("text_vocab_oov", (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("df").desc, col("tok"))))
+        .filter(col("r") <= 100).select(col("tok"))
+      toks.join(broadcast(vocab.withColumn("iv", lit(1))), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_rate"))
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      vocab AS (
+        SELECT tok FROM (
+          SELECT tok, row_number() OVER (
+            ORDER BY count(DISTINCT doc_id) DESC, tok) AS r
+          FROM toks GROUP BY tok) WHERE r <= 100)
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS oov_rate
+      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      GROUP BY t.doc_id""")),
+
     // Deterministic hash-stratified 5% sample: content-hash bucket
     // (md5 prefix mod 20) — reproducible across runs/engines/cluster
     // sizes, unlike rand()-based sampling; a pure filter, so it scales

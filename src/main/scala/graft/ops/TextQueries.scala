@@ -164,5 +164,36 @@ object TextQueries {
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS DOUBLE)
                / len(string_split(text, ' ')) AS pieces_per_token
       FROM documents""")),
+
+    // PII redaction — the scrub pass a curation pipeline runs before
+    // training: emails and phone-shaped spans are replaced with typed
+    // placeholder tokens and counted. (The corpus is synthetic, so
+    // deterministic PII is appended per doc to exercise the patterns;
+    // the redaction itself is a pure codegen'd projection — no UDF,
+    // no shuffle, linear over the corpus at any scale.)
+    Q("text_redact_pii", (spark, dir) => {
+      val pii = load(spark, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-"), col("doc_id") % 10000).as("t"))
+      pii.select(
+        col("doc_id"),
+        regexp_count(col("t"), lit("[A-Za-z0-9.]+@[A-Za-z0-9.]+")).as("n_emails"),
+        regexp_count(col("t"), lit("555-[0-9]+")).as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("t"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "[EMAIL]"),
+          "555-[0-9]+", "[PHONE]").as("clean_text"))
+    }, oracle = Some("""
+      WITH p AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or 555-'
+                    || (doc_id % 10000) AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[A-Za-z0-9.]+@[A-Za-z0-9.]+')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(t, '555-[0-9]+')) AS INT) AS n_phones,
+             regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '[EMAIL]', 'g'),
+               '555-[0-9]+', '[PHONE]', 'g') AS clean_text
+      FROM p""")),
   )
 }

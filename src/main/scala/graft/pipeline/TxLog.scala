@@ -34,7 +34,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * million-file table costs the same manifest bytes; data stays plain
   * parquet readable by any engine.
   */
-final case class TxLog(spark: SparkSession, root: String) {
+final case class TxLog(spark: SparkSession, root: String,
+                       statsCol: Option[String] = None) {
 
   private val logDir = s"$root/_txlog"
   private val dataDir = s"$root/data"
@@ -56,25 +57,46 @@ final case class TxLog(spark: SparkSession, root: String) {
 
   private def manifestPath(v: Long) = new Path(f"$logDir/$v%08d.json")
 
-  /** Parsed manifest: optional partition column + (dir, optional
-    * partition value) entries. Line format (versioned trivial format; a
-    * real log would be JSON actions — the commit protocol is the point
+  /** Parsed manifest. Line format (versioned trivial format; a real
+    * log would be JSON actions — the commit protocol is the point
     * here):
     * {{{
-    *   #partcol=<name>      // optional header: table is partition-tagged
-    *   <dir>                // dir covers the whole table
-    *   <dir>\t<partValue>   // dir carries this partition's live rows
+    *   #partcol=<name>              // optional: table is partition-tagged
+    *   #statscol=<name>|<sqlType>   // optional: per-dir min/max stats kept
+    *   #range\t<dir>\t<min>\t<max>  // data-skipping stats for one dir
+    *   <dir>                        // dir covers the whole table
+    *   <dir>\t<partValue>           // dir carries this partition's live rows
     * }}}
-    * A dir may appear on several lines (one per partition it is live
-    * for); rows of OTHER partitions inside such a dir are dead —
+    * A dir may appear on several entry lines (one per partition it is
+    * live for); rows of OTHER partitions inside such a dir are dead —
     * superseded by a later merge — and filtered out on read. */
-  private def readManifestFull(v: Long): (Option[String], Seq[(String, Option[String])]) = {
+  private case class Manifest(partCol: Option[String],
+                              stats: Option[(String, String)],
+                              entries: Seq[(String, Option[String])],
+                              ranges: Map[String, (String, String)]) {
+    def dirs: Seq[String] = entries.map(_._1).distinct
+  }
+
+  private def readManifestFull(v: Long): Manifest = {
     val in = fs.open(manifestPath(v))
     val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
     val lines = txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
     val partCol = lines.collectFirst {
       case l if l.startsWith("#partcol=") => l.stripPrefix("#partcol=")
     }
+    val stats = lines.collectFirst {
+      case l if l.startsWith("#statscol=") =>
+        l.stripPrefix("#statscol=").split('|') match {
+          case Array(c, t) => (c, t)
+          case _ => throw new java.io.IOException(s"bad statscol header: $l")
+        }
+    }
+    val ranges = lines.filter(_.startsWith("#range\t")).map { l =>
+      l.stripPrefix("#range\t").split('\t') match {
+        case Array(d, lo, hi) => d -> (lo, hi)
+        case _ => throw new java.io.IOException(s"bad range line: $l")
+      }
+    }.toMap
     val entries = lines.filterNot(_.startsWith("#")).map { l =>
       l.split('\t') match {
         case Array(d) => (d, None)
@@ -82,16 +104,17 @@ final case class TxLog(spark: SparkSession, root: String) {
         case _ => throw new java.io.IOException(s"bad manifest line: $l")
       }
     }
-    (partCol, entries)
+    Manifest(partCol, stats, entries, ranges)
   }
 
-  private def manifestLines(partCol: Option[String],
-                            entries: Seq[(String, Option[String])]): Seq[String] =
-    partCol.map(c => s"#partcol=$c").toSeq ++
-      entries.map { case (d, t) => d + t.fold("")("\t" + _) }
+  private def manifestLines(m: Manifest): Seq[String] =
+    m.partCol.map(c => s"#partcol=$c").toSeq ++
+      m.stats.map { case (c, t) => s"#statscol=$c|$t" }.toSeq ++
+      m.ranges.toSeq.sortBy(_._1).map { case (d, (lo, hi)) => s"#range\t$d\t$lo\t$hi" } ++
+      m.entries.map { case (d, t) => d + t.fold("")("\t" + _) }
 
   private def readManifest(v: Long): Seq[String] =
-    readManifestFull(v)._2.map(_._1).distinct
+    readManifestFull(v).dirs
 
   /** Data dirs referenced by `version`'s snapshot (default: latest) —
     * exposed so a catalog layer can point SQL registrations at a
@@ -110,12 +133,69 @@ final case class TxLog(spark: SparkSession, root: String) {
   def snapshot(version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else currentVersion()
     require(v >= 0, s"TxLog table at $root has no commits")
-    val (partCol, entries) = readManifestFull(v)
-    partCol match {
+    val m = readManifestFull(v)
+    readEntries(m, m.dirs.toSet)
+  }
+
+  /** Range read over the stats column — TxLog data skipping: dirs
+    * whose committed [min,max] cannot intersect [lo,hi] are never
+    * opened (the lakehouse file-skipping move; manifest-level here,
+    * file-footer-level in Delta/Iceberg). Dirs without stats are read
+    * conservatively; a residual typed filter keeps the result exact
+    * either way. `lo`/`hi` are inclusive bounds in the column's
+    * string form (e.g. "2024-01-03" for a DATE column). */
+  def snapshotRange(lo: String, hi: String, version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else currentVersion()
+    require(v >= 0, s"TxLog table at $root has no commits")
+    val m = readManifestFull(v)
+    val (c, t) = m.stats.getOrElse(throw new IllegalArgumentException(
+      s"TxLog table at $root has no stats column — commit through a TxLog(statsCol=...) writer"))
+    val live = m.dirs.filter { d =>
+      m.ranges.get(d).forall { case (mn, mx) =>
+        cmpVals(t, mx, lo) >= 0 && cmpVals(t, mn, hi) <= 0
+      }
+    }.toSet
+    import org.apache.spark.sql.functions.{col, expr}
+    readEntries(m, live)
+      .filter(col(c) >= expr(s"CAST('$lo' AS $t)") &&
+        col(c) <= expr(s"CAST('$hi' AS $t)"))
+  }
+
+  /** Dirs the data-skipping prune would open for [lo,hi] — exposed so
+    * tests can assert skipping is structural, not just filtered. */
+  private[pipeline] def rangeDirs(lo: String, hi: String): Seq[String] = {
+    val m = readManifestFull(currentVersion())
+    val (_, t) = m.stats.get
+    m.dirs.filter { d =>
+      m.ranges.get(d).forall { case (mn, mx) =>
+        cmpVals(t, mx, lo) >= 0 && cmpVals(t, mn, hi) <= 0
+      }
+    }
+  }
+
+  /** Driver-side ordering in the stats column's type: numeric types
+    * parse; DATE and STRING compare lexicographically (ISO dates are
+    * chronological). Timestamps are rejected at stats-collection time
+    * (fractional-second toString is not lexicographic). */
+  private def cmpVals(sqlType: String, a: String, b: String): Int = sqlType match {
+    case "TINYINT" | "SMALLINT" | "INT" | "BIGINT" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "FLOAT" | "DOUBLE" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _ => a.compareTo(b)
+  }
+
+  /** Union of `selectDirs`, each restricted to the partitions it is
+    * live for in manifest `m`. */
+  private def readEntries(m: Manifest, selectDirs: Set[String]): DataFrame = {
+    val chosen = m.entries.filter(e => selectDirs(e._1))
+    require(chosen.nonEmpty || m.entries.nonEmpty, s"empty manifest at $root")
+    if (chosen.isEmpty) // everything skipped: empty frame, right schema
+      return spark.read.parquet(s"$dataDir/${m.dirs.head}")
+        .filter(org.apache.spark.sql.functions.lit(false))
+    m.partCol match {
       case None =>
-        spark.read.parquet(entries.map(e => s"$dataDir/${e._1}").distinct: _*)
+        spark.read.parquet(chosen.map(e => s"$dataDir/${e._1}").distinct: _*)
       case Some(pc) =>
-        entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
+        chosen.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
           val df = spark.read.parquet(s"$dataDir/$d")
           val tags = es.flatMap(_._2)
           // untagged line inside a tagged manifest = dir covers all
@@ -133,6 +213,35 @@ final case class TxLog(spark: SparkSession, root: String) {
     df.write.mode("overwrite").parquet(s"$dataDir/$uuid")
     uuid
   }
+
+  private val StatsSafeTypes: Set[String] =
+    Set("TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE", "DATE", "STRING")
+
+  /** Min/max of [[statsCol]] over a freshly-written dir, with the
+    * column's SQL type — one footer-cheap agg scan per commit, the
+    * price of every future skipped read. Returns nothing when stats
+    * are off, the column is absent/unsupported, or its bounds contain
+    * characters that would corrupt the line format. */
+  private def statsFor(uuid: String): (Option[(String, String)], Map[String, (String, String)]) =
+    statsCol match {
+      case None => (None, Map.empty)
+      case Some(c) =>
+        import org.apache.spark.sql.functions.{col, max, min}
+        val df = snapshotOfDir(uuid)
+        df.schema.find(_.name == c) match {
+          case Some(f) if StatsSafeTypes(f.dataType.sql) =>
+            val hdr = Some((c, f.dataType.sql))
+            val r = df.agg(min(col(c)).cast("string"), max(col(c)).cast("string")).head()
+            if (r.isNullAt(0) || r.isNullAt(1)) (hdr, Map.empty)
+            else {
+              val (mn, mx) = (r.getString(0), r.getString(1))
+              if ((mn + mx).exists(ch => ch == '\t' || ch == '\n' || ch == '\r'))
+                (hdr, Map.empty)
+              else (hdr, Map(uuid -> (mn, mx)))
+            }
+          case _ => (None, Map.empty)
+        }
+    }
 
   /** Attempt to commit `lines` as EXACTLY `version`'s manifest.
     * Rename-if-absent is the atomic primitive (true on HDFS/local;
@@ -158,10 +267,12 @@ final case class TxLog(spark: SparkSession, root: String) {
     * optimistic race only slides the version number. */
   def overwrite(df: DataFrame): Long = {
     val uuid = writeDataDir(df)
+    val (hdr, ranges) = statsFor(uuid)
+    val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges))
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val next = currentVersion() + 1
-      if (tryCommitManifest(next, Seq(uuid))) return next
+      if (tryCommitManifest(next, lines)) return next
       attempt += 1
     }
     throw new java.io.IOException(
@@ -175,11 +286,22 @@ final case class TxLog(spark: SparkSession, root: String) {
     * serialize losslessly (pinned by the TxLogSpec race test). */
   def append(df: DataFrame): Long = {
     val uuid = writeDataDir(df)
+    val (hdr, newRanges) = statsFor(uuid)
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val cur = currentVersion()
-      val prev = if (cur >= 0) readManifest(cur) else Seq.empty
-      if (tryCommitManifest(cur + 1, prev :+ uuid)) return cur + 1
+      val prev =
+        if (cur >= 0) readManifestFull(cur)
+        else Manifest(None, None, Seq.empty, Map.empty)
+      // carry the previous snapshot's entries, partition tags, and
+      // stats wholesale; drop carried ranges if the stats column
+      // disagrees with this writer's (conservative reads, never wrong)
+      val keepStats = prev.stats.isEmpty || prev.stats.map(_._1) == hdr.map(_._1)
+      val m = Manifest(prev.partCol,
+        hdr.orElse(prev.stats),
+        prev.entries :+ ((uuid, None)),
+        (if (keepStats) prev.ranges else Map.empty[String, (String, String)]) ++ newRanges)
+      if (tryCommitManifest(cur + 1, manifestLines(m))) return cur + 1
       attempt += 1
     }
     throw new java.io.IOException(
@@ -199,8 +321,9 @@ final case class TxLog(spark: SparkSession, root: String) {
     * column in the data; pruning happens at the manifest level. */
   def overwritePartitioned(df: DataFrame, partCol: String): Long = {
     val uuid = writeDataDir(df)
-    val lines = manifestLines(Some(partCol),
-      partValues(snapshotOfDir(uuid), partCol).map(p => (uuid, Some(p))))
+    val (hdr, ranges) = statsFor(uuid)
+    val lines = manifestLines(Manifest(Some(partCol), hdr,
+      partValues(snapshotOfDir(uuid), partCol).map(p => (uuid, Some(p))), ranges))
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val next = currentVersion() + 1
@@ -233,9 +356,10 @@ final case class TxLog(spark: SparkSession, root: String) {
     while (attempt < MaxRaceRetries) {
       val base = currentVersion()
       require(base >= 0, s"TxLog table at $root has no commits to merge into")
-      val (pcOpt, entries) = readManifestFull(base)
+      val prev = readManifestFull(base)
+      val entries = prev.entries
       val affected = partValues(src, partCol).toSet
-      val pruned = pcOpt.contains(partCol) && entries.forall(_._2.isDefined)
+      val pruned = prev.partCol.contains(partCol) && entries.forall(_._2.isDefined)
       val (target, carry) =
         if (pruned) {
           val byDir = entries.groupBy(_._1)
@@ -253,8 +377,14 @@ final case class TxLog(spark: SparkSession, root: String) {
         } else (snapshot(base), Seq.empty[(String, Option[String])])
       val merged = Upsert.merge(target, src, keys).localCheckpoint(true)
       val uuid = writeDataDir(merged)
-      val lines = manifestLines(Some(partCol),
-        carry ++ partValues(merged, partCol).map(p => (uuid, Some(p))))
+      val (hdr, newRanges) = statsFor(uuid)
+      val keepStats = prev.stats.isEmpty || prev.stats.map(_._1) == hdr.map(_._1)
+      val carriedRanges =
+        if (keepStats) prev.ranges.filter { case (d, _) => carry.exists(_._1 == d) }
+        else Map.empty[String, (String, String)]
+      val lines = manifestLines(Manifest(Some(partCol), hdr.orElse(prev.stats),
+        carry ++ partValues(merged, partCol).map(p => (uuid, Some(p))),
+        carriedRanges ++ newRanges))
       if (tryCommitManifest(base + 1, lines)) return base + 1
       attempt += 1
     }
@@ -284,7 +414,9 @@ final case class TxLog(spark: SparkSession, root: String) {
       // under the plan (merged reads the base snapshot's files)
       val merged = Upsert.merge(snapshot(base), src, keys).localCheckpoint(true)
       val uuid = writeDataDir(merged)
-      if (tryCommitManifest(base + 1, Seq(uuid))) return base + 1
+      val (hdr, ranges) = statsFor(uuid)
+      val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges))
+      if (tryCommitManifest(base + 1, lines)) return base + 1
       attempt += 1
     }
     throw new java.io.IOException(
@@ -301,7 +433,7 @@ final case class TxLog(spark: SparkSession, root: String) {
     * compacted data. */
   def compact(): Long = {
     require(exists(), s"TxLog table at $root has no commits to compact")
-    val (pc, _) = readManifestFull(currentVersion())
+    val pc = readManifestFull(currentVersion()).partCol
     val snap = snapshot().localCheckpoint(true)
     pc.fold(overwrite(snap))(c => overwritePartitioned(snap, c))
   }

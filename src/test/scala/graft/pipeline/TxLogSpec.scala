@@ -126,6 +126,30 @@ class TxLogSpec extends SparkTestBase {
     assert(rows === Map(1L -> "X1", 2L -> "x2", 3L -> "x3"))
   }
 
+  test("data skipping: range reads open only dirs whose stats overlap the bounds") {
+    val t = TxLog(spark, tmpDir("txlog_skip"), statsCol = Some("day"))
+    t.overwrite(Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("day", "id"))
+    t.append(Seq(("2024-02-01", 3L), ("2024-02-02", 4L)).toDF("day", "id"))
+    t.append(Seq(("2024-03-01", 5L)).toDF("day", "id"))
+    assert(t.snapshotDataDirs().length === 3)
+    // structural skip: only the February dir is opened
+    assert(t.rangeDirs("2024-02-01", "2024-02-15").length === 1)
+    val feb = t.snapshotRange("2024-02-01", "2024-02-15")
+    assert(feb.collect().map(_.getLong(1)).sorted === Seq(3L, 4L))
+    // bounds straddling two dirs open exactly those two
+    assert(t.rangeDirs("2024-01-02", "2024-02-01").length === 2)
+    assert(t.snapshotRange("2024-01-02", "2024-02-01").count() === 2)
+    // out-of-range read opens nothing and returns empty with schema
+    assert(t.rangeDirs("2030-01-01", "2030-12-31").isEmpty)
+    assert(t.snapshotRange("2030-01-01", "2030-12-31").count() === 0)
+    // residual filter keeps exactness INSIDE an opened dir
+    assert(t.snapshotRange("2024-01-02", "2024-01-02").collect()
+      .map(_.getLong(1)).toSeq === Seq(2L))
+    // a stats-less writer's commit stays readable (conservative scan)
+    TxLog(spark, t.root).append(Seq(("2024-04-01", 6L)).toDF("day", "id"))
+    assert(t.snapshotRange("2024-01-01", "2024-12-31").count() === 6)
+  }
+
   test("compaction folds a fragmented snapshot into one dir, preserving content and tags") {
     val t = fresh("compact")
     t.overwrite(Seq((1L, "a")).toDF("id", "v"))
