@@ -111,6 +111,59 @@ object EventQueries {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2""")),
 
+    // Streaming ingest with FULL transactional semantics: every
+    // microbatch is an ACID TxLog commit, partition-pruned to the
+    // event_date partitions in the batch. Post-replay table must equal
+    // the one-shot batch aggregation — same oracle as merge_gold.
+    Q("events_stream_txlog_gold", (spark, dir) =>
+      graft.streaming.EventStreams.hourlyMergeToTxLog(spark, dir,
+        s"/root/repo/target/tmp/stream_txlog_${dir.hashCode.abs}/hourly"),
+      oracle = Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2""")),
+
+    // Ordered conversion funnel view → click → purchase: stage N's
+    // entry time is the user's first qualifying event STRICTLY AFTER
+    // stage N-1's (min-timestamp chaining — two broadcast-joined
+    // conditional aggregations, no window over the full stream).
+    Q("events_funnel", (spark, dir) => {
+      val ev = Tables.loadEvents(spark, dir)
+      def stage(t: String): org.apache.spark.sql.DataFrame =
+        ev.filter(col("event_type") === t)
+      val v = stage("view").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = stage("click").alias("e")
+        .join(v.alias("v"), col("e.user_id") === col("v.user_id") &&
+          col("e.ts") > col("v.t1"))
+        .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t2"))
+      val p = stage("purchase").alias("e")
+        .join(c.alias("c"), col("e.user_id") === col("c.user_id") &&
+          col("e.ts") > col("c.t2"))
+        .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t3"))
+      val counts = Seq(("1_view", v), ("2_click_after_view", c),
+        ("3_purchase_after_click", p))
+      counts.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      }.reduce(_.unionByName(_))
+    }, oracle = Some("""
+      WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY 1),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY 1)
+      SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p""")),
+
     // Streaming exact dedup: dropDuplicates state = one entry per
     // distinct key; emits first occurrences only. Batch DISTINCT is
     // the oracle.

@@ -209,6 +209,51 @@ object ScaleQueries {
       r0 AS (SELECT node, CAST(1099511627776 AS BIGINT) AS rank FROM deg),
       ${(1 to 3).map(pagerankIterSql).mkString(",\n      ")}
       SELECT node, rank FROM r3""")),
+
+    // Triangle counting over the duplicate-pair graph — the clustering
+    // -coefficient building block. Edges are oriented id_a < id_b, so
+    // one 3-way self-join enumerates each triangle exactly once
+    // (a<b<c); the count is integer-exact. At web scale the same join
+    // runs over a degree-ordered bucketed edge table (the standard
+    // edge-iterator algorithm); here the edge list is the session's
+    // cached pair frame, shared with clusters/pagerank/survivor.
+    Q("graph_triangles", (spark, dir) => {
+      val e = ExactJaccard.pairs(load(spark, dir, "documents"),
+        "doc_id", "text", "lang", shingleN = 3, threshold = 0.5)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val tri = e.alias("e1")
+        .join(e.alias("e2"), col("e1.b") === col("e2.a"))
+        .join(e.alias("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      tri.crossJoin(edges)
+    }, oracle = Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, len(string_split(text,' ')) - 1),
+                           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                    ELSE [text] END AS sh
+        FROM documents),
+      ex AS (SELECT doc_id, lang, unnest(sh) AS s FROM d),
+      cnt AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM ex a JOIN ex b
+          ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+      pairs AS (
+        SELECT id_a, id_b FROM cnt
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)
+      SELECT CAST((SELECT count(*) FROM pairs e1
+                   JOIN pairs e2 ON e1.id_b = e2.id_a
+                   JOIN pairs e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b)
+             AS BIGINT) AS n_triangles,
+             CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges""")),
   )
 
   /** One unrolled integer-PageRank iteration as a CTE pair: inflow

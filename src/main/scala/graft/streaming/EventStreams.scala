@@ -163,6 +163,54 @@ object EventStreams {
       .select(col("purchase_id"), col("view_id"))
   }
 
+  /** Streaming ingest through the TRANSACTION LOG: the same update-mode
+    * hourly aggregation as [[hourlyMergeToGold]], but each microbatch
+    * commits via [[graft.pipeline.TxLog.mergePartitioned]] — ACID
+    * versioned commits, snapshot-isolated readers, time travel across
+    * microbatches, AND partition-pruned rewrites (only the event_date
+    * partitions present in the batch are touched). This is the full
+    * production continuous-ingest contract: a crashed job leaves the
+    * table at its last committed version, and a concurrent batch
+    * writer's merge serializes through the optimistic log protocol. */
+  def hourlyMergeToTxLog(spark: SparkSession, dir: String,
+                         tablePath: String): DataFrame = {
+    val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "txlog_gold",
+      splitEvents = 3)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tablePath))
+    val log = graft.pipeline.TxLog(spark, tablePath)
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", false)
+      .parquet(stagePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"),
+        to_date(col("window.start")).as("event_date"))
+    SessionizeStream.withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.filter(col("event_type") =!= "sentinel")
+          if (!b.isEmpty) {
+            if (log.exists())
+              log.mergePartitioned(b, Seq("hour_start", "event_type"), "event_date")
+            else log.overwritePartitioned(b, "event_date")
+          }
+          () // foreachBatch wants Unit; the commit version is logged in _txlog
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    log.snapshot().drop("event_date")
+  }
+
   /** Streaming EXACT dedup: `dropDuplicates` over the dedup key emits
     * each key's first occurrence and suppresses every later one. State
     * = one entry per distinct key, unbounded by input volume but NOT
