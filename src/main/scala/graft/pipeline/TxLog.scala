@@ -349,7 +349,12 @@ final case class TxLog(spark: SparkSession, root: String,
     * A table whose current snapshot is not tagged on `partCol` (first
     * partitioned merge, or tagged on a different column) is merged in
     * full ONCE and re-tagged; subsequent merges prune. Same optimistic
-    * re-merge-on-conflict transaction protocol as [[merge]]. */
+    * re-merge-on-conflict transaction protocol as [[merge]].
+    *
+    * PRECONDITION (same as [[Upsert.mergeIntoPartitionedPath]]):
+    * `partCol` must be functionally dependent on the merge keys, so a
+    * key can never move between partitions — otherwise the pruned
+    * merge would miss the key's old row and duplicate it. */
   def mergePartitioned(src: DataFrame, keys: Seq[String],
                        partCol: String): Long = {
     var attempt = 0

@@ -106,7 +106,17 @@ object Upsert {
     * 3 partitions of read+write, not a table rewrite — the same file
     * pruning a Delta MERGE gets from partition predicates. `src` must
     * carry `partCol`; rows may land in partitions the target does not
-    * have yet (they become inserts creating new dirs). */
+    * have yet (they become inserts creating new dirs).
+    *
+    * PRECONDITION: `partCol` must be functionally dependent on the
+    * merge keys (e.g. `event_date = date(hour_start)` with
+    * `hour_start` a key). Otherwise a source row could "move" a key to
+    * a different partition than its target row's — the pruned merge
+    * would never see the old row and the key would end up duplicated.
+    * Delta imposes the same constraint by requiring partition
+    * predicates that cover all matched rows. Asserted-by-construction
+    * at the call sites; the UpsertSpec property test pins the
+    * equivalence with the unpartitioned merge under it. */
   def mergeIntoPartitionedPath(spark: SparkSession, path: String, src: DataFrame,
                                keys: Seq[String], partCol: String,
                                strict: Boolean = true): Unit = {

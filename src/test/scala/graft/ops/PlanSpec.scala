@@ -78,6 +78,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("vocab OOV join broadcasts the vocabulary side") {
+    val p = planOf("text_vocab_oov")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("point lookup on a partitioned gold table prunes partitions at the scan") {
     val gold = "/root/repo/target/tmp/planspec_gold/hourly"
     org.apache.commons.io.FileUtils.deleteDirectory(

@@ -61,6 +61,37 @@ class UpsertSpec extends SparkTestBase {
     assert(out === Array((1L, 1L, "a"), (1L, 2L, "B"), (2L, 1L, "C")))
   }
 
+  test("partitioned merge equals the unpartitioned merge on random batches") {
+    val rnd = new scala.util.Random(23)
+    (1 to 5).foreach { trial =>
+      val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+      // day is a FUNCTION of the key — the documented precondition of
+      // partition-pruned merging (a key can never "move" partitions,
+      // as with event_date = date(hour_start) in the streaming gold)
+      def frame(n: Int, keyLo: Int, keyHi: Int) =
+        Seq.fill(n)((keyLo + rnd.nextInt(keyHi - keyLo), rnd.nextInt(1000)))
+          .distinctBy(_._1)
+          .map { case (k, v) =>
+            (k.toLong, java.sql.Date.valueOf(days(k % days.length)), v) }
+          .toDF("k", "day", "v")
+      val tgt = frame(30, 0, 50)
+      val src = frame(8, 25, 60)
+      val path = tmpDir(s"upsert_part_$trial") + "/t"
+      tgt.write.partitionBy("day").parquet(path)
+      Upsert.mergeIntoPartitionedPath(spark, path, src, Seq("k"), "day")
+      val got = spark.read.parquet(path).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[java.sql.Date]("day").toString,
+          r.getAs[Int]("v"))).sortBy(_._1)
+      // reference: plain in-memory merge, ignoring partition layout.
+      // NOTE the partition column is part of the ROW — a merge that
+      // moves a key to a new day must land it in the new day's dir.
+      val want = Upsert.merge(tgt, src, Seq("k")).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[java.sql.Date]("day").toString,
+          r.getAs[Int]("v"))).sortBy(_._1)
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("overwriteAtomic swaps safely while the plan reads the target path") {
     val path = tmpDir("upsert_atomic") + "/t"
     target.write.parquet(path)
