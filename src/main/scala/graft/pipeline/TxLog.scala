@@ -191,9 +191,13 @@ final case class TxLog(spark: SparkSession, root: String,
     if (chosen.isEmpty) // everything skipped: empty frame, right schema
       return spark.read.parquet(s"$dataDir/${m.dirs.head}")
         .filter(org.apache.spark.sql.functions.lit(false))
+    // mergeSchema / allowMissingColumns: SCHEMA EVOLUTION — an append
+    // that adds a column widens the snapshot; older dirs read the new
+    // column as null (Delta's additive evolution semantics)
     m.partCol match {
       case None =>
-        spark.read.parquet(chosen.map(e => s"$dataDir/${e._1}").distinct: _*)
+        spark.read.option("mergeSchema", "true")
+          .parquet(chosen.map(e => s"$dataDir/${e._1}").distinct: _*)
       case Some(pc) =>
         chosen.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
           val df = spark.read.parquet(s"$dataDir/$d")
@@ -202,7 +206,7 @@ final case class TxLog(spark: SparkSession, root: String,
           if (tags.length < es.length) df
           else df.filter(org.apache.spark.sql.functions.col(pc)
             .cast("string").isin(tags: _*))
-        }.reduce(_.unionByName(_))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 
@@ -387,8 +391,14 @@ final case class TxLog(spark: SparkSession, root: String,
       val carriedRanges =
         if (keepStats) prev.ranges.filter { case (d, _) => carry.exists(_._1 == d) }
         else Map.empty[String, (String, String)]
+      // pruned path: merged's partitions ARE the affected set (the
+      // pruned target only held affected partitions and SCD1 never
+      // drops rows) — no extra distinct job; the retag path must
+      // enumerate the full table's partitions once.
+      val mergedParts =
+        if (pruned) affected.toSeq.sorted else partValues(merged, partCol)
       val lines = manifestLines(Manifest(Some(partCol), hdr.orElse(prev.stats),
-        carry ++ partValues(merged, partCol).map(p => (uuid, Some(p))),
+        carry ++ mergedParts.map(p => (uuid, Some(p))),
         carriedRanges ++ newRanges))
       if (tryCommitManifest(base + 1, lines)) return base + 1
       attempt += 1
@@ -441,6 +451,41 @@ final case class TxLog(spark: SparkSession, root: String,
     val pc = readManifestFull(currentVersion()).partCol
     val snap = snapshot().localCheckpoint(true)
     pc.fold(overwrite(snap))(c => overwritePartitioned(snap, c))
+  }
+
+  /** Range-CLUSTERED compaction — the 1-D Z-ORDER move: rewrite the
+    * snapshot as `nBuckets` dirs, range-partitioned on [[statsCol]],
+    * so each dir's committed [min,max] is a tight disjoint slice and
+    * [[snapshotRange]] skips all but the matching bucket(s). Run it
+    * after bulk ingest shuffles values across dirs and skipping
+    * stopped biting. Unsupported on partition-tagged tables (one
+    * physical clustering per table — pick partition pruning OR range
+    * clustering). */
+  def compactClustered(nBuckets: Int): Long = {
+    require(exists(), s"TxLog table at $root has no commits to compact")
+    val c = statsCol.getOrElse(throw new IllegalArgumentException(
+      "compactClustered needs a statsCol-configured TxLog writer"))
+    require(readManifestFull(currentVersion()).partCol.isEmpty,
+      "clustered compaction on a partition-tagged table is unsupported")
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    val snap = snapshot().repartitionByRange(nBuckets, col(c))
+      .withColumn("__bucket", spark_partition_id())
+      .localCheckpoint(true)
+    val uuids = (0 until nBuckets).flatMap { b =>
+      val part = snap.filter(col("__bucket") === b).drop("__bucket")
+      if (part.isEmpty) None else Some(writeDataDir(part))
+    }
+    val stats = uuids.map(statsFor)
+    val m = Manifest(None, stats.flatMap(_._1).headOption,
+      uuids.map(u => (u, None)), stats.flatMap(_._2).toMap)
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val next = currentVersion() + 1
+      if (tryCommitManifest(next, manifestLines(m))) return next
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog compactClustered lost $MaxRaceRetries optimistic races at $root")
   }
 
   /** Garbage-collect data dirs unreferenced by any of the newest

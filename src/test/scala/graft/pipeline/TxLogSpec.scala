@@ -150,6 +150,33 @@ class TxLogSpec extends SparkTestBase {
     assert(t.snapshotRange("2024-01-01", "2024-12-31").count() === 6)
   }
 
+  test("schema evolution: an append adding a column widens the snapshot, old rows read null") {
+    val t = fresh("evolve")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c", 9L)).toDF("id", "v", "score"))
+    val snap = t.snapshot()
+    assert(snap.columns.toSet === Set("id", "v", "score"))
+    val rows = snap.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(rows === Map(1L -> -1L, 2L -> -1L, 3L -> 9L))
+  }
+
+  test("clustered compaction tightens per-dir ranges so skipping hits one bucket") {
+    val t = TxLog(spark, tmpDir("txlog_cluster"), statsCol = Some("k"))
+    // two appends, each spanning the WHOLE key range — skipping is
+    // useless (every dir overlaps every range)...
+    t.overwrite(spark.range(0, 1000, 2).toDF("k"))
+    t.append(spark.range(1, 1000, 2).toDF("k"))
+    assert(t.rangeDirs("100", "110").length === 2)
+    // ...until clustered compaction re-sorts dirs into disjoint slices
+    t.compactClustered(4)
+    assert(t.snapshotDataDirs().length === 4)
+    assert(t.rangeDirs("100", "110").length === 1)
+    val got = t.snapshotRange("100", "110").collect().map(_.getLong(0)).sorted
+    assert(got === (100L to 110L).toArray)
+    assert(t.snapshot().count() === 1000)
+  }
+
   test("compaction folds a fragmented snapshot into one dir, preserving content and tags") {
     val t = fresh("compact")
     t.overwrite(Seq((1L, "a")).toDF("id", "v"))
