@@ -127,6 +127,40 @@ object CurationQueries {
       FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
       GROUP BY t.doc_id""")),
 
+    // Decile quality tiers: ntile(10) over the composite quality score
+    // (descending, doc_id tie-break → total order, so the tiling is
+    // deterministic and identical across engines). The curation move
+    // behind "train on the top-k quality buckets". The global sort is
+    // a range-partitioned window at scale — no single-partition
+    // bottleneck beyond the tile assignment itself.
+    Q("text_quality_tiers", (spark, dir) => {
+      val scored = load(spark, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), stop).as("quality_score"))
+      scored.withColumn("tier", ntile(10).over(
+        Window.orderBy(col("quality_score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("quality_score"), col("tier"))
+    }, oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS nc
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+                 / len(toks) AS stopword_ratio,
+               CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_token_len,
+               len(toks) AS n_tokens
+        FROM t),
+      s AS (
+        SELECT doc_id,
+               stopword_ratio * 0.5
+               + (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) * 0.3
+               + (CASE WHEN mean_token_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.2
+                 AS quality_score
+        FROM m)
+      SELECT doc_id, quality_score,
+             CAST(ntile(10) OVER (ORDER BY quality_score DESC, doc_id) AS INT) AS tier
+      FROM s""")),
+
     // Deterministic hash-stratified 5% sample: content-hash bucket
     // (md5 prefix mod 20) — reproducible across runs/engines/cluster
     // sizes, unlike rand()-based sampling; a pure filter, so it scales

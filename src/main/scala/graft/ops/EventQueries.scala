@@ -225,5 +225,39 @@ object EventQueries {
              CAST(sum(n_events) OVER (PARTITION BY day) AS BIGINT) AS day_total,
              CAST(n_events AS DOUBLE) / CAST(sum(n_events) OVER (PARTITION BY day) AS BIGINT) AS share
       FROM daily""")),
+
+    // Volume-anomaly detection in pure RATIONAL arithmetic: flag hours
+    // whose event count deviates from the type's mean by more than 2
+    // population standard deviations — compared as (n·x − Σ)² >
+    // 4·(n·Σx² − Σ²), i.e. the z-score inequality (x−μ)² > 4σ²
+    // multiplied through by n², so both engines evaluate EXACT
+    // integers and the oracle hash-matches (no square roots, no
+    // division). Plan: hourly agg → per-type stats agg → broadcast
+    // stats back — two shuffles regardless of corpus size.
+    Q("events_anomaly_hours", (spark, dir) => {
+      val hourly = Tables.loadEvents(spark, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("x"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("s2"))
+      hourly.join(broadcast(stats), "event_type")
+        .withColumn("dev", col("n") * col("x") - col("s"))
+        .filter(col("dev") * col("dev") >
+          lit(4L) * (col("n") * col("s2") - col("s") * col("s")))
+        .select(col("hour_start"), col("event_type"), col("x").as("n_events"))
+    }, oracle = Some("""
+      WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS s2
+        FROM hourly GROUP BY 1)
+      SELECT hour_start, h.event_type, x AS n_events
+      FROM hourly h JOIN stats t ON h.event_type = t.event_type
+      WHERE (n * x - s) * (n * x - s) > 4 * (n * s2 - s * s)""")),
   )
 }
