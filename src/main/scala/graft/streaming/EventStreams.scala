@@ -86,9 +86,14 @@ object EventStreams {
     val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "merge_gold",
       splitEvents = 3)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(goldPath))
+    // 2 files per trigger: UPDATE-mode aggregation emits changed keys
+    // every batch regardless of the watermark, so sentinels need no
+    // trailing batches of their own (unlike append-mode windows) —
+    // 3 microbatches exercise the multi-batch merge at half the
+    // per-batch commit overhead of 6.
     val stream = spark.readStream
       .schema(rawSchema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", 2)
       .option("latestFirst", false)
       .parquet(stagePath)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -178,9 +183,12 @@ object EventStreams {
       splitEvents = 3)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tablePath))
     val log = graft.pipeline.TxLog(spark, tablePath)
+    // 2 files per trigger — same reasoning as [[hourlyMergeToGold]]:
+    // update-mode emission is watermark-independent, so 3 microbatches
+    // (each a TxLog commit) exercise the transactional replay fully.
     val stream = spark.readStream
       .schema(rawSchema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", 2)
       .option("latestFirst", false)
       .parquet(stagePath)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
