@@ -103,8 +103,16 @@ object AnalyticsQueries {
     // exact decimal running sum (order-independent of float issues),
     // frame ordered by a unique triple.
     Q("window_running_sum", (spark, dir) => {
+      // l_quantity in the sort key: the synthetic lineitem is NOT
+      // unique on (orderkey, linenumber) — sf0.1 carries one exact
+      // (suppkey, shipdate, orderkey, linenumber) duplicate, and a
+      // ROWS frame over a non-total order is engine-dependent on the
+      // tie. With quantity appended, ties are either broken or carry
+      // identical rows (whose running values form the same multiset
+      // under any tie order), so the comparison is deterministic.
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       load(spark, dir, "lineitem")
         .withColumn("running_qty", sum(col("l_quantity").cast(dec)).over(w).cast("double"))
@@ -113,7 +121,7 @@ object AnalyticsQueries {
       SELECT l_suppkey, l_orderkey, l_linenumber,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       FROM lineitem""")),
 
