@@ -67,6 +67,27 @@ object AnalyticsQueries {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
+    // Explicit GROUPING SETS (neither rollup nor cube): exactly the
+    // per-status and per-priority marginals plus the grand total, with
+    // grouping_id disambiguating the null-key rows from genuine nulls —
+    // the warehouse reporting shape Catalyst expands into one Expand +
+    // single-pass aggregate.
+    Q("agg_grouping_sets", (spark, dir) => {
+      load(spark, dir, "orders").createOrReplaceTempView("graft_orders_gs")
+      spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graft_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }, oracle = Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")),
+
     // Exact interpolated median (percentile, not the approx sketch) —
     // quantities are small integers stored as double, so the (a+b)/2
     // interpolation is bit-exact across engines.

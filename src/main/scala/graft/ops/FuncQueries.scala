@@ -125,5 +125,38 @@ object FuncQueries {
              count(*) FILTER (lang = 'fr') AS fr,
              count(*) FILTER (lang = 'zh') AS zh
       FROM documents GROUP BY source""")),
+
+    // Higher-order array functions — transform / filter / aggregate /
+    // zip_with over the tokenized text, entirely inside whole-stage
+    // codegen (the API family Catalyst evaluates without UDFs; DuckDB
+    // list lambdas are the oracle twins). Integer-only arithmetic so
+    // the fold is exact on both engines.
+    Q("func_arrays", (spark, dir) =>
+      load(spark, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(filter(col("toks"), t => length(t) > 4)).as("n_long"),
+          aggregate(transform(col("toks"), t => length(t).cast("long")),
+            lit(0L), (acc, n) => acc + n).as("total_chars"),
+          aggregate(
+            zip_with(col("toks"), slice(col("toks"), 2, 1000000),
+              (a, b) => when(a === b, 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x).as("n_repeats"),
+          array_max(transform(col("toks"), t => length(t))).as("max_len")),
+      oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      SELECT doc_id,
+             CAST(len(list_filter(toks, x -> length(x) > 4)) AS INT) AS n_long,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+               (acc, n) -> acc + n) AS total_chars,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(toks)),
+                 i -> CASE WHEN toks[i] = toks[i + 1]
+                           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+               (acc, x) -> acc + x) AS n_repeats,
+             CAST(list_max(list_transform(toks, x -> length(x))) AS INT) AS max_len
+      FROM t""")),
   )
 }
