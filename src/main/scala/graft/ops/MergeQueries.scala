@@ -96,5 +96,44 @@ object MergeQueries {
       FROM src s LEFT JOIN target t
         ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
       WHERE t.l_orderkey IS NULL""")),
+
+    // Change feed via TIME TRAVEL: full-load orders into a TxLog table,
+    // merge an incremental batch (every 100th order's price doubled,
+    // plus inserts above the key space), then DIFF snapshot v1 against
+    // snapshot v0 — updates and inserts, each labeled. The oracle
+    // recomputes the feed from the raw table, which is only possible
+    // because versioned reads are deterministic; this puts the commit
+    // protocol itself (not just its end state) under the driver's
+    // hash gate. Doubling is exact in doubles, so values hash-match.
+    Q("txlog_change_feed", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_cf_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t = graft.pipeline.TxLog(spark, root)
+      val orders = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      t.overwrite(orders)
+      val batch = orders.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(orders.filter(col("o_orderkey") % 100 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice")))
+      t.merge(batch, Seq("o_orderkey"))
+      val v0 = t.snapshot(0).select(col("o_orderkey"),
+        col("o_totalprice").as("old_price"))
+      val v1 = t.snapshot(1).select(col("o_orderkey"),
+        col("o_totalprice").as("new_price"))
+      v1.join(v0, Seq("o_orderkey"), "left")
+        .filter(col("old_price").isNull || col("old_price") =!= col("new_price"))
+        .select(col("o_orderkey"),
+          col("old_price"), col("new_price"),
+          when(col("old_price").isNull, lit("insert"))
+            .otherwise(lit("update")).as("change"))
+    }, oracle = Some("""
+      SELECT o_orderkey, o_totalprice AS old_price,
+             o_totalprice * 2 AS new_price, 'update' AS change
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, NULL, o_totalprice, 'insert'
+      FROM orders WHERE o_orderkey % 100 = 0""")),
   )
 }
