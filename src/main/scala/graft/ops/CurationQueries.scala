@@ -67,8 +67,11 @@ object CurationQueries {
     Q("text_decontaminate", (spark, dir) => {
       val ex = ExactJaccard.postings(load(spark, dir, "documents"),
         "doc_id", "text", "lang", shingleN = 3)
+      // benchmark sets are tiny relative to a training corpus, so the
+      // decontamination sweep is a broadcast join at any corpus scale —
+      // one shuffle-free pass over the corpus postings
       ex.filter(col("id") % 17 =!= 0).alias("c")
-        .join(ex.filter(col("id") % 17 === 0).alias("b"),
+        .join(broadcast(ex.filter(col("id") % 17 === 0)).alias("b"),
           col("c.blk") === col("b.blk") && col("c.s") === col("b.s"))
         .groupBy(col("c.id").as("doc_id"), col("b.id").as("bench_id"))
         .agg(count(lit(1)).as("n_shared"))
