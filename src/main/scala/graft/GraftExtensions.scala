@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{CosineSimilarity, MinHashAgg}
+import graft.functions.expressions.{CosineSimilarity, MinHashAgg, TopKAgg}
 
 /** Session-extension entry point: registers the engine's native
   * functions and planner strategies at session build time, so a
@@ -13,6 +13,7 @@ import graft.functions.expressions.{CosineSimilarity, MinHashAgg}
   *
   *   - `cosine_sim(a, b)`   — codegen'd float-vector cosine
   *   - `minhash_agg(h, k)`  — one-pass MinHash sketch aggregate
+  *   - `topk_agg(v, k)`     — bounded-heap grouped top-k aggregate
   *   - as-of join planning  — [[graft.plans.AsOfJoinStrategy]]
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -34,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
       (exprs: Seq[Expression]) => MinHashAgg.fromExprs(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("topk_agg"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
+      (exprs: Seq[Expression]) => TopKAgg.fromExprs(exprs)))
   }
 }

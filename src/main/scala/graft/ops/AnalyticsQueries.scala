@@ -67,6 +67,35 @@ object AnalyticsQueries {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
+    // Grouped top-k through the BOUNDED-HEAP custom aggregate
+    // ([[graft.functions.expressions.TopKAgg]]): per-group state is
+    // O(k) regardless of group size and partials push map-side, where
+    // the window row_number() formulation must sort each group's full
+    // row set. The oracle is that window formulation — proving the
+    // sketch-shaped plan computes the identical top-k multiset. Prices
+    // go through exact DECIMAL cents so the values are integers.
+    Q("agg_topk_heap", (spark, dir) => {
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      load(spark, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.expressions.TopKAgg
+          .topk_agg(spark, cents, 5).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("int").as("rank"),
+          col("col").as("cents"))
+    }, oracle = Some("""
+      WITH c AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders),
+      r AS (
+        SELECT o_orderpriority, cents,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY cents DESC) AS rank
+        FROM c)
+      SELECT o_orderpriority, CAST(rank AS INT) AS rank, cents
+      FROM r WHERE rank <= 5""")),
+
     // Explicit GROUPING SETS (neither rollup nor cube): exactly the
     // per-status and per-priority marginals plus the grand total, with
     // grouping_id disambiguating the null-key rows from genuine nulls —

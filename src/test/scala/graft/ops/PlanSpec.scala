@@ -78,6 +78,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("heap top-k aggregates map-side with no window sort") {
+    val p = planOf("agg_topk_heap")
+    // the custom TypedImperativeAggregate plans as ObjectHashAggregate
+    // with a partial pass — and there must be NO window/sort machinery
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    assert(p.contains("partial_topk_agg"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
   test("vocab OOV join broadcasts the vocabulary side") {
     val p = planOf("text_vocab_oov")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
