@@ -170,6 +170,45 @@ object DedupQueries {
                JOIN sizes sb ON sb.doc_id = id_base
       WHERE CAST(i AS DOUBLE) / (sn.n + sb.n - i) >= 0.5""")),
 
+    // Asymmetric CONTAINMENT |A∩B| / |A| — catches a short document
+    // quoted inside a long one, which symmetric Jaccard dilutes below
+    // any usable threshold. Same inverted-index join (and the same
+    // cached postings) as the Jaccard family; only the denominator
+    // changes. Ordered pairs: containment is directional.
+    Q("dedup_containment", (spark, dir) => {
+      val ex = ExactJaccard.postings(load(spark, dir, "documents"),
+        "doc_id", "text", "lang", shingleN = 3)
+      val inter = ex.alias("a")
+        .join(ex.alias("b"),
+          col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
+            col("a.id") =!= col("b.id"))
+        .groupBy(col("a.id").as("id_small"), col("b.id").as("id_big"))
+        .agg(count(lit(1)).as("i"))
+      val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      inter.join(sizes.select(col("id").as("id_small"), col("n").as("na")), "id_small")
+        .withColumn("containment", col("i").cast("double") / col("na"))
+        .filter(col("containment") >= 0.8)
+        .select(col("id_small"), col("id_big"), col("containment"))
+    }, oracle = Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, len(string_split(text,' ')) - 1),
+                           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                    ELSE [text] END AS sh
+        FROM documents),
+      ex AS (SELECT doc_id, lang, unnest(sh) AS s FROM d),
+      inter AS (
+        SELECT a.doc_id AS id_small, b.doc_id AS id_big, count(*) AS i
+        FROM ex a JOIN ex b
+          ON a.lang = b.lang AND a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM d)
+      SELECT id_small, id_big, CAST(i AS DOUBLE) / sa.n AS containment
+      FROM inter JOIN sizes sa ON sa.doc_id = id_small
+      WHERE CAST(i AS DOUBLE) / sa.n >= 0.8""")),
+
     // SimHash with pigeonhole blocking. The token hash is
     // SQL-expressible by design ([[SimHash.tokenHash60]]), so the
     // oracle recomputes the ENTIRE operator — signatures, blocking,
