@@ -156,9 +156,10 @@ final case class TxLog(spark: SparkSession, root: String,
       }
     }.toSet
     import org.apache.spark.sql.functions.{col, expr}
+    def q(s: String) = s.replace("'", "''") // SQL-literal escape
     readEntries(m, live)
-      .filter(col(c) >= expr(s"CAST('$lo' AS $t)") &&
-        col(c) <= expr(s"CAST('$hi' AS $t)"))
+      .filter(col(c) >= expr(s"CAST('${q(lo)}' AS $t)") &&
+        col(c) <= expr(s"CAST('${q(hi)}' AS $t)"))
   }
 
   /** Dirs the data-skipping prune would open for [lo,hi] — exposed so
@@ -326,8 +327,13 @@ final case class TxLog(spark: SparkSession, root: String,
   def overwritePartitioned(df: DataFrame, partCol: String): Long = {
     val uuid = writeDataDir(df)
     val (hdr, ranges) = statsFor(uuid)
-    val lines = manifestLines(Manifest(Some(partCol), hdr,
-      partValues(snapshotOfDir(uuid), partCol).map(p => (uuid, Some(p))), ranges))
+    // empty df → zero partitions; keep the dir referenced untagged so
+    // the manifest still resolves to a (zero-row) snapshot
+    val parts = partValues(snapshotOfDir(uuid), partCol)
+    val entries =
+      if (parts.isEmpty) Seq((uuid, Option.empty[String]))
+      else parts.map(p => (uuid, Some(p)))
+    val lines = manifestLines(Manifest(Some(partCol), hdr, entries, ranges))
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val next = currentVersion() + 1
@@ -365,6 +371,8 @@ final case class TxLog(spark: SparkSession, root: String,
     while (attempt < MaxRaceRetries) {
       val base = currentVersion()
       require(base >= 0, s"TxLog table at $root has no commits to merge into")
+      // empty batch: SCD1 no-op — commit nothing, current version stands
+      if (src.isEmpty) return base
       val prev = readManifestFull(base)
       val entries = prev.entries
       val affected = partValues(src, partCol).toSet

@@ -150,6 +150,16 @@ class TxLogSpec extends SparkTestBase {
     assert(t.snapshotRange("2024-01-01", "2024-12-31").count() === 6)
   }
 
+  test("empty batches: partitioned overwrite resolves, partitioned merge is a version no-op") {
+    val t = fresh("empty_part")
+    val empty = Seq.empty[(String, Long)].toDF("day", "id")
+    t.overwritePartitioned(empty, "day")
+    assert(t.snapshot().count() === 0)
+    t.overwritePartitioned(Seq(("a", 1L)).toDF("day", "id"), "day")
+    val v = t.mergePartitioned(empty, Seq("id"), "day")
+    assert(v === t.currentVersion() && t.snapshot().count() === 1)
+  }
+
   test("schema evolution: an append adding a column widens the snapshot, old rows read null") {
     val t = fresh("evolve")
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
