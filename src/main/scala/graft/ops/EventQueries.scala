@@ -226,6 +226,33 @@ object EventQueries {
              CAST(n_events AS DOUBLE) / CAST(sum(n_events) OVER (PARTITION BY day) AS BIGINT) AS share
       FROM daily""")),
 
+    // Cohort retention: users grouped by FIRST-ACTIVITY week, counted
+    // by distinct activity in each later week — the warehouse analytics
+    // matrix behind every retention dashboard. Two aggregations + one
+    // join on user_id; the cohort frame is one row per user so the
+    // join broadcasts at dashboard scales and shuffles cleanly beyond.
+    Q("events_retention_cohorts", (spark, dir) => {
+      val ev = Tables.loadEvents(spark, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), col("week"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .withColumn("weeks_since",
+          expr("CAST(datediff(week, cohort_week) AS BIGINT) div 7"))
+        .select(col("cohort_week"), col("weeks_since"), col("n_active"))
+    }, oracle = Some("""
+      WITH ev AS (
+        SELECT user_id, date_trunc('week', ts) AS week FROM events),
+      cohort AS (
+        SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1)
+      SELECT c.cohort_week,
+             CAST(CAST(date_diff('day', c.cohort_week, e.week) AS BIGINT) // 7
+                  AS BIGINT) AS weeks_since,
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+      FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      GROUP BY 1, 2""")),
+
     // Volume-anomaly detection in pure RATIONAL arithmetic: flag hours
     // whose event count deviates from the type's mean by more than 2
     // population standard deviations — compared as (n·x − Σ)² >

@@ -81,6 +81,9 @@ class PipelineSpec extends SparkTestBase {
     assert(log.currentVersion() >= 1)
     assert(log.snapshot(log.currentVersion() - 1).count() === 267L)
     assert(log.snapshot().count() === 268L)
+    // and the SQL registration tracks the CURRENT snapshot (S9): the
+    // catalog table must re-point at each commit's data dir
+    assert(spark.sql("SELECT count(*) FROM gold.dim_dealer").head().getLong(0) === 268L)
   }
 
   test("incremental batch 2: SCD1 updates in place, counts and keys stable") {
