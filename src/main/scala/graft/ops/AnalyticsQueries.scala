@@ -67,6 +67,25 @@ object AnalyticsQueries {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
+    // Fixed-width histogram: one integer bucket column + one groupBy —
+    // the two-pass (bounds, then counts) OLAP histogram collapsed to a
+    // single pass because the width is fixed. Bucket arithmetic is
+    // integer division, so edges are engine-exact; empty buckets are
+    // absent on both sides (no densify step to disagree on).
+    Q("agg_histogram_fixed", (spark, dir) =>
+      load(spark, dir, "orders")
+        .withColumn("bucket",
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 5000000"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("bucket_total")),
+      oracle = Some("""
+      SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000
+                  AS BIGINT) AS bucket,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
+      FROM orders GROUP BY 1""")),
+
     // Grouped top-k through the BOUNDED-HEAP custom aggregate
     // ([[graft.functions.expressions.TopKAgg]]): per-group state is
     // O(k) regardless of group size and partials push map-side, where
