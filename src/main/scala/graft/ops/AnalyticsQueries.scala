@@ -194,6 +194,46 @@ object AnalyticsQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       FROM lineitem""")),
 
+    // lag/lead navigation: per-user inter-event gap (µs) and the next
+    // event's type — the building block of funnel/session analysis.
+    // Order key (ts, event_id) is total, so lag/lead are deterministic.
+    Q("window_lag_delta", (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.loadEvents(spark, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("gap_us"), col("next_type"))
+    }, oracle = Some("""
+      SELECT user_id, event_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+             lead(event_type) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
+
+    // RANGE-framed time window: per event, the count and exact decimal
+    // sum of the same user's events in the trailing hour — a sliding
+    // window keyed by VALUE distance, not row offsets. RANGE frames
+    // include all ordering peers, so duplicate timestamps cannot make
+    // the frame contents order-dependent.
+    Q("window_time_range", (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.loadEvents(spark, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("n_trailing_hour", count(lit(1)).over(w))
+        .withColumn("sum_trailing_hour",
+          sum(col("value").cast(dec)).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"),
+          col("n_trailing_hour"), col("sum_trailing_hour"))
+    }, oracle = Some("""
+      SELECT user_id, event_id,
+             count(*) OVER w AS n_trailing_hour,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_hour
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""")),
+
     // Semi join — EXISTS (customers who placed a high-value order).
     Q("join_semi", (spark, dir) => {
       val c = load(spark, dir, "customer")

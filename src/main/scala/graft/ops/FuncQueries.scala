@@ -158,5 +158,25 @@ object FuncQueries {
                (acc, x) -> acc + x) AS n_repeats,
              CAST(list_max(list_transform(toks, x -> length(x))) AS INT) AS max_len
       FROM t""")),
+
+    // UNPIVOT (melt): wide per-nation metrics → long (metric, value)
+    // rows via the native Dataset.unpivot — the inverse of
+    // agg_pivot_langs. Both measures are cast to double first (unpivot
+    // requires a common value type).
+    Q("func_unpivot", (spark, dir) => {
+      val m = load(spark, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("double").as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal_sum"))
+      m.unpivot(Array(col("c_nationkey")),
+        Array(col("n_cust"), col("bal_sum")), "metric", "value")
+    }, oracle = Some("""
+      WITH m AS (
+        SELECT c_nationkey, CAST(count(*) AS DOUBLE) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        FROM customer GROUP BY c_nationkey)
+      SELECT c_nationkey, 'n_cust' AS metric, n_cust AS value FROM m
+      UNION ALL
+      SELECT c_nationkey, 'bal_sum' AS metric, bal_sum AS value FROM m""")),
   )
 }

@@ -240,5 +240,29 @@ object JoinSetQueries {
              true AS parts_within_5pct,
              true AS supps_within_5pct
       FROM lineitem""")),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
+    // MATCH each other instead of dropping — the semantics SCD key
+    // reconciliation and "unknown bucket" joins need. Spark plans
+    // EqualNullSafe as a hash-join key (coalesce-wrapped), so this
+    // stays a broadcast hash join, not a cartesian filter.
+    Q("join_null_safe", (spark, dir) => {
+      val seg = (c: org.apache.spark.sql.Column) =>
+        when(c % 5 === 3, lit(null)).otherwise(c % 5).cast("int")
+      val c = load(spark, dir, "customer")
+        .select(col("c_custkey"), seg(col("c_nationkey")).as("seg_k"))
+      val n = load(spark, dir, "nation")
+        .select(col("n_name"), seg(col("n_nationkey")).as("seg_k"))
+      c.join(broadcast(n), c("seg_k") <=> n("seg_k"))
+        .select(col("c_custkey"), col("n_name"))
+    }, oracle = Some("""
+      WITH c AS (SELECT c_custkey,
+                        CAST(nullif(c_nationkey % 5, 3) AS INT) AS seg_k
+                 FROM customer),
+           n AS (SELECT n_name,
+                        CAST(nullif(n_nationkey % 5, 3) AS INT) AS seg_k
+                 FROM nation)
+      SELECT c.c_custkey, n.n_name
+      FROM c JOIN n ON c.seg_k IS NOT DISTINCT FROM n.seg_k""")),
   )
 }

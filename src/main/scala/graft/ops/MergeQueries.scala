@@ -135,5 +135,52 @@ object MergeQueries {
       UNION ALL
       SELECT o_orderkey + 10000000, NULL, o_totalprice, 'insert'
       FROM orders WHERE o_orderkey % 100 = 0""")),
+
+    // O3 — SCD Type 2: history-preserving dimension merge
+    // (Upsert.scd2Merge). One batch against an all-current supplier dim
+    // exercises all four paths: changed rows (every 3rd key → old
+    // version closed + new open version), identical rows (every 4th
+    // non-3rd key → proven no-op), brand-new keys (every 5th key
+    // shifted +1e6 → first version), untouched rows.
+    Q("o3_scd2_history", (spark, dir) => {
+      val sup = load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("decimal(18,2)").as("bal"))
+      val target = sup
+        .withColumn("valid_from", lit("2024-01-01"))
+        .withColumn("valid_to", lit(null).cast("string"))
+        .withColumn("is_current", lit(true))
+      val changed = sup.filter(col("s_suppkey") % 3 === 0)
+        .select(col("s_suppkey"), concat(col("s_name"), lit(" v2")).as("s_name"),
+          (col("bal") + lit(5)).cast("decimal(18,2)").as("bal"))
+      val unchanged = sup.filter(col("s_suppkey") % 3 =!= 0 && col("s_suppkey") % 4 === 0)
+      val fresh = sup.filter(col("s_suppkey") % 5 === 0)
+        .select((col("s_suppkey") + 1000000L).as("s_suppkey"), col("s_name"), col("bal"))
+      val src = changed.unionByName(unchanged).unionByName(fresh)
+      Upsert.scd2Merge(target, src, Seq("s_suppkey"), effDate = "2024-06-01")
+        .select(col("s_suppkey"), col("s_name"),
+          col("bal").cast("double").as("s_acctbal"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+    }, oracle = Some("""
+      WITH sup AS (
+        SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+        FROM supplier),
+      changed AS (
+        SELECT s_suppkey, s_name || ' v2' AS s_name,
+               CAST(bal + 5 AS DECIMAL(18,2)) AS bal
+        FROM sup WHERE s_suppkey % 3 = 0)
+      SELECT t.s_suppkey, t.s_name, CAST(t.bal AS DOUBLE) AS s_acctbal,
+             '2024-01-01' AS valid_from,
+             CASE WHEN c.s_suppkey IS NOT NULL THEN '2024-06-01' END AS valid_to,
+             c.s_suppkey IS NULL AS is_current
+      FROM sup t LEFT JOIN changed c ON t.s_suppkey = c.s_suppkey
+      UNION ALL
+      SELECT s_suppkey, s_name, CAST(bal AS DOUBLE), '2024-06-01',
+             CAST(NULL AS VARCHAR), true
+      FROM changed
+      UNION ALL
+      SELECT s_suppkey + 1000000, s_name, CAST(bal AS DOUBLE), '2024-06-01',
+             CAST(NULL AS VARCHAR), true
+      FROM sup WHERE s_suppkey % 5 = 0""")),
   )
 }

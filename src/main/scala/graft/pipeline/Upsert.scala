@@ -140,6 +140,88 @@ object Upsert {
     }
   }
 
+  /** SCD Type 2 merge: history-preserving dimension maintenance — the
+    * companion to the reference's SCD1 `whenMatchedUpdateAll` (SURVEY
+    * §2.3 O1), for dimensions where attribute history must survive.
+    *
+    * Contract: `target` carries the business key(s) + attributes +
+    * the SCD bookkeeping columns `valid_from: string`, `valid_to:
+    * string (null = open)`, `is_current: boolean`. `src` carries the
+    * key(s) + the same attributes (no bookkeeping), all effective at
+    * `effDate`. Semantics per source row:
+    *
+    *   - matched CURRENT row, any attribute differs (null-safely) →
+    *     close the old version (`valid_to = effDate`,
+    *     `is_current = false`) and insert a new open version;
+    *   - matched CURRENT row, attributes identical → no-op (no spurious
+    *     version churn);
+    *   - key absent from target → insert a first open version;
+    *   - historical (non-current) target rows always pass through.
+    *
+    * Scale: same shape as [[merge]] — one broadcast left join of the
+    * current slice against the (small) batch plus one broadcast anti
+    * join; history rows are untouched (at 100 TB, partition the table
+    * by `is_current` or a `valid_to` bucket so the closed majority is
+    * never read). Strict mode enforces Delta's one-source-row-per-key
+    * rule, which SCD2 needs doubly: two versions for one key in one
+    * batch would both open at `effDate`.
+    */
+  def scd2Merge(target: DataFrame, src: DataFrame, keys: Seq[String],
+                effDate: String, strict: Boolean = true): DataFrame = {
+    val book = Seq("valid_from", "valid_to", "is_current")
+    require(book.forall(target.columns.contains),
+      s"scd2Merge target must carry $book; got ${target.columns.toSeq}")
+    require(book.forall(c => !src.columns.contains(c)),
+      s"scd2Merge source must not carry $book; got ${src.columns.toSeq}")
+    val attrs = src.columns.filterNot(keys.contains).toSeq
+    require(attrs.nonEmpty && attrs.forall(target.columns.contains),
+      s"scd2Merge source attrs $attrs must be target columns")
+    if (strict) {
+      val d = src.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(d.isEmpty,
+        s"SCD2 source has multiple rows for key ${keys.mkString(",")}: ${d.head}")
+    }
+    val outCols = target.columns.toSeq
+    val cur = target.filter(col("is_current")).alias("__t")
+    val hist = target.filter(!col("is_current"))
+    val s = broadcast(src).alias("__s")
+    val cond = keys.map(k => col(s"__t.$k") === col(s"__s.$k")).reduce(_ && _)
+    val matched = col(s"__s.${keys.head}").isNotNull
+    // null-safe inequality on ANY attribute ⇒ a new version is due
+    val changed = attrs.map(a => !(col(s"__t.$a") <=> col(s"__s.$a"))).reduce(_ || _)
+    val joined = cur.join(s, cond, "left")
+    // current rows: closed out when a differing source row matched,
+    // untouched otherwise (unmatched or identical)
+    val keptOrClosed = joined.select(outCols.map {
+      case "valid_to" => when(matched && changed, lit(effDate))
+        .otherwise(col("__t.valid_to")).as("valid_to")
+      case "is_current" => when(matched && changed, lit(false))
+        .otherwise(col("__t.is_current")).as("is_current")
+      case c => col(s"__t.$c").as(c)
+    }: _*)
+    // new open versions for changed keys
+    val reopened = joined.filter(matched && changed).select(outCols.map {
+      case "valid_from" => lit(effDate).as("valid_from")
+      case "valid_to" => lit(null).cast("string").as("valid_to")
+      case "is_current" => lit(true).as("is_current")
+      case c if attrs.contains(c) => col(s"__s.$c").as(c)
+      case c => col(s"__t.$c").as(c)
+    }: _*)
+    // first versions for brand-new keys
+    val inserts = src.alias("__s2").join(
+        cur.select(keys.map(col): _*).alias("__t2"),
+        keys.map(k => col(s"__s2.$k") === col(s"__t2.$k")).reduce(_ && _),
+        "left_anti")
+      .select(outCols.map {
+        case "valid_from" => lit(effDate).as("valid_from")
+        case "valid_to" => lit(null).cast("string").as("valid_to")
+        case "is_current" => lit(true).as("is_current")
+        case c => col(s"__s2.$c").as(c)
+      }: _*)
+    hist.unionByName(keptOrClosed).unionByName(reopened).unionByName(inserts)
+  }
+
   /** Write `df` to `path` via staging-dir + rename swap. Safe when the
     * plan of `df` reads `path` itself. */
   def overwriteAtomic(spark: SparkSession, df: DataFrame, path: String): Unit = {

@@ -92,6 +92,73 @@ class UpsertSpec extends SparkTestBase {
     }
   }
 
+  // --- SCD2 ---
+
+  private def scd2Target = Seq(
+    // one key with prior history: closed v1 + open v2
+    (1L, "a_old", 9, "2023-01-01", Option("2024-01-01"), false),
+    (1L, "a", 10, "2024-01-01", Option.empty[String], true),
+    (2L, "b", 20, "2024-01-01", Option.empty[String], true),
+    (3L, "c", 30, "2024-01-01", Option.empty[String], true))
+    .toDF("k", "name", "v", "valid_from", "valid_to", "is_current")
+
+  private def scd2Rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3),
+      Option(r.getString(4)), r.getBoolean(5)))
+    .sortBy(t => (t._1, t._4))
+
+  test("scd2: changed row closes old version and opens a new one") {
+    val src = Seq((2L, "b2", 21)).toDF("k", "name", "v")
+    val out = scd2Rows(Upsert.scd2Merge(scd2Target, src, Seq("k"), "2024-06-01"))
+    assert(out.filter(_._1 == 2L) === Array(
+      (2L, "b", 20, "2024-01-01", Some("2024-06-01"), false),
+      (2L, "b2", 21, "2024-06-01", None, true)))
+    // untouched keys (incl. pre-existing history) pass through verbatim
+    assert(out.filter(_._1 != 2L) === scd2Rows(scd2Target).filter(_._1 != 2L))
+  }
+
+  test("scd2: identical source row is a no-op (no version churn)") {
+    val src = Seq((2L, "b", 20)).toDF("k", "name", "v")
+    val out = Upsert.scd2Merge(scd2Target, src, Seq("k"), "2024-06-01")
+    assert(scd2Rows(out) === scd2Rows(scd2Target))
+  }
+
+  test("scd2: new key inserts a first open version") {
+    val src = Seq((9L, "i", 90)).toDF("k", "name", "v")
+    val out = scd2Rows(Upsert.scd2Merge(scd2Target, src, Seq("k"), "2024-06-01"))
+    assert(out.filter(_._1 == 9L) === Array((9L, "i", 90, "2024-06-01", None, true)))
+    assert(out.length === scd2Target.count() + 1)
+  }
+
+  test("scd2: re-applying the same batch changes nothing (idempotent)") {
+    val src = Seq((2L, "b2", 21), (9L, "i", 90)).toDF("k", "name", "v")
+    val once = Upsert.scd2Merge(scd2Target, src, Seq("k"), "2024-06-01")
+    val twice = Upsert.scd2Merge(once, src, Seq("k"), "2024-06-01")
+    assert(scd2Rows(once) === scd2Rows(twice))
+  }
+
+  test("scd2: null-valued attribute change is detected (null-safe compare)") {
+    val src = Seq((2L, Option.empty[String], 20)).toDF("k", "name", "v")
+    val out = scd2Rows(Upsert.scd2Merge(scd2Target, src, Seq("k"), "2024-06-01"))
+    assert(out.filter(_._1 == 2L).map(t => (t._2, t._6)).toSet ===
+      Set(("b", false), (null, true)))
+  }
+
+  test("scd2: strict mode rejects duplicate source keys") {
+    val src = Seq((2L, "x", 1), (2L, "y", 2)).toDF("k", "name", "v")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.scd2Merge(scd2Target, src, Seq("k"), "2024-06-01")
+    }
+    assert(e.getMessage.contains("multiple rows"))
+  }
+
+  test("scd2: source carrying bookkeeping columns is rejected") {
+    val src = Seq((2L, "x", 1, true)).toDF("k", "name", "v", "is_current")
+    intercept[IllegalArgumentException] {
+      Upsert.scd2Merge(scd2Target, src, Seq("k"), "2024-06-01")
+    }
+  }
+
   test("overwriteAtomic swaps safely while the plan reads the target path") {
     val path = tmpDir("upsert_atomic") + "/t"
     target.write.parquet(path)
