@@ -54,6 +54,41 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("shard_tokens"))
   }
 
+  /** Distributed EXACT ntile(k) over a total order: range-partition on
+    * the sort key, row_number within each partition, add broadcast
+    * exclusive offsets (a numParts-row frame) — the TeraSort-style
+    * two-phase global rank. Spark's own `ntile().over(Window.orderBy)`
+    * funnels the whole frame through ONE partition; this keeps both
+    * shuffles (range + pid-hash) fully parallel. The tile arithmetic —
+    * first (N mod k) tiles hold ceil(N/k) rows, the rest floor(N/k) —
+    * is integer-only, so it hash-matches any engine's ntile bit-exactly.
+    * `sortCols` must be a total order or tile assignment is
+    * nondeterministic on the ties. */
+  private[graft] def distributedNtile(df: org.apache.spark.sql.DataFrame, k: Int,
+                                      numParts: Int, sortCols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
+    val sorted = df.repartitionByRange(numParts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    val wOff = Window.orderBy(col("__pid"))
+    val offsets = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__pn"))
+      .withColumn("__off", coalesce(sum(col("__pn")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__pn")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__pid"), col("__off"), col("__n"))
+    sorted.withColumn("__rn", row_number().over(wLocal))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("__r", col("__off") + col("__rn"))
+      .withColumn("tier", expr(s"""CAST(CASE
+          WHEN __r <= (__n div $k + 1) * (__n % $k)
+          THEN (__r + __n div $k) div (__n div $k + 1)
+          ELSE __n % $k
+               + (__r - (__n div $k + 1) * (__n % $k)
+                  + __n div $k - 1) div (__n div $k)
+        END AS INT)"""))
+      .drop("__pid", "__rn", "__off", "__n", "__r")
+  }
+
   val all: Seq[Q] = Seq(
 
     // Benchmark DECONTAMINATION — the train/test-overlap sweep every
@@ -102,11 +137,14 @@ object CurationQueries {
       val docs = load(spark, dir, "documents")
       val toks = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
+      // top-100 by document frequency via orderBy+limit, which Spark
+      // plans as TakeOrderedAndProject (a distributed per-partition
+      // heap + driver merge of 100-row tops) — NOT a global window,
+      // which would drag the whole vocab through one partition
       val vocab = toks.groupBy(col("tok"))
         .agg(countDistinct(col("doc_id")).as("df"))
-        .withColumn("r", row_number().over(
-          Window.orderBy(col("df").desc, col("tok"))))
-        .filter(col("r") <= 100).select(col("tok"))
+        .orderBy(col("df").desc, col("tok"))
+        .limit(100).select(col("tok"))
       toks.join(broadcast(vocab.withColumn("iv", lit(1))), Seq("tok"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
@@ -130,17 +168,16 @@ object CurationQueries {
       FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
       GROUP BY t.doc_id""")),
 
-    // Decile quality tiers: ntile(10) over the composite quality score
-    // (descending, doc_id tie-break → total order, so the tiling is
-    // deterministic and identical across engines). The curation move
-    // behind "train on the top-k quality buckets". The global sort is
-    // a range-partitioned window at scale — no single-partition
-    // bottleneck beyond the tile assignment itself.
+    // Decile quality tiers: exact ntile(10) over the composite quality
+    // score (descending, doc_id tie-break → total order, so the tiling
+    // is deterministic and identical across engines). The curation move
+    // behind "train on the top-k quality buckets"; computed via the
+    // distributed two-phase rank in [[distributedNtile]], never a
+    // single-partition global window.
     Q("text_quality_tiers", (spark, dir) => {
       val scored = load(spark, dir, "documents").select(col("doc_id"),
         TextFunctions.qualityScore(col("text"), stop).as("quality_score"))
-      scored.withColumn("tier", ntile(10).over(
-        Window.orderBy(col("quality_score").desc, col("doc_id"))))
+      distributedNtile(scored, 10, 8, col("quality_score").desc, col("doc_id"))
         .select(col("doc_id"), col("quality_score"), col("tier"))
     }, oracle = Some("""
       WITH t AS (

@@ -30,6 +30,34 @@ class CurationSpec extends SparkTestBase {
     assert(out.map(_.getLong(2)).sum === totalTokens)
   }
 
+  test("distributed ntile matches Spark's ntile on every size/shape edge") {
+    import org.apache.spark.sql.expressions.Window
+    // N < k (each row its own tile), N = k, N mod k = 0, N mod k != 0,
+    // and ties in the first sort key (broken by the second)
+    for (n <- Seq(3, 10, 40, 47)) {
+      val df = spark.range(n.toLong).toDF("id")
+        .withColumn("s", col("id") % 7) // duplicate scores → tie-break on id
+      val got = CurationQueries.distributedNtile(df, 10, 4, col("s").desc, col("id"))
+        .select(col("id"), col("tier"))
+      val want = df.withColumn("tier",
+          ntile(10).over(Window.orderBy(col("s").desc, col("id"))))
+        .select(col("id"), col("tier"))
+      assert(got.collect().sortBy(_.getLong(0)).toSeq ===
+        want.collect().sortBy(_.getLong(0)).toSeq, s"n=$n")
+    }
+  }
+
+  test("distributed ntile is partition-count invariant") {
+    val df = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n"))
+    def tiers(p: Int) = CurationQueries
+      .distributedNtile(df, 10, p, col("n").desc, col("doc_id"))
+      .select(col("doc_id"), col("tier")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(tiers(1) === tiers(7))
+    assert(tiers(7) === tiers(32))
+  }
+
   test("hash-stratified sample is deterministic and ~5%") {
     val q = graft.SparkEntry.queries("sample_hash_stratified")
     val a = q(spark, sf("0.01")).collect().map(_.getLong(0)).sorted.toSeq
