@@ -149,6 +149,29 @@ object AnalyticsQueries {
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag""")),
 
+    // Deterministic ARGMAX per group via max(struct): the struct's
+    // lexicographic order (balance desc ⇒ max; then NEGATED custkey ⇒
+    // lowest key wins ties) makes the pick total-order-deterministic,
+    // and — unlike the row_number() formulation the oracle uses — it is
+    // a plain aggregate: partial max per partition, merge, no
+    // shuffle-sort and no window state. The 100 TB argmax shape.
+    Q("agg_argmax", (spark, dir) =>
+      load(spark, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(max(struct(col("c_acctbal").cast(dec).as("bal"),
+          (-col("c_custkey")).as("negkey"))).as("m"))
+        .select(col("c_nationkey"),
+          col("m.bal").cast("double").as("top_bal"),
+          (-col("m.negkey")).as("top_cust")),
+      oracle = Some("""
+      SELECT c_nationkey, CAST(bal AS DOUBLE) AS top_bal, c_custkey AS top_cust
+      FROM (
+        SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_custkey,
+               row_number() OVER (
+                 PARTITION BY c_nationkey
+                 ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey) AS r
+        FROM customer) WHERE r = 1""")),
+
     // Ranking window: top-3 orders per customer (deterministic
     // tie-break on the unique order key).
     Q("window_topk", (spark, dir) => {

@@ -26,6 +26,35 @@ object EventQueries {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2"""), bench = true),
 
+    // SLIDING windows (1 h length, 30 min slide): every event lands in
+    // exactly two overlapping windows. Spark's window() expands each
+    // row to its window set before the hash aggregation — still one
+    // shuffle, state ∝ windows not events. The oracle reconstructs the
+    // overlap as a UNION ALL of two 30-min-offset tumbling bucketings
+    // (an event at time t belongs to windows starting at bucket30(t)
+    // and bucket30(t) − 30 min — both inclusive-start/exclusive-end,
+    // matching Spark's window bounds).
+    Q("events_sliding_windows", (spark, dir) =>
+      Tables.loadEvents(spark, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+          col("event_type"), col("n_events"), col("total_value")),
+      oracle = Some("""
+      WITH e AS (
+        SELECT ts, event_type, value,
+               time_bucket(INTERVAL '30 minutes', ts) AS b
+        FROM events),
+      w AS (
+        SELECT b AS win_start, event_type, value FROM e
+        UNION ALL
+        SELECT b - INTERVAL '30 minutes' AS win_start, event_type, value FROM e)
+      SELECT win_start, win_start + INTERVAL '1 hour' AS win_end, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM w GROUP BY 1, 2, 3""")),
+
     // The same aggregation through the real Structured Streaming path
     // (readStream → watermark → windowed agg → memory sink): the
     // streaming result must equal the batch oracle exactly.

@@ -241,6 +241,35 @@ object JoinSetQueries {
              true AS supps_within_5pct
       FROM lineitem""")),
 
+    // Bloom-prefiltered semi join — the runtime-filter pattern as an
+    // explicit operator: sketch the hot orders' keys (Spark's own
+    // BloomFilterAggregate), drop non-matching lineitem rows AT THE
+    // SCAN with a codegen'd bloom_contains probe, then let the exact
+    // broadcast join remove false positives. At 100 TB the bloom cuts
+    // the big side BEFORE any shuffle; result ≡ plain semi join
+    // (oracle-proven), and JoinSetSpec pins that the prefilter really
+    // prunes. Sketch sizing is measured (hot count), not guessed.
+    Q("join_bloom_prefilter", (spark, dir) => {
+      val hot = load(spark, dir, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"))
+      val nHot = hot.count()
+      val bf = graft.functions.BloomFunctions.sketch(
+        hot, col("o_orderkey"), nHot max 1L, (nHot * 10L) max 1024L)
+      val li = load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .filter(graft.functions.BloomFunctions.mightContain(spark, bf, col("l_orderkey")))
+      li.join(broadcast(hot), li("l_orderkey") === hot("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+    }, oracle = Some("""
+      SELECT l_returnflag, count(*) AS n_lines,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+      GROUP BY l_returnflag""")),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
     // MATCH each other instead of dropping — the semantics SCD key
     // reconciliation and "unknown bucket" joins need. Spark plans

@@ -136,6 +136,42 @@ object MergeQueries {
       SELECT o_orderkey + 10000000, NULL, o_totalprice, 'insert'
       FROM orders WHERE o_orderkey % 100 = 0""")),
 
+    // O4 — CDC APPLY CHANGES: three-clause MERGE folding an I/U/D
+    // change feed into the supplier dim (Upsert.applyChanges). Disjoint
+    // op classes: every 3rd key updated (name v2, bal+5), every 7th
+    // non-3rd key DELETED, fresh +1e6-shifted keys inserted for every
+    // 5th — plus a delete for an absent key (no-op path) exercised in
+    // UpsertSpec.
+    Q("o4_cdc_apply", (spark, dir) => {
+      val sup = load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("decimal(18,2)").as("bal"))
+      val updates = sup.filter(col("s_suppkey") % 3 === 0)
+        .select(col("s_suppkey"),
+          concat(col("s_name"), lit(" v2")).as("s_name"),
+          (col("bal") + lit(5)).cast("decimal(18,2)").as("bal"),
+          lit("U").as("op"))
+      val deletes = sup.filter(col("s_suppkey") % 3 =!= 0 && col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey"), col("s_name"), col("bal"), lit("D").as("op"))
+      val inserts = sup.filter(col("s_suppkey") % 5 === 0)
+        .select((col("s_suppkey") + 1000000L).as("s_suppkey"),
+          col("s_name"), col("bal"), lit("I").as("op"))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      Upsert.applyChanges(sup, changes, Seq("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("bal").cast("double").as("s_acctbal"))
+    }, oracle = Some("""
+      WITH sup AS (
+        SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+        FROM supplier)
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 3 = 0 THEN s_name || ' v2' ELSE s_name END AS s_name,
+             CAST(CASE WHEN s_suppkey % 3 = 0 THEN bal + 5 ELSE bal END AS DOUBLE) AS s_acctbal
+      FROM sup WHERE NOT (s_suppkey % 3 <> 0 AND s_suppkey % 7 = 0)
+      UNION ALL
+      SELECT s_suppkey + 1000000, s_name, CAST(bal AS DOUBLE) AS s_acctbal
+      FROM sup WHERE s_suppkey % 5 = 0""")),
+
     // O3 — SCD Type 2: history-preserving dimension merge
     // (Upsert.scd2Merge). One batch against an all-current supplier dim
     // exercises all four paths: changed rows (every 3rd key → old

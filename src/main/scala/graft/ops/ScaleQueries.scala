@@ -254,6 +254,42 @@ object ScaleQueries {
                    JOIN pairs e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b)
              AS BIGINT) AS n_triangles,
              CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges""")),
+
+    // Z-ORDER clustering: interleave the low 16 bits of two join/filter
+    // dimensions into a Morton code, bucket by ARITHMETIC ranges of the
+    // code (pure column math — no partitioner dependence), and emit
+    // per-bucket extents of BOTH dimensions. Z-locality means each
+    // bucket's (partkey, suppkey) bounding box is tight on BOTH axes —
+    // the multi-dimensional analogue of TxLog.compactClustered's 1-D
+    // range clustering, and the layout that lets min/max data skipping
+    // prune on either dimension. The extent columns ARE the skipping
+    // metadata; the oracle recomputes the identical integer geometry.
+    Q("scale_zorder_cluster", (spark, dir) => {
+      val a = col("l_partkey").bitwiseAND(lit(0xFFFFL))
+      val b = col("l_suppkey").bitwiseAND(lit(0xFFFFL))
+      val z = (0 until 16).map { i =>
+        (shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+          (shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+      }.reduce(_ + _)
+      load(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), z.as("zcode"))
+        .withColumn("bucket", expr(s"zcode div ${1L << 26}"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+    }, oracle = Some(s"""
+      WITH z AS (
+        SELECT l_partkey, l_suppkey,
+               ${(0 until 16).map(i =>
+                 s"(((l_partkey & 65535) >> $i) & 1) * ${1L << (2 * i)} + " +
+                 s"(((l_suppkey & 65535) >> $i) & 1) * ${1L << (2 * i + 1)}")
+                 .mkString(" + ")} AS zcode
+        FROM lineitem)
+      SELECT zcode // ${1L << 26} AS bucket, count(*) AS n_rows,
+             min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+             min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+      FROM z GROUP BY 1""")),
   )
 
   /** One unrolled integer-PageRank iteration as a CTE pair: inflow

@@ -222,6 +222,59 @@ object Upsert {
     hist.unionByName(keptOrClosed).unionByName(reopened).unionByName(inserts)
   }
 
+  /** CDC APPLY CHANGES: fold a change batch carrying an operation
+    * column into the target — the three-clause MERGE
+    * (`whenMatchedUpdate` / `whenMatchedDelete` / `whenNotMatchedInsert`)
+    * a change-data-capture feed needs, which [[merge]]'s SCD1 two-clause
+    * form cannot express. `changes` = target columns + `opCol` with
+    * values `I`/`U`/`D`:
+    *
+    *   - `U` or `I` matching a target key → the target row is rewritten
+    *     with the change row (upsert semantics — a CDC insert arriving
+    *     for an existing key is a resync, not an error);
+    *   - `D` matching → the target row is DROPPED;
+    *   - `U`/`I` not matching → inserted;
+    *   - `D` not matching → no-op (delete of an absent key).
+    *
+    * Scale: identical shape to [[merge]] — one broadcast left join plus
+    * one broadcast anti join, no shuffle of the target; compose with
+    * [[mergeIntoPartitionedPath]]'s pruning for partitioned targets.
+    * Strict mode enforces one change row per key (a real CDC feed is
+    * compacted to final-image-per-key upstream; two ops for one key in
+    * one batch would make the fold order-dependent).
+    */
+  def applyChanges(target: DataFrame, changes: DataFrame, keys: Seq[String],
+                   opCol: String = "op", strict: Boolean = true): DataFrame = {
+    require(changes.columns.contains(opCol),
+      s"applyChanges requires operation column '$opCol' on the change feed")
+    require((changes.columns.toSet - opCol) == target.columns.toSet,
+      s"applyChanges requires change columns = target columns + '$opCol'; " +
+        s"got target=${target.columns.toSeq} changes=${changes.columns.toSeq}")
+    if (strict) {
+      val bad = changes.filter(!col(opCol).isin("I", "U", "D")).limit(1).collect()
+      require(bad.isEmpty, s"applyChanges: unknown op in ${bad.headOption}")
+      val d = changes.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(d.isEmpty,
+        s"applyChanges batch has multiple rows for key ${keys.mkString(",")}: ${d.head}")
+    }
+    val t = target.alias("__t")
+    val s = broadcast(changes).alias("__s")
+    val cond = keys.map(k => col(s"__t.$k") === col(s"__s.$k")).reduce(_ && _)
+    val matched = col(s"__s.${keys.head}").isNotNull
+    val joined = t.join(s, cond, "left")
+    val survivors = joined
+      .filter(!matched || col(s"__s.$opCol") =!= "D")
+      .select(target.columns.map(c =>
+        when(matched, col(s"__s.$c")).otherwise(col(s"__t.$c")).as(c)).toSeq: _*)
+    val inserts = changes.filter(col(opCol) =!= "D").alias("__s2")
+      .join(target.select(keys.map(col): _*).alias("__t2"),
+        keys.map(k => col(s"__s2.$k") === col(s"__t2.$k")).reduce(_ && _),
+        "left_anti")
+      .select(target.columns.map(col).toSeq: _*)
+    survivors.unionByName(inserts)
+  }
+
   /** Write `df` to `path` via staging-dir + rename swap. Safe when the
     * plan of `df` reads `path` itself. */
   def overwriteAtomic(spark: SparkSession, df: DataFrame, path: String): Unit = {
