@@ -27,7 +27,7 @@ object ExactJaccard {
     * caller in a session shares one build. */
   def postings(docs: DataFrame, idCol: String, textCol: String,
                blockCol: String, shingleN: Int = 3): DataFrame = {
-    val cacheKey = (docs.queryExecution.analyzed.semanticHash(),
+    val cacheKey = (cacheScope(docs), docs.queryExecution.analyzed.semanticHash(),
       s"$idCol|$textCol|$blockCol|$shingleN")
     postingsCache.computeIfAbsent(cacheKey, _ => {
       val toks = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
@@ -82,7 +82,24 @@ object ExactJaccard {
     * (id, blk, shingle) frames and the key space is the handful of
     * distinct (corpus, config) combinations a session touches. */
   private val postingsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String), DataFrame]()
+
+  /** Cache scope: the owning SparkSession's UUID. A checkpointed frame
+    * is bound to the session that materialized it — a restarted or
+    * concurrent second session hashing to the same plan must NOT be
+    * handed a frame whose RDD blocks belong to a stopped/foreign
+    * session. */
+  private def cacheScope(df: DataFrame): String = {
+    val s = df.sparkSession
+    s"${s.sparkContext.applicationId}@${System.identityHashCode(s)}"
+  }
+
+  /** Drop every cached frame (e.g. between sessions in a long-lived
+    * JVM — checkpointed blocks otherwise pin executor storage for the
+    * JVM's lifetime). */
+  private[graft] def clearCaches(): Unit = {
+    postingsCache.clear(); pairsCache.clear()
+  }
 
   /** Thresholded-pairs cache, same keying discipline as
     * [[postingsCache]] plus the pair-space config. Four operators run
@@ -93,12 +110,12 @@ object ExactJaccard {
     * the join per caller. Entries are small by construction (only
     * pairs above threshold survive). */
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String), DataFrame]()
 
   def pairs(docs: DataFrame, idCol: String, textCol: String, blockCol: String,
             shingleN: Int = 3, threshold: Double = 0.5,
             maxShingleDf: Option[Int] = None): DataFrame = {
-    val cacheKey = (docs.queryExecution.analyzed.semanticHash(),
+    val cacheKey = (cacheScope(docs), docs.queryExecution.analyzed.semanticHash(),
       s"$idCol|$textCol|$blockCol|$shingleN|$threshold|$maxShingleDf")
     pairsCache.computeIfAbsent(cacheKey, _ =>
       pairsUncached(docs, idCol, textCol, blockCol, shingleN, threshold,

@@ -30,6 +30,17 @@ case class TopKAgg(child: Expression, k: Int,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "topk_agg"
 
+  // update() reads the child as a Long — anything else must fail at
+  // analysis with a readable message, not at execution with a
+  // ClassCastException (the function is SQL-registered, so arbitrary
+  // column types reach it).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"topk_agg requires a BIGINT value column, got ${child.dataType.sql}")
+
   override def createAggregationBuffer(): TopKAgg.Heap = new TopKAgg.Heap(k)
 
   override def update(buf: TopKAgg.Heap, input: InternalRow): TopKAgg.Heap = {

@@ -58,17 +58,32 @@ final case class GoldCatalog(spark: SparkSession, warehouse: String) {
     register(db, table)
   }
 
-  /** Register `db.table` over the CURRENT snapshot's data dir. Every
-    * pipeline commit is a single-dir snapshot (overwrite + merge both
-    * rewrite), so a plain parquet LOCATION suffices; multi-dir
-    * (append-built) snapshots stay readable through [[table]]. */
+  /** Register `db.table` over the CURRENT snapshot. Pipeline commits
+    * are single-dir snapshots (overwrite + merge both rewrite), which
+    * register as a plain parquet LOCATION table; a MULTI-dir snapshot
+    * (someone called `append`/`mergePartitioned` on a gold table)
+    * registers as a catalog VIEW over [[TxLog.snapshotSql]] — SQL
+    * keeps resolving either way instead of silently vanishing. */
   def register(db: String, table: String): Unit = {
-    val dirs = txlog(db, table).snapshotDataDirs()
-    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+    val log = txlog(db, table)
+    val dirs = log.snapshotDataDirs()
+    dropRegistration(db, table)
     if (dirs.length == 1)
       spark.sql(
         s"CREATE TABLE $db.$table USING parquet LOCATION '${dirs.head}'")
+    else
+      spark.sql(s"CREATE VIEW $db.$table AS ${log.snapshotSql()}")
   }
+
+  /** Drop whatever registration `db.table` currently has — DROP VIEW
+    * and DROP TABLE each throw on the other object type, so the drop
+    * must be type-aware. */
+  private def dropRegistration(db: String, table: String): Unit =
+    if (spark.catalog.tableExists(s"$db.$table")) {
+      val kind = spark.catalog.getTable(db, table).tableType
+      if (kind == "VIEW") spark.sql(s"DROP VIEW $db.$table")
+      else spark.sql(s"DROP TABLE $db.$table")
+    }
 
   /** S9 — catalog table scan: snapshot-isolated read of the latest
     * committed version. */
@@ -82,7 +97,7 @@ final case class GoldCatalog(spark: SparkSession, warehouse: String) {
   /** S7 — DROP TABLE IF EXISTS (reference `drop table.ipynb:24-32`):
     * unregister and remove data + log. */
   def dropTable(db: String, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+    dropRegistration(db, table)
     val p = new Path(tablePath(db, table))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }

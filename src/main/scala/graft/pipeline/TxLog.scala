@@ -125,6 +125,40 @@ final case class TxLog(spark: SparkSession, root: String,
     readManifest(v).map(d => s"$dataDir/$d")
   }
 
+  /** SQL text selecting this snapshot — lets a catalog layer register a
+    * VIEW over a MULTI-dir snapshot (append-built tables,
+    * partition-pruned merges) so `db.table` keeps resolving in plain
+    * SQL where a single-LOCATION parquet table cannot. Reproduces
+    * [[snapshot]]'s read semantics exactly: per-dir partition-tag
+    * filters (dead partitions of multi-tagged dirs excluded) and
+    * additive schema evolution (columns absent from an older dir
+    * NULL-filled with the evolved type). */
+  def snapshotSql(version: Long = -1L): String = {
+    val v = if (version >= 0) version else currentVersion()
+    require(v >= 0, s"TxLog table at $root has no commits")
+    val m = readManifestFull(v)
+    val schemas = m.dirs.map(d => d -> spark.read.parquet(s"$dataDir/$d").schema).toMap
+    // merged column list in first-appearance order (additive evolution)
+    val all = m.dirs.flatMap(d => schemas(d).fields)
+      .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
+        (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
+      }
+    def q(s: String) = s.replace("'", "''")
+    m.entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
+      val have = schemas(d).fieldNames.toSet
+      val cols = all.map(f =>
+        if (have(f.name)) s"`${f.name}`"
+        else s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`").mkString(", ")
+      val tags = es.flatMap(_._2)
+      val where = m.partCol match {
+        case Some(pc) if tags.length == es.length =>
+          s" WHERE CAST(`$pc` AS STRING) IN (${tags.map(t => s"'${q(t)}'").mkString(", ")})"
+        case _ => ""
+      }
+      s"SELECT $cols FROM parquet.`$dataDir/$d`$where"
+    }.mkString(" UNION ALL ")
+  }
+
   /** Snapshot read of `version` (default: latest). Fails on an empty
     * table — callers use [[exists]] for the initial-load branch.
     * On a partition-tagged table each dir is read restricted to the
@@ -189,8 +223,12 @@ final case class TxLog(spark: SparkSession, root: String,
   private def readEntries(m: Manifest, selectDirs: Set[String]): DataFrame = {
     val chosen = m.entries.filter(e => selectDirs(e._1))
     require(chosen.nonEmpty || m.entries.nonEmpty, s"empty manifest at $root")
-    if (chosen.isEmpty) // everything skipped: empty frame, right schema
-      return spark.read.parquet(s"$dataDir/${m.dirs.head}")
+    if (chosen.isEmpty) // everything skipped: empty frame, FULL schema —
+      // merged across all dirs, so a schema-evolved table still exposes
+      // columns a later append introduced (a residual filter on such a
+      // column must resolve, not throw)
+      return spark.read.option("mergeSchema", "true")
+        .parquet(m.dirs.map(d => s"$dataDir/$d"): _*)
         .filter(org.apache.spark.sql.functions.lit(false))
     // mergeSchema / allowMissingColumns: SCHEMA EVOLUTION — an append
     // that adds a column widens the snapshot; older dirs read the new
@@ -249,19 +287,39 @@ final case class TxLog(spark: SparkSession, root: String,
     }
 
   /** Attempt to commit `lines` as EXACTLY `version`'s manifest.
-    * Rename-if-absent is the atomic primitive (true on HDFS/local;
-    * object stores use a DynamoDB-style lock in production — same
-    * contract as delta-on-S3): a concurrent winner makes the
-    * destination exist and the rename return false. Returns whether
-    * THIS writer won `version`. */
+    * The atomic primitive is create-if-absent of the version file:
+    *
+    *   - local FS: hard-link publish via `Files.createLink` — link(2)
+    *     fails with EEXIST when the destination exists, with no
+    *     check-then-act window. (Hadoop's `RawLocalFileSystem.rename`
+    *     maps to rename(2), which silently REPLACES an existing
+    *     destination, so the classic exists+rename pair is a TOCTOU
+    *     race on local FS — a losing writer could overwrite the
+    *     winner's manifest.)
+    *   - HDFS: plain rename — HDFS rename is atomic and fails when the
+    *     destination exists.
+    *   - object stores: neither holds; production uses a DynamoDB-style
+    *     lock (same contract as delta-on-S3).
+    *
+    * Returns whether THIS writer won `version`. */
   private def tryCommitManifest(version: Long, lines: Seq[String]): Boolean = {
     val tmp = new Path(s"$logDir/_tmp_${java.util.UUID.randomUUID()}")
     fs.mkdirs(new Path(logDir))
     val out = fs.create(tmp, false)
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
-    val won = !fs.exists(manifestPath(version)) &&
-      fs.rename(tmp, manifestPath(version))
-    if (!won) fs.delete(tmp, true)
+    val dst = manifestPath(version)
+    val won =
+      if (fs.getUri.getScheme == "file")
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      else !fs.exists(dst) && fs.rename(tmp, dst)
+    fs.delete(tmp, true)
     won
   }
 

@@ -55,4 +55,16 @@ class TopKAggSpec extends SparkTestBase {
       spark.sql("SELECT topk_agg(v, g) FROM tk_t").collect()
     }
   }
+
+  test("non-BIGINT value column fails at analysis, not with a runtime ClassCastException") {
+    TopKAgg.register(spark)
+    Seq(("x", 1), ("y", 2)).toDF("s", "i").createOrReplaceTempView("tk_bad")
+    // STRING and INT columns both violate the Long buffer contract
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT topk_agg(s, 3) FROM tk_bad").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT topk_agg(i, 3) FROM tk_bad").collect()
+    }
+  }
 }

@@ -128,6 +128,23 @@ class PipelineSpec extends SparkTestBase {
       fresh.run(s"$ref/SalesData.csv", RunMode.ForceIncremental))
   }
 
+  test("SQL registration survives multi-dir snapshots (append/mergePartitioned) via a view") {
+    import spark.implicits._
+    val cat = GoldCatalog(spark, tmpDir("catalog_multidir"))
+    cat.ensureDatabases()
+    cat.saveAsTable(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "gold", "multi_t")
+    assert(spark.sql("SELECT count(*) FROM gold.multi_t").head().getLong(0) === 2L)
+    // an append makes the snapshot multi-dir; register must fall back
+    // to a view instead of silently dropping the SQL name
+    cat.txlog("gold", "multi_t").append(Seq((3L, "c")).toDF("id", "v"))
+    cat.register("gold", "multi_t")
+    assert(spark.sql("SELECT count(*) FROM gold.multi_t").head().getLong(0) === 3L)
+    // a merge compacts back to single-dir: view → table re-registration
+    cat.mergeInto("gold", "multi_t", Seq((3L, "C")).toDF("id", "v"), Seq("id"))
+    assert(spark.sql("SELECT v FROM gold.multi_t WHERE id = 3").head().getString(0) === "C")
+    cat.dropTable("gold", "multi_t")
+  }
+
   test("KeyMode.Faithful: unique keys above maxKey (reference mono-id semantics)") {
     import spark.implicits._
     val spec = DimensionBuilder.specs.find(_.name == "dim_dealer").get

@@ -211,6 +211,32 @@ class TxLogSpec extends SparkTestBase {
     assert(p.snapshot().count() === 4)
   }
 
+  test("all-skipped range read keeps the FULL evolved schema (residual filters resolve)") {
+    val t = TxLog(spark, tmpDir("txlog_skip_schema"), statsCol = Some("day"))
+    t.overwrite(Seq(("2024-01-01", 1L)).toDF("day", "id"))
+    // schema evolution: later append adds `score`
+    t.append(Seq(("2024-02-01", 2L, 9L)).toDF("day", "id", "score"))
+    val out = t.snapshotRange("2030-01-01", "2030-12-31")
+    assert(out.count() === 0)
+    // the empty frame must expose the evolved column set, not just the
+    // first dir's — a consumer's residual filter on `score` must
+    // resolve instead of throwing
+    assert(out.columns.toSet === Set("day", "id", "score"))
+    assert(out.filter(col("score") > 0).count() === 0)
+  }
+
+  test("snapshotSql reproduces snapshot semantics: tags filtered, evolution null-filled") {
+    val t = fresh("sql_view")
+    t.overwritePartitioned(Seq(("a", 1L), ("b", 2L)).toDF("day", "id"), "day")
+    // partitioned merge → multi-dir snapshot with per-dir tags, plus a
+    // schema-evolved append
+    t.mergePartitioned(Seq(("a", 3L)).toDF("day", "id"), Seq("id"), "day")
+    val viaSql = spark.sql(t.snapshotSql()).collect()
+      .map(r => r.getLong(1) -> r.getString(0)).toMap
+    assert(viaSql === Map(1L -> "a", 2L -> "b", 3L -> "a"))
+    assert(spark.sql(t.snapshotSql()).count() === t.snapshot().count())
+  }
+
   test("concurrent writers: every version has exactly one winner, losers land on later versions") {
     val t = fresh("race")
     t.overwrite(Seq((0L, "base")).toDF("id", "v"))
