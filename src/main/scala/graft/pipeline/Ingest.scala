@@ -52,6 +52,36 @@ object Ingest {
   def toBronze(raw: DataFrame): DataFrame =
     raw.drop("Product_Name")
 
+  /** Bronze read in the declared 11-column order. Bronze is
+    * Hive-partitioned by `Year`, and a partitioned read surfaces the
+    * partition column last (and cannot infer a schema from an empty
+    * write), so the schema is pinned explicitly — same discipline as
+    * [[Silver.read]]. */
+  def readBronze(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.bronze).parquet(path)
+      .select(Schemas.bronze.fieldNames.map(col).toSeq: _*)
+
+  /** The bronze rows an incremental batch's update path must compare
+    * against: ONLY rows in the batch's own `Year` partitions
+    * (`PartitionFilters` on the scan — untouched years cost zero I/O)
+    * and, within those, only rows whose `Date_ID` the batch actually
+    * carries (broadcast semi-join on the batch's distinct keys — the
+    * batch is small by construction). Restricting by the batch's keys
+    * is exact: a bronze row with a Date_ID outside the batch can never
+    * equal a batch row (Date_ID is a column of both), so it never
+    * affects the bag difference. `batchYears` is partition METADATA —
+    * bounded by the calendar span of one batch, the sanctioned driver
+    * round-trip. Rows with a null `Year` are conservatively treated as
+    * changed (they fail the partition filter ⇒ reload, never lose). */
+  private[pipeline] def existingForBatch(spark: SparkSession, bronzePath: String,
+                                         batchOld: DataFrame,
+                                         batchYears: Seq[Int]): DataFrame =
+    if (batchYears.isEmpty) readBronze(spark, bronzePath).filter(lit(false))
+    else readBronze(spark, bronzePath)
+      .filter(col("Year").isin(batchYears: _*))
+      .join(broadcast(batchOld.select("Date_ID").distinct()), Seq("Date_ID"), "left_semi")
+      .select(Schemas.bronze.fieldNames.map(col).toSeq: _*)
+
   /** Full ingest step: CSV → changed-data capture → bronze parquet.
     *
     * Semantics (proved by the reference's replay data): the watermark
@@ -62,8 +92,10 @@ object Ingest {
     *   (a) rows past the watermark (append path — cheap, pruned scan), plus
     *   (b) rows at-or-before the watermark whose full content differs
     *       from what bronze already holds (update path — a bag
-    *       difference restricted by the Date_ID predicate, so at scale
-    *       it only touches the partitions the batch can affect).
+    *       difference against [[existingForBatch]], i.e. bounded by the
+    *       BATCH's keys and Year partitions, never the bronze history:
+    *       a 4-row batch costs a 4-key comparison however deep bronze
+    *       is).
     * Returns the new watermark (max Date_ID seen), if any rows loaded.
     */
   def ingest(spark: SparkSession, csvPath: String, bronzePath: String,
@@ -71,20 +103,25 @@ object Ingest {
     val raw = toBronze(readSalesCsv(spark, csvPath))
     watermark match {
       case None =>
-        raw.write.mode("overwrite").parquet(bronzePath)
+        raw.write.mode("overwrite").partitionBy("Year").parquet(bronzePath)
       case Some(w) =>
         val fresh = raw.filter(col("Date_ID") > lit(w))
-        val existing = spark.read.parquet(bronzePath)
-          .filter(col("Date_ID") <= lit(w))
-        val changed = raw.filter(col("Date_ID") <= lit(w)).exceptAll(existing)
+        val batchOld = raw.filter(col("Date_ID") <= lit(w))
+        val years = batchOld.select(col("Year")).filter(col("Year").isNotNull)
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val changed = batchOld.exceptAll(
+          existingForBatch(spark, bronzePath, batchOld, years))
         // the plan reads bronzePath → staged atomic swap, not in-place
-        Upsert.overwriteAtomic(spark, fresh.unionByName(changed), bronzePath)
+        Upsert.overwriteAtomic(spark, fresh.unionByName(changed), bronzePath,
+          partitionCols = Seq("Year"))
     }
-    // One ungrouped max over the (already small) incremental batch.
-    // The mark must never REGRESS: a changed-rows-only batch contains
-    // only Date_IDs at-or-below the old mark, and persisting that max
-    // would make unchanged rows look "fresh" again on later batches.
-    val row = spark.read.parquet(bronzePath).agg(max("Date_ID")).first()
+    // One ungrouped max over the BATCH (pushed into the CSV scan) —
+    // never a re-scan of bronze: any bronze row past the old mark came
+    // from this batch, so max(batch) folded with the old mark IS
+    // max(bronze). The mark must never REGRESS: a changed-rows-only
+    // batch holds only Date_IDs at-or-below the old mark, and
+    // persisting that max would make unchanged rows look "fresh" again.
+    val row = raw.agg(max("Date_ID")).first()
     Option(row.getString(0))
       .map(m => watermark.fold(m)(w => Ordering[String].max(w, m)))
       .orElse(watermark)

@@ -53,7 +53,7 @@ final case class SalesPipeline(spark: SparkSession, root: String) {
     val wm = Ingest.readWatermark(watermarkPath)
     val newWm = Ingest.ingest(spark, csvPath, bronzePath, wm)
 
-    val bronze = spark.read.parquet(bronzePath)
+    val bronze = Ingest.readBronze(spark, bronzePath)
     val initial = !catalog.tableExists("gold", "factsales")
     // Silver holds the current batch (full history on first load) —
     // mirrors the reference where bronze/silver carry only the

@@ -276,14 +276,18 @@ object Upsert {
   }
 
   /** Write `df` to `path` via staging-dir + rename swap. Safe when the
-    * plan of `df` reads `path` itself. */
-  def overwriteAtomic(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    * plan of `df` reads `path` itself. `partitionCols` Hive-partitions
+    * the written layout (e.g. bronze by Year). */
+  def overwriteAtomic(spark: SparkSession, df: DataFrame, path: String,
+                      partitionCols: Seq[String] = Nil): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path + "__staging")
     val old = new Path(path + "__old")
     fs.delete(staging, true)
-    df.write.mode("overwrite").parquet(staging.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staging.toString)
     fs.delete(old, true)
     if (fs.exists(p)) fs.rename(p, old)
     if (!fs.rename(staging, p))

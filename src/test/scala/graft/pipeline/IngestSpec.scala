@@ -53,6 +53,99 @@ class IngestSpec extends SparkTestBase {
     assert(wm3 === Some("DT01247"))
   }
 
+  // One bronze-shaped row: key k at content version v. Date_ID/Year are
+  // functions of k; DealerName carries the version so content changes
+  // are visible to the bag difference.
+  private type BRow = (String, String, String, Long, Long, String, Int, Int, Int, String, String)
+  private def bRow(k: Int, v: Int): BRow =
+    (s"B$k", s"D$k", s"M$k", 100L * k + v, k.toLong, f"DT$k%05d",
+      k % 28 + 1, k % 12 + 1, 2020 + k % 3, s"Branch$k", s"Dealer$k-v$v")
+  private def bDf(rows: Seq[BRow]) = {
+    import spark.implicits._
+    spark.createDataFrame(rows.toDF(Schemas.bronze.fieldNames.toSeq: _*).rdd,
+      Schemas.bronze)
+  }
+
+  test("property: batch-bounded update path ≡ full-history bag difference on random batches") {
+    val root = tmpDir("ingest_prop")
+    val bronzePath = s"$root/bronze"
+    val csvDir = s"$root/csv"
+    val rnd = new scala.util.Random(7)
+    // write a batch as CSV (the ingest source format)
+    def writeCsv(rows: Seq[BRow], i: Int): String = {
+      val p = s"$csvDir/batch$i"
+      bDf(rows).withColumn("Product_Name", lit("pn"))
+        .select(Schemas.raw.fieldNames.map(col).toSeq: _*)
+        .write.mode("overwrite").option("header", true).csv(p)
+      p
+    }
+    // the ROUND-3 reference semantics: bag difference against the FULL
+    // pre-watermark bronze (what Ingest.ingest used to compute)
+    def bagDiff(a: Seq[BRow], b: Seq[BRow]): Seq[BRow] = {
+      val counts = scala.collection.mutable.Map.empty[BRow, Int]
+      b.foreach(r => counts(r) = counts.getOrElse(r, 0) + 1)
+      a.flatMap { r =>
+        val c = counts.getOrElse(r, 0)
+        if (c > 0) { counts(r) = c - 1; None } else Some(r)
+      }
+    }
+    def referenceNext(prev: Seq[BRow], batch: Seq[BRow], w: Option[String]): Seq[BRow] =
+      w match {
+        case None => batch
+        case Some(mark) =>
+          val fresh = batch.filter(_._6 > mark)
+          val changed = bagDiff(batch.filter(_._6 <= mark), prev.filter(_._6 <= mark))
+          fresh ++ changed
+      }
+    var wm: Option[String] = None
+    var prevBronze: Seq[BRow] = Seq.empty
+    (0 until 5).foreach { i =>
+      // random batch: random keys at random content versions (replays,
+      // updates, and brand-new keys all occur)
+      val keys = rnd.shuffle((1 to 20).toList).take(3 + rnd.nextInt(8))
+      val batch = keys.map(k => bRow(k, rnd.nextInt(3)))
+      val expected = referenceNext(prevBronze, batch, wm).sortBy(_.toString)
+      wm = Ingest.ingest(spark, writeCsv(batch, i), bronzePath, wm)
+      val got = Ingest.readBronze(spark, bronzePath).collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4),
+          r.getString(5), r.getInt(6), r.getInt(7), r.getInt(8), r.getString(9),
+          r.getString(10))).toSeq.sortBy(_.toString)
+      assert(got === expected, s"batch $i diverged from the full-history reference")
+      // watermark follows max Date_ID seen, never regressing
+      val batchMax = batch.map(_._6).max
+      assert(wm === Some(Seq(Some(batchMax), wm).flatten.max))
+      prevBronze = got
+    }
+  }
+
+  test("update path's bronze scan is partition-pruned to the batch's years") {
+    val root = tmpDir("ingest_prune")
+    val bronzePath = s"$root/bronze"
+    // bronze spanning 3 year partitions (keys 1..12 hit 2020/2021/2022)
+    bDf((1 to 12).map(bRow(_, 0))).write.mode("overwrite")
+      .partitionBy("Year").parquet(bronzePath)
+    // a batch touching ONLY 2021 (keys ≡ 1 mod 3)
+    val batchOld = bDf(Seq(bRow(1, 1), bRow(4, 1)))
+    val ex = Ingest.existingForBatch(spark, bronzePath, batchOld, Seq(2021))
+    val plan = ex.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("Year"), plan.take(1200))
+    // sparkPlan, not executedPlan: AQE wraps the join in an adaptive
+    // leaf node, hiding the scans from collectLeaves
+    def files(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan.collectLeaves().map {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("bronze")) =>
+          f.selectedPartitions.totalNumberOfFiles
+        case _ => 0L
+      }.sum
+    val full = Ingest.readBronze(spark, bronzePath)
+    assert(files(ex) > 0 && files(ex) < files(full),
+      s"pruned=${files(ex)} total=${files(full)}")
+    // and the comparison itself is key-bounded + exact
+    assert(ex.count() === 2)
+  }
+
   test("watermark state round-trips") {
     val p = tmpDir("ingest_wm") + "/wm.txt"
     assert(Ingest.readWatermark(p).isEmpty)
