@@ -65,20 +65,9 @@ object CurationQueries {
     * `sortCols` must be a total order or tile assignment is
     * nondeterministic on the ties. */
   private[graft] def distributedNtile(df: org.apache.spark.sql.DataFrame, k: Int,
-                                      numParts: Int, sortCols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
-    val sorted = df.repartitionByRange(numParts, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    val wOff = Window.orderBy(col("__pid"))
-    val offsets = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__pn"))
-      .withColumn("__off", coalesce(sum(col("__pn")).over(
-        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__n", sum(col("__pn")).over(
-        wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("__pid"), col("__off"), col("__n"))
-    sorted.withColumn("__rn", row_number().over(wLocal))
-      .join(broadcast(offsets), "__pid")
-      .withColumn("__r", col("__off") + col("__rn"))
+                                      numParts: Int, sortCols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+    graft.functions.GlobalRank.rowNumber(df, "__r", numParts, sortCols,
+        totalCol = Some("__n"))
       .withColumn("tier", expr(s"""CAST(CASE
           WHEN __r <= (__n div $k + 1) * (__n % $k)
           THEN (__r + __n div $k) div (__n div $k + 1)
@@ -86,8 +75,7 @@ object CurationQueries {
                + (__r - (__n div $k + 1) * (__n % $k)
                   + __n div $k - 1) div (__n div $k)
         END AS INT)"""))
-      .drop("__pid", "__rn", "__off", "__n", "__r")
-  }
+      .drop("__n", "__r")
 
   val all: Seq[Q] = Seq(
 

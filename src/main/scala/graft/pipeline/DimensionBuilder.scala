@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Generic SCD1 dimension builder — the one algorithm the reference
@@ -19,7 +18,7 @@ import org.apache.spark.sql.functions._
   *          `collect()[0][0]` at `gold_dim_branch.ipynb:60154-60160`
   *          is a driver round-trip per dim; a crossJoin(broadcast(max))
   *          keeps the plan lazy and cluster-side)
-  *   R8     new keys = maxKey + row_number() over (order by naturalKey)
+  *   R8     new keys = maxKey + global rank over naturalKey
   *          — deterministic, contiguous; a documented refinement of the
   *          reference's monotonically_increasing_id (SURVEY §4.2):
   *          mono-id's partition-striped gaps make golden tests
@@ -27,12 +26,14 @@ import org.apache.spark.sql.functions._
   *   R9/R10 final = new.select(reorder) UNION existing
   *   O1/O3  tableExists ? SCD1 merge : overwrite saveAsTable
   *
-  * Scale notes: the global row_number window single-partitions only the
-  * NEW rows of the batch (incremental batches are small; even a full
-  * load's distinct dim is ≪ fact size). The sink side of the R5 join is
-  * broadcast — dimension tables are the small side by design. The only
-  * unavoidable shuffle is the distinct() over the natural key, which is
-  * a partial+final HashAggregate (map-side combine first).
+  * Scale notes: new-row key assignment uses the two-phase distributed
+  * rank ([[graft.functions.GlobalRank]]) — range partition + local
+  * row_number + broadcast offsets — so even an initial full load of a
+  * high-cardinality (user-id-like) dimension never funnels through one
+  * task. The sink side of the R5 join is broadcast — dimension tables
+  * are the small side by design. The only unavoidable shuffle is the
+  * distinct() over the natural key, which is a partial+final
+  * HashAggregate (map-side combine first).
   */
 final case class DimSpec(name: String, dimKey: String, naturalKey: String,
                          attrs: Seq[String]) {
@@ -84,17 +85,30 @@ object DimensionBuilder {
     val maxKey = sink.agg(coalesce(max(col(spec.dimKey)), lit(0L)).as("__maxkey"))
 
     // R8 — surrogate keys for new rows (mode-dependent, see [[KeyMode]])
-    val keyExpr = keyMode match {
-      case KeyMode.Deterministic =>
-        col("__maxkey") + row_number().over(Window.orderBy(spec.naturalKey))
-      case KeyMode.Faithful =>
-        col("__maxkey") + monotonically_increasing_id() + lit(1L)
-    }
-    val fresh = joined.filter(col(spec.dimKey).isNull)
+    val newRows = joined.filter(col(spec.dimKey).isNull)
       .select(spec.cols.map(c => col(s"src.$c")): _*)
-      .crossJoin(broadcast(maxKey))
-      .withColumn(spec.dimKey, keyExpr.cast("long"))
-      .drop("__maxkey")
+    val fresh = keyMode match {
+      case KeyMode.Deterministic =>
+        // maxKey + two-phase distributed rank on the natural key:
+        // deterministic, contiguous, AND scale-safe — a global
+        // `row_number().over(Window.orderBy(nk))` would funnel every
+        // new row through one task, which is exactly the 100× failure
+        // mode on an initial load of a high-cardinality dimension.
+        // [[GlobalRank.rowNumber]]'s only partition-less window runs
+        // over the numParts-row offsets metadata.
+        val parts = newRows.sparkSession.sessionState.conf.numShufflePartitions
+        graft.functions.GlobalRank.rowNumber(newRows, "__rank", parts,
+            Seq(col(spec.naturalKey)))
+          .crossJoin(broadcast(maxKey))
+          .withColumn(spec.dimKey, (col("__maxkey") + col("__rank")).cast("long"))
+          .drop("__maxkey", "__rank")
+      case KeyMode.Faithful =>
+        // the reference's literal mono-id semantics (gap-ridden keys)
+        newRows.crossJoin(broadcast(maxKey))
+          .withColumn(spec.dimKey,
+            (col("__maxkey") + monotonically_increasing_id() + lit(1L)).cast("long"))
+          .drop("__maxkey")
+    }
 
     // R9/R10 — reorder key first, positional union
     fresh.select(spec.allCols.map(col): _*)

@@ -36,4 +36,31 @@ class GenericStarSpec extends SparkTestBase {
     val k2 = dim2.filter(col("c_name") === changedName).head().getLong(0)
     assert(k1 === k2)
   }
+
+  test("surrogate keys: distributed rank ≡ single-window reference, any partitioning, no global window over data") {
+    // a "large" high-cardinality dimension — the initial-load shape the
+    // single-partition row_number would have funnelled through one task
+    val spec = DimSpec("dim_user", "dim_user_key", "user_nk", Seq("attr"))
+    val big = spark.range(50000)
+      .select(concat(lit("u"), format_string("%07d", col("id"))).as("user_nk"),
+        (col("id") % 97).cast("string").as("attr"))
+      .repartition(16) // arbitrary physical layout
+    val sink = Seq((40L, "existing-user", "x"))
+      .toDF("dim_user_key", "user_nk", "attr")
+    val out = DimensionBuilder.plan(big, sink, spec)
+    // reference semantics: maxKey + rank of natural key in sorted order
+    val keys = out.filter(col("user_nk") =!= "existing-user")
+      .orderBy("user_nk").select(col("dim_user_key"))
+      .collect().map(_.getLong(0))
+    assert(keys === (41L to 40L + 50000L).toArray)
+    // same keys under a different input partitioning (determinism)
+    val out2 = DimensionBuilder.plan(big.repartition(3), sink, spec)
+      .filter(col("user_nk") =!= "existing-user")
+      .orderBy("user_nk").select(col("dim_user_key"))
+      .collect().map(_.getLong(0))
+    assert(out2 === keys)
+    // tripwire: the only partition-less windows are metadata-sized
+    val checked = graft.PlanChecks.assertGlobalWindowsAreMetadataOnly("dim_plan", out)
+    assert(checked >= 1) // the offsets window IS there — and only there
+  }
 }
