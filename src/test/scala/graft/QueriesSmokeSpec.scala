@@ -19,6 +19,12 @@ class QueriesSmokeSpec extends SparkTestBase {
     test(s"query ${q.name} executes on sf0.001") {
       val df = q.run(spark, sf("0.001"))
       assert(df.count() >= 0)
+      // WindowExec tripwire: any partition-less window in a declared
+      // query must sit over aggregated (metadata-cardinality) input —
+      // a full-corpus frame under a global window is the single-task
+      // scale regression the r3 verdict flagged, and it must not be
+      // able to reappear silently.
+      PlanChecks.assertGlobalWindowsAreMetadataOnly(q.name, df)
     }
   }
 }
