@@ -64,16 +64,22 @@ final case class TxLog(spark: SparkSession, root: String,
     *   #partcol=<name>              // optional: table is partition-tagged
     *   #statscol=<name>|<sqlType>   // optional: per-dir min/max stats kept
     *   #range\t<dir>\t<min>\t<max>  // data-skipping stats for one dir
+    *   #txn\t<appId>\t<batchId>     // highest committed batch per writer app
     *   <dir>                        // dir covers the whole table
     *   <dir>\t<partValue>           // dir carries this partition's live rows
     * }}}
     * A dir may appear on several entry lines (one per partition it is
     * live for); rows of OTHER partitions inside such a dir are dead —
-    * superseded by a later merge — and filtered out on read. */
+    * superseded by a later merge — and filtered out on read.
+    * `#txn` lines carry each writer application's high-water batch id
+    * (Delta's txnAppId/txnVersion idempotence contract): a streaming
+    * job that redelivers a batch after restart finds its id already
+    * recorded and skips the double-commit. */
   private case class Manifest(partCol: Option[String],
                               stats: Option[(String, String)],
                               entries: Seq[(String, Option[String])],
-                              ranges: Map[String, (String, String)]) {
+                              ranges: Map[String, (String, String)],
+                              txns: Map[String, Long] = Map.empty) {
     def dirs: Seq[String] = entries.map(_._1).distinct
   }
 
@@ -97,6 +103,12 @@ final case class TxLog(spark: SparkSession, root: String,
         case _ => throw new java.io.IOException(s"bad range line: $l")
       }
     }.toMap
+    val txns = lines.filter(_.startsWith("#txn\t")).map { l =>
+      l.stripPrefix("#txn\t").split('\t') match {
+        case Array(app, id) => app -> id.toLong
+        case _ => throw new java.io.IOException(s"bad txn line: $l")
+      }
+    }.toMap
     val entries = lines.filterNot(_.startsWith("#")).map { l =>
       l.split('\t') match {
         case Array(d) => (d, None)
@@ -104,13 +116,14 @@ final case class TxLog(spark: SparkSession, root: String,
         case _ => throw new java.io.IOException(s"bad manifest line: $l")
       }
     }
-    Manifest(partCol, stats, entries, ranges)
+    Manifest(partCol, stats, entries, ranges, txns)
   }
 
   private def manifestLines(m: Manifest): Seq[String] =
     m.partCol.map(c => s"#partcol=$c").toSeq ++
       m.stats.map { case (c, t) => s"#statscol=$c|$t" }.toSeq ++
       m.ranges.toSeq.sortBy(_._1).map { case (d, (lo, hi)) => s"#range\t$d\t$lo\t$hi" } ++
+      m.txns.toSeq.sortBy(_._1).map { case (a, i) => s"#txn\t$a\t$i" } ++
       m.entries.map { case (d, t) => d + t.fold("")("\t" + _) }
 
   private def readManifest(v: Long): Seq[String] =
@@ -325,17 +338,29 @@ final case class TxLog(spark: SparkSession, root: String,
 
   private val MaxRaceRetries = 5
 
+  /** Txn bookkeeping for a commit: previous manifest's per-app batch
+    * ids, updated with this commit's (if any). */
+  private def txnsAfter(prev: Map[String, Long],
+                        txn: Option[(String, Long)]): Map[String, Long] =
+    txn.fold(prev) { case (app, id) => prev + (app -> math.max(id, prev.getOrElse(app, -1L))) }
+
+  /** Whether `txn` was already committed per the manifest — the
+    * foreachBatch-redelivery test (Delta txnAppId/txnVersion). */
+  private def alreadyCommitted(m: Manifest, txn: Option[(String, Long)]): Boolean =
+    txn.exists { case (app, id) => m.txns.get(app).exists(_ >= id) }
+
   /** Overwrite-style commit: the new snapshot is exactly `df`. The
     * payload is independent of the previous snapshot, so losing an
     * optimistic race only slides the version number. */
   def overwrite(df: DataFrame): Long = {
     val uuid = writeDataDir(df)
     val (hdr, ranges) = statsFor(uuid)
-    val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges))
     var attempt = 0
     while (attempt < MaxRaceRetries) {
-      val next = currentVersion() + 1
-      if (tryCommitManifest(next, lines)) return next
+      val cur = currentVersion()
+      val prevTxns = if (cur >= 0) readManifestFull(cur).txns else Map.empty[String, Long]
+      val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges, prevTxns))
+      if (tryCommitManifest(cur + 1, lines)) return cur + 1
       attempt += 1
     }
     throw new java.io.IOException(
@@ -347,7 +372,7 @@ final case class TxLog(spark: SparkSession, root: String,
     * loser that recommitted its pre-race view would silently drop the
     * winner's data (lost update); re-reading makes concurrent appends
     * serialize losslessly (pinned by the TxLogSpec race test). */
-  def append(df: DataFrame): Long = {
+  def append(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
     val uuid = writeDataDir(df)
     val (hdr, newRanges) = statsFor(uuid)
     var attempt = 0
@@ -356,6 +381,9 @@ final case class TxLog(spark: SparkSession, root: String,
       val prev =
         if (cur >= 0) readManifestFull(cur)
         else Manifest(None, None, Seq.empty, Map.empty)
+      // a redelivered append MUST be skipped — unlike merge, appending
+      // the same batch twice duplicates rows
+      if (alreadyCommitted(prev, txn)) return cur
       // carry the previous snapshot's entries, partition tags, and
       // stats wholesale; drop carried ranges if the stats column
       // disagrees with this writer's (conservative reads, never wrong)
@@ -363,7 +391,8 @@ final case class TxLog(spark: SparkSession, root: String,
       val m = Manifest(prev.partCol,
         hdr.orElse(prev.stats),
         prev.entries :+ ((uuid, None)),
-        (if (keepStats) prev.ranges else Map.empty[String, (String, String)]) ++ newRanges)
+        (if (keepStats) prev.ranges else Map.empty[String, (String, String)]) ++ newRanges,
+        txnsAfter(prev.txns, txn))
       if (tryCommitManifest(cur + 1, manifestLines(m))) return cur + 1
       attempt += 1
     }
@@ -381,8 +410,12 @@ final case class TxLog(spark: SparkSession, root: String,
   /** Overwrite-style commit that TAGS the new snapshot's manifest with
     * the partitions present in `df`, enabling partition-pruned
     * [[mergePartitioned]] commits afterwards. `partCol` stays a normal
-    * column in the data; pruning happens at the manifest level. */
-  def overwritePartitioned(df: DataFrame, partCol: String): Long = {
+    * column in the data; pruning happens at the manifest level.
+    * `txn` = (appId, batchId) records the writer's batch high-water
+    * mark; a redelivered batch (id ≤ recorded) is skipped — the
+    * foreachBatch exactly-once contract. */
+  def overwritePartitioned(df: DataFrame, partCol: String,
+                           txn: Option[(String, Long)] = None): Long = {
     val uuid = writeDataDir(df)
     val (hdr, ranges) = statsFor(uuid)
     // empty df → zero partitions; keep the dir referenced untagged so
@@ -391,11 +424,18 @@ final case class TxLog(spark: SparkSession, root: String,
     val entries =
       if (parts.isEmpty) Seq((uuid, Option.empty[String]))
       else parts.map(p => (uuid, Some(p)))
-    val lines = manifestLines(Manifest(Some(partCol), hdr, entries, ranges))
     var attempt = 0
     while (attempt < MaxRaceRetries) {
-      val next = currentVersion() + 1
-      if (tryCommitManifest(next, lines)) return next
+      val cur = currentVersion()
+      val prevTxns =
+        if (cur >= 0) {
+          val prev = readManifestFull(cur)
+          if (alreadyCommitted(prev, txn)) return cur
+          prev.txns
+        } else Map.empty[String, Long]
+      val lines = manifestLines(Manifest(Some(partCol), hdr, entries, ranges,
+        txnsAfter(prevTxns, txn)))
+      if (tryCommitManifest(cur + 1, lines)) return cur + 1
       attempt += 1
     }
     throw new java.io.IOException(
@@ -424,14 +464,18 @@ final case class TxLog(spark: SparkSession, root: String,
     * key can never move between partitions — otherwise the pruned
     * merge would miss the key's old row and duplicate it. */
   def mergePartitioned(src: DataFrame, keys: Seq[String],
-                       partCol: String): Long = {
+                       partCol: String, txn: Option[(String, Long)] = None): Long = {
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val base = currentVersion()
       require(base >= 0, s"TxLog table at $root has no commits to merge into")
+      val prev = readManifestFull(base)
+      // redelivered batch (streaming restart): already committed — the
+      // manifest records this writer's batch id. Exactly-once, no
+      // double-merge, no version churn.
+      if (alreadyCommitted(prev, txn)) return base
       // empty batch: SCD1 no-op — commit nothing, current version stands
       if (src.isEmpty) return base
-      val prev = readManifestFull(base)
       val entries = prev.entries
       val affected = partValues(src, partCol).toSet
       val pruned = prev.partCol.contains(partCol) && entries.forall(_._2.isDefined)
@@ -465,7 +509,7 @@ final case class TxLog(spark: SparkSession, root: String,
         if (pruned) affected.toSeq.sorted else partValues(merged, partCol)
       val lines = manifestLines(Manifest(Some(partCol), hdr.orElse(prev.stats),
         carry ++ mergedParts.map(p => (uuid, Some(p))),
-        carriedRanges ++ newRanges))
+        carriedRanges ++ newRanges, txnsAfter(prev.txns, txn)))
       if (tryCommitManifest(base + 1, lines)) return base + 1
       attempt += 1
     }
@@ -486,17 +530,21 @@ final case class TxLog(spark: SparkSession, root: String,
     * result at a later version would undo the winner's changes —
     * Delta raises ConcurrentModification here; we re-merge, which is
     * equivalent to retrying the transaction. */
-  def merge(src: DataFrame, keys: Seq[String]): Long = {
+  def merge(src: DataFrame, keys: Seq[String],
+            txn: Option[(String, Long)] = None): Long = {
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val base = currentVersion()
       require(base >= 0, s"TxLog table at $root has no commits to merge into")
+      val prev = readManifestFull(base)
+      if (alreadyCommitted(prev, txn)) return base
       // materialize before the commit swaps the snapshot out from
       // under the plan (merged reads the base snapshot's files)
       val merged = Upsert.merge(snapshot(base), src, keys).localCheckpoint(true)
       val uuid = writeDataDir(merged)
       val (hdr, ranges) = statsFor(uuid)
-      val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges))
+      val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
+        txnsAfter(prev.txns, txn)))
       if (tryCommitManifest(base + 1, lines)) return base + 1
       attempt += 1
     }
@@ -542,12 +590,13 @@ final case class TxLog(spark: SparkSession, root: String,
       if (part.isEmpty) None else Some(writeDataDir(part))
     }
     val stats = uuids.map(statsFor)
-    val m = Manifest(None, stats.flatMap(_._1).headOption,
-      uuids.map(u => (u, None)), stats.flatMap(_._2).toMap)
     var attempt = 0
     while (attempt < MaxRaceRetries) {
-      val next = currentVersion() + 1
-      if (tryCommitManifest(next, manifestLines(m))) return next
+      val cur = currentVersion()
+      val prevTxns = if (cur >= 0) readManifestFull(cur).txns else Map.empty[String, Long]
+      val m = Manifest(None, stats.flatMap(_._1).headOption,
+        uuids.map(u => (u, None)), stats.flatMap(_._2).toMap, prevTxns)
+      if (tryCommitManifest(cur + 1, manifestLines(m))) return cur + 1
       attempt += 1
     }
     throw new java.io.IOException(

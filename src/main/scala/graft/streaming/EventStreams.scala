@@ -204,19 +204,36 @@ object EventStreams {
     SessionizeStream.withStatePartitions(spark, 8) {
       val q = agg.writeStream
         .outputMode("update")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val b = batch.filter(col("event_type") =!= "sentinel")
-          if (!b.isEmpty) {
-            if (log.exists())
-              log.mergePartitioned(b, Seq("hour_start", "event_type"), "event_date")
-            else log.overwritePartitioned(b, "event_date")
-          }
-          () // foreachBatch wants Unit; the commit version is logged in _txlog
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          commitHourlyBatch(log, batch, batchId)
         }
         .start()
       try q.processAllAvailable() finally q.stop()
     }
     log.snapshot().drop("event_date")
+  }
+
+  /** App id under which the hourly TxLog stream records its batch
+    * high-water mark in each commit's manifest. */
+  private[graft] val HourlyTxnApp = "graft_hourly_txlog"
+
+  /** One microbatch's commit of [[hourlyMergeToTxLog]] — EXACTLY-ONCE
+    * under foreachBatch redelivery: the commit carries
+    * ([[HourlyTxnApp]], batchId), and [[graft.pipeline.TxLog]] skips a
+    * batch id at-or-below the manifest's recorded high-water mark. A
+    * restarted query that redelivers its last batch (commit landed,
+    * checkpoint offset didn't) therefore cannot double-merge.
+    * Exposed for the redelivery spec. */
+  private[graft] def commitHourlyBatch(log: graft.pipeline.TxLog,
+                                       batch: DataFrame, batchId: Long): Unit = {
+    val b = batch.filter(col("event_type") =!= "sentinel")
+    val txn = Some((HourlyTxnApp, batchId))
+    if (!b.isEmpty) {
+      if (log.exists())
+        log.mergePartitioned(b, Seq("hour_start", "event_type"), "event_date", txn)
+      else log.overwritePartitioned(b, "event_date", txn)
+    }
+    () // foreachBatch wants Unit; the commit version is logged in _txlog
   }
 
   /** Streaming EXACT dedup: `dropDuplicates` over the dedup key emits

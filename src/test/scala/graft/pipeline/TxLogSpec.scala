@@ -237,6 +237,43 @@ class TxLogSpec extends SparkTestBase {
     assert(spark.sql(t.snapshotSql()).count() === t.snapshot().count())
   }
 
+  test("txn-keyed commits are exactly-once: redelivered batches skip, appends never duplicate") {
+    val t = fresh("txn")
+    val app = Some(("writerA", 0L))
+    t.overwritePartitioned(Seq(("d1", 1L, "x")).toDF("day", "id", "v"), "day", app)
+    val v1 = t.mergePartitioned(Seq(("d1", 1L, "X")).toDF("day", "id", "v"),
+      Seq("id"), "day", Some(("writerA", 1L)))
+    assert(v1 === 1L)
+    // REDELIVERY of batch 1 (foreachBatch after restart): same id →
+    // skipped, no new version, no content change
+    val v1b = t.mergePartitioned(Seq(("d1", 1L, "X")).toDF("day", "id", "v"),
+      Seq("id"), "day", Some(("writerA", 1L)))
+    assert(v1b === 1L && t.currentVersion() === 1L)
+    // a LATE redelivery after newer commits must not regress state:
+    val v2 = t.mergePartitioned(Seq(("d1", 1L, "NEWER")).toDF("day", "id", "v"),
+      Seq("id"), "day", Some(("writerA", 2L)))
+    assert(v2 === 2L)
+    val replayOld = t.mergePartitioned(Seq(("d1", 1L, "X")).toDF("day", "id", "v"),
+      Seq("id"), "day", Some(("writerA", 1L)))
+    assert(replayOld === 2L)
+    assert(t.snapshot().filter(col("id") === 1L).head().getString(2) === "NEWER")
+    // independent writer apps do not interfere
+    assert(t.mergePartitioned(Seq(("d1", 5L, "b")).toDF("day", "id", "v"),
+      Seq("id"), "day", Some(("writerB", 1L))) === 3L)
+    // append redelivery would DUPLICATE rows without the guard
+    val a = fresh("txn_append")
+    a.append(Seq((1L, "r1")).toDF("id", "v"), Some(("app", 0L)))
+    a.append(Seq((2L, "r2")).toDF("id", "v"), Some(("app", 1L)))
+    a.append(Seq((2L, "r2")).toDF("id", "v"), Some(("app", 1L))) // redelivered
+    assert(a.snapshot().count() === 2)
+    // txn marks survive unkeyed commits and compaction
+    a.append(Seq((3L, "r3")).toDF("id", "v"))
+    a.compact()
+    assert(a.append(Seq((2L, "r2")).toDF("id", "v"), Some(("app", 1L)))
+      === a.currentVersion())
+    assert(a.snapshot().count() === 3)
+  }
+
   test("concurrent writers: every version has exactly one winner, losers land on later versions") {
     val t = fresh("race")
     t.overwrite(Seq((0L, "base")).toDF("id", "v"))
