@@ -35,7 +35,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet readable by any engine.
   */
 final case class TxLog(spark: SparkSession, root: String,
-                       statsCol: Option[String] = None) {
+                       statsCols: Seq[String] = Nil) {
 
   private val logDir = s"$root/_txlog"
   private val dataDir = s"$root/data"
@@ -61,12 +61,12 @@ final case class TxLog(spark: SparkSession, root: String,
     * log would be JSON actions — the commit protocol is the point
     * here):
     * {{{
-    *   #partcol=<name>              // optional: table is partition-tagged
-    *   #statscol=<name>|<sqlType>   // optional: per-dir min/max stats kept
-    *   #range\t<dir>\t<min>\t<max>  // data-skipping stats for one dir
-    *   #txn\t<appId>\t<batchId>     // highest committed batch per writer app
-    *   <dir>                        // dir covers the whole table
-    *   <dir>\t<partValue>           // dir carries this partition's live rows
+    *   #partcol=<name>                    // optional: table is partition-tagged
+    *   #statscol=<name>|<sqlType>         // one per stats column tracked
+    *   #range\t<dir>\t<col>\t<min>\t<max> // data-skipping stats, one per (dir, col)
+    *   #txn\t<appId>\t<batchId>           // highest committed batch per writer app
+    *   <dir>                              // dir covers the whole table
+    *   <dir>\t<partValue>                 // dir carries this partition's live rows
     * }}}
     * A dir may appear on several entry lines (one per partition it is
     * live for); rows of OTHER partitions inside such a dir are dead —
@@ -76,9 +76,9 @@ final case class TxLog(spark: SparkSession, root: String,
     * job that redelivers a batch after restart finds its id already
     * recorded and skips the double-commit. */
   private case class Manifest(partCol: Option[String],
-                              stats: Option[(String, String)],
+                              stats: Seq[(String, String)],
                               entries: Seq[(String, Option[String])],
-                              ranges: Map[String, (String, String)],
+                              ranges: Map[(String, String), (String, String)],
                               txns: Map[String, Long] = Map.empty) {
     def dirs: Seq[String] = entries.map(_._1).distinct
   }
@@ -90,16 +90,15 @@ final case class TxLog(spark: SparkSession, root: String,
     val partCol = lines.collectFirst {
       case l if l.startsWith("#partcol=") => l.stripPrefix("#partcol=")
     }
-    val stats = lines.collectFirst {
-      case l if l.startsWith("#statscol=") =>
-        l.stripPrefix("#statscol=").split('|') match {
-          case Array(c, t) => (c, t)
-          case _ => throw new java.io.IOException(s"bad statscol header: $l")
-        }
+    val stats = lines.filter(_.startsWith("#statscol=")).map { l =>
+      l.stripPrefix("#statscol=").split('|') match {
+        case Array(c, t) => (c, t)
+        case _ => throw new java.io.IOException(s"bad statscol header: $l")
+      }
     }
     val ranges = lines.filter(_.startsWith("#range\t")).map { l =>
       l.stripPrefix("#range\t").split('\t') match {
-        case Array(d, lo, hi) => d -> (lo, hi)
+        case Array(d, c, lo, hi) => (d, c) -> (lo, hi)
         case _ => throw new java.io.IOException(s"bad range line: $l")
       }
     }.toMap
@@ -121,8 +120,9 @@ final case class TxLog(spark: SparkSession, root: String,
 
   private def manifestLines(m: Manifest): Seq[String] =
     m.partCol.map(c => s"#partcol=$c").toSeq ++
-      m.stats.map { case (c, t) => s"#statscol=$c|$t" }.toSeq ++
-      m.ranges.toSeq.sortBy(_._1).map { case (d, (lo, hi)) => s"#range\t$d\t$lo\t$hi" } ++
+      m.stats.map { case (c, t) => s"#statscol=$c|$t" } ++
+      m.ranges.toSeq.sortBy(_._1).map { case ((d, c), (lo, hi)) =>
+        s"#range\t$d\t$c\t$lo\t$hi" } ++
       m.txns.toSeq.sortBy(_._1).map { case (a, i) => s"#txn\t$a\t$i" } ++
       m.entries.map { case (d, t) => d + t.fold("")("\t" + _) }
 
@@ -184,41 +184,59 @@ final case class TxLog(spark: SparkSession, root: String,
     readEntries(m, m.dirs.toSet)
   }
 
-  /** Range read over the stats column — TxLog data skipping: dirs
-    * whose committed [min,max] cannot intersect [lo,hi] are never
-    * opened (the lakehouse file-skipping move; manifest-level here,
-    * file-footer-level in Delta/Iceberg). Dirs without stats are read
-    * conservatively; a residual typed filter keeps the result exact
-    * either way. `lo`/`hi` are inclusive bounds in the column's
-    * string form (e.g. "2024-01-03" for a DATE column). */
-  def snapshotRange(lo: String, hi: String, version: Long = -1L): DataFrame = {
+  /** Range read over ONE of the table's stats columns — TxLog data
+    * skipping: dirs whose committed [min,max] for `column` cannot
+    * intersect [lo,hi] are never opened (the lakehouse file-skipping
+    * move; manifest-level here, file-footer-level in Delta/Iceberg).
+    * Dirs without stats for that column are read conservatively; a
+    * residual typed filter keeps the result exact either way. `lo`/`hi`
+    * are inclusive bounds in the column's string form (e.g.
+    * "2024-01-03" for a DATE column). */
+  def snapshotRangeOn(column: String, lo: String, hi: String,
+                      version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else currentVersion()
     require(v >= 0, s"TxLog table at $root has no commits")
     val m = readManifestFull(v)
-    val (c, t) = m.stats.getOrElse(throw new IllegalArgumentException(
-      s"TxLog table at $root has no stats column — commit through a TxLog(statsCol=...) writer"))
-    val live = m.dirs.filter { d =>
-      m.ranges.get(d).forall { case (mn, mx) =>
-        cmpVals(t, mx, lo) >= 0 && cmpVals(t, mn, hi) <= 0
-      }
-    }.toSet
+    val (c, t) = statsEntry(m, column)
     import org.apache.spark.sql.functions.{col, expr}
     def q(s: String) = s.replace("'", "''") // SQL-literal escape
-    readEntries(m, live)
+    readEntries(m, pruneDirs(m, c, t, lo, hi).toSet)
       .filter(col(c) >= expr(s"CAST('${q(lo)}' AS $t)") &&
         col(c) <= expr(s"CAST('${q(hi)}' AS $t)"))
   }
 
-  /** Dirs the data-skipping prune would open for [lo,hi] — exposed so
-    * tests can assert skipping is structural, not just filtered. */
-  private[pipeline] def rangeDirs(lo: String, hi: String): Seq[String] = {
-    val m = readManifestFull(currentVersion())
-    val (_, t) = m.stats.get
+  /** [[snapshotRangeOn]] over the FIRST declared stats column. */
+  def snapshotRange(lo: String, hi: String, version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else currentVersion()
+    require(v >= 0, s"TxLog table at $root has no commits")
+    snapshotRangeOn(firstStatsCol(readManifestFull(v)), lo, hi, version)
+  }
+
+  private def statsEntry(m: Manifest, column: String): (String, String) =
+    m.stats.find(_._1 == column).getOrElse(throw new IllegalArgumentException(
+      s"TxLog table at $root keeps no stats for '$column' " +
+        s"(tracked: ${m.stats.map(_._1).mkString(",")}) — commit through a TxLog(statsCols=...) writer"))
+
+  private def firstStatsCol(m: Manifest): String =
+    m.stats.headOption.map(_._1).getOrElse(throw new IllegalArgumentException(
+      s"TxLog table at $root has no stats columns — commit through a TxLog(statsCols=...) writer"))
+
+  private def pruneDirs(m: Manifest, c: String, t: String,
+                        lo: String, hi: String): Seq[String] =
     m.dirs.filter { d =>
-      m.ranges.get(d).forall { case (mn, mx) =>
+      m.ranges.get((d, c)).forall { case (mn, mx) =>
         cmpVals(t, mx, lo) >= 0 && cmpVals(t, mn, hi) <= 0
       }
     }
+
+  /** Dirs the data-skipping prune would open for [lo,hi] on `column`
+    * (default: first stats column) — exposed so tests can assert
+    * skipping is structural, not just filtered. */
+  private[pipeline] def rangeDirs(lo: String, hi: String,
+                                  column: Option[String] = None): Seq[String] = {
+    val m = readManifestFull(currentVersion())
+    val (c, t) = statsEntry(m, column.getOrElse(firstStatsCol(m)))
+    pruneDirs(m, c, t, lo, hi)
   }
 
   /** Driver-side ordering in the stats column's type: numeric types
@@ -273,30 +291,35 @@ final case class TxLog(spark: SparkSession, root: String,
   private val StatsSafeTypes: Set[String] =
     Set("TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE", "DATE", "STRING")
 
-  /** Min/max of [[statsCol]] over a freshly-written dir, with the
-    * column's SQL type — one footer-cheap agg scan per commit, the
-    * price of every future skipped read. Returns nothing when stats
-    * are off, the column is absent/unsupported, or its bounds contain
-    * characters that would corrupt the line format. */
-  private def statsFor(uuid: String): (Option[(String, String)], Map[String, (String, String)]) =
-    statsCol match {
-      case None => (None, Map.empty)
-      case Some(c) =>
-        import org.apache.spark.sql.functions.{col, max, min}
-        val df = snapshotOfDir(uuid)
-        df.schema.find(_.name == c) match {
-          case Some(f) if StatsSafeTypes(f.dataType.sql) =>
-            val hdr = Some((c, f.dataType.sql))
-            val r = df.agg(min(col(c)).cast("string"), max(col(c)).cast("string")).head()
-            if (r.isNullAt(0) || r.isNullAt(1)) (hdr, Map.empty)
-            else {
-              val (mn, mx) = (r.getString(0), r.getString(1))
-              if ((mn + mx).exists(ch => ch == '\t' || ch == '\n' || ch == '\r'))
-                (hdr, Map.empty)
-              else (hdr, Map(uuid -> (mn, mx)))
-            }
-          case _ => (None, Map.empty)
-        }
+  /** Min/max of every [[statsCols]] column over a freshly-written dir,
+    * with each column's SQL type — ONE footer-cheap agg scan per commit
+    * regardless of column count, the price of every future skipped
+    * read. Columns that are absent/unsupported are dropped from the
+    * header; bounds containing line-format characters are dropped from
+    * the ranges (conservative reads, never wrong). */
+  private def statsFor(uuid: String): (Seq[(String, String)], Map[(String, String), (String, String)]) =
+    if (statsCols.isEmpty) (Seq.empty, Map.empty)
+    else {
+      import org.apache.spark.sql.functions.{col, max, min}
+      val df = snapshotOfDir(uuid)
+      val usable = statsCols.flatMap(c => df.schema.find(_.name == c)
+        .filter(f => StatsSafeTypes(f.dataType.sql))
+        .map(f => (c, f.dataType.sql)))
+      if (usable.isEmpty) (Seq.empty, Map.empty)
+      else {
+        val aggs = usable.flatMap { case (c, _) =>
+          Seq(min(col(c)).cast("string"), max(col(c)).cast("string")) }
+        val r = df.agg(aggs.head, aggs.drop(1): _*).head()
+        val ranges = usable.zipWithIndex.flatMap { case ((c, _), i) =>
+          if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
+          else {
+            val (mn, mx) = (r.getString(2 * i), r.getString(2 * i + 1))
+            if ((mn + mx).exists(ch => ch == '\t' || ch == '\n' || ch == '\r')) None
+            else Some((uuid, c) -> (mn, mx))
+          }
+        }.toMap
+        (usable, ranges)
+      }
     }
 
   /** Attempt to commit `lines` as EXACTLY `version`'s manifest.
@@ -380,18 +403,20 @@ final case class TxLog(spark: SparkSession, root: String,
       val cur = currentVersion()
       val prev =
         if (cur >= 0) readManifestFull(cur)
-        else Manifest(None, None, Seq.empty, Map.empty)
+        else Manifest(None, Seq.empty, Seq.empty, Map.empty)
       // a redelivered append MUST be skipped — unlike merge, appending
       // the same batch twice duplicates rows
       if (alreadyCommitted(prev, txn)) return cur
       // carry the previous snapshot's entries, partition tags, and
-      // stats wholesale; drop carried ranges if the stats column
-      // disagrees with this writer's (conservative reads, never wrong)
-      val keepStats = prev.stats.isEmpty || prev.stats.map(_._1) == hdr.map(_._1)
+      // stats wholesale; ranges are keyed (dir, col), so carried stats
+      // stay valid for any column the chosen header still tracks
+      // (columns outside it read conservatively, never wrong)
+      val header = if (hdr.nonEmpty) hdr else prev.stats
+      val headerCols = header.map(_._1).toSet
       val m = Manifest(prev.partCol,
-        hdr.orElse(prev.stats),
+        header,
         prev.entries :+ ((uuid, None)),
-        (if (keepStats) prev.ranges else Map.empty[String, (String, String)]) ++ newRanges,
+        prev.ranges.filter { case ((_, c), _) => headerCols(c) } ++ newRanges,
         txnsAfter(prev.txns, txn))
       if (tryCommitManifest(cur + 1, manifestLines(m))) return cur + 1
       attempt += 1
@@ -497,17 +522,17 @@ final case class TxLog(spark: SparkSession, root: String,
       val merged = Upsert.merge(target, src, keys).localCheckpoint(true)
       val uuid = writeDataDir(merged)
       val (hdr, newRanges) = statsFor(uuid)
-      val keepStats = prev.stats.isEmpty || prev.stats.map(_._1) == hdr.map(_._1)
-      val carriedRanges =
-        if (keepStats) prev.ranges.filter { case (d, _) => carry.exists(_._1 == d) }
-        else Map.empty[String, (String, String)]
+      val header = if (hdr.nonEmpty) hdr else prev.stats
+      val headerCols = header.map(_._1).toSet
+      val carriedRanges = prev.ranges.filter { case ((d, c), _) =>
+        headerCols(c) && carry.exists(_._1 == d) }
       // pruned path: merged's partitions ARE the affected set (the
       // pruned target only held affected partitions and SCD1 never
       // drops rows) — no extra distinct job; the retag path must
       // enumerate the full table's partitions once.
       val mergedParts =
         if (pruned) affected.toSeq.sorted else partValues(merged, partCol)
-      val lines = manifestLines(Manifest(Some(partCol), hdr.orElse(prev.stats),
+      val lines = manifestLines(Manifest(Some(partCol), header,
         carry ++ mergedParts.map(p => (uuid, Some(p))),
         carriedRanges ++ newRanges, txnsAfter(prev.txns, txn)))
       if (tryCommitManifest(base + 1, lines)) return base + 1
@@ -568,7 +593,7 @@ final case class TxLog(spark: SparkSession, root: String,
   }
 
   /** Range-CLUSTERED compaction — the 1-D Z-ORDER move: rewrite the
-    * snapshot as `nBuckets` dirs, range-partitioned on [[statsCol]],
+    * snapshot as `nBuckets` dirs, range-partitioned on the FIRST stats column,
     * so each dir's committed [min,max] is a tight disjoint slice and
     * [[snapshotRange]] skips all but the matching bucket(s). Run it
     * after bulk ingest shuffles values across dirs and skipping
@@ -577,8 +602,8 @@ final case class TxLog(spark: SparkSession, root: String,
     * clustering). */
   def compactClustered(nBuckets: Int): Long = {
     require(exists(), s"TxLog table at $root has no commits to compact")
-    val c = statsCol.getOrElse(throw new IllegalArgumentException(
-      "compactClustered needs a statsCol-configured TxLog writer"))
+    val c = statsCols.headOption.getOrElse(throw new IllegalArgumentException(
+      "compactClustered needs a statsCols-configured TxLog writer"))
     require(readManifestFull(currentVersion()).partCol.isEmpty,
       "clustered compaction on a partition-tagged table is unsupported")
     import org.apache.spark.sql.functions.{col, spark_partition_id}
@@ -590,11 +615,12 @@ final case class TxLog(spark: SparkSession, root: String,
       if (part.isEmpty) None else Some(writeDataDir(part))
     }
     val stats = uuids.map(statsFor)
+    val header = stats.map(_._1).find(_.nonEmpty).getOrElse(Seq.empty)
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val cur = currentVersion()
       val prevTxns = if (cur >= 0) readManifestFull(cur).txns else Map.empty[String, Long]
-      val m = Manifest(None, stats.flatMap(_._1).headOption,
+      val m = Manifest(None, header,
         uuids.map(u => (u, None)), stats.flatMap(_._2).toMap, prevTxns)
       if (tryCommitManifest(cur + 1, manifestLines(m))) return cur + 1
       attempt += 1

@@ -127,7 +127,7 @@ class TxLogSpec extends SparkTestBase {
   }
 
   test("data skipping: range reads open only dirs whose stats overlap the bounds") {
-    val t = TxLog(spark, tmpDir("txlog_skip"), statsCol = Some("day"))
+    val t = TxLog(spark, tmpDir("txlog_skip"), statsCols = Seq("day"))
     t.overwrite(Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("day", "id"))
     t.append(Seq(("2024-02-01", 3L), ("2024-02-02", 4L)).toDF("day", "id"))
     t.append(Seq(("2024-03-01", 5L)).toDF("day", "id"))
@@ -148,6 +148,38 @@ class TxLogSpec extends SparkTestBase {
     // a stats-less writer's commit stays readable (conservative scan)
     TxLog(spark, t.root).append(Seq(("2024-04-01", 6L)).toDF("day", "id"))
     assert(t.snapshotRange("2024-01-01", "2024-12-31").count() === 6)
+  }
+
+  test("multi-column data skipping: each stats column prunes independently") {
+    // real tables prune on several columns (date + key): track both
+    val t = TxLog(spark, tmpDir("txlog_skip_multi"), statsCols = Seq("day", "id"))
+    t.overwrite(Seq(("2024-01-01", 10L), ("2024-01-02", 20L)).toDF("day", "id"))
+    t.append(Seq(("2024-02-01", 30L), ("2024-02-02", 40L)).toDF("day", "id"))
+    t.append(Seq(("2024-03-01", 50L)).toDF("day", "id"))
+    assert(t.snapshotDataDirs().length === 3)
+    // first column (day) prunes as before
+    assert(t.rangeDirs("2024-02-01", "2024-02-15").length === 1)
+    // SECOND column (id) prunes structurally too: ids 30-45 live only
+    // in the February dir
+    assert(t.rangeDirs("30", "45", Some("id")).length === 1)
+    assert(t.snapshotRangeOn("id", "30", "45").collect()
+      .map(_.getLong(1)).sorted === Seq(30L, 40L))
+    // a range straddling dirs on id opens exactly those two
+    assert(t.rangeDirs("20", "30", Some("id")).length === 2)
+    // residual filter keeps exactness inside an opened dir
+    assert(t.snapshotRangeOn("id", "15", "25").collect()
+      .map(_.getLong(1)).toSeq === Seq(20L))
+    // out-of-range on the second column opens nothing
+    assert(t.rangeDirs("900", "999", Some("id")).isEmpty)
+    assert(t.snapshotRangeOn("id", "900", "999").count() === 0)
+    // both columns' stats survive a partitioned-merge carry: merge one
+    // dir's worth and check the carried dirs still prune on id
+    val t2 = TxLog(spark, tmpDir("txlog_skip_multi2"), statsCols = Seq("day", "id"))
+    t2.overwritePartitioned(Seq(("a", 1L), ("b", 100L)).toDF("day", "id"), "day")
+    t2.mergePartitioned(Seq(("a", 2L)).toDF("day", "id"), Seq("id"), "day")
+    assert(t2.snapshotDataDirs().length === 2)
+    assert(t2.snapshotRangeOn("id", "1", "5").collect()
+      .map(_.getLong(1)).sorted === Seq(1L, 2L))
   }
 
   test("empty batches: partitioned overwrite resolves, partitioned merge is a version no-op") {
@@ -172,7 +204,7 @@ class TxLogSpec extends SparkTestBase {
   }
 
   test("clustered compaction tightens per-dir ranges so skipping hits one bucket") {
-    val t = TxLog(spark, tmpDir("txlog_cluster"), statsCol = Some("k"))
+    val t = TxLog(spark, tmpDir("txlog_cluster"), statsCols = Seq("k"))
     // two appends, each spanning the WHOLE key range — skipping is
     // useless (every dir overlaps every range)...
     t.overwrite(spark.range(0, 1000, 2).toDF("k"))
@@ -212,7 +244,7 @@ class TxLogSpec extends SparkTestBase {
   }
 
   test("all-skipped range read keeps the FULL evolved schema (residual filters resolve)") {
-    val t = TxLog(spark, tmpDir("txlog_skip_schema"), statsCol = Some("day"))
+    val t = TxLog(spark, tmpDir("txlog_skip_schema"), statsCols = Seq("day"))
     t.overwrite(Seq(("2024-01-01", 1L)).toDF("day", "id"))
     // schema evolution: later append adds `score`
     t.append(Seq(("2024-02-01", 2L, 9L)).toDF("day", "id", "score"))
