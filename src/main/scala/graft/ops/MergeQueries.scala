@@ -172,6 +172,50 @@ object MergeQueries {
       SELECT s_suppkey + 1000000, s_name, CAST(bal AS DOUBLE) AS s_acctbal
       FROM sup WHERE s_suppkey % 5 = 0""")),
 
+    // O4b — partition-pruned CDC apply through the TRANSACTION LOG:
+    // the same three-clause fold as o4, but committed via
+    // TxLog.applyChangesPartitioned against a nation-partitioned
+    // customer table — only the partitions present in the change batch
+    // are read and rewritten, deletes drop manifest lines (a fully
+    // emptied partition vanishes without a dir-removal dance). The
+    // oracle is the unpartitioned fold: partitioning must not change
+    // the relation.
+    Q("o5_cdc_partitioned", (spark, dir) => {
+      val cust = load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_name"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      val path = "/root/repo/target/tmp/o5_cdc_part/customer"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(path).getParentFile)
+      val t = graft.pipeline.TxLog(spark, path)
+      t.overwritePartitioned(cust, "c_nationkey")
+      val updates = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          concat(col("c_name"), lit(" v2")).as("c_name"),
+          (col("bal") + lit(5)).cast("decimal(18,2)").as("bal"),
+          lit("U").as("op"))
+      val deletes = cust.filter(col("c_custkey") % 3 =!= 0 && col("c_custkey") % 7 === 0)
+        .withColumn("op", lit("D"))
+      val inserts = cust.filter(col("c_custkey") % 5 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_nationkey"),
+          col("c_name"), col("bal"), lit("I").as("op"))
+      t.applyChangesPartitioned(updates.unionByName(deletes).unionByName(inserts),
+        Seq("c_custkey"), "c_nationkey")
+      t.snapshot().select(col("c_custkey"), col("c_nationkey"), col("c_name"),
+        col("bal").cast("double").as("c_acctbal"))
+    }, oracle = Some("""
+      WITH cust AS (
+        SELECT c_custkey, c_nationkey, c_name,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        FROM customer)
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 3 = 0 THEN c_name || ' v2' ELSE c_name END AS c_name,
+             CAST(CASE WHEN c_custkey % 3 = 0 THEN bal + 5 ELSE bal END AS DOUBLE) AS c_acctbal
+      FROM cust WHERE NOT (c_custkey % 3 <> 0 AND c_custkey % 7 = 0)
+      UNION ALL
+      SELECT c_custkey + 1000000, c_nationkey, c_name, CAST(bal AS DOUBLE) AS c_acctbal
+      FROM cust WHERE c_custkey % 5 = 0""")),
+
     // O3 — SCD Type 2: history-preserving dimension merge
     // (Upsert.scd2Merge). One batch against an all-current supplier dim
     // exercises all four paths: changed rows (every 3rd key → old

@@ -489,17 +489,51 @@ final case class TxLog(spark: SparkSession, root: String,
     * key can never move between partitions — otherwise the pruned
     * merge would miss the key's old row and duplicate it. */
   def mergePartitioned(src: DataFrame, keys: Seq[String],
-                       partCol: String, txn: Option[(String, Long)] = None): Long = {
+                       partCol: String, txn: Option[(String, Long)] = None): Long =
+    partitionedFoldCommit(src, partCol, txn, "mergePartitioned",
+      // pruned path: merged's partitions ARE the affected set (the
+      // pruned target only held affected partitions and SCD1 never
+      // drops rows) — no extra distinct job
+      resultPartsAreAffected = true)(
+      target => Upsert.merge(target, src, keys))
+
+  /** Partition-pruned CDC APPLY commit — [[Upsert.applyChanges]]'s
+    * three-clause fold (update/delete/insert) with [[mergePartitioned]]
+    * pruning: only the partitions present in the change batch are read,
+    * folded, and rewritten; untouched partitions' manifest lines carry
+    * over. DELETE-aware at the manifest level: a partition whose every
+    * row was deleted simply gets no line in the new snapshot — no dir
+    * removal dance (contrast [[Upsert.applyChangesPartitionedPath]],
+    * which must delete emptied Hive dirs). Same functional-dependence
+    * PRECONDITION and optimistic transaction protocol as the merge. */
+  def applyChangesPartitioned(changes: DataFrame, keys: Seq[String],
+                              partCol: String, opCol: String = "op",
+                              strict: Boolean = true,
+                              txn: Option[(String, Long)] = None): Long =
+    partitionedFoldCommit(changes, partCol, txn, "applyChangesPartitioned",
+      // deletes can EMPTY a partition — the committed partition set
+      // must be recomputed from the fold's actual output
+      resultPartsAreAffected = false)(
+      target => Upsert.applyChanges(target, changes, keys, opCol, strict))
+
+  /** Shared pruned-commit transaction: read only `src`'s partitions of
+    * the current snapshot, apply `fold` to that pruned target, commit
+    * the result dir + carried lines as the next version. Retries the
+    * WHOLE transaction on a version race. */
+  private def partitionedFoldCommit(src: DataFrame, partCol: String,
+                                    txn: Option[(String, Long)], op: String,
+                                    resultPartsAreAffected: Boolean)(
+                                    fold: DataFrame => DataFrame): Long = {
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val base = currentVersion()
-      require(base >= 0, s"TxLog table at $root has no commits to merge into")
+      require(base >= 0, s"TxLog table at $root has no commits to fold into")
       val prev = readManifestFull(base)
       // redelivered batch (streaming restart): already committed — the
       // manifest records this writer's batch id. Exactly-once, no
-      // double-merge, no version churn.
+      // double-commit, no version churn.
       if (alreadyCommitted(prev, txn)) return base
-      // empty batch: SCD1 no-op — commit nothing, current version stands
+      // empty batch: no-op — commit nothing, current version stands
       if (src.isEmpty) return base
       val entries = prev.entries
       val affected = partValues(src, partCol).toSet
@@ -519,27 +553,31 @@ final case class TxLog(spark: SparkSession, root: String,
             else snapshot(base).filter(org.apache.spark.sql.functions.lit(false))
           (t, entries.filter { case (_, p) => !p.exists(affected) })
         } else (snapshot(base), Seq.empty[(String, Option[String])])
-      val merged = Upsert.merge(target, src, keys).localCheckpoint(true)
-      val uuid = writeDataDir(merged)
+      val folded = fold(target).localCheckpoint(true)
+      val uuid = writeDataDir(folded)
       val (hdr, newRanges) = statsFor(uuid)
       val header = if (hdr.nonEmpty) hdr else prev.stats
       val headerCols = header.map(_._1).toSet
       val carriedRanges = prev.ranges.filter { case ((d, c), _) =>
         headerCols(c) && carry.exists(_._1 == d) }
-      // pruned path: merged's partitions ARE the affected set (the
-      // pruned target only held affected partitions and SCD1 never
-      // drops rows) — no extra distinct job; the retag path must
-      // enumerate the full table's partitions once.
-      val mergedParts =
-        if (pruned) affected.toSeq.sorted else partValues(merged, partCol)
+      // the retag path (and any delete-capable fold) must enumerate the
+      // result's actual partitions
+      val resultParts =
+        if (resultPartsAreAffected && pruned) affected.toSeq.sorted
+        else partValues(folded, partCol)
+      // all affected partitions emptied AND nothing carried: keep the
+      // (zero-row) dir referenced untagged so the manifest resolves
+      val newEntries =
+        if (resultParts.isEmpty && carry.isEmpty) Seq((uuid, Option.empty[String]))
+        else resultParts.map(p => (uuid, Option(p)))
       val lines = manifestLines(Manifest(Some(partCol), header,
-        carry ++ mergedParts.map(p => (uuid, Some(p))),
+        carry ++ newEntries,
         carriedRanges ++ newRanges, txnsAfter(prev.txns, txn)))
       if (tryCommitManifest(base + 1, lines)) return base + 1
       attempt += 1
     }
     throw new java.io.IOException(
-      s"TxLog mergePartitioned lost $MaxRaceRetries optimistic races at $root")
+      s"TxLog $op lost $MaxRaceRetries optimistic races at $root")
   }
 
   /** SCD1 MERGE commit: upsert `src` by `keys` against the current

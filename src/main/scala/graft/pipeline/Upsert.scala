@@ -237,8 +237,10 @@ object Upsert {
     *   - `D` not matching → no-op (delete of an absent key).
     *
     * Scale: identical shape to [[merge]] — one broadcast left join plus
-    * one broadcast anti join, no shuffle of the target; compose with
-    * [[mergeIntoPartitionedPath]]'s pruning for partitioned targets.
+    * one broadcast anti join, no shuffle of the target;
+    * [[applyChangesPartitionedPath]] (Hive layout) and
+    * [[TxLog.applyChangesPartitioned]] (transactional) are the pruned
+    * compositions for partitioned targets.
     * Strict mode enforces one change row per key (a real CDC feed is
     * compacted to final-image-per-key upstream; two ops for one key in
     * one batch would make the fold order-dependent).
@@ -273,6 +275,55 @@ object Upsert {
         "left_anti")
       .select(target.columns.map(col).toSeq: _*)
     survivors.unionByName(inserts)
+  }
+
+  /** Partition-pruned CDC APPLY into a Hive-partitioned parquet table —
+    * [[applyChanges]] composed with [[mergeIntoPartitionedPath]]'s
+    * pruning, DELETE-aware:
+    *
+    *   1. distinct partition values of the change batch (metadata
+    *      round-trip, bounded by partitions-per-batch),
+    *   2. pruned read of ONLY those target partitions
+    *      (`PartitionFilters` on the scan),
+    *   3. three-clause CDC fold (update/delete/insert), and
+    *   4. dynamic partition overwrite of the affected dirs — PLUS
+    *      explicit removal of affected partitions the fold emptied:
+    *      dynamic overwrite only rewrites partitions PRESENT in the
+    *      output, so a partition whose every row was deleted would
+    *      otherwise silently survive on disk.
+    *
+    * PRECONDITION: as with the partitioned merge, `partCol` must be
+    * functionally dependent on the keys (a change row can never move a
+    * key across partitions), and partition values must be non-null. */
+  def applyChangesPartitionedPath(spark: SparkSession, path: String,
+                                  changes: DataFrame, keys: Seq[String],
+                                  partCol: String, opCol: String = "op",
+                                  strict: Boolean = true): Unit = {
+    require(changes.columns.contains(partCol),
+      s"change feed must carry partition column $partCol")
+    val affected = changes.select(partCol).distinct().collect().map(_.get(0)).toSeq
+    if (affected.isEmpty) return
+    val target = spark.read.parquet(path).filter(col(partCol).isin(affected: _*))
+    val applied = applyChanges(target, changes, keys, opCol, strict)
+      .repartition(math.max(1, affected.length), col(partCol))
+      .localCheckpoint(true)
+    val survivors = applied.select(partCol).distinct().collect().map(_.get(0)).toSet
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try applied.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // delete-emptied partitions: remove their dirs outright
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(survivors).foreach { v =>
+      val dir = new Path(path,
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partCol, String.valueOf(v)))
+      fs.delete(dir, true)
+    }
   }
 
   /** Write `df` to `path` via staging-dir + rename swap. Safe when the

@@ -150,6 +150,46 @@ class TxLogSpec extends SparkTestBase {
     assert(t.snapshotRange("2024-01-01", "2024-12-31").count() === 6)
   }
 
+  test("partitioned CDC apply: prunes to the batch's partitions, drops emptied ones, carries the rest") {
+    val t = fresh("cdc_part")
+    t.overwritePartitioned(Seq(("a", 1L, "x1"), ("a", 2L, "x2"),
+      ("b", 3L, "x3"), ("c", 4L, "x4")).toDF("day", "id", "v"), "day")
+    val v0dir = t.snapshotDataDirs(0).head
+    // update a:1, insert a:5, delete ALL of b; c untouched
+    val changes = Seq(("a", 1L, "X1", "U"), ("a", 5L, "x5", "I"),
+      ("b", 3L, "", "D")).toDF("day", "id", "v", "op")
+    val v1 = t.applyChangesPartitioned(changes, Seq("id"), "day")
+    assert(v1 === 1L)
+    val rows = t.snapshot().collect()
+      .map(r => r.getLong(1) -> (r.getString(0), r.getString(2))).toMap
+    // equivalence with the unpartitioned three-clause fold
+    val want = Upsert.applyChanges(t.snapshot(0), changes, Seq("id")).collect()
+      .map(r => r.getLong(1) -> (r.getString(0), r.getString(2))).toMap
+    assert(rows === want)
+    assert(rows === Map(1L -> ("a", "X1"), 2L -> ("a", "x2"),
+      4L -> ("c", "x4"), 5L -> ("a", "x5")))
+    // structural pruning: c's rows still live in the CARRIED v0 dir;
+    // only the affected partitions got a new dir; b has no line at all
+    val v1dirs = t.snapshotDataDirs(1)
+    assert(v1dirs.length === 2 && v1dirs.contains(v0dir))
+    // time travel: the pre-CDC snapshot still has b
+    assert(t.snapshot(0).filter(col("day") === "b").count() === 1)
+    // deleting the LAST remaining partitions leaves a readable empty table
+    val wipe = Seq(("a", 1L, "", "D"), ("a", 2L, "", "D"), ("a", 5L, "", "D"),
+      ("c", 4L, "", "D")).toDF("day", "id", "v", "op")
+    t.applyChangesPartitioned(wipe, Seq("id"), "day")
+    assert(t.snapshot().count() === 0)
+    // and a txn-keyed CDC batch is exactly-once like the merge
+    val t2 = fresh("cdc_txn")
+    t2.overwritePartitioned(Seq(("a", 1L, "x")).toDF("day", "id", "v"), "day")
+    t2.applyChangesPartitioned(Seq(("a", 1L, "", "D")).toDF("day", "id", "v", "op"),
+      Seq("id"), "day", txn = Some(("cdc", 1L)))
+    val vAfter = t2.currentVersion()
+    t2.applyChangesPartitioned(Seq(("a", 1L, "", "D")).toDF("day", "id", "v", "op"),
+      Seq("id"), "day", txn = Some(("cdc", 1L)))
+    assert(t2.currentVersion() === vAfter && t2.snapshot().count() === 0)
+  }
+
   test("multi-column data skipping: each stats column prunes independently") {
     // real tables prune on several columns (date + key): track both
     val t = TxLog(spark, tmpDir("txlog_skip_multi"), statsCols = Seq("day", "id"))
