@@ -26,6 +26,15 @@ object VectorQueries {
 
   private val oracleCos = cosSql("a", "b")
 
+  /** [[cosSql]] generalized to arbitrary list-valued SQL expressions
+    * (e.g. a trained-centroid column) — same sequential double folds. */
+  private def cosFrag(x: String, y: String): String =
+    s"""list_sum(list_transform(list_zip($x, $y),
+       |                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($x, p -> CAST(p AS DOUBLE)*CAST(p AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform($y, p -> CAST(p AS DOUBLE)*CAST(p AS DOUBLE)))))"""
+      .stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Brute-force exact top-5 cosine neighbours for 20 query vectors.
@@ -109,23 +118,47 @@ object VectorQueries {
              count(*) AS n_vecs
       FROM ex GROUP BY label, pos""")),
 
-    // IVF-style ANN — coarse quantization: every 25th vector is a
-    // deterministic "centroid"; vectors assign to their nearest
-    // centroid cell; queries probe ONLY their own cell. The candidate
-    // set shrinks by ~nlist× vs brute force — the standard
-    // inverted-file trade (recall asserted vs brute force in the spec).
+    // IVF ANN with TRAINED centroids — k-means coarse quantization:
+    // every-25th-vector seeds, then 2 fixed Lloyd iterations (assign →
+    // quantized exact mean), then final assignment; queries probe ONLY
+    // their own cell. The candidate set shrinks by ~nlist× vs brute
+    // force — the standard inverted-file trade, now with centroids
+    // that actually sit at cell means (recall asserted vs brute force
+    // in the spec). Cross-engine exactness: means use the same
+    // power-of-two quantization as embed_label_centroids (floor(v·2²⁰)
+    // summed as longs — every step bit-identical in any IEEE engine)
+    // and are cast to float32 on BOTH sides before scoring, so
+    // assignment and ranking can never diverge from the oracle, which
+    // replays the identical iterations. Empty cells drop out on both
+    // sides. Each trained centroid frame is localCheckpoint'd: it is
+    // a nlist-row broadcast side consumed by the next assignment pass.
     Q("sim_ivf_probe", (spark, dir) => {
       val e = load(spark, dir, "embeddings")
-      val cents = broadcast(e.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
-      // assign: argmax cosine over centroids (row_number on broadcast join)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cscore").desc, col("cent_id"))
-      val assigned = e.crossJoin(cents)
-        .withColumn("cscore", VectorExpressions.cosine_sim(spark, col("embedding"), col("cv")))
-        .withColumn("crk", row_number().over(wAssign))
-        .filter(col("crk") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      def assign(cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cscore").desc, col("cent_id"))
+        e.crossJoin(broadcast(cents))
+          .withColumn("cscore",
+            VectorExpressions.cosine_sim(spark, col("embedding"), col("cv")))
+          .withColumn("crk", row_number().over(w))
+          .filter(col("crk") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id"))
+      }
+      // Lloyd step: new centroid = per-dimension quantized exact mean
+      // of its assigned vectors, packed back into a float array
+      def retrain(assigned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        assigned.select(col("cent_id"), posexplode(col("embedding")))
+          .groupBy(col("cent_id"), col("pos"))
+          .agg((sum(floor(col("col").cast("double") * lit(1048576.0))).cast("double")
+            / (count(lit(1)) * lit(1048576.0))).as("m"))
+          .groupBy(col("cent_id"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m").cast("float")).as("cv"))
+          .localCheckpoint(true)
+      val cents0 = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val cents2 = retrain(assign(retrain(assign(cents0))))
+      val assigned = assign(cents2)
       val queries = assigned.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"))
       val wRank = Window.partitionBy(col("query_id"))
@@ -137,24 +170,43 @@ object VectorQueries {
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
-    }, oracle = Some(s"""
-      WITH cents AS (
-        SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
-      scored AS (
-        SELECT e.vec_id, e.embedding, c.cent_id,
-               row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY ${cosSql("e", "c")} DESC, c.cent_id) AS crk
-        FROM embeddings e CROSS JOIN cents c),
-      assigned AS (SELECT vec_id, embedding, cent_id FROM scored WHERE crk = 1),
+    }, oracle = Some {
+      def assignSql(cents: String, out: String) = s"""
+      $out AS (
+        SELECT vec_id, embedding, cent_id FROM (
+          SELECT e.vec_id, e.embedding, c.cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosFrag("e.embedding", "c.cv")} DESC, c.cent_id) AS crk
+          FROM embeddings e CROSS JOIN $cents c) WHERE crk = 1)"""
+      def retrainSql(assigned: String, out: String) = s"""
+      $out AS (
+        SELECT cent_id, list(CAST(m AS REAL) ORDER BY pos) AS cv FROM (
+          SELECT a.cent_id, u.pos,
+                 CAST(sum(CAST(floor(CAST(u.v AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)
+                   / (count(*) * 1048576.0) AS m
+          FROM $assigned a,
+               LATERAL (SELECT unnest(a.embedding) AS v,
+                               generate_subscripts(a.embedding, 1) - 1 AS pos) u
+          GROUP BY a.cent_id, u.pos)
+        GROUP BY cent_id)"""
+      s"""
+      WITH cents0 AS (
+        SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 25 = 0),
+      ${assignSql("cents0", "a1")},
+      ${retrainSql("a1", "cents1")},
+      ${assignSql("cents1", "a2")},
+      ${retrainSql("a2", "cents2")},
+      ${assignSql("cents2", "a3")},
       probed AS (
         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-               ${cosSql("q", "n")} AS score,
+               ${cosFrag("q.embedding", "n.embedding")} AS score,
                CAST(row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY ${cosSql("q", "n")} DESC, n.vec_id) AS INT) AS rank
-        FROM assigned q JOIN assigned n
+                   ORDER BY ${cosFrag("q.embedding", "n.embedding")} DESC, n.vec_id) AS INT) AS rank
+        FROM a3 q JOIN a3 n
           ON q.cent_id = n.cent_id AND q.vec_id <> n.vec_id
         WHERE q.vec_id < 20)
-      SELECT query_id, neighbor_id, rank, score FROM probed WHERE rank <= 5""")),
+      SELECT query_id, neighbor_id, rank, score FROM probed WHERE rank <= 5"""
+    }),
 
     // SRP-LSH bucketed ANN — the scale path: bucket on an 8-bit
     // sign-random-projection signature, search within bucket only.

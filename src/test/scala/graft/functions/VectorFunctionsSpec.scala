@@ -89,6 +89,40 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(hits * 2 > ivf.size, s"IVF top-1 in brute top-5 for only $hits/${ivf.size} queries")
   }
 
+  test("trained IVF centroids: top-5 recall vs brute force at least matches the untrained seeding") {
+    import graft.functions.expressions.VectorExpressions
+    import org.apache.spark.sql.expressions.Window
+    val dir = sf("0.001")
+    val e = spark.read.parquet(dir + "/embeddings.parquet")
+    // the r3 UNTRAINED probe: every-25th seeds ARE the centroids
+    def probeWith(cents: org.apache.spark.sql.DataFrame) = {
+      val wA = Window.partitionBy($"vec_id").orderBy($"cscore".desc, $"cent_id")
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cscore", VectorExpressions.cosine_sim(spark, $"embedding", $"cv"))
+        .withColumn("crk", row_number().over(wA)).filter($"crk" === 1)
+        .select($"vec_id", $"embedding", $"cent_id")
+      val wR = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
+      assigned.filter($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"cent_id")
+        .join(assigned.select($"vec_id".as("neighbor_id"), $"embedding", $"cent_id"),
+          Seq("cent_id"))
+        .filter($"query_id" =!= $"neighbor_id")
+        .withColumn("score", VectorExpressions.cosine_sim(spark, $"qv", $"embedding"))
+        .withColumn("rank", row_number().over(wR)).filter($"rank" <= 5)
+        .select($"query_id", $"neighbor_id")
+    }
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairsOf(graft.SparkEntry.queries("sim_topk_bruteforce")(spark, dir))
+    val seeded = pairsOf(probeWith(e.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cv"))))
+    val trained = pairsOf(graft.SparkEntry.queries("sim_ivf_probe")(spark, dir))
+    def recall(got: Set[(Long, Long)]) = got.count(brute).toDouble / brute.size
+    assert(recall(trained) >= recall(seeded),
+      s"trained=${recall(trained)} seeded=${recall(seeded)}")
+  }
+
   test("SRP-LSH recall: most brute-force top-1 neighbours share the query's bucket at 4 planes") {
     // with 4 hyperplanes (16 buckets) the nearest neighbour should very
     // often fall in the same bucket — a sanity floor, not a guarantee
