@@ -357,5 +357,43 @@ object CurationQueries {
                   ELSE CAST(floor(CAST(v AS DOUBLE) / scale * 127.0) AS BIGINT) END AS q,
              scale
       FROM ex""")),
+
+    // Gopher-style RULE FILTER — the composite hard-threshold pass a
+    // web corpus runs before model-based scoring: word-count bounds,
+    // mean-word-length bounds, minimum stopword density. Emits the
+    // per-rule flags (so rejected docs are attributable), not just the
+    // verdict — the operational shape of a filtering report. All
+    // rational arithmetic over ints (stopword ratio, mean length are
+    // exact divisions), so every boundary decision is cross-engine
+    // stable. Pure narrow projection — embarrassingly parallel.
+    Q("curate_gopher_rules", (spark, dir) => {
+      val d = load(spark, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.meanTokenLength(col("text")).as("mean_len"),
+        TextFunctions.stopwordRatio(col("text"), stop).as("stop_ratio"))
+      d.withColumn("ok_len", col("n_tokens").between(30, 70))
+        .withColumn("ok_wordlen", col("mean_len").between(3.5, 4.5))
+        .withColumn("ok_stop", col("stop_ratio") >= 0.02)
+        .withColumn("pass", col("ok_len") && col("ok_wordlen") && col("ok_stop"))
+        .select(col("doc_id"), col("n_tokens"), col("ok_len"),
+          col("ok_wordlen"), col("ok_stop"), col("pass"))
+    }, oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS nc
+        FROM documents),
+      m AS (
+        SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+               CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_len,
+               CAST(len(list_filter(toks,
+                      x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+                 / len(toks) AS stop_ratio
+        FROM t)
+      SELECT doc_id, n_tokens,
+             n_tokens BETWEEN 30 AND 70 AS ok_len,
+             mean_len BETWEEN 3.5 AND 4.5 AS ok_wordlen,
+             stop_ratio >= 0.02 AS ok_stop,
+             (n_tokens BETWEEN 30 AND 70) AND (mean_len BETWEEN 3.5 AND 4.5)
+               AND stop_ratio >= 0.02 AS pass
+      FROM m""")),
   )
 }

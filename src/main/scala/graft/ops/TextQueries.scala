@@ -195,5 +195,49 @@ object TextQueries {
                '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '[EMAIL]', 'g'),
                '555-[0-9]+', '[PHONE]', 'g') AS clean_text
       FROM p""")),
+
+    // Within-document REPETITION ratio — the Gopher/MassiveText "no
+    // duplicate n-grams" signal: fraction of a document's 3-gram
+    // multiset that is repeated (1 − distinct/total). Raw (multiset)
+    // shingles here, NOT the deduped index shingles — repetition IS
+    // the duplication the index throws away. Pure narrow projection;
+    // the ratio is an exact int/int division (cross-engine-identical),
+    // so the 0.2 repetitiveness cut cannot flip.
+    Q("text_repetition_ratio", (spark, dir) => {
+      val toks = load(spark, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val sh = toks.select(col("doc_id"),
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => array_join(slice(col("toks"), i + lit(1), lit(3)), " ")))
+          .otherwise(array().cast("array<string>")).as("sh"))
+      sh.select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          when(col("n_shingles") > 0,
+            lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"))
+            .otherwise(lit(0.0)))
+        .withColumn("is_repetitive", col("rep_ratio") > 0.2)
+    }, oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      m AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS n_shingles,
+               CASE WHEN len(toks) >= 3
+                    THEN len(list_distinct(list_transform(
+                           range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+2], ' '))))
+                    ELSE 0 END AS n_distinct
+        FROM t)
+      SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+             CAST(n_distinct AS BIGINT) AS n_distinct,
+             CASE WHEN n_shingles > 0
+                  THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_shingles
+                  ELSE 0.0 END AS rep_ratio,
+             (CASE WHEN n_shingles > 0
+                   THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_shingles
+                   ELSE 0.0 END) > 0.2 AS is_repetitive
+      FROM m""")),
   )
 }

@@ -134,31 +134,7 @@ object VectorQueries {
     // a nlist-row broadcast side consumed by the next assignment pass.
     Q("sim_ivf_probe", (spark, dir) => {
       val e = load(spark, dir, "embeddings")
-      def assign(cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cscore").desc, col("cent_id"))
-        e.crossJoin(broadcast(cents))
-          .withColumn("cscore",
-            VectorExpressions.cosine_sim(spark, col("embedding"), col("cv")))
-          .withColumn("crk", row_number().over(w))
-          .filter(col("crk") === 1)
-          .select(col("vec_id"), col("embedding"), col("cent_id"))
-      }
-      // Lloyd step: new centroid = per-dimension quantized exact mean
-      // of its assigned vectors, packed back into a float array
-      def retrain(assigned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-        assigned.select(col("cent_id"), posexplode(col("embedding")))
-          .groupBy(col("cent_id"), col("pos"))
-          .agg((sum(floor(col("col").cast("double") * lit(1048576.0))).cast("double")
-            / (count(lit(1)) * lit(1048576.0))).as("m"))
-          .groupBy(col("cent_id"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            x => x.getField("m").cast("float")).as("cv"))
-          .localCheckpoint(true)
-      val cents0 = e.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-      val cents2 = retrain(assign(retrain(assign(cents0))))
-      val assigned = assign(cents2)
+      val assigned = ivfTrainedAssignment(spark, e)
       val queries = assigned.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"))
       val wRank = Window.partitionBy(col("query_id"))
@@ -170,33 +146,8 @@ object VectorQueries {
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
-    }, oracle = Some {
-      def assignSql(cents: String, out: String) = s"""
-      $out AS (
-        SELECT vec_id, embedding, cent_id FROM (
-          SELECT e.vec_id, e.embedding, c.cent_id,
-                 row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${cosFrag("e.embedding", "c.cv")} DESC, c.cent_id) AS crk
-          FROM embeddings e CROSS JOIN $cents c) WHERE crk = 1)"""
-      def retrainSql(assigned: String, out: String) = s"""
-      $out AS (
-        SELECT cent_id, list(CAST(m AS REAL) ORDER BY pos) AS cv FROM (
-          SELECT a.cent_id, u.pos,
-                 CAST(sum(CAST(floor(CAST(u.v AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)
-                   / (count(*) * 1048576.0) AS m
-          FROM $assigned a,
-               LATERAL (SELECT unnest(a.embedding) AS v,
-                               generate_subscripts(a.embedding, 1) - 1 AS pos) u
-          GROUP BY a.cent_id, u.pos)
-        GROUP BY cent_id)"""
-      s"""
-      WITH cents0 AS (
-        SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 25 = 0),
-      ${assignSql("cents0", "a1")},
-      ${retrainSql("a1", "cents1")},
-      ${assignSql("cents1", "a2")},
-      ${retrainSql("a2", "cents2")},
-      ${assignSql("cents2", "a3")},
+    }, oracle = Some(s"""
+      WITH ${ivfOracleCtes()},
       probed AS (
         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                ${cosFrag("q.embedding", "n.embedding")} AS score,
@@ -205,8 +156,89 @@ object VectorQueries {
         FROM a3 q JOIN a3 n
           ON q.cent_id = n.cent_id AND q.vec_id <> n.vec_id
         WHERE q.vec_id < 20)
-      SELECT query_id, neighbor_id, rank, score FROM probed WHERE rank <= 5"""
-    }),
+      SELECT query_id, neighbor_id, rank, score FROM probed WHERE rank <= 5""")),
+
+    // SemDeDup — SEMANTIC dedup at ANN scale: pairs above a cosine
+    // threshold, candidate space blocked by the TRAINED IVF cell
+    // instead of labels or all-pairs. The cell assignment is the same
+    // k-means coarse quantizer as `sim_ivf_probe`, so the pair join is
+    // within-cell only — cost tracks Σ_cell C(|cell|,2), the SemDeDup
+    // trade (near-duplicates overwhelmingly co-locate in a cell; the
+    // spec's recall contract quantifies the miss rate vs the exact
+    // label-blocked join). Scores are bit-identical to the oracle's
+    // replayed iterations, so the threshold cannot flip cross-engine.
+    Q("dedup_semantic_ivf", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      // nProbe = 2: each vector lives in its two nearest cells, so a
+      // near-dup pair is caught when ANY cell is shared — the
+      // multi-probe recall lever. DISTINCT collapses pairs sharing
+      // both cells (scores are deterministic, so the triple is unique).
+      val assigned = ivfTrainedAssignment(spark, e, nProbe = 2)
+      val a = assigned.select(col("cent_id"), col("vec_id").as("id_a"),
+        col("embedding").as("va"))
+      val b = assigned.select(col("cent_id"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"))
+      a.join(b, Seq("cent_id"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("score", VectorExpressions.cosine_sim(spark, col("va"), col("vb")))
+        .filter(col("score") >= 0.35)
+        .select(col("id_a"), col("id_b"), col("score"))
+        .distinct()
+    }, oracle = Some(s"""
+      WITH ${ivfOracleCtes(nProbeFinal = 2)}
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             ${cosFrag("a.embedding", "b.embedding")} AS score
+      FROM a3 a JOIN a3 b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE ${cosFrag("a.embedding", "b.embedding")} >= 0.35""")),
+
+    // Embedding NORM outliers — the broken-embedding sweep a corpus
+    // runs before ANN indexing (zero vectors, truncation artifacts,
+    // scale blowups): flag vectors whose L2 norm sits > 2σ from the
+    // corpus mean. The corpus is L2-normalized, so the signal lives in
+    // a ~1e-8 band around 1.0 — norms quantize on a 2⁻⁴⁰ grid (exact
+    // power-of-two multiply) and the moments are integer sums (first
+    // as BIGINT, second as DECIMAL(38,0)/HUGEINT — both exact, both
+    // rounding to the same double), so mean, σ, and every z-score are
+    // bit-identical cross-engine and the 2σ cut cannot flip. One
+    // narrow scan + a broadcast 1-row stats frame.
+    Q("embed_norm_outliers", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      val K = lit(1099511627776.0) // 2^40
+      val qn = e.select(col("vec_id"),
+        floor(graft.functions.VectorFunctions.vnorm(col("embedding")) * K)
+          .cast("long").as("q"))
+      val mean = col("sq").cast("double") / (col("n") * K)
+      val stats = qn.agg(
+        sum(col("q")).as("sq"),
+        sum(col("q").cast("decimal(38,0)") * col("q")).cast("double").as("sqq"),
+        count(lit(1)).as("n"))
+        .select(mean.as("mean"),
+          sqrt(col("sqq") / (col("n") * K * K) - mean * mean).as("std"))
+      qn.crossJoin(broadcast(stats))
+        .withColumn("z", (col("q") / K - col("mean")) / col("std"))
+        .filter(abs(col("z")) > 2.0)
+        .select(col("vec_id"), (col("q") / K).as("norm"), col("z"))
+    }, oracle = Some("""
+      WITH n AS (
+        SELECT vec_id,
+               CAST(floor(sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * 1099511627776.0) AS BIGINT) AS q
+        FROM embeddings),
+      s1 AS (
+        SELECT CAST(sum(q) AS BIGINT) AS sq,
+               CAST(sum(CAST(q AS HUGEINT) * q) AS DOUBLE) AS sqq,
+               count(*) AS n
+        FROM n),
+      s AS (
+        SELECT CAST(sq AS DOUBLE) / (n * 1099511627776.0) AS mean,
+               sqrt(sqq / (n * 1099511627776.0 * 1099511627776.0)
+                 - (CAST(sq AS DOUBLE) / (n * 1099511627776.0))
+                   * (CAST(sq AS DOUBLE) / (n * 1099511627776.0))) AS std
+        FROM s1)
+      SELECT vec_id, q / 1099511627776.0 AS norm,
+             (q / 1099511627776.0 - mean) / std AS z
+      FROM n, s WHERE abs((q / 1099511627776.0 - mean) / std) > 2.0""")),
 
     // SRP-LSH bucketed ANN — the scale path: bucket on an 8-bit
     // sign-random-projection signature, search within bucket only.
@@ -235,6 +267,84 @@ object VectorQueries {
       FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE $oracleCos >= 0.3""")),
   )
+
+  /** Nearest-centroid assignment: top-`nProbe` cosine cells over a
+    * broadcast centroid frame, ties to the lowest cent_id. nProbe = 1
+    * is k-means assignment; nProbe > 1 is multi-probe (each vector
+    * lives in its nProbe nearest cells — the standard recall lever for
+    * cell-blocked search/dedup). */
+  private def ivfAssign(spark: org.apache.spark.sql.SparkSession,
+                        e: org.apache.spark.sql.DataFrame,
+                        cents: org.apache.spark.sql.DataFrame,
+                        nProbe: Int = 1): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cent_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("cscore",
+        VectorExpressions.cosine_sim(spark, col("embedding"), col("cv")))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= nProbe)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+  }
+
+  /** Lloyd step: new centroid = per-dimension quantized exact mean of
+    * its assigned vectors (floor(v·2²⁰) summed as longs — every step
+    * bit-identical in any IEEE engine), packed back into a float
+    * array. localCheckpoint'd: a nlist-row broadcast side consumed by
+    * the next assignment pass. */
+  private def ivfRetrain(assigned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    assigned.select(col("cent_id"), posexplode(col("embedding")))
+      .groupBy(col("cent_id"), col("pos"))
+      .agg((sum(floor(col("col").cast("double") * lit(1048576.0))).cast("double")
+        / (count(lit(1)) * lit(1048576.0))).as("m"))
+      .groupBy(col("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m").cast("float")).as("cv"))
+      .localCheckpoint(true)
+
+  /** Full trained coarse quantizer: every-25th-vector seeds, 2 Lloyd
+    * iterations (always single-assignment), then a final `nProbe`-cell
+    * assignment → (vec_id, embedding, cent_id). */
+  private def ivfTrainedAssignment(spark: org.apache.spark.sql.SparkSession,
+                                   e: org.apache.spark.sql.DataFrame,
+                                   nProbe: Int = 1): org.apache.spark.sql.DataFrame = {
+    val cents0 = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    ivfAssign(spark, e,
+      ivfRetrain(ivfAssign(spark, e, ivfRetrain(ivfAssign(spark, e, cents0)))),
+      nProbe)
+  }
+
+  /** Oracle CTE chain replaying [[ivfTrainedAssignment]] exactly:
+    * `cents0 → a1 → cents1 → a2 → cents2 → a3` (final assignment,
+    * top-`nProbeFinal` cells). */
+  private def ivfOracleCtes(nProbeFinal: Int = 1): String = {
+    def assignSql(cents: String, out: String, nProbe: Int = 1) = s"""
+      $out AS (
+        SELECT vec_id, embedding, cent_id FROM (
+          SELECT e.vec_id, e.embedding, c.cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosFrag("e.embedding", "c.cv")} DESC, c.cent_id) AS crk
+          FROM embeddings e CROSS JOIN $cents c) WHERE crk <= $nProbe)"""
+    def retrainSql(assigned: String, out: String) = s"""
+      $out AS (
+        SELECT cent_id, list(CAST(m AS REAL) ORDER BY pos) AS cv FROM (
+          SELECT a.cent_id, u.pos,
+                 CAST(sum(CAST(floor(CAST(u.v AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)
+                   / (count(*) * 1048576.0) AS m
+          FROM $assigned a,
+               LATERAL (SELECT unnest(a.embedding) AS v,
+                               generate_subscripts(a.embedding, 1) - 1 AS pos) u
+          GROUP BY a.cent_id, u.pos)
+        GROUP BY cent_id)"""
+    s"""cents0 AS (
+        SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 25 = 0),
+      ${assignSql("cents0", "a1")},
+      ${retrainSql("a1", "cents1")},
+      ${assignSql("cents1", "a2")},
+      ${retrainSql("a2", "cents2")},
+      ${assignSql("cents2", "a3", nProbeFinal)}"""
+  }
 
   /** SQL fragment computing the [[graft.functions.VectorFunctions.srpBucket]]
     * id of `embedding` with the SAME hyperplane coefficients embedded

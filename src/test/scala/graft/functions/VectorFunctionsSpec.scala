@@ -123,6 +123,27 @@ class VectorFunctionsSpec extends SparkTestBase {
       s"trained=${recall(trained)} seeded=${recall(seeded)}")
   }
 
+  test("SemDeDup recall: IVF-cell blocking finds a usable share of exact ≥0.35 pairs") {
+    import graft.functions.expressions.VectorExpressions
+    val dir = sf("0.001")
+    val e = spark.read.parquet(dir + "/embeddings.parquet")
+    val a = e.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("score", VectorExpressions.cosine_sim(spark, $"va", $"vb"))
+      .filter($"score" >= 0.35)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = graft.SparkEntry.queries("dedup_semantic_ivf")(spark, dir)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // within-cell pairs are a SUBSET of all pairs (no false positives)
+    assert(blocked.subsetOf(exact))
+    // and near-duplicates co-locate often enough to be the scale path
+    val recall = if (exact.isEmpty) 1.0 else blocked.count(exact).toDouble / exact.size
+    assert(recall >= 0.3, s"SemDeDup recall $recall (${blocked.size}/${exact.size})")
+  }
+
   test("SRP-LSH recall: most brute-force top-1 neighbours share the query's bucket at 4 planes") {
     // with 4 hyperplanes (16 buckets) the nearest neighbour should very
     // often fall in the same bucket — a sanity floor, not a guarantee
