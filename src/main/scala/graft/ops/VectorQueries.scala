@@ -302,17 +302,31 @@ object VectorQueries {
         x => x.getField("m").cast("float")).as("cv"))
       .localCheckpoint(true)
 
+  /** Trained-centroid cache: the k-means index TRAINING (2 Lloyd
+    * iterations = 2 full corpus passes) is shared per (session,
+    * corpus) — the probe and the SemDeDup queries then each pay one
+    * assignment pass over the same index, which is exactly how a
+    * production ANN index amortizes its build. Entries are tiny
+    * (nlist-row checkpointed frames) and session-scoped (a frame
+    * checkpointed by a stopped session must never be served to a new
+    * one — same discipline as [[graft.dedup.ExactJaccard]]). */
+  private val centsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), org.apache.spark.sql.DataFrame]()
+
   /** Full trained coarse quantizer: every-25th-vector seeds, 2 Lloyd
-    * iterations (always single-assignment), then a final `nProbe`-cell
-    * assignment → (vec_id, embedding, cent_id). */
+    * iterations (always single-assignment, cached per corpus), then a
+    * final `nProbe`-cell assignment → (vec_id, embedding, cent_id). */
   private def ivfTrainedAssignment(spark: org.apache.spark.sql.SparkSession,
                                    e: org.apache.spark.sql.DataFrame,
                                    nProbe: Int = 1): org.apache.spark.sql.DataFrame = {
-    val cents0 = e.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    ivfAssign(spark, e,
-      ivfRetrain(ivfAssign(spark, e, ivfRetrain(ivfAssign(spark, e, cents0)))),
-      nProbe)
+    val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
+      e.queryExecution.analyzed.semanticHash())
+    val cents2 = centsCache.computeIfAbsent(key, _ => {
+      val cents0 = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      ivfRetrain(ivfAssign(spark, e, ivfRetrain(ivfAssign(spark, e, cents0))))
+    })
+    ivfAssign(spark, e, cents2, nProbe)
   }
 
   /** Oracle CTE chain replaying [[ivfTrainedAssignment]] exactly:
