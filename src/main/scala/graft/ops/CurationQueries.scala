@@ -395,5 +395,74 @@ object CurationQueries {
              (n_tokens BETWEEN 30 AND 70) AND (mean_len BETWEEN 3.5 AND 4.5)
                AND stop_ratio >= 0.02 AS pass
       FROM m""")),
+
+    // Source-mixture BALANCING — the domain-capping step of corpus
+    // assembly (no single source may dominate the training mix): per-
+    // source token counts → raw share in ppm (integer floor division —
+    // exact), shares capped at 8%, the clipped surplus redistributed
+    // to the uncapped sources proportionally to their raw tokens in a
+    // SINGLE pass (the standard one-round water-fill; iterating to a
+    // fixpoint is the same operator looped). All arithmetic is BIGINT
+    // (floor-div over exact token sums) — bit-identical cross-engine.
+    // Two tiny aggregations (n_sources rows) over one corpus scan —
+    // the corpus-side cost is the token count, nothing else.
+    Q("curate_source_mixture", (spark, dir) => {
+      val cap = 80000L // 8% in ppm
+      val t = load(spark, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("toks"))
+      val shared = t.crossJoin(broadcast(t.agg(sum(col("toks")).as("tot"))))
+        .withColumn("raw_ppm", expr("toks * 1000000L div tot"))
+      val frees = shared.agg(
+        sum(when(col("raw_ppm") > cap, 0L).otherwise(col("toks"))).as("free_toks"),
+        sum(when(col("raw_ppm") > cap, cap).otherwise(0L)).as("capped_ppm"))
+      shared.crossJoin(broadcast(frees))
+        .withColumn("quota_ppm",
+          when(col("raw_ppm") > cap, cap)
+            .otherwise(expr("(1000000L - capped_ppm) * toks div free_toks")))
+        .select(col("source"), col("toks"), col("raw_ppm"), col("quota_ppm"))
+    }, oracle = Some("""
+      WITH t AS (
+        SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents GROUP BY source),
+      s AS (
+        SELECT source, toks, toks * 1000000 // (SELECT sum(toks) FROM t) AS raw_ppm
+        FROM t),
+      f AS (
+        SELECT CAST(sum(CASE WHEN raw_ppm > 80000 THEN 0 ELSE toks END) AS BIGINT) AS free_toks,
+               CAST(sum(CASE WHEN raw_ppm > 80000 THEN 80000 ELSE 0 END) AS BIGINT) AS capped_ppm
+        FROM s)
+      SELECT source, toks, CAST(raw_ppm AS BIGINT) AS raw_ppm,
+             CAST(CASE WHEN raw_ppm > 80000 THEN 80000
+                  ELSE (1000000 - capped_ppm) * toks // free_toks END AS BIGINT) AS quota_ppm
+      FROM s, f""")),
+
+    // Deterministic TRAIN/VAL/TEST split — the reproducible-split
+    // contract every corpus release needs: md5(text) bucketed 0..99
+    // (content-addressed, so re-runs and re-partitions can never move
+    // a document between splits), 90/5/5, reported as per-split
+    // per-lang doc + token counts. Pure narrow scan + one small
+    // aggregation; the split column is a deterministic function of the
+    // row alone, so the operator is embarrassingly parallel at any
+    // corpus size.
+    Q("pack_train_split", (spark, dir) =>
+      load(spark, dir, "documents")
+        .withColumn("bucket",
+          conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long") % 100)
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens")),
+      oracle = Some(s"""
+      WITH b AS (
+        SELECT lang, len(string_split(text, ' ')) AS n,
+               ${hexFoldSql("substr(md5(text), 1, 6)")} % 100 AS bucket
+        FROM documents)
+      SELECT CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+             lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM b GROUP BY 1, 2""")),
   )
 }

@@ -250,6 +250,57 @@ object DedupQueries {
          AND a.doc_id < b.doc_id)
       SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
       FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""")),
+
+    // PARAGRAPH-level corpus dedup (MassiveText/RefinedWeb style):
+    // boilerplate segments repeated across many documents are removed
+    // from every document, and the cleaned text is reassembled in
+    // order. Segments here are non-overlapping 8-token chunks (the
+    // corpus has no newlines; with real paragraphs the split column is
+    // the only change). Shape: chunking is PURE array arithmetic on
+    // the row (no shuffle), the boilerplate set is one distinct-count
+    // aggregation keyed by chunk (chunks in ≥ 3 distinct docs), the
+    // removal is an equi-join against that set — which is the small
+    // minority of chunks, broadcast-size in practice — and reassembly
+    // is a sort_array over (pos, chunk) collected per doc: every stage
+    // is keyed and parallel, nothing funnels through one partition.
+    Q("dedup_paragraphs", (spark, dir) => {
+      val C = 8
+      val ex = load(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), ((size(col("toks")) - 1) / C).cast("int")),
+          i => array_join(slice(col("toks"), i * C + 1, lit(C)), " "))))
+        .withColumnRenamed("col", "chunk")
+      val bp = ex.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3)
+        .select(col("chunk"), lit(true).as("is_bp"))
+      ex.join(bp, Seq("chunk"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_removed"),
+          array_join(transform(
+            array_sort(collect_list(when(col("is_bp").isNull,
+              struct(col("pos"), col("chunk"))))),
+            s => s.getField("chunk")), " ").as("clean_text"))
+    }, oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      ex AS (
+        SELECT doc_id, u.pos,
+               array_to_string(toks[u.pos*8+1 : u.pos*8+8], ' ') AS chunk
+        FROM t, LATERAL (SELECT unnest(range(0, (len(toks) - 1) // 8 + 1)) AS pos) u),
+      bp AS (
+        SELECT chunk FROM ex GROUP BY chunk
+        HAVING count(DISTINCT doc_id) >= 3),
+      fl AS (
+        SELECT e.doc_id, e.pos, e.chunk, b.chunk IS NOT NULL AS is_bp
+        FROM ex e LEFT JOIN bp b ON e.chunk = b.chunk)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             coalesce(array_to_string(
+               list(chunk ORDER BY pos) FILTER (WHERE NOT is_bp), ' '), '')
+               AS clean_text
+      FROM fl GROUP BY doc_id""")),
   )
 
   /** Generated oracle fragment: the 60 sign-bit terms of the simhash

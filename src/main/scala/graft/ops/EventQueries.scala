@@ -55,6 +55,41 @@ object EventQueries {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM w GROUP BY 1, 2, 3""")),
 
+    // EXACT distinct users over a TRAILING 3-hour window, per hour —
+    // the sliding-uniques metric (rolling DAU-style) that a correlated
+    // per-row scan cannot survive at scale. Distributed shape: each
+    // event CONTRIBUTES to the 3 hour-buckets whose trailing window
+    // covers it (a 3× row expand — constant factor, no self-join),
+    // then one distinct aggregation keyed by bucket. Buckets are
+    // restricted to hours that actually contain events (broadcast
+    // semi-join against the tiny distinct-hours frame), so the output
+    // is the rolling metric AT each observed hour. Cost: one expand +
+    // one two-phase distinct agg — the same plan at any event volume;
+    // no window funnels through a single partition.
+    Q("events_trailing_distinct", (spark, dir) => {
+      val ev = Tables.loadEvents(spark, dir)
+        .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+      val contrib = ev.select(explode(array(
+          col("h"),
+          col("h") + expr("INTERVAL 1 HOUR"),
+          col("h") + expr("INTERVAL 2 HOURS"))).as("hour_start"),
+        col("user_id"))
+      contrib
+        .join(broadcast(ev.select(col("h").as("hour_start")).distinct()),
+          Seq("hour_start"), "leftsemi")
+        .groupBy(col("hour_start"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }, oracle = Some("""
+      WITH e AS (
+        SELECT date_trunc('hour', ts) AS h, user_id FROM events),
+      c AS (
+        SELECT h + i * INTERVAL '1 hour' AS hour_start, user_id
+        FROM e, range(0, 3) r(i))
+      SELECT hour_start, count(DISTINCT user_id) AS n_users
+      FROM c
+      WHERE hour_start IN (SELECT h FROM e)
+      GROUP BY 1""")),
+
     // The same aggregation through the real Structured Streaming path
     // (readStream → watermark → windowed agg → memory sink): the
     // streaming result must equal the batch oracle exactly.
