@@ -266,6 +266,63 @@ object VectorQueries {
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, $oracleCos AS score
       FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE $oracleCos >= 0.3""")),
+
+    // PRODUCT QUANTIZATION + ADC — the memory-bound ANN path (IVF cuts
+    // candidates; PQ cuts bytes-per-candidate): the 64-dim vector is
+    // split into 8 8-dim subspaces, each with its own k-means
+    // codebook (every-25th-vector seeds, 2 quantized-exact-mean Lloyd
+    // iterations — the same trainer as `sim_ivf_probe`, per
+    // subspace), and every vector is stored as 8 small codes. Queries
+    // rank by Asymmetric Distance Computation: a per-query distance
+    // TABLE to every (subspace, centroid) — a broadcast-size frame —
+    // then approx dist(q, n) = Σ_s table[s, code_n,s], an equi-join on
+    // (s, code) + one keyed aggregation. The corpus-side scan touches
+    // only the 8-int codes, never the vectors — the PQ trade. The
+    // partial distances are recombined in FIXED subspace order
+    // (d0+d1+…+d7, not an unordered SUM), so the double total is
+    // bit-identical to the oracle, which replays the identical
+    // training, encoding, and table arithmetic.
+    Q("sim_pq_adc", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      val (codes, cents) = pqTrainedCodes(spark, e)
+      val qd = pqSubvectors(e).filter(col("vec_id") < 20)
+        .join(broadcast(cents), Seq("s"))
+        .withColumn("qd", graft.functions.VectorFunctions.l2sq(col("sv"), col("cv")))
+        .select(col("vec_id").as("query_id"), col("s"), col("cent_id"), col("qd"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist").asc, col("neighbor_id"))
+      val ds = (0 until pqM).map(s0 => max(when(col("s") === s0, col("qd"))).as(s"d$s0"))
+      codes.join(broadcast(qd), Seq("s", "cent_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(ds.head, ds.tail: _*)
+        .withColumn("adc_dist",
+          (0 until pqM).map(s0 => col(s"d$s0")).reduce(_ + _))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_dist"))
+    }, oracle = Some(s"""
+      WITH ${pqOracleCtes()},
+      qd AS (
+        SELECT q.vec_id AS query_id, c.s, c.cent_id,
+               ${l2Frag("q.sv", "c.cv")} AS qd
+        FROM subs q JOIN pc2 c ON q.s = c.s
+        WHERE q.vec_id < 20),
+      adc AS (
+        SELECT qd.query_id, a.vec_id AS neighbor_id,
+               ${(0 until pqM).map(s0 =>
+                  s"max(CASE WHEN a.s = $s0 THEN qd.qd END) AS d$s0")
+                 .mkString(",\n               ")}
+        FROM pa3 a JOIN qd ON a.s = qd.s AND a.cent_id = qd.cent_id
+        WHERE a.vec_id <> qd.query_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, $pqAdcSumSql AS adc_dist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY $pqAdcSumSql ASC, neighbor_id) AS INT) AS rank
+        FROM adc)
+      SELECT query_id, neighbor_id, rank, adc_dist
+      FROM ranked WHERE rank <= 5""")),
   )
 
   /** Nearest-centroid assignment: top-`nProbe` cosine cells over a
@@ -358,6 +415,117 @@ object VectorQueries {
       ${assignSql("cents1", "a2")},
       ${retrainSql("a2", "cents2")},
       ${assignSql("cents2", "a3", nProbeFinal)}"""
+  }
+
+  /** Oracle fragment: squared L2 distance of two float lists in
+    * double — the sequential-fold mirror of
+    * [[graft.functions.VectorFunctions.l2sq]]. */
+  private def l2Frag(x: String, y: String): String =
+    s"""list_sum(list_transform(list_zip($x, $y),
+       |  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+      .stripMargin
+
+  /** PQ geometry: 8 subspaces × 8 dims over the 64-dim corpus — the
+    * standard granularity (finer subspaces → lower per-code
+    * distortion; these near-orthogonal synthetic vectors need it). */
+  // `final` without type ascription = compile-time constants, immune
+  // to object-init ordering (the oracle strings interpolate these
+  // EAGERLY while `all` initializes, above these declarations)
+  private final val pqM = 8
+  private final val pqSubDim = 8
+
+  private def pqAdcSumSql: String =
+    (0 until pqM).map(s0 => s"d$s0").mkString(" + ")
+
+  /** (vec_id, s, sv): the `pqM` subvectors of each embedding — pure
+    * array arithmetic on the row, no shuffle. */
+  private def pqSubvectors(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.select(col("vec_id"), posexplode(transform(sequence(lit(0), lit(pqM - 1)),
+        s => slice(col("embedding"), s * pqSubDim + 1, lit(pqSubDim)))))
+      .select(col("vec_id"), col("pos").as("s"), col("col").as("sv"))
+
+  /** Per-subspace nearest-centroid code: min squared-L2 over the
+    * broadcast codebook, ties to the lowest cent_id. */
+  private def pqAssign(subs: org.apache.spark.sql.DataFrame,
+                       cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d").asc, col("cent_id"))
+    subs.join(broadcast(cents), Seq("s"))
+      .withColumn("d", graft.functions.VectorFunctions.l2sq(col("sv"), col("cv")))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("s"), col("sv"), col("cent_id"))
+  }
+
+  /** Per-subspace Lloyd step — the same quantized exact mean as
+    * [[ivfRetrain]], keyed by (s, cent_id). */
+  private def pqRetrain(assigned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    assigned.select(col("s"), col("cent_id"), posexplode(col("sv")))
+      .groupBy(col("s"), col("cent_id"), col("pos"))
+      .agg((sum(floor(col("col").cast("double") * lit(1048576.0))).cast("double")
+        / (count(lit(1)) * lit(1048576.0))).as("m"))
+      .groupBy(col("s"), col("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m").cast("float")).as("cv"))
+      .localCheckpoint(true)
+
+  /** PQ index cache per (session, corpus): (codes, codebooks). The
+    * codes frame IS the compressed index — 4 small ints per vector —
+    * and is checkpointed so consumers scan it without replaying
+    * training; the codebook frame is a broadcast-size lookup. */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  private def pqTrainedCodes(spark: org.apache.spark.sql.SparkSession,
+                             e: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
+      e.queryExecution.analyzed.semanticHash())
+    pqCache.computeIfAbsent(key, _ => {
+      val subs = pqSubvectors(e)
+      val seeds = subs.filter(col("vec_id") % 25 === 0)
+        .select(col("s"), col("vec_id").as("cent_id"), col("sv").as("cv"))
+      val cents2 = pqRetrain(pqAssign(subs, pqRetrain(pqAssign(subs, seeds))))
+      val codes = pqAssign(subs, cents2)
+        .select(col("vec_id"), col("s"), col("cent_id"))
+        .localCheckpoint(true)
+      (codes, cents2)
+    })
+  }
+
+  /** Oracle CTE chain replaying [[pqTrainedCodes]] exactly:
+    * `subs → seeds0 → pa1 → pc1 → pa2 → pc2 → pa3` (final codes). */
+  private def pqOracleCtes(): String = {
+    def assignSql(cents: String, out: String) = s"""
+      $out AS (
+        SELECT vec_id, s, sv, cent_id FROM (
+          SELECT sub.vec_id, sub.s, sub.sv, c.cent_id,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                     ORDER BY ${l2Frag("sub.sv", "c.cv")} ASC, c.cent_id) AS crk
+          FROM subs sub JOIN $cents c ON sub.s = c.s) WHERE crk = 1)"""
+    def retrainSql(assigned: String, out: String) = s"""
+      $out AS (
+        SELECT s, cent_id, list(CAST(m AS REAL) ORDER BY pos) AS cv FROM (
+          SELECT a.s, a.cent_id, u.pos,
+                 CAST(sum(CAST(floor(CAST(u.v AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT)
+                   / (count(*) * 1048576.0) AS m
+          FROM $assigned a,
+               LATERAL (SELECT unnest(a.sv) AS v,
+                               generate_subscripts(a.sv, 1) - 1 AS pos) u
+          GROUP BY a.s, a.cent_id, u.pos)
+        GROUP BY s, cent_id)"""
+    s"""subs AS (
+        SELECT vec_id, u.s,
+               embedding[u.s*$pqSubDim+1 : u.s*$pqSubDim+$pqSubDim] AS sv
+        FROM embeddings, LATERAL (SELECT unnest(range(0, $pqM)) AS s) u),
+      seeds0 AS (
+        SELECT s, vec_id AS cent_id, sv AS cv FROM subs WHERE vec_id % 25 = 0),
+      ${assignSql("seeds0", "pa1")},
+      ${retrainSql("pa1", "pc1")},
+      ${assignSql("pc1", "pa2")},
+      ${retrainSql("pa2", "pc2")},
+      ${assignSql("pc2", "pa3")}"""
   }
 
   /** SQL fragment computing the [[graft.functions.VectorFunctions.srpBucket]]
