@@ -136,6 +136,34 @@ object MergeQueries {
       SELECT o_orderkey + 10000000, NULL, o_totalprice, 'insert'
       FROM orders WHERE o_orderkey % 100 = 0""")),
 
+    // BLOOM-skipped POINT LOOKUP: orders committed into a TxLog table
+    // as 4 append batches (keys striped by modulus, so every batch
+    // spans the full key RANGE — min/max stats prune nothing, the
+    // worst case for range skipping), each commit carrying a per-dir
+    // Bloom filter on the key. A needle probe then opens ~1 of the 4
+    // dirs (asserted structurally in TxLogSpec; here the driver's hash
+    // gate pins the read's CONTENT). Probed keys are the corpus min
+    // and max (two scalar driver fetches — the sanctioned S10 shape)
+    // plus a ghost key that hits nothing on either side. This is the
+    // 100 TB needle shape: manifest-level filter pruning, no full scan.
+    Q("txlog_point_lookup", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_pt_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t = graft.pipeline.TxLog(spark, root, bloomCols = Seq("o_orderkey"))
+      val orders = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      (0 until 4).foreach(b =>
+        t.append(orders.filter(col("o_orderkey") % 4 === b)))
+      val bounds = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      t.snapshotPoint("o_orderkey", lo.toString)
+        .unionByName(t.snapshotPoint("o_orderkey", hi.toString))
+        .unionByName(t.snapshotPoint("o_orderkey", (hi + 1).toString))
+    }, oracle = Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey IN ((SELECT min(o_orderkey) FROM orders),
+                           (SELECT max(o_orderkey) FROM orders))""")),
+
     // O4 — CDC APPLY CHANGES: three-clause MERGE folding an I/U/D
     // change feed into the supplier dim (Upsert.applyChanges). Disjoint
     // op classes: every 3rd key updated (name v2, bal+5), every 7th

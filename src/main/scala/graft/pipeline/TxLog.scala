@@ -35,7 +35,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet readable by any engine.
   */
 final case class TxLog(spark: SparkSession, root: String,
-                       statsCols: Seq[String] = Nil) {
+                       statsCols: Seq[String] = Nil,
+                       bloomCols: Seq[String] = Nil,
+                       bloomBits: Int = 4096) {
 
   private val logDir = s"$root/_txlog"
   private val dataDir = s"$root/data"
@@ -64,6 +66,7 @@ final case class TxLog(spark: SparkSession, root: String,
     *   #partcol=<name>                    // optional: table is partition-tagged
     *   #statscol=<name>|<sqlType>         // one per stats column tracked
     *   #range\t<dir>\t<col>\t<min>\t<max> // data-skipping stats, one per (dir, col)
+    *   #bloom\t<dir>\t<col>\t<hex>        // point-lookup Bloom bits, one per (dir, col)
     *   #txn\t<appId>\t<batchId>           // highest committed batch per writer app
     *   <dir>                              // dir covers the whole table
     *   <dir>\t<partValue>                 // dir carries this partition's live rows
@@ -79,7 +82,8 @@ final case class TxLog(spark: SparkSession, root: String,
                               stats: Seq[(String, String)],
                               entries: Seq[(String, Option[String])],
                               ranges: Map[(String, String), (String, String)],
-                              txns: Map[String, Long] = Map.empty) {
+                              txns: Map[String, Long] = Map.empty,
+                              blooms: Map[(String, String), String] = Map.empty) {
     def dirs: Seq[String] = entries.map(_._1).distinct
   }
 
@@ -108,6 +112,12 @@ final case class TxLog(spark: SparkSession, root: String,
         case _ => throw new java.io.IOException(s"bad txn line: $l")
       }
     }.toMap
+    val blooms = lines.filter(_.startsWith("#bloom\t")).map { l =>
+      l.stripPrefix("#bloom\t").split('\t') match {
+        case Array(d, c, hex) => (d, c) -> hex
+        case _ => throw new java.io.IOException(s"bad bloom line: $l")
+      }
+    }.toMap
     val entries = lines.filterNot(_.startsWith("#")).map { l =>
       l.split('\t') match {
         case Array(d) => (d, None)
@@ -115,7 +125,7 @@ final case class TxLog(spark: SparkSession, root: String,
         case _ => throw new java.io.IOException(s"bad manifest line: $l")
       }
     }
-    Manifest(partCol, stats, entries, ranges, txns)
+    Manifest(partCol, stats, entries, ranges, txns, blooms)
   }
 
   private def manifestLines(m: Manifest): Seq[String] =
@@ -123,6 +133,8 @@ final case class TxLog(spark: SparkSession, root: String,
       m.stats.map { case (c, t) => s"#statscol=$c|$t" } ++
       m.ranges.toSeq.sortBy(_._1).map { case ((d, c), (lo, hi)) =>
         s"#range\t$d\t$c\t$lo\t$hi" } ++
+      m.blooms.toSeq.sortBy(_._1).map { case ((d, c), hex) =>
+        s"#bloom\t$d\t$c\t$hex" } ++
       m.txns.toSeq.sortBy(_._1).map { case (a, i) => s"#txn\t$a\t$i" } ++
       m.entries.map { case (d, t) => d + t.fold("")("\t" + _) }
 
@@ -322,6 +334,90 @@ final case class TxLog(spark: SparkSession, root: String,
       }
     }
 
+  private final val BloomHashes = 3
+
+  /** Per-dir Bloom bits for every [[bloomCols]] column present in the
+    * dir — the POINT-LOOKUP complement of min/max ranges (a needle key
+    * in a 100 TB table prunes to the handful of dirs whose filter
+    * fires, where a [min,max] band over a high-NDV key prunes
+    * nothing). Geometry: [[bloomBits]] bits (self-describing in the
+    * manifest hex — readers derive it per line), 3 hashes =
+    * `xxhash64(i, CAST(col AS STRING))` for i in 0..2 — the hash runs
+    * INSIDE codegen on the executors; the driver replays the same
+    * expression per probe. Build cost: one `bit_or` aggregation per
+    * commit collapsing to `bloomBits/64` word rows — metadata-sized,
+    * like [[statsFor]]'s agg. Size for ~10 bits per distinct key per
+    * dir (~1% fp); an undersized filter saturates and degrades to
+    * "open the dir" — conservative, never wrong. */
+  private def bloomsFor(uuid: String): Map[(String, String), String] =
+    if (bloomCols.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions.{array, bit_or, col, explode, expr, lit, pmod, xxhash64}
+      val df = snapshotOfDir(uuid)
+      bloomCols.filter(c => df.schema.exists(_.name == c)).flatMap { c =>
+        val words = df.filter(col(c).isNotNull)
+          .select(explode(array((0 until BloomHashes).map(i =>
+            pmod(xxhash64(lit(i), col(c).cast("string")), lit(bloomBits.toLong))): _*))
+            .as("i"))
+          .select((col("i") / 64).cast("int").as("w"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(i % 64 AS INT))").as("m"))
+          .groupBy(col("w")).agg(bit_or(col("m")).as("bits"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val packed = Array.tabulate(bloomBits / 64)(w => words.getOrElse(w, 0L))
+        Some((uuid, c) -> packed.map(w => f"$w%016x").mkString)
+      }.toMap
+    }
+
+  /** Driver-side replay of the executor bloom hash for one probe
+    * value: the same `XxHash64(i, value)` expression, evaluated once. */
+  private def bloomBitOf(i: Int, value: String, bits: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(i), Literal.create(value,
+      org.apache.spark.sql.types.StringType)), 42L).eval().asInstanceOf[Long]
+    java.lang.Math.floorMod(h, bits.toLong).toInt
+  }
+
+  /** Whether `hex` (a packed word bloom) may contain `value`. */
+  private def bloomMayContain(hex: String, value: String): Boolean = {
+    val words = hex.grouped(16).map(java.lang.Long.parseUnsignedLong(_, 16)).toArray
+    val bits = words.length * 64
+    (0 until BloomHashes).forall { i =>
+      val b = bloomBitOf(i, value, bits)
+      (words(b / 64) & (1L << (b % 64))) != 0L
+    }
+  }
+
+  /** Dirs a point lookup `column = value` must open: bloom-pruned
+    * (dirs with no filter for the column are kept — conservative),
+    * further intersected with the min/max range prune when the column
+    * also carries stats. Exposed so tests can assert skipping is
+    * structural. */
+  private[pipeline] def pointDirs(column: String, value: String,
+                                  version: Long = -1L): Seq[String] = {
+    val v = if (version >= 0) version else currentVersion()
+    require(v >= 0, s"TxLog table at $root has no commits")
+    val m = readManifestFull(v)
+    val bloomed = m.dirs.filter(d =>
+      m.blooms.get((d, column)).forall(bloomMayContain(_, value)))
+    m.stats.find(_._1 == column) match {
+      case Some((c, t)) => bloomed.intersect(pruneDirs(m, c, t, value, value))
+      case None => bloomed
+    }
+  }
+
+  /** Point-lookup read: `column = value` over the snapshot, opening
+    * only [[pointDirs]]. The equality residual compares in STRING form
+    * — the same canonicalization the filter was built from. */
+  def snapshotPoint(column: String, value: String,
+                    version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else currentVersion()
+    require(v >= 0, s"TxLog table at $root has no commits")
+    val m = readManifestFull(v)
+    readEntries(m, pointDirs(column, value, v).toSet)
+      .filter(org.apache.spark.sql.functions.col(column)
+        .cast("string") === value)
+  }
+
   /** Attempt to commit `lines` as EXACTLY `version`'s manifest.
     * The atomic primitive is create-if-absent of the version file:
     *
@@ -378,11 +474,12 @@ final case class TxLog(spark: SparkSession, root: String,
   def overwrite(df: DataFrame): Long = {
     val uuid = writeDataDir(df)
     val (hdr, ranges) = statsFor(uuid)
+    val blooms = bloomsFor(uuid)
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val cur = currentVersion()
       val prevTxns = if (cur >= 0) readManifestFull(cur).txns else Map.empty[String, Long]
-      val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges, prevTxns))
+      val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges, prevTxns, blooms))
       if (tryCommitManifest(cur + 1, lines)) return cur + 1
       attempt += 1
     }
@@ -398,6 +495,7 @@ final case class TxLog(spark: SparkSession, root: String,
   def append(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
     val uuid = writeDataDir(df)
     val (hdr, newRanges) = statsFor(uuid)
+    val newBlooms = bloomsFor(uuid)
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val cur = currentVersion()
@@ -417,7 +515,8 @@ final case class TxLog(spark: SparkSession, root: String,
         header,
         prev.entries :+ ((uuid, None)),
         prev.ranges.filter { case ((_, c), _) => headerCols(c) } ++ newRanges,
-        txnsAfter(prev.txns, txn))
+        txnsAfter(prev.txns, txn),
+        prev.blooms ++ newBlooms)
       if (tryCommitManifest(cur + 1, manifestLines(m))) return cur + 1
       attempt += 1
     }
@@ -443,6 +542,7 @@ final case class TxLog(spark: SparkSession, root: String,
                            txn: Option[(String, Long)] = None): Long = {
     val uuid = writeDataDir(df)
     val (hdr, ranges) = statsFor(uuid)
+    val blooms = bloomsFor(uuid)
     // empty df → zero partitions; keep the dir referenced untagged so
     // the manifest still resolves to a (zero-row) snapshot
     val parts = partValues(snapshotOfDir(uuid), partCol)
@@ -459,7 +559,7 @@ final case class TxLog(spark: SparkSession, root: String,
           prev.txns
         } else Map.empty[String, Long]
       val lines = manifestLines(Manifest(Some(partCol), hdr, entries, ranges,
-        txnsAfter(prevTxns, txn)))
+        txnsAfter(prevTxns, txn), blooms))
       if (tryCommitManifest(cur + 1, lines)) return cur + 1
       attempt += 1
     }
@@ -556,10 +656,13 @@ final case class TxLog(spark: SparkSession, root: String,
       val folded = fold(target).localCheckpoint(true)
       val uuid = writeDataDir(folded)
       val (hdr, newRanges) = statsFor(uuid)
+      val newBlooms = bloomsFor(uuid)
       val header = if (hdr.nonEmpty) hdr else prev.stats
       val headerCols = header.map(_._1).toSet
       val carriedRanges = prev.ranges.filter { case ((d, c), _) =>
         headerCols(c) && carry.exists(_._1 == d) }
+      val carriedBlooms = prev.blooms.filter { case ((d, _), _) =>
+        carry.exists(_._1 == d) }
       // the retag path (and any delete-capable fold) must enumerate the
       // result's actual partitions
       val resultParts =
@@ -572,7 +675,8 @@ final case class TxLog(spark: SparkSession, root: String,
         else resultParts.map(p => (uuid, Option(p)))
       val lines = manifestLines(Manifest(Some(partCol), header,
         carry ++ newEntries,
-        carriedRanges ++ newRanges, txnsAfter(prev.txns, txn)))
+        carriedRanges ++ newRanges, txnsAfter(prev.txns, txn),
+        carriedBlooms ++ newBlooms))
       if (tryCommitManifest(base + 1, lines)) return base + 1
       attempt += 1
     }
@@ -607,7 +711,7 @@ final case class TxLog(spark: SparkSession, root: String,
       val uuid = writeDataDir(merged)
       val (hdr, ranges) = statsFor(uuid)
       val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
-        txnsAfter(prev.txns, txn)))
+        txnsAfter(prev.txns, txn), bloomsFor(uuid)))
       if (tryCommitManifest(base + 1, lines)) return base + 1
       attempt += 1
     }
@@ -653,13 +757,15 @@ final case class TxLog(spark: SparkSession, root: String,
       if (part.isEmpty) None else Some(writeDataDir(part))
     }
     val stats = uuids.map(statsFor)
+    val blooms = uuids.map(bloomsFor).foldLeft(
+      Map.empty[(String, String), String])(_ ++ _)
     val header = stats.map(_._1).find(_.nonEmpty).getOrElse(Seq.empty)
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val cur = currentVersion()
       val prevTxns = if (cur >= 0) readManifestFull(cur).txns else Map.empty[String, Long]
       val m = Manifest(None, header,
-        uuids.map(u => (u, None)), stats.flatMap(_._2).toMap, prevTxns)
+        uuids.map(u => (u, None)), stats.flatMap(_._2).toMap, prevTxns, blooms)
       if (tryCommitManifest(cur + 1, manifestLines(m))) return cur + 1
       attempt += 1
     }
@@ -683,5 +789,33 @@ final case class TxLog(spark: SparkSession, root: String,
       .filter(_.getName.endsWith(".json"))
       .filter(_.getName.stripSuffix(".json").toLong < keep.head)
       .foreach(p => fs.delete(p, true))
+  }
+
+  /** RESTORE: roll the table back to `version`'s content by committing
+    * that snapshot's manifest AS A NEW VERSION — metadata-only (zero
+    * data copied; the old dirs are re-referenced), history preserved
+    * (the rolled-back versions stay time-travelable until vacuum), and
+    * the restore itself shows up in the change feed like any commit.
+    * Writer txn high-water marks are NOT rolled back — carried from
+    * the current version — so a streaming writer's redelivered batch
+    * still dedupes after a restore (Delta RESTORE's txn semantics).
+    * Fails fast if vacuum already reclaimed any dir the target
+    * snapshot references. */
+  def restoreTo(version: Long): Long = {
+    val m = readManifestFull(version) // throws if the manifest is gone
+    m.dirs.foreach { d =>
+      require(fs.exists(new Path(s"$dataDir/$d")),
+        s"cannot restore $root to v$version: data dir $d was vacuumed")
+    }
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val cur = currentVersion()
+      if (cur == version) return cur // restoring to the present: no-op
+      val lines = manifestLines(m.copy(txns = readManifestFull(cur).txns))
+      if (tryCommitManifest(cur + 1, lines)) return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog restore lost $MaxRaceRetries optimistic races at $root")
   }
 }

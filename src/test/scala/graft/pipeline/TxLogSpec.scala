@@ -400,4 +400,79 @@ class TxLogSpec extends SparkTestBase {
       .map(_.getName).filter(_.startsWith("_tmp_"))
     assert(leftover.isEmpty)
   }
+
+  test("bloom skipping: point lookups open only dirs whose filter fires, never miss a present key") {
+    val t = TxLog(spark, tmpDir("txlog_bloom"), bloomCols = Seq("k"))
+    t.overwrite((0L until 50L).map(i => (s"key$i", i)).toDF("k", "id"))
+    t.append((50L until 100L).map(i => (s"key$i", i)).toDF("k", "id"))
+    t.append((100L until 150L).map(i => (s"key$i", i)).toDF("k", "id"))
+    assert(t.snapshotDataDirs().length === 3)
+    // no false negatives: EVERY present key resolves through the prune
+    (0L until 150L by 7L).foreach { i =>
+      val got = t.snapshotPoint("k", s"key$i").collect()
+      assert(got.map(_.getLong(1)).toSeq === Seq(i), s"key$i")
+    }
+    // structural skip: a key present in one dir opens ~1 dir (fp ≤ all)
+    val opened = (0L until 150L by 11L).map(i => t.pointDirs("k", s"key$i").length)
+    assert(opened.max <= 3 && opened.count(_ == 1) >= opened.length / 2,
+      s"openings=$opened — bloom never bites?")
+    // absent keys: overwhelmingly zero dirs opened, and always zero rows
+    val ghostDirs = (0 until 20).map(g => t.pointDirs("k", s"ghost$g").length)
+    assert(ghostDirs.sum < 10, s"ghost openings=$ghostDirs")
+    (0 until 20).foreach(g =>
+      assert(t.snapshotPoint("k", s"ghost$g").count() === 0L))
+    // a bloom-less writer's commit stays readable (conservative scan)
+    TxLog(spark, t.root).append(Seq(("keyX", 999L)).toDF("k", "id"))
+    assert(t.snapshotPoint("k", "keyX").collect().map(_.getLong(1)).toSeq === Seq(999L))
+    assert(t.snapshotPoint("k", "key3").count() === 1L)
+  }
+
+  test("bloom + range stats compose; blooms carry through partitioned merges for untouched dirs") {
+    val t = TxLog(spark, tmpDir("txlog_bloom_part"),
+      statsCols = Seq("id"), bloomCols = Seq("k"))
+    t.overwritePartitioned(Seq(("p1", "a", 1L), ("p1", "b", 2L)).toDF("part", "k", "id"),
+      partCol = "part")
+    t.mergePartitioned(Seq(("p2", "c", 3L)).toDF("part", "k", "id"),
+      keys = Seq("k"), partCol = "part")
+    t.mergePartitioned(Seq(("p3", "d", 4L)).toDF("part", "k", "id"),
+      keys = Seq("k"), partCol = "part")
+    // the p1 dir was never rewritten — its bloom carried over and still prunes
+    assert(t.pointDirs("k", "a").length === 1)
+    assert(t.snapshotPoint("k", "a").collect().map(_.getLong(2)).toSeq === Seq(1L))
+    // range stats AND bloom both restrict: id stats exclude dirs too
+    assert(t.pointDirs("id", "3").length <= 3) // id has stats but no bloom
+    assert(t.snapshotPoint("id", "3").count() === 1L)
+  }
+
+  test("restore: rolls content back metadata-only, keeps history, survives a redelivered txn") {
+    val t = TxLog(spark, tmpDir("txlog_restore"), statsCols = Seq("id"))
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))        // v0
+    t.append(Seq((3L, "c")).toDF("id", "v"), txn = Some(("app", 7L))) // v1
+    t.merge(Seq((2L, "B")).toDF("id", "v"), Seq("id"))             // v2
+    val v3 = t.restoreTo(0L)
+    assert(v3 === 3L && t.currentVersion() === 3L)
+    // content equals v0 exactly
+    assert(t.snapshot().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(1L -> "a", 2L -> "b"))
+    // the rolled-back versions stay time-travelable
+    assert(t.snapshot(2).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // txn high-water marks carried forward: the old batch still dedupes
+    val v = t.append(Seq((9L, "dup")).toDF("id", "v"), txn = Some(("app", 7L)))
+    assert(v === 3L && t.snapshot().count() === 2)
+    // restoring to the present is a no-op
+    assert(t.restoreTo(3L) === 3L)
+    // data skipping still works on the restored snapshot (stats carried)
+    assert(t.snapshotRange("1", "1").count() === 1L)
+  }
+
+  test("restore refuses a vacuumed target version") {
+    val t = fresh("restore_vac")
+    (0 until 5).foreach(i => t.overwrite(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    t.vacuum(keepVersions = 2)
+    intercept[Exception](t.restoreTo(0L))
+    // and a valid recent restore still works
+    assert(t.restoreTo(3L) === 5L)
+    assert(t.snapshot().collect().head.getString(1) === "v3")
+  }
 }
