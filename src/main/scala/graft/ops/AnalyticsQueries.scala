@@ -312,5 +312,51 @@ object AnalyticsQueries {
       oracle = Some("""
       SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""")),
+
+    // Distribution-position windows: percent_rank + cume_dist per
+    // event_type over a TOTAL order (value, event_id) — tie-free, so
+    // both statistics are exact integer ratios ((rank−1)/(n−1),
+    // rank/n in doubles — bit-identical cross-engine). Partitioned
+    // window: each event_type's frame hashes to its own partition, no
+    // global funnel.
+    Q("window_percent_rank", (spark, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.loadEvents(spark, dir)
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .select(col("event_type"), col("event_id"), col("pr"), col("cd"))
+    }, oracle = Some("""
+      SELECT event_type, event_id,
+             percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""")),
+
+    // MODE per group (most frequent value, ties to the smallest) — the
+    // categorical summary SQL has no portable built-in for: one keyed
+    // count aggregation, then a top-1 window over the per-group value
+    // counts (frame cardinality = distinct values per group — bounded
+    // metadata, not corpus rows).
+    Q("agg_mode", (spark, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      load(spark, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("n"))
+    }, oracle = Some("""
+      WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2),
+      r AS (
+        SELECT o_orderstatus, o_orderpriority, n,
+               row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY n DESC, o_orderpriority) AS rk
+        FROM c)
+      SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+      FROM r WHERE rk = 1""")),
   )
 }

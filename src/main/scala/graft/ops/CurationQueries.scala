@@ -464,5 +464,45 @@ object CurationQueries {
                   WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
              lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
       FROM b GROUP BY 1, 2""")),
+
+    // N-GRAM NOVELTY — contribution scoring for dedup-aware curation:
+    // a document's novelty is the share of its distinct 3-gram
+    // shingles whose corpus-FIRST occurrence (min doc_id, lang-
+    // blocked) is this document. Near-copies of earlier documents
+    // score ≈ 0; fresh content scores ≈ 1 — the cheap proxy for
+    // "what does this doc add to the corpus". Rides the session's
+    // checkpointed inverted index (same build as the dedup family);
+    // the first-occurrence pass is one keyed aggregation + one join
+    // back on the shingle — both shuffles keyed by shingle, linear in
+    // postings at any corpus size.
+    Q("text_ngram_novelty", (spark, dir) => {
+      val ex = ExactJaccard.postings(load(spark, dir, "documents"),
+        "doc_id", "text", "lang", shingleN = 3)
+      val first = ex.groupBy(col("blk"), col("s"))
+        .agg(min(col("id")).as("first_id"))
+      ex.join(first, Seq("blk", "s"))
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_id") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_shingles"))
+    }, oracle = Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, len(string_split(text,' ')) - 1),
+                           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                    ELSE [text] END AS sh
+        FROM documents),
+      ex AS (SELECT doc_id, lang, unnest(sh) AS s FROM d),
+      f AS (SELECT lang, s, min(doc_id) AS first_id FROM ex GROUP BY 1, 2)
+      SELECT ex.doc_id AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN f.first_id = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             CAST(sum(CASE WHEN f.first_id = ex.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS novelty
+      FROM ex JOIN f ON ex.lang = f.lang AND ex.s = f.s
+      GROUP BY ex.doc_id""")),
   )
 }

@@ -90,6 +90,50 @@ object EventQueries {
       WHERE hour_start IN (SELECT h FROM e)
       GROUP BY 1""")),
 
+    // LAST-TOUCH ATTRIBUTION: each purchase credits the same user's
+    // most recent click within the trailing hour (ties on timestamp →
+    // highest click id — total order, deterministic). Shape: a
+    // user-keyed band join (pair space bounded by per-user activity in
+    // one hour — never a cross of the event streams) + a per-purchase
+    // top-1 window; unattributed purchases survive the left join with
+    // null credit. The same plan at any event volume: both sides hash
+    // on user_id, the window partitions by purchase.
+    Q("events_last_touch", (spark, dir) => {
+      val ev = Tables.loadEvents(spark, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+          col("ts").as("click_ts"))
+      val w = Window.partitionBy(col("purchase_id"))
+        .orderBy(col("click_ts").desc, col("click_id").desc)
+      p.join(c, col("user_id") === col("cu") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+          "left")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+          col("click_id"), col("click_ts"))
+    }, oracle = Some("""
+      WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT event_id AS click_id, user_id AS cu, ts AS click_ts
+        FROM events WHERE event_type = 'click'),
+      j AS (
+        SELECT p.*, c.click_id, c.click_ts,
+               row_number() OVER (PARTITION BY p.purchase_id
+                   ORDER BY c.click_ts DESC, c.click_id DESC) AS rk
+        FROM p LEFT JOIN c
+          ON p.user_id = c.cu
+         AND c.click_ts <= p.purchase_ts
+         AND c.click_ts >= p.purchase_ts - INTERVAL '1 hour')
+      SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+      FROM j WHERE rk = 1""")),
+
     // The same aggregation through the real Structured Streaming path
     // (readStream → watermark → windowed agg → memory sink): the
     // streaming result must equal the batch oracle exactly.

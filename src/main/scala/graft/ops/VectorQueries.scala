@@ -446,17 +446,20 @@ object VectorQueries {
       .select(col("vec_id"), col("pos").as("s"), col("col").as("sv"))
 
   /** Per-subspace nearest-centroid code: min squared-L2 over the
-    * broadcast codebook, ties to the lowest cent_id. */
+    * broadcast codebook, ties to the lowest cent_id. Implemented as a
+    * HASH-AGGREGATE argmin (`min_by` over the total order (d,
+    * cent_id)), not a sort window — the candidate expansion is
+    * N·pqM·K rows and a per-key hash fold is the only pass it needs;
+    * `sv` is constant within the (vec_id, s) group, so `min` just
+    * re-reads it. */
   private def pqAssign(subs: org.apache.spark.sql.DataFrame,
-                       cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("d").asc, col("cent_id"))
+                       cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     subs.join(broadcast(cents), Seq("s"))
       .withColumn("d", graft.functions.VectorFunctions.l2sq(col("sv"), col("cv")))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") === 1)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("cent_id"),
+        min(col("sv")).as("sv"))
       .select(col("vec_id"), col("s"), col("sv"), col("cent_id"))
-  }
 
   /** Per-subspace Lloyd step — the same quantized exact mean as
     * [[ivfRetrain]], keyed by (s, cent_id). */
@@ -483,8 +486,15 @@ object VectorQueries {
     val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
       e.queryExecution.analyzed.semanticHash())
     pqCache.computeIfAbsent(key, _ => {
-      val subs = pqSubvectors(e)
-      val seeds = subs.filter(col("vec_id") % 25 === 0)
+      // the training set is read 3× (2 Lloyd passes + final encoding):
+      // materialize it once — it is the corpus re-shaped, not a copy
+      // per pass
+      val subs = pqSubvectors(e).localCheckpoint(true)
+      // codebook size: every-25th vector, CAPPED at K=64 per subspace
+      // (6-bit codes — codebook cardinality is a property of the
+      // format, not the corpus; uncapped K∝N made training cost N·K
+      // quadratic in the corpus)
+      val seeds = subs.filter(col("vec_id") % 25 === 0 && col("vec_id") < 25L * 64)
         .select(col("s"), col("vec_id").as("cent_id"), col("sv").as("cv"))
       val cents2 = pqRetrain(pqAssign(subs, pqRetrain(pqAssign(subs, seeds))))
       val codes = pqAssign(subs, cents2)
@@ -520,7 +530,8 @@ object VectorQueries {
                embedding[u.s*$pqSubDim+1 : u.s*$pqSubDim+$pqSubDim] AS sv
         FROM embeddings, LATERAL (SELECT unnest(range(0, $pqM)) AS s) u),
       seeds0 AS (
-        SELECT s, vec_id AS cent_id, sv AS cv FROM subs WHERE vec_id % 25 = 0),
+        SELECT s, vec_id AS cent_id, sv AS cv FROM subs
+        WHERE vec_id % 25 = 0 AND vec_id < 1600),
       ${assignSql("seeds0", "pa1")},
       ${retrainSql("pa1", "pc1")},
       ${assignSql("pc1", "pa2")},
