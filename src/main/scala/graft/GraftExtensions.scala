@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{CosineSimilarity, MinHashAgg, TopKAgg}
+import graft.functions.expressions.{CosineSimilarity, L2Squared, MinHashAgg, TopKAgg}
 
 /** Session-extension entry point: registers the engine's native
   * functions and planner strategies at session build time, so a
@@ -12,6 +12,7 @@ import graft.functions.expressions.{CosineSimilarity, MinHashAgg, TopKAgg}
   * (no per-session registry calls needed):
   *
   *   - `cosine_sim(a, b)`   — codegen'd float-vector cosine
+  *   - `l2_sq(a, b)`        — codegen'd float-vector squared L2
   *   - `minhash_agg(h, k)`  — one-pass MinHash sketch aggregate
   *   - `topk_agg(v, k)`     — bounded-heap grouped top-k aggregate
   *   - as-of join planning  — [[graft.plans.AsOfJoinStrategy]]
@@ -30,6 +31,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             messageParameters =
               Map("message" -> s"cosine_sim expects 2 arguments, got ${exprs.length}"))
         CosineSimilarity(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2Squared].getName, "l2_sq"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters =
+              Map("message" -> s"l2_sq expects 2 arguments, got ${exprs.length}"))
+        L2Squared(exprs.head, exprs(1))
       }))
     e.injectFunction((
       new FunctionIdentifier("minhash_agg"),

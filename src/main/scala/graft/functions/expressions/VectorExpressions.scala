@@ -79,6 +79,62 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance — the PQ/ADC hot path's metric. Same contract
+  * as [[CosineSimilarity]]: allocation-free loop, whole-stage codegen,
+  * bit-identical to the HOF form (one sequential fold of (x−y)²) and
+  * to the DuckDB oracle's `list_sum(list_transform(list_zip(...)))`. */
+case class L2Squared(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"l2_sq expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def prettyName: String = "l2_sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   /** Register in the session's function registry (idempotent); the
@@ -102,5 +158,23 @@ object VectorExpressions {
                  a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+  }
+
+  def registerL2(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_sq", exprs => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters =
+              Map("message" -> s"l2_sq expects 2 arguments, got ${exprs.length}"))
+        L2Squared(exprs.head, exprs(1))
+      }, "scala_udf")
+
+  /** Column API for the native squared-L2 distance. */
+  def l2_sq(spark: org.apache.spark.sql.SparkSession,
+            a: Column, b: Column): Column = {
+    registerL2(spark)
+    org.apache.spark.sql.functions.call_function("l2_sq", a, b)
   }
 }

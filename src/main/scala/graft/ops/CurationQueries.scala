@@ -504,5 +504,57 @@ object CurationQueries {
                / count(*) AS novelty
       FROM ex JOIN f ON ex.lang = f.lang AND ex.s = f.s
       GROUP BY ex.doc_id""")),
+
+    // END-TO-END CURATION CHAIN — the assembled pass a corpus release
+    // actually runs, as ONE declared plan: exact dedup (min-doc_id
+    // survivor per content hash) → Gopher rule filter (the same
+    // thresholds as `curate_gopher_rules`) → deterministic md5 split →
+    // per-(split, lang) doc/token accounting. Every stage is already
+    // proven alone; this pins their COMPOSITION under the hash gate
+    // (three narrow passes + two keyed aggregations, no stage breaks
+    // the previous one's scale shape).
+    Q("curate_pipeline_e2e", (spark, dir) => {
+      val d = load(spark, dir, "documents")
+      val surv = d.groupBy(TextFunctions.exactHash(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      d.join(surv, Seq("doc_id"), "leftsemi")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.meanTokenLength(col("text")).as("mean_len"),
+          TextFunctions.stopwordRatio(col("text"), stop).as("stop_ratio"))
+        .filter(col("n_tokens").between(30, 70) &&
+          col("mean_len").between(3.5, 4.5) && col("stop_ratio") >= 0.02)
+        .withColumn("bucket",
+          conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long") % 100)
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("n_tokens"))
+    }, oracle = Some(s"""
+      WITH surv AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      t AS (
+        SELECT doc_id, lang, text, string_split(text, ' ') AS toks,
+               length(text) AS nc
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM surv)),
+      m AS (
+        SELECT doc_id, lang, text, CAST(len(toks) AS INT) AS n_tokens,
+               CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_len,
+               CAST(len(list_filter(toks,
+                      x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+                 / len(toks) AS stop_ratio
+        FROM t),
+      f AS (
+        SELECT *, ${hexFoldSql("substr(md5(text), 1, 6)")} % 100 AS bucket
+        FROM m
+        WHERE n_tokens BETWEEN 30 AND 70 AND mean_len BETWEEN 3.5 AND 4.5
+          AND stop_ratio >= 0.02)
+      SELECT CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+             lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM f GROUP BY 1, 2""")),
   )
 }

@@ -134,6 +134,38 @@ object EventQueries {
       SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
       FROM j WHERE rk = 1""")),
 
+    // Event-type TRANSITION MATRIX (first-order Markov estimate): per
+    // user, consecutive event pairs via lead() over the (ts, event_id)
+    // total order, then counts and row-normalized probabilities. The
+    // sequence window partitions by user (parallel); the normalizing
+    // window's frame is the 5×5 type matrix — metadata cardinality.
+    // p is an exact integer ratio in doubles — cross-engine stable.
+    Q("events_transition_matrix", (spark, dir) => {
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wFrom = Window.partitionBy(col("from_type"))
+      Tables.loadEvents(spark, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(wSeq))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double")
+          / sum(col("n")).over(wFrom).cast("double"))
+    }, oracle = Some("""
+      WITH t AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS next_type
+        FROM events),
+      c AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n
+        FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             CAST(n AS DOUBLE)
+               / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      FROM c""")),
+
     // The same aggregation through the real Structured Streaming path
     // (readStream → watermark → windowed agg → memory sink): the
     // streaming result must equal the batch oracle exactly.

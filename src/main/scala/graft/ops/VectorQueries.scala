@@ -287,7 +287,7 @@ object VectorQueries {
       val (codes, cents) = pqTrainedCodes(spark, e)
       val qd = pqSubvectors(e).filter(col("vec_id") < 20)
         .join(broadcast(cents), Seq("s"))
-        .withColumn("qd", graft.functions.VectorFunctions.l2sq(col("sv"), col("cv")))
+        .withColumn("qd", VectorExpressions.l2_sq(spark, col("sv"), col("cv")))
         .select(col("vec_id").as("query_id"), col("s"), col("cent_id"), col("qd"))
       val wRank = Window.partitionBy(col("query_id"))
         .orderBy(col("adc_dist").asc, col("neighbor_id"))
@@ -452,10 +452,11 @@ object VectorQueries {
     * N·pqM·K rows and a per-key hash fold is the only pass it needs;
     * `sv` is constant within the (vec_id, s) group, so `min` just
     * re-reads it. */
-  private def pqAssign(subs: org.apache.spark.sql.DataFrame,
+  private def pqAssign(spark: org.apache.spark.sql.SparkSession,
+                       subs: org.apache.spark.sql.DataFrame,
                        cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     subs.join(broadcast(cents), Seq("s"))
-      .withColumn("d", graft.functions.VectorFunctions.l2sq(col("sv"), col("cv")))
+      .withColumn("d", VectorExpressions.l2_sq(spark, col("sv"), col("cv")))
       .groupBy(col("vec_id"), col("s"))
       .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("cent_id"),
         min(col("sv")).as("sv"))
@@ -496,8 +497,8 @@ object VectorQueries {
       // quadratic in the corpus)
       val seeds = subs.filter(col("vec_id") % 25 === 0 && col("vec_id") < 25L * 64)
         .select(col("s"), col("vec_id").as("cent_id"), col("sv").as("cv"))
-      val cents2 = pqRetrain(pqAssign(subs, pqRetrain(pqAssign(subs, seeds))))
-      val codes = pqAssign(subs, cents2)
+      val cents2 = pqRetrain(pqAssign(spark, subs, pqRetrain(pqAssign(spark, subs, seeds))))
+      val codes = pqAssign(spark, subs, cents2)
         .select(col("vec_id"), col("s"), col("cent_id"))
         .localCheckpoint(true)
       (codes, cents2)

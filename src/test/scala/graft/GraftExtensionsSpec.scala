@@ -20,6 +20,10 @@ class GraftExtensionsSpec extends SparkTestBase {
         "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
           "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().getDouble(0)
       assert(math.abs(cos - 1.0) < 1e-12)
+      val d2 = s2.sql(
+        "SELECT l2_sq(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(4.0 AS FLOAT), CAST(6.0 AS FLOAT))) AS d").head().getDouble(0)
+      assert(d2 === 25.0)
       val sig = s2.sql(
         "SELECT minhash_agg(h, 4) AS sig FROM VALUES (1L), (2L), (3L) AS t(h)")
         .head().getSeq[Long](0)

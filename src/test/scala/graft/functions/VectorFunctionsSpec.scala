@@ -40,6 +40,25 @@ class VectorFunctionsSpec extends SparkTestBase {
     sqlSelf.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
   }
 
+  test("native l2_sq expression bit-matches the HOF squared-L2, and rejects non-float arrays") {
+    import graft.functions.expressions.VectorExpressions
+    val e = spark.read.parquet(sf("0.001") + "/embeddings.parquet").limit(100)
+    val a = e.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val mismatches = a.crossJoin(b).filter($"ia" < $"ib")
+      .withColumn("d1", l2sq($"va", $"vb"))
+      .withColumn("d2", VectorExpressions.l2_sq(spark, $"va", $"vb"))
+      .filter($"d1" =!= $"d2").count()
+    assert(mismatches === 0)
+    // self-distance is exactly zero; type misuse fails analysis
+    assert(e.select(VectorExpressions.l2_sq(spark, $"embedding", $"embedding"))
+      .head().getDouble(0) === 0.0)
+    val bad = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("x", "y")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(VectorExpressions.l2_sq(spark, $"x", $"y")).collect()
+    }
+  }
+
   test("cosine_sim rejects non-float arrays on BOTH sides (no silent byte misread)") {
     import graft.functions.expressions.VectorExpressions
     VectorExpressions.register(spark)
