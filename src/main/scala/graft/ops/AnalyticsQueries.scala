@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.TextFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -358,5 +359,69 @@ object AnalyticsQueries {
         FROM c)
       SELECT o_orderstatus, o_orderpriority AS mode_priority, n
       FROM r WHERE rk = 1""")),
+
+    // Exact LEAST-SQUARES fit per group (chars regressed on tokens,
+    // per language): slope/intercept from the four INTEGER moment sums
+    // (Σx, Σy, Σxy, Σx² — exact longs at any corpus size; the closed
+    // form divides once in doubles, bit-identical cross-engine). The
+    // regression no built-in gives you exactly: one narrow scan + one
+    // keyed aggregation — embarrassingly parallel, no second pass.
+    Q("agg_linear_fit", (spark, dir) => {
+      val d = load(spark, dir, "documents").select(col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("x"),
+        col("n_chars").as("y"))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("intercept",
+          (col("sy").cast("double") - col("slope") * col("sx")) / col("n"))
+        .select(col("lang"), col("n"), col("slope"), col("intercept"))
+    }, oracle = Some("""
+      WITH m AS (
+        SELECT lang, count(*) AS n,
+               CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sx,
+               CAST(sum(n_chars) AS BIGINT) AS sy,
+               CAST(sum(len(string_split(text,' ')) * n_chars) AS BIGINT) AS sxy,
+               CAST(sum(len(string_split(text,' ')) * len(string_split(text,' '))) AS BIGINT) AS sxx
+        FROM documents GROUP BY lang)
+      SELECT lang, n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+             (CAST(sy AS DOUBLE)
+               - (CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n AS intercept
+      FROM m""")),
+
+    // Inter-arrival statistics per user: mean/max gap between
+    // consecutive events (µs) — sequence health metrics over the same
+    // lag machinery as `window_lag_delta`; sums are exact longs, the
+    // mean is one int/int double division. Window partitions by user —
+    // parallel at any event volume.
+    Q("events_interarrival", (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.loadEvents(spark, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sum_gap_us"),
+          max(col("gap")).as("max_gap_us"))
+        .withColumn("mean_gap_us",
+          col("sum_gap_us").cast("double") / col("n_gaps"))
+    }, oracle = Some("""
+      WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS gap
+        FROM events)
+      SELECT user_id, count(*) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+             CAST(max(gap) AS BIGINT) AS max_gap_us,
+             CAST(sum(gap) AS DOUBLE) / count(*) AS mean_gap_us
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id""")),
   )
 }

@@ -239,5 +239,42 @@ object TextQueries {
                    THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_shingles
                    ELSE 0.0 END) > 0.2 AS is_repetitive
       FROM m""")),
+
+    // WINSORIZED corpus statistics — robust per-language length stats
+    // with the top and bottom DECILE of documents (by n_chars, doc_id
+    // tiebreak — a total order) trimmed before aggregating: the
+    // outlier-insensitive report a corpus healthcheck runs. The decile
+    // assignment is the shared DISTRIBUTED two-phase rank
+    // ([[CurationQueries.distributedNtile]] — range partition + local
+    // row_number + broadcast offsets), so the global order never
+    // funnels through one task; the trimmed aggregation is one keyed
+    // pass. All sums are exact longs; means are single int/int double
+    // divisions — bit-identical to the oracle's ntile.
+    Q("text_winsorized_stats", (spark, dir) => {
+      val d = load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+      CurationQueries.distributedNtile(d, 10, 16, col("n_chars"), col("doc_id"))
+        .filter(col("tier").between(2, 9))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .withColumn("mean_chars",
+          col("sum_chars").cast("double") / col("n_docs"))
+        .withColumn("mean_tokens",
+          col("sum_tokens").cast("double") / col("n_docs"))
+    }, oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               ntile(10) OVER (ORDER BY n_chars, doc_id) AS tier
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+             CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens
+      FROM t WHERE tier BETWEEN 2 AND 9 GROUP BY lang""")),
   )
 }

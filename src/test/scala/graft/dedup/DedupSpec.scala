@@ -84,4 +84,29 @@ class DedupSpec extends SparkTestBase {
     val s2 = docs.select(SimHash.simhash60(col("text"))).collect().map(_.getLong(0))
     assert(s1 === s2)
   }
+
+  test("paragraph dedup: boilerplate chunks vanish, unique docs pass through verbatim") {
+    // synthetic corpus: an 8-token boilerplate chunk planted in 3 docs
+    // (≥ the threshold), one short doc (< chunk size), one doc that is
+    // ALL boilerplate, one untouched unique doc
+    val bp = (1 to 8).map(i => s"bp$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$bp alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, s"$bp one two three four five six seven eight"),
+      (2L, bp), // all boilerplate → cleaned to empty
+      (3L, "lone words that appear nowhere else at all"), // 8 unique tokens
+      (4L, "tiny doc")) // single sub-size chunk, unique
+      .map { case (id, t) => (id, t, "en", "srcT", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("para_dedup")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("dedup_paragraphs")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) === ((2L, 1L, "alpha beta gamma delta epsilon zeta eta theta")))
+    assert(out(1L) === ((2L, 1L, "one two three four five six seven eight")))
+    assert(out(2L) === ((1L, 1L, ""))) // all chunks removed → empty text
+    assert(out(3L) === ((1L, 0L, "lone words that appear nowhere else at all")))
+    assert(out(4L) === ((1L, 0L, "tiny doc")))
+  }
 }

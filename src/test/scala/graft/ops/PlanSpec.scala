@@ -116,4 +116,26 @@ class PlanSpec extends SparkTestBase {
     assert(files(lookup) > 0 && files(lookup) < files(all),
       s"pruned=${files(lookup)} total=${files(all)}")
   }
+
+  test("PQ ADC scan joins the broadcast distance table — never a shuffled or nested-loop join") {
+    val p = planOf("sim_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "ADC recombination fell out of the equi-join shape")
+  }
+
+  test("last-touch attribution stays an equi-join on user (band predicate as residual)") {
+    val p = planOf("events_last_touch")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
+  test("paragraph dedup: boilerplate join is keyed, reassembly window partitions by doc") {
+    val p = planOf("dedup_paragraphs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the WindowExec tripwire already guarantees no partition-less
+    // window; here pin that the final aggregation is keyed by doc_id
+    assert(p.contains("hashpartitioning(doc_id") ||
+      p.contains("hashpartitioning(chunk"), p.take(1200))
+  }
 }
