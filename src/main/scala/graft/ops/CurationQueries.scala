@@ -556,5 +556,109 @@ object CurationQueries {
                   WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
              lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
       FROM f GROUP BY 1, 2""")),
+
+    // SEQUENCE PACKING accounting — concat-and-chunk into fixed
+    // CTX-token context windows (the layout an LLM trainer actually
+    // feeds): docs are concatenated in deterministic doc_id order and
+    // cut every CTX tokens, so a doc occupies windows
+    // floor(start/CTX) .. floor((start+n-1)/CTX). The exclusive start
+    // offsets come from the same DISTRIBUTED prefix sum as
+    // `pack_token_budget` (arithmetic range bucketing + broadcast
+    // offsets — no global window); the doc→window fan-out is a
+    // `sequence`+`explode` (each doc emits only the windows it
+    // touches, ~n/CTX rows, so the expansion is the corpus token count
+    // over CTX — linear, embarrassingly parallel). Per window:
+    // docs touched, tokens held, and how many of its docs are SPLIT
+    // across a window boundary — the fragmentation metric packing
+    // strategies are judged by. All integer arithmetic.
+    Q("pack_context_windows", (spark, dir) => {
+      val ctx = 512
+      val d = load(spark, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n"))
+      val numParts = 32
+      val bounds = d.agg(max(col("doc_id")).as("__maxid"))
+      val parts = d.crossJoin(broadcast(bounds))
+        .withColumn("pid", expr(s"doc_id div ((__maxid + $numParts) div $numParts)"))
+        .drop("__maxid")
+      val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      val withLocal = parts.withColumn("local_cum", sum(col("n")).over(wLocal))
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = parts.groupBy(col("pid")).agg(sum(col("n")).as("ptot"))
+        .withColumn("offset", coalesce(sum(col("ptot")).over(wOff), lit(0L)))
+        .select(col("pid"), col("offset"))
+      withLocal.join(broadcast(offsets), "pid")
+        .withColumn("start", col("local_cum") + col("offset") - col("n"))
+        .select(col("doc_id"), col("n"), col("start"),
+          explode(expr(s"sequence(start div $ctx, (start + n - 1) div $ctx)")).as("win"))
+        .withColumn("toks_in_win",
+          least(lit(ctx.toLong) * (col("win") + 1), col("start") + col("n"))
+            - greatest(lit(ctx.toLong) * col("win"), col("start")))
+        .groupBy(col("win"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks_in_win")).as("n_tokens"),
+          sum(when(col("toks_in_win") < col("n"), 1L).otherwise(0L)).as("n_split_docs"))
+    }, oracle = Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, n,
+               COALESCE(sum(n) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        FROM d),
+      w AS (
+        SELECT c.doc_id, c.n, c.start, u.win
+        FROM c, UNNEST(generate_series(CAST(c.start // 512 AS BIGINT),
+                         CAST((c.start + c.n - 1) // 512 AS BIGINT))) AS u(win)),
+      t AS (
+        SELECT win, n,
+               least(512 * (win + 1), start + n) - greatest(512 * win, start) AS toks_in_win
+        FROM w)
+      SELECT win, count(*) AS n_docs, CAST(sum(toks_in_win) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN toks_in_win < n THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+      FROM t GROUP BY win""")),
+
+    // TEMPERATURE-WEIGHTED source mixture (alpha = 0.5) — the standard
+    // up-weighting of small sources when assembling a training mix:
+    // sampling weight ∝ size^alpha. With alpha = 1/2 the weight is the
+    // INTEGER square root of the source's token count, computed
+    // exactly: floor(sqrt(x)) on a double is within ±1 of the true
+    // isqrt for any x < 2^52, and a two-sided integer correction makes
+    // it exact regardless of the engine's sqrt rounding — so the
+    // entire query stays bit-identical cross-engine with no
+    // transcendental in the hash path. Two n_sources-row aggregations
+    // over one corpus scan; at 100 TB the cost is the token count.
+    Q("curate_temperature_mixture", (spark, dir) => {
+      val t = load(spark, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("toks"))
+      val isqrt = expr(
+        """CASE WHEN (s0 + 1) * (s0 + 1) <= toks THEN s0 + 1
+          |     WHEN s0 * s0 > toks THEN s0 - 1 ELSE s0 END"""
+          .stripMargin)
+      val w = t.withColumn("s0", expr("cast(floor(sqrt(cast(toks as double))) as bigint)"))
+        .withColumn("w", isqrt)
+        .drop("s0")
+      w.crossJoin(broadcast(w.agg(sum(col("w")).as("wtot"))))
+        .withColumn("ppm", expr("w * 1000000L div wtot"))
+        .select(col("source"), col("toks"), col("w"), col("ppm"))
+    }, oracle = Some("""
+      WITH t AS (
+        SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents GROUP BY source),
+      s AS (
+        SELECT source, toks,
+               CAST(floor(sqrt(CAST(toks AS DOUBLE))) AS BIGINT) AS s0
+        FROM t),
+      w AS (
+        SELECT source, toks,
+               CASE WHEN (s0 + 1) * (s0 + 1) <= toks THEN s0 + 1
+                    WHEN s0 * s0 > toks THEN s0 - 1 ELSE s0 END AS w
+        FROM s)
+      SELECT source, toks, w,
+             CAST(w * 1000000 // (SELECT sum(w) FROM w) AS BIGINT) AS ppm
+      FROM w""")),
   )
 }

@@ -242,6 +242,19 @@ object EventQueries {
     // upserted per microbatch with the engine's SCD1 merge; the final
     // gold table must equal the one-shot batch aggregation exactly —
     // same oracle as the batch/streaming hourly queries.
+    // Stream-static enrichment: events stream ⟕ broadcast static
+    // customer dim, aggregated per (segment, event_type). Stateless
+    // join (stream-static joins keep no state), complete-mode agg over
+    // a bounded key space; result must equal the one-shot batch join.
+    Q("events_stream_static_enrich", (spark, dir) =>
+      graft.streaming.EventStreams.segmentEnrich(spark, dir),
+      oracle = Some("""
+      SELECT coalesce(c.c_mktsegment, 'unknown') AS segment, e.event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2""")),
+
     Q("events_stream_merge_gold", (spark, dir) =>
       graft.streaming.EventStreams.hourlyMergeToGold(spark, dir,
         s"/root/repo/target/tmp/stream_gold_${dir.hashCode.abs}/hourly"),

@@ -293,6 +293,44 @@ object EventStreams {
     spark.table(queryName).filter(col("user_id") >= 0)
   }
 
+  /** STREAM-STATIC enrichment — the canonical "join the firehose to a
+    * dimension" pattern: the event stream broadcast-left-joins a
+    * STATIC customer table per microbatch (no streaming state for the
+    * join at all — stream-static joins are stateless, and the
+    * broadcast keeps the dim off the shuffle), then aggregates per
+    * (market segment, event_type) in complete mode. At 100 TB the dim
+    * side is loaded once per microbatch and shipped with the task
+    * binary; the stream side never shuffles for the join — only the
+    * (segments × types)-key aggregation exchanges, which is bounded
+    * metadata-scale state. */
+  def segmentEnrich(spark: SparkSession, dir: String,
+                    queryName: String = "graft_stream_enrich"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .join(dim, stream("user_id") === dim("c_custkey"), "left")
+      .withColumn("segment", coalesce(col("c_mktsegment"), lit("unknown")))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    SessionizeStream.withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** Hourly tumbling-window aggregate per event_type, streaming. Runs
     * the query to completion over the finite input and returns the
     * result as a batch DataFrame. */

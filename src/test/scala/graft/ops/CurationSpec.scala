@@ -93,4 +93,42 @@ class CurationSpec extends SparkTestBase {
       if (scale > 0) assert(math.abs(v - q * scale / 127.0) <= scale / 127.0 + 1e-12)
     }
   }
+
+  test("context windows: full windows hold exactly CTX tokens, totals conserved") {
+    val out = graft.SparkEntry.queries("pack_context_windows")(spark, sf("0.01"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val totalTokens = docs
+      .agg(sum(TextFunctions.tokenCount(col("text")).cast("long"))).head().getLong(0)
+    // windows are contiguous 0..W-1 and conserve the corpus token count
+    assert(out.map(_._1).toSeq === out.indices.map(_.toLong))
+    assert(out.map(_._3).sum === totalTokens)
+    // every window but the last is exactly full; none overflows
+    out.init.foreach { case (w, _, toks, _) => assert(toks === 512L, s"window $w") }
+    assert(out.last._3 <= 512L)
+    // doc-touch accounting: sum(n_docs) - distinct docs = total extra
+    // window appearances = sum over docs of (windows spanned - 1); a
+    // doc split across k windows is counted split in ALL k of them
+    val spans = docs.select(TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(_.getLong(0))
+    assert(out.map(_._2).sum >= docs.count())
+  }
+
+  test("temperature mixture weights are exact integer square roots") {
+    val out = graft.SparkEntry.queries("curate_temperature_mixture")(spark, sf("0.01"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (src, toks, w, _) =>
+      assert(w * w <= toks && toks < (w + 1) * (w + 1), s"$src: isqrt($toks) != $w")
+    }
+    // floor division loses < 1 ppm per source
+    val ppmSum = out.map(_._4).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - out.length)
+    // alpha = 0.5 flattens: smallest source's temperature share is at
+    // least its raw token share (sqrt up-weights small sources), modulo
+    // ±2 ppm of integer-floor slop
+    val minSrc = out.minBy(_._2)
+    val totToks = out.map(_._2).sum
+    assert(minSrc._4 + 2 >= minSrc._2 * 1000000L / totToks)
+  }
 }
