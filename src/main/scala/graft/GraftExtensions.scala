@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{CosineSimilarity, L2Squared, MinHashAgg, TopKAgg}
+import graft.functions.expressions.{CosineSimilarity, DotProduct, L2Squared, MinHashAgg, TopKAgg}
 
 /** Session-extension entry point: registers the engine's native
   * functions and planner strategies at session build time, so a
@@ -13,14 +13,28 @@ import graft.functions.expressions.{CosineSimilarity, L2Squared, MinHashAgg, Top
   *
   *   - `cosine_sim(a, b)`   — codegen'd float-vector cosine
   *   - `l2_sq(a, b)`        — codegen'd float-vector squared L2
+  *   - `dot_product(a, b)`  — codegen'd numeric-vector dot product
   *   - `minhash_agg(h, k)`  — one-pass MinHash sketch aggregate
   *   - `topk_agg(v, k)`     — bounded-heap grouped top-k aggregate
   *   - as-of join planning  — [[graft.plans.AsOfJoinStrategy]]
+  *   - HOF vector rewrite   — [[graft.plans.VectorHofRewrite]]
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.VectorHofRewrite)
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters =
+              Map("message" -> s"dot_product expects 2 arguments, got ${exprs.length}"))
+        DotProduct(exprs.head, exprs(1))
+      }))
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -202,6 +202,9 @@ object VectorQueries {
     // bit-identical cross-engine and the 2σ cut cannot flip. One
     // narrow scan + a broadcast 1-row stats frame.
     Q("embed_norm_outliers", (spark, dir) => {
+      // the vnorm HOF fold optimizes to the native DotProduct loop
+      // (same bits — VectorHofRewriteSpec pins both value and plan)
+      graft.plans.VectorHofRewrite.install(spark)
       val e = load(spark, dir, "embeddings")
       val K = lit(1099511627776.0) // 2^40
       val qn = e.select(col("vec_id"),
@@ -249,6 +252,9 @@ object VectorQueries {
     // sides). Recall vs brute force is additionally asserted in
     // VectorFunctionsSpec.
     Q("sim_lsh_bucketed", (spark, dir) => {
+      // the 8 per-plane projection folds optimize to native DotProduct
+      // loops (float embedding × double literal planes — same bits)
+      graft.plans.VectorHofRewrite.install(spark)
       val e = load(spark, dir, "embeddings")
         .withColumn("bucket", graft.functions.VectorFunctions.srpBucket(col("embedding"), 8))
       val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
