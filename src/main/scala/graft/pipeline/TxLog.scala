@@ -37,7 +37,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class TxLog(spark: SparkSession, root: String,
                        statsCols: Seq[String] = Nil,
                        bloomCols: Seq[String] = Nil,
-                       bloomBits: Int = 4096) {
+                       bloomBits: Int = 4096,
+                       checkConstraints: Seq[(String, String)] = Nil) {
+
+  // CHECK constraints are manifest header lines (one per `\t`-free SQL
+  // predicate); reject undeclarable ones at construction, not commit
+  checkConstraints.foreach { case (n, s) =>
+    require(n.nonEmpty && !n.exists("\t\n\r".contains(_)),
+      s"constraint name '$n' must be non-empty and tab/newline-free")
+    require(s.nonEmpty && !s.exists("\t\n\r".contains(_)),
+      s"constraint '$n' SQL must be non-empty and tab/newline-free")
+  }
+  require(checkConstraints.map(_._1).distinct.size == checkConstraints.size,
+    "duplicate CHECK constraint names")
 
   private val logDir = s"$root/_txlog"
   private val dataDir = s"$root/data"
@@ -64,6 +76,7 @@ final case class TxLog(spark: SparkSession, root: String,
     * here):
     * {{{
     *   #partcol=<name>                    // optional: table is partition-tagged
+    *   #check\t<name>\t<sqlPredicate>     // CHECK constraint (table metadata)
     *   #statscol=<name>|<sqlType>         // one per stats column tracked
     *   #range\t<dir>\t<col>\t<min>\t<max> // data-skipping stats, one per (dir, col)
     *   #bloom\t<dir>\t<col>\t<hex>        // point-lookup Bloom bits, one per (dir, col)
@@ -83,7 +96,8 @@ final case class TxLog(spark: SparkSession, root: String,
                               entries: Seq[(String, Option[String])],
                               ranges: Map[(String, String), (String, String)],
                               txns: Map[String, Long] = Map.empty,
-                              blooms: Map[(String, String), String] = Map.empty) {
+                              blooms: Map[(String, String), String] = Map.empty,
+                              checks: Seq[(String, String)] = Nil) {
     def dirs: Seq[String] = entries.map(_._1).distinct
   }
 
@@ -118,6 +132,12 @@ final case class TxLog(spark: SparkSession, root: String,
         case _ => throw new java.io.IOException(s"bad bloom line: $l")
       }
     }.toMap
+    val checks = lines.filter(_.startsWith("#check\t")).map { l =>
+      l.stripPrefix("#check\t").split("\t", 2) match {
+        case Array(n, s) => (n, s)
+        case _ => throw new java.io.IOException(s"bad check line: $l")
+      }
+    }
     val entries = lines.filterNot(_.startsWith("#")).map { l =>
       l.split('\t') match {
         case Array(d) => (d, None)
@@ -125,11 +145,12 @@ final case class TxLog(spark: SparkSession, root: String,
         case _ => throw new java.io.IOException(s"bad manifest line: $l")
       }
     }
-    Manifest(partCol, stats, entries, ranges, txns, blooms)
+    Manifest(partCol, stats, entries, ranges, txns, blooms, checks)
   }
 
   private def manifestLines(m: Manifest): Seq[String] =
     m.partCol.map(c => s"#partcol=$c").toSeq ++
+      m.checks.map { case (n, s) => s"#check\t$n\t$s" } ++
       m.stats.map { case (c, t) => s"#statscol=$c|$t" } ++
       m.ranges.toSeq.sortBy(_._1).map { case ((d, c), (lo, hi)) =>
         s"#range\t$d\t$c\t$lo\t$hi" } ++
@@ -457,6 +478,50 @@ final case class TxLog(spark: SparkSession, root: String,
 
   private val MaxRaceRetries = 5
 
+  /** Table-level CHECK constraints for the NEXT manifest: the previous
+    * snapshot's persisted set, plus any writer-declared constraint
+    * whose name isn't recorded yet (constraints are TABLE metadata —
+    * once committed they bind every later writer, declared or not;
+    * redeclaring an existing name does not alter it). */
+  private def mergedChecks(prev: Seq[(String, String)]): Seq[(String, String)] =
+    prev ++ checkConstraints.filterNot(c => prev.exists(_._1 == c._1))
+
+  /** Writer-declared constraints NOT yet persisted as of `prev` — the
+    * ones existing data must be validated against before the commit
+    * that introduces them (Delta's ALTER TABLE ADD CONSTRAINT scan). */
+  private def addedChecks(prev: Seq[(String, String)]): Seq[(String, String)] =
+    checkConstraints.filterNot(c => prev.exists(_._1 == c._1))
+
+  /** (dir, constraintName) pairs this writer instance already proved —
+    * makes retry-loop re-validation free. */
+  private val validatedChecks = scala.collection.mutable.Set.empty[(String, String)]
+
+  /** Enforce CHECK constraints over freshly-written / carried dirs
+    * BEFORE their manifest commits: a row violates when the predicate
+    * is FALSE (null passes — SQL-standard CHECK). One aggregation per
+    * dir covering all pending constraints; on violation the commit is
+    * refused (the manifest never references the dir, so readers never
+    * see the bad rows — write-side atomicity is what makes post-write
+    * pre-commit validation equivalent to Delta's in-write invariant). */
+  private def enforceChecks(dirUuids: Seq[String],
+                            checks: Seq[(String, String)]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    for (d <- dirUuids) {
+      val pending = checks.filterNot(c => validatedChecks(d -> c._1))
+      if (pending.nonEmpty) {
+        val aggs = pending.map { case (n, sql) =>
+          sum(when(not(coalesce(expr(sql), lit(true))), 1L).otherwise(0L)).as(s"__chk_$n") }
+        val row = snapshotOfDir(d).agg(aggs.head, aggs.tail: _*).head()
+        pending.zipWithIndex.foreach { case ((n, sql), i) =>
+          val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+          if (bad > 0) throw new IllegalStateException(
+            s"TxLog CHECK constraint '$n' ($sql) violated by $bad row(s) — commit to $root refused")
+          validatedChecks += (d -> n)
+        }
+      }
+    }
+  }
+
   /** Txn bookkeeping for a commit: previous manifest's per-app batch
     * ids, updated with this commit's (if any). */
   private def txnsAfter(prev: Map[String, Long],
@@ -478,8 +543,14 @@ final case class TxLog(spark: SparkSession, root: String,
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val cur = currentVersion()
-      val prevTxns = if (cur >= 0) readManifestFull(cur).txns else Map.empty[String, Long]
-      val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges, prevTxns, blooms))
+      val prev =
+        if (cur >= 0) readManifestFull(cur)
+        else Manifest(None, Seq.empty, Seq.empty, Map.empty)
+      // constraints survive an overwrite (table metadata, not data)
+      val checks = mergedChecks(prev.checks)
+      enforceChecks(Seq(uuid), checks)
+      val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
+        prev.txns, blooms, checks))
       if (tryCommitManifest(cur + 1, lines)) return cur + 1
       attempt += 1
     }
@@ -511,12 +582,18 @@ final case class TxLog(spark: SparkSession, root: String,
       // (columns outside it read conservatively, never wrong)
       val header = if (hdr.nonEmpty) hdr else prev.stats
       val headerCols = header.map(_._1).toSet
+      // new data meets ALL constraints; existing data meets any the
+      // writer is introducing with this commit (the ADD CONSTRAINT scan)
+      val checks = mergedChecks(prev.checks)
+      enforceChecks(Seq(uuid), checks)
+      enforceChecks(prev.dirs, addedChecks(prev.checks))
       val m = Manifest(prev.partCol,
         header,
         prev.entries :+ ((uuid, None)),
         prev.ranges.filter { case ((_, c), _) => headerCols(c) } ++ newRanges,
         txnsAfter(prev.txns, txn),
-        prev.blooms ++ newBlooms)
+        prev.blooms ++ newBlooms,
+        checks)
       if (tryCommitManifest(cur + 1, manifestLines(m))) return cur + 1
       attempt += 1
     }
@@ -552,14 +629,16 @@ final case class TxLog(spark: SparkSession, root: String,
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val cur = currentVersion()
-      val prevTxns =
+      val prev =
         if (cur >= 0) {
-          val prev = readManifestFull(cur)
-          if (alreadyCommitted(prev, txn)) return cur
-          prev.txns
-        } else Map.empty[String, Long]
+          val p = readManifestFull(cur)
+          if (alreadyCommitted(p, txn)) return cur
+          p
+        } else Manifest(None, Seq.empty, Seq.empty, Map.empty)
+      val checks = mergedChecks(prev.checks)
+      enforceChecks(Seq(uuid), checks)
       val lines = manifestLines(Manifest(Some(partCol), hdr, entries, ranges,
-        txnsAfter(prevTxns, txn), blooms))
+        txnsAfter(prev.txns, txn), blooms, checks))
       if (tryCommitManifest(cur + 1, lines)) return cur + 1
       attempt += 1
     }
@@ -673,10 +752,13 @@ final case class TxLog(spark: SparkSession, root: String,
       val newEntries =
         if (resultParts.isEmpty && carry.isEmpty) Seq((uuid, Option.empty[String]))
         else resultParts.map(p => (uuid, Option(p)))
+      val checks = mergedChecks(prev.checks)
+      enforceChecks(Seq(uuid), checks)
+      enforceChecks(carry.map(_._1).distinct, addedChecks(prev.checks))
       val lines = manifestLines(Manifest(Some(partCol), header,
         carry ++ newEntries,
         carriedRanges ++ newRanges, txnsAfter(prev.txns, txn),
-        carriedBlooms ++ newBlooms))
+        carriedBlooms ++ newBlooms, checks))
       if (tryCommitManifest(base + 1, lines)) return base + 1
       attempt += 1
     }
@@ -710,8 +792,10 @@ final case class TxLog(spark: SparkSession, root: String,
       val merged = Upsert.merge(snapshot(base), src, keys).localCheckpoint(true)
       val uuid = writeDataDir(merged)
       val (hdr, ranges) = statsFor(uuid)
+      val checks = mergedChecks(prev.checks)
+      enforceChecks(Seq(uuid), checks)
       val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
-        txnsAfter(prev.txns, txn), bloomsFor(uuid)))
+        txnsAfter(prev.txns, txn), bloomsFor(uuid), checks))
       if (tryCommitManifest(base + 1, lines)) return base + 1
       attempt += 1
     }
@@ -763,9 +847,16 @@ final case class TxLog(spark: SparkSession, root: String,
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val cur = currentVersion()
-      val prevTxns = if (cur >= 0) readManifestFull(cur).txns else Map.empty[String, Long]
+      val prev =
+        if (cur >= 0) readManifestFull(cur)
+        else Manifest(None, Seq.empty, Seq.empty, Map.empty)
+      // a compaction rewrites every row anyway — validate the rewrite
+      // against the full (possibly newly-extended) constraint set
+      val checks = mergedChecks(prev.checks)
+      enforceChecks(uuids, checks)
       val m = Manifest(None, header,
-        uuids.map(u => (u, None)), stats.flatMap(_._2).toMap, prevTxns, blooms)
+        uuids.map(u => (u, None)), stats.flatMap(_._2).toMap, prev.txns,
+        blooms, checks)
       if (tryCommitManifest(cur + 1, manifestLines(m))) return cur + 1
       attempt += 1
     }
@@ -811,7 +902,13 @@ final case class TxLog(spark: SparkSession, root: String,
     while (attempt < MaxRaceRetries) {
       val cur = currentVersion()
       if (cur == version) return cur // restoring to the present: no-op
-      val lines = manifestLines(m.copy(txns = readManifestFull(cur).txns))
+      // constraints roll back WITH the restored metadata (the restored
+      // data was validated against them); a writer-declared constraint
+      // new to that version still gates the restored dirs first
+      val checks = mergedChecks(m.checks)
+      enforceChecks(m.dirs, addedChecks(m.checks))
+      val lines = manifestLines(m.copy(txns = readManifestFull(cur).txns,
+        checks = checks))
       if (tryCommitManifest(cur + 1, lines)) return cur + 1
       attempt += 1
     }

@@ -475,4 +475,82 @@ class TxLogSpec extends SparkTestBase {
     assert(t.restoreTo(3L) === 5L)
     assert(t.snapshot().collect().head.getString(1) === "v3")
   }
+
+  test("CHECK constraints: violating commits are refused atomically, passing ones land") {
+    val dir = tmpDir("txlog_checks")
+    val t = TxLog(spark, dir,
+      checkConstraints = Seq("id_positive" -> "id > 0", "v_nonempty" -> "length(v) > 0"))
+    val v0 = t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(v0 === 0L)
+    // violating append: refused, version unchanged, snapshot untouched
+    val e = intercept[IllegalStateException](
+      t.append(Seq((-3L, "c"), (4L, "d")).toDF("id", "v")))
+    assert(e.getMessage.contains("id_positive") && e.getMessage.contains("1 row"))
+    assert(t.currentVersion() === 0L && t.snapshot().count() === 2)
+    // null predicate result passes (SQL-standard CHECK)
+    val v1 = t.append(Seq((Some(5L), None: Option[String])).toDF("id", "v"))
+    assert(v1 === 1L && t.snapshot().count() === 3)
+    // violating merge also refused
+    intercept[IllegalStateException](
+      t.merge(Seq((0L, "zero")).toDF("id", "v"), Seq("id")))
+    assert(t.currentVersion() === 1L)
+  }
+
+  test("CHECK constraints persist in the manifest and bind later undeclared writers") {
+    val dir = tmpDir("txlog_checks_persist")
+    TxLog(spark, dir, checkConstraints = Seq("id_positive" -> "id > 0"))
+      .overwrite(Seq((1L, "a")).toDF("id", "v"))
+    // a NEW writer instance with no declared constraints still enforces
+    val plain = TxLog(spark, dir)
+    intercept[IllegalStateException](
+      plain.append(Seq((-1L, "x")).toDF("id", "v")))
+    assert(plain.append(Seq((2L, "y")).toDF("id", "v")) === 1L)
+    // constraints survive an overwrite (metadata, not data)
+    plain.overwrite(Seq((3L, "z")).toDF("id", "v"))
+    intercept[IllegalStateException](
+      plain.append(Seq((0L, "bad")).toDF("id", "v")))
+  }
+
+  test("adding a CHECK constraint validates EXISTING data before it binds") {
+    val dir = tmpDir("txlog_checks_add")
+    val plain = TxLog(spark, dir)
+    plain.overwrite(Seq((1L, "a"), (-2L, "b")).toDF("id", "v"))
+    // introducing a constraint the existing data violates: refused
+    val strict = TxLog(spark, dir, checkConstraints = Seq("id_positive" -> "id > 0"))
+    intercept[IllegalStateException](
+      strict.append(Seq((3L, "c")).toDF("id", "v")))
+    assert(plain.snapshot().count() === 2) // nothing committed
+    // clean the data through the undeclared writer, then the add sticks
+    plain.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    assert(strict.append(Seq((3L, "c")).toDF("id", "v")) === 2L)
+    intercept[IllegalStateException](
+      TxLog(spark, dir).append(Seq((-9L, "bad")).toDF("id", "v")))
+  }
+
+  test("CHECK constraints ride partitioned merges and restore") {
+    val dir = tmpDir("txlog_checks_part")
+    val t = TxLog(spark, dir, checkConstraints = Seq("amt_pos" -> "amt >= 0"))
+    t.overwritePartitioned(
+      Seq(("p1", 1L, 10L), ("p2", 2L, 20L)).toDF("pt", "id", "amt"), "pt")
+    val v1 = t.mergePartitioned(
+      Seq(("p1", 1L, 11L)).toDF("pt", "id", "amt"), Seq("id"), "pt")
+    assert(v1 === 1L)
+    intercept[IllegalStateException](t.mergePartitioned(
+      Seq(("p2", 2L, -5L)).toDF("pt", "id", "amt"), Seq("id"), "pt"))
+    assert(t.currentVersion() === 1L)
+    // restore carries the constraint metadata back
+    val v2 = t.restoreTo(0L)
+    assert(v2 === 2L)
+    intercept[IllegalStateException](TxLog(spark, dir).mergePartitioned(
+      Seq(("p1", 3L, -1L)).toDF("pt", "id", "amt"), Seq("id"), "pt"))
+  }
+
+  test("CHECK constraint declarations are validated at construction") {
+    intercept[IllegalArgumentException](
+      TxLog(spark, tmpDir("txlog_checks_bad1"),
+        checkConstraints = Seq("a" -> "x\t> 0")))
+    intercept[IllegalArgumentException](
+      TxLog(spark, tmpDir("txlog_checks_bad2"),
+        checkConstraints = Seq("a" -> "x > 0", "a" -> "x < 9")))
+  }
 }
