@@ -660,5 +660,32 @@ object CurationQueries {
       SELECT source, toks, w,
              CAST(w * 1000000 // (SELECT sum(w) FROM w) AS BIGINT) AS ppm
       FROM w""")),
+
+    // EXPECTATION / QUARANTINE accounting — the soft data-quality gate
+    // ([[graft.pipeline.Expectations]], the DLT expect_or_drop shape):
+    // every row is tagged with the SORTED ';'-joined names of the
+    // rules it violates (empty = clean, routed to the main table; the
+    // TxLog split-commit itself is spec-tested), and the feed reports
+    // doc/char counts per violation signature. One narrow codegen'd
+    // pass (array/filter over the predicates — no UDFs) + one small
+    // aggregation; violation = predicate FALSE, null passes (the SQL
+    // CHECK convention, shared with TxLog's hard constraints).
+    Q("dq_quarantine_split", (spark, dir) => {
+      val rules = Seq(
+        "min_len" -> (col("n_chars") >= 60),
+        "lang_allowed" -> col("lang").isin("en", "es", "de", "fr"),
+        "min_tokens" -> (TextFunctions.tokenCount(col("text")) >= 10))
+      graft.pipeline.Expectations.tag(load(spark, dir, "documents"), rules)
+        .groupBy(col("_violations").as("viol"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"))
+    }, oracle = Some("""
+      SELECT COALESCE(array_to_string(list_sort(list_filter([
+               CASE WHEN NOT (n_chars >= 60) THEN 'min_len' END,
+               CASE WHEN NOT (lang IN ('en','es','de','fr')) THEN 'lang_allowed' END,
+               CASE WHEN NOT (len(string_split(text, ' ')) >= 10) THEN 'min_tokens' END],
+             x -> x IS NOT NULL)), ';'), '') AS viol,
+             count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1""")),
   )
 }
