@@ -168,7 +168,7 @@ final case class TxLog(spark: SparkSession, root: String,
   def snapshotDataDirs(version: Long = -1L): Seq[String] = {
     val v = if (version >= 0) version else currentVersion()
     require(v >= 0, s"TxLog table at $root has no commits")
-    readManifest(v).map(d => s"$dataDir/$d")
+    readManifest(v).map(dirPath)
   }
 
   /** SQL text selecting this snapshot — lets a catalog layer register a
@@ -183,7 +183,7 @@ final case class TxLog(spark: SparkSession, root: String,
     val v = if (version >= 0) version else currentVersion()
     require(v >= 0, s"TxLog table at $root has no commits")
     val m = readManifestFull(v)
-    val schemas = m.dirs.map(d => d -> spark.read.parquet(s"$dataDir/$d").schema).toMap
+    val schemas = m.dirs.map(d => d -> spark.read.parquet(dirPath(d)).schema).toMap
     // merged column list in first-appearance order (additive evolution)
     val all = m.dirs.flatMap(d => schemas(d).fields)
       .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
@@ -201,7 +201,7 @@ final case class TxLog(spark: SparkSession, root: String,
           s" WHERE CAST(`$pc` AS STRING) IN (${tags.map(t => s"'${q(t)}'").mkString(", ")})"
         case _ => ""
       }
-      s"SELECT $cols FROM parquet.`$dataDir/$d`$where"
+      s"SELECT $cols FROM parquet.`${dirPath(d)}`$where"
     }.mkString(" UNION ALL ")
   }
 
@@ -292,7 +292,7 @@ final case class TxLog(spark: SparkSession, root: String,
       // columns a later append introduced (a residual filter on such a
       // column must resolve, not throw)
       return spark.read.option("mergeSchema", "true")
-        .parquet(m.dirs.map(d => s"$dataDir/$d"): _*)
+        .parquet(m.dirs.map(dirPath): _*)
         .filter(org.apache.spark.sql.functions.lit(false))
     // mergeSchema / allowMissingColumns: SCHEMA EVOLUTION — an append
     // that adds a column widens the snapshot; older dirs read the new
@@ -300,10 +300,10 @@ final case class TxLog(spark: SparkSession, root: String,
     m.partCol match {
       case None =>
         spark.read.option("mergeSchema", "true")
-          .parquet(chosen.map(e => s"$dataDir/${e._1}").distinct: _*)
+          .parquet(chosen.map(e => dirPath(e._1)).distinct: _*)
       case Some(pc) =>
         chosen.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
-          val df = spark.read.parquet(s"$dataDir/$d")
+          val df = spark.read.parquet(dirPath(d))
           val tags = es.flatMap(_._2)
           // untagged line inside a tagged manifest = dir covers all
           if (tags.length < es.length) df
@@ -312,6 +312,14 @@ final case class TxLog(spark: SparkSession, root: String,
         }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
+
+  /** Resolve a manifest dir entry to a filesystem path. Entries are
+    * normally uuid names under this table's `data/`; a SHALLOW CLONE's
+    * manifest instead carries ABSOLUTE paths into its source table
+    * ([[shallowCloneTo]]) — zero-copy references, same convention as
+    * Delta clones' absolute-path actions. */
+  private def dirPath(d: String): String =
+    if (d.startsWith("/")) d else s"$dataDir/$d"
 
   /** Write `df` fully into a fresh uuid data dir (no manifest yet —
     * unreferenced dirs are invisible to readers and GC'd by vacuum). */
@@ -647,7 +655,7 @@ final case class TxLog(spark: SparkSession, root: String,
   }
 
   private def snapshotOfDir(uuid: String): DataFrame =
-    spark.read.parquet(s"$dataDir/$uuid")
+    spark.read.parquet(dirPath(uuid))
 
   /** Partition-pruned SCD1 MERGE commit — the 100 TB shape of [[merge]]
     * for time-partitioned tables: only the partitions present in `src`
@@ -895,7 +903,7 @@ final case class TxLog(spark: SparkSession, root: String,
   def restoreTo(version: Long): Long = {
     val m = readManifestFull(version) // throws if the manifest is gone
     m.dirs.foreach { d =>
-      require(fs.exists(new Path(s"$dataDir/$d")),
+      require(fs.exists(new Path(dirPath(d))),
         s"cannot restore $root to v$version: data dir $d was vacuumed")
     }
     var attempt = 0
@@ -914,5 +922,41 @@ final case class TxLog(spark: SparkSession, root: String,
     }
     throw new java.io.IOException(
       s"TxLog restore lost $MaxRaceRetries optimistic races at $root")
+  }
+
+  /** SHALLOW CLONE: create a new table at `destRoot` whose v0 manifest
+    * REFERENCES this table's data dirs by absolute path — zero bytes
+    * copied, however large the source (Delta's `CLONE ... SHALLOW`).
+    * The clone then evolves independently: its appends/merges write
+    * under its own root, and a [[compact]] rewrites everything locally
+    * — the standard "materialize the clone" move. Skipping stats,
+    * Bloom bits, and CHECK constraints are carried (keyed by the same
+    * absolute dirs); writer txn marks are NOT — a clone is a new table
+    * with its own exactly-once history.
+    *
+    * Caveat (same as Delta): the source's [[vacuum]] does not know
+    * about clones — reclaiming a dir a clone still references breaks
+    * that clone's reads. Retention policy must cover clone lifetimes,
+    * or the clone must be compacted first. */
+  def shallowCloneTo(destRoot: String, version: Long = -1L): TxLog = {
+    val v = if (version >= 0) version else currentVersion()
+    require(v >= 0, s"TxLog table at $root has no commits to clone")
+    val m = readManifestFull(v)
+    m.dirs.foreach { d =>
+      require(fs.exists(new Path(dirPath(d))),
+        s"cannot clone $root@v$v: data dir $d was vacuumed")
+    }
+    val dest = TxLog(spark, destRoot, statsCols, bloomCols, bloomBits)
+    require(!dest.exists(), s"clone destination $destRoot already has commits")
+    def abs(d: String): String = dirPath(d)
+    val cloned = Manifest(m.partCol, m.stats,
+      m.entries.map { case (d, t) => (abs(d), t) },
+      m.ranges.map { case ((d, c), r) => (abs(d), c) -> r },
+      Map.empty, // fresh txn history
+      m.blooms.map { case ((d, c), b) => (abs(d), c) -> b },
+      m.checks)
+    require(dest.tryCommitManifest(0L, manifestLines(cloned)),
+      s"clone destination $destRoot was committed concurrently")
+    dest
   }
 }

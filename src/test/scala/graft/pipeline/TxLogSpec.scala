@@ -545,6 +545,61 @@ class TxLogSpec extends SparkTestBase {
       Seq(("p1", 3L, -1L)).toDF("pt", "id", "amt"), Seq("id"), "pt"))
   }
 
+  test("shallow clone: zero-copy snapshot, then fully independent evolution") {
+    val src = TxLog(spark, tmpDir("clone_src"), statsCols = Seq("id"))
+    src.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    src.append(Seq((3L, "c")).toDF("id", "v"))
+    val destRoot = tmpDir("clone_dest")
+    val dest = src.shallowCloneTo(destRoot)
+    // zero-copy: the clone's own data dir holds nothing yet
+    val destData = new java.io.File(s"$destRoot/data")
+    assert(!destData.exists() || destData.listFiles().isEmpty)
+    assert(dest.snapshot().count() === 3)
+    // independent: writes to either side don't leak to the other
+    src.append(Seq((4L, "d")).toDF("id", "v"))
+    dest.merge(Seq((1L, "A")).toDF("id", "v"), Seq("id"))
+    assert(src.snapshot().count() === 4)
+    assert(dest.snapshot().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(1L -> "A", 2L -> "b", 3L -> "c"))
+    // stats carried: range read on the clone still prunes/answers
+    assert(dest.snapshotRange("3", "3").count() === 1)
+  }
+
+  test("shallow clone of an older version is a metadata time-travel copy") {
+    val src = TxLog(spark, tmpDir("clone_tt_src"))
+    src.overwrite(Seq((1L, "v0")).toDF("id", "v"))
+    src.overwrite(Seq((1L, "v1"), (2L, "v1")).toDF("id", "v"))
+    val dest = src.shallowCloneTo(tmpDir("clone_tt_dest"), version = 0L)
+    assert(dest.snapshot().collect().map(_.getString(1)).toSeq === Seq("v0"))
+  }
+
+  test("clone carries CHECK constraints; compact materializes it locally") {
+    val src = TxLog(spark, tmpDir("clone_chk_src"),
+      checkConstraints = Seq("id_pos" -> "id > 0"))
+    src.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    val destRoot = tmpDir("clone_chk_dest")
+    val dest = src.shallowCloneTo(destRoot)
+    intercept[IllegalStateException](
+      TxLog(spark, destRoot).append(Seq((-2L, "bad")).toDF("id", "v")))
+    // materialize: after compact the clone references only its own dirs
+    dest.compact()
+    assert(new java.io.File(s"$destRoot/data").listFiles().nonEmpty)
+    // now the source can vacuum away without breaking the clone
+    (0 until 4).foreach(i => src.overwrite(Seq((9L + i, "x")).toDF("id", "v")))
+    src.vacuum(keepVersions = 1)
+    assert(dest.snapshot().count() === 1)
+  }
+
+  test("cloning onto an existing table or from a vacuumed version is refused") {
+    val src = TxLog(spark, tmpDir("clone_ref_src"))
+    (0 until 4).foreach(i => src.overwrite(Seq((i.toLong, "x")).toDF("id", "v")))
+    src.vacuum(keepVersions = 1)
+    intercept[Exception](src.shallowCloneTo(tmpDir("clone_ref_dest1"), version = 0L))
+    val okRoot = tmpDir("clone_ref_dest2")
+    src.shallowCloneTo(okRoot)
+    intercept[IllegalArgumentException](src.shallowCloneTo(okRoot))
+  }
+
   test("CHECK constraint declarations are validated at construction") {
     intercept[IllegalArgumentException](
       TxLog(spark, tmpDir("txlog_checks_bad1"),
