@@ -281,6 +281,19 @@ object EventQueries {
     // entry time is the user's first qualifying event STRICTLY AFTER
     // stage N-1's (min-timestamp chaining — two broadcast-joined
     // conditional aggregations, no window over the full stream).
+    // Streaming expectation-gated ingest: every microbatch split-commits
+    // into main + quarantine TxLog tables (soft rules: value cap, known
+    // type) under one exactly-once txn id; the final two-table
+    // accounting must equal the one-shot batch split.
+    Q("events_stream_quarantine", (spark, dir) =>
+      graft.streaming.EventStreams.quarantineIngest(spark, dir,
+        s"/root/repo/target/tmp/stream_quar_${dir.hashCode.abs}"),
+      oracle = Some("""
+      SELECT CASE WHEN value <= 400 AND event_type <> 'error'
+                  THEN 'main' ELSE 'quarantine' END AS sink,
+             event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2""")),
+
     Q("events_funnel", (spark, dir) => {
       val ev = Tables.loadEvents(spark, dir)
       def stage(t: String): org.apache.spark.sql.DataFrame =

@@ -331,6 +331,49 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Streaming EXPECTATION-GATED ingest — the full production feed
+    * shape composed from the engine's own parts: each microbatch runs
+    * through [[graft.pipeline.Expectations.appendWithQuarantine]], so
+    * clean events land in the MAIN TxLog table and rule-violating ones
+    * in the QUARANTINE table (tagged with the rules they broke), both
+    * as ACID commits carrying the same (appId, batchId) txn identity —
+    * a redelivered batch double-commits NEITHER side. Returns the
+    * per-(sink, event_type) accounting of the two tables, which must
+    * equal the one-shot batch split exactly. */
+  def quarantineIngest(spark: SparkSession, dir: String,
+                       root: String): DataFrame = {
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    val main = graft.pipeline.TxLog(spark, s"$root/events")
+    val quar = graft.pipeline.TxLog(spark, s"$root/events_quarantine")
+    val rules = Seq(
+      "value_cap" -> (col("value") <= 400.0),
+      "known_type" -> (col("event_type") =!= "error"))
+    val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "quar_ingest",
+      splitEvents = 3)
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 2)
+      .option("latestFirst", false)
+      .parquet(stagePath)
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("event_id"), col("event_type"), col("value"))
+    SessionizeStream.withStatePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.pipeline.Expectations.appendWithQuarantine(
+            main, quar, batch, rules, txn = Some(("graft_quar_ingest", batchId)))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val tagged = main.snapshot().select(col("event_type"), lit("main").as("sink"))
+      .unionByName(quar.snapshot().select(col("event_type"), lit("quarantine").as("sink")))
+    tagged.groupBy(col("sink"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   /** Hourly tumbling-window aggregate per event_type, streaming. Runs
     * the query to completion over the finite input and returns the
     * result as a batch DataFrame. */
