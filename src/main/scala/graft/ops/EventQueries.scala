@@ -281,6 +281,31 @@ object EventQueries {
     // entry time is the user's first qualifying event STRICTLY AFTER
     // stage N-1's (min-timestamp chaining — two broadcast-joined
     // conditional aggregations, no window over the full stream).
+    // Built-in session_window sessions (vs the custom stateful
+    // sessionizer): gap-merge is STRICT (< 30 min), so the oracle's
+    // islands rule uses >= for the new-session flag; session_end =
+    // last event + gap.
+    Q("events_stream_session_window", (spark, dir) =>
+      graft.streaming.EventStreams.sessionWindows(spark, dir),
+      oracle = Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM sess GROUP BY user_id, sid""")),
+
     // Streaming expectation-gated ingest: every microbatch split-commits
     // into main + quarantine TxLog tables (soft rules: value cap, known
     // type) under one exactly-once txn id; the final two-table

@@ -331,6 +331,43 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Per-user sessions via Spark's BUILT-IN `session_window` — the
+    * declarative counterpart of the custom
+    * [[SessionizeStream.run flatMapGroupsWithState sessionizer]]: the
+    * engine merges events into gap-bounded windows (an event joins its
+    * user's open session iff it lands strictly inside last_ts + gap)
+    * and closes a session when the watermark passes its end. Append
+    * mode + far-future sentinels flush every real session; state per
+    * key is one open session — bounded at any rate. Note the boundary
+    * semantics: `session_window` starts a NEW session at gap exactly
+    * (strict `<` merge), where the batch islands query's `>` keeps it
+    * — the oracle replays the strict rule. */
+  def sessionWindows(spark: SparkSession, dir: String,
+                     queryName: String = "graft_session_window"): DataFrame = {
+    val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "sess_win")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("latestFirst", false)
+      .parquet(stagePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+    SessionizeStream.withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("append").format("memory").queryName(queryName).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName).filter(col("user_id") >= 0)
+  }
+
   /** Streaming EXPECTATION-GATED ingest — the full production feed
     * shape composed from the engine's own parts: each microbatch runs
     * through [[graft.pipeline.Expectations.appendWithQuarantine]], so
