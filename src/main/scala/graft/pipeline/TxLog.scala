@@ -609,6 +609,44 @@ final case class TxLog(spark: SparkSession, root: String,
       s"TxLog append lost $MaxRaceRetries optimistic races at $root")
   }
 
+  /** IDENTITY-column append (Delta's `GENERATED ALWAYS AS IDENTITY`):
+    * assigns `idCol` = contiguous BIGINTs continuing from the table's
+    * high-water mark, then commits via [[append]]. The mark is read
+    * from the MANIFEST's per-dir max stats — O(1) metadata, no table
+    * scan — so `idCol` must be in `statsCols` (enforced; that same
+    * tracking keeps the next append's mark current). Rank assignment
+    * is the distributed two-phase row_number
+    * ([[graft.functions.GlobalRank]]) — no single-partition window at
+    * any batch size; `orderCols` fixes the within-batch numbering
+    * (defaults to arbitrary-but-unique when empty).
+    *
+    * Concurrency: ids are assigned BEFORE the optimistic commit, so
+    * two writers racing identity appends could mint overlapping ranges
+    * — same single-identity-writer contract as Delta's identity
+    * columns (its high watermark serializes through table metadata;
+    * ours through the stats ranges this method reads). */
+  def appendWithIdentity(df: DataFrame, idCol: String,
+                         orderCols: Seq[org.apache.spark.sql.Column] = Nil,
+                         txn: Option[(String, Long)] = None): Long = {
+    require(statsCols.contains(idCol),
+      s"appendWithIdentity needs '$idCol' in statsCols (the manifest stats ARE the identity high-water mark)")
+    require(!df.columns.contains(idCol),
+      s"append batch already carries '$idCol' — identity columns are GENERATED ALWAYS")
+    import org.apache.spark.sql.functions.{col, xxhash64, struct}
+    val base: Long =
+      if (!exists()) 0L
+      else {
+        val m = readManifestFull(currentVersion())
+        val maxes = m.ranges.collect { case ((_, c), (_, hi)) if c == idCol => hi.toLong }
+        if (maxes.isEmpty) 0L else maxes.max + 1L
+      }
+    val order = if (orderCols.nonEmpty) orderCols
+      else Seq(xxhash64(struct(df.columns.map(col).toSeq: _*)))
+    val ranked = graft.functions.GlobalRank.rowNumber(df, idCol, 32, order)
+      .withColumn(idCol, col(idCol) + org.apache.spark.sql.functions.lit(base - 1L))
+    append(ranked, txn)
+  }
+
   /** Distinct partition values of `partCol` in `df`, as strings —
     * partition METADATA (bounded by partitions-per-frame), the one
     * sanctioned driver round-trip of the partitioned commit path. */
@@ -676,13 +714,16 @@ final case class TxLog(spark: SparkSession, root: String,
     * key can never move between partitions — otherwise the pruned
     * merge would miss the key's old row and duplicate it. */
   def mergePartitioned(src: DataFrame, keys: Seq[String],
-                       partCol: String, txn: Option[(String, Long)] = None): Long =
+                       partCol: String, txn: Option[(String, Long)] = None,
+                       evolve: Boolean = false): Long =
     partitionedFoldCommit(src, partCol, txn, "mergePartitioned",
       // pruned path: merged's partitions ARE the affected set (the
       // pruned target only held affected partitions and SCD1 never
       // drops rows) — no extra distinct job
       resultPartsAreAffected = true)(
-      target => Upsert.merge(target, src, keys))
+      target =>
+        if (evolve) Upsert.mergeEvolve(target, src, keys)
+        else Upsert.merge(target, src, keys))
 
   /** Partition-pruned CDC APPLY commit — [[Upsert.applyChanges]]'s
     * three-clause fold (update/delete/insert) with [[mergePartitioned]]
@@ -788,7 +829,8 @@ final case class TxLog(spark: SparkSession, root: String,
     * Delta raises ConcurrentModification here; we re-merge, which is
     * equivalent to retrying the transaction. */
   def merge(src: DataFrame, keys: Seq[String],
-            txn: Option[(String, Long)] = None): Long = {
+            txn: Option[(String, Long)] = None,
+            evolve: Boolean = false): Long = {
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val base = currentVersion()
@@ -796,8 +838,11 @@ final case class TxLog(spark: SparkSession, root: String,
       val prev = readManifestFull(base)
       if (alreadyCommitted(prev, txn)) return base
       // materialize before the commit swaps the snapshot out from
-      // under the plan (merged reads the base snapshot's files)
-      val merged = Upsert.merge(snapshot(base), src, keys).localCheckpoint(true)
+      // under the plan (merged reads the base snapshot's files);
+      // evolve = Delta's withSchemaEvolution (additive, target-only
+      // columns survive UPDATE *)
+      val merged = (if (evolve) Upsert.mergeEvolve(snapshot(base), src, keys)
+        else Upsert.merge(snapshot(base), src, keys)).localCheckpoint(true)
       val uuid = writeDataDir(merged)
       val (hdr, ranges) = statsFor(uuid)
       val checks = mergedChecks(prev.checks)

@@ -73,6 +73,56 @@ object Upsert {
     updatedOrKept.unionByName(inserts)
   }
 
+  /** [[merge]] with AUTOMATIC SCHEMA EVOLUTION (Delta's
+    * `withSchemaEvolution()` / `mergeSchema` semantics):
+    *   - a source-only column widens the result: matched rows take the
+    *     source value, pre-existing unmatched rows read null;
+    *   - a target-only column survives: matched rows KEEP the target
+    *     value (an UPDATE * never nulls a column the source doesn't
+    *     carry), inserted source rows null-fill it;
+    *   - shared columns behave exactly as [[merge]].
+    * Column order: target columns first, new source columns appended —
+    * additive, the same contract as [[TxLog]]'s evolving reads. Same
+    * broadcast shape and strict duplicate-source check as [[merge]]. */
+  def mergeEvolve(target: DataFrame, src: DataFrame, keys: Seq[String],
+                  strict: Boolean = true): DataFrame = {
+    require(keys.forall(k => target.columns.contains(k) && src.columns.contains(k)),
+      s"merge keys ${keys.mkString(",")} must exist on both sides")
+    if (strict) {
+      val dups = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+      val d = dups.limit(1).collect()
+      require(d.isEmpty,
+        s"MERGE source has multiple rows for key ${keys.mkString(",")}: ${d.head}")
+    }
+    val t = target.alias("__t")
+    val s = broadcast(src).alias("__s")
+    val cond = keys.map(k => col(s"__t.$k") === col(s"__s.$k")).reduce(_ && _)
+    val matchedFlag = col(s"__s.${keys.head}").isNotNull
+    val sSet = src.columns.toSet
+    val tSet = target.columns.toSet
+    val srcOnly = src.schema.fields.filterNot(f => tSet(f.name)).toSeq
+    val updatedOrKept = t.join(s, cond, "left").select(
+      target.schema.fields.toSeq.map { f =>
+        if (sSet(f.name))
+          when(matchedFlag, col(s"__s.${f.name}"))
+            .otherwise(col(s"__t.${f.name}")).as(f.name)
+        else col(s"__t.${f.name}").as(f.name) // target-only: UPDATE * keeps it
+      } ++ srcOnly.map { f =>
+        when(matchedFlag, col(s"__s.${f.name}"))
+          .otherwise(lit(null).cast(f.dataType)).as(f.name)
+      }: _*)
+    val inserts = src.alias("__s2").join(
+        target.select(keys.map(col): _*).alias("__t2"),
+        keys.map(k => col(s"__s2.$k") === col(s"__t2.$k")).reduce(_ && _),
+        "left_anti")
+      .select(
+        target.schema.fields.toSeq.map { f =>
+          if (sSet(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        } ++ srcOnly.map(f => col(f.name)): _*)
+    updatedOrKept.unionByName(inserts)
+  }
+
   /** Merge into a parquet directory with an atomic-enough commit:
     * materialize the merged relation into a staging dir (the plan reads
     * the live dir, so we cannot overwrite in place), then swap.

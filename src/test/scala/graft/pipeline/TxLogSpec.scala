@@ -600,6 +600,64 @@ class TxLogSpec extends SparkTestBase {
     intercept[IllegalArgumentException](src.shallowCloneTo(okRoot))
   }
 
+  test("schema-evolving merge: source-only columns widen, target-only columns survive UPDATE *") {
+    val t = TxLog(spark, tmpDir("evolve_merge"))
+    t.overwrite(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "keep"))
+    // source adds `extra`, lacks `keep`; updates id=2, inserts id=3
+    t.merge(Seq((2L, "B", "x2"), (3L, "c", "x3")).toDF("id", "v", "extra"),
+      Seq("id"), evolve = true)
+    val rows = t.snapshot().collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        Option(r.getString(3))))).toMap
+    assert(rows === Map(
+      1L -> (("a", Some(10L), None)), // untouched: keep kept, extra null
+      2L -> (("B", Some(20L), Some("x2"))), // updated: keep SURVIVES, extra arrives
+      3L -> (("c", None, Some("x3"))))) // insert: keep null-filled
+    // strict merge still refuses mismatched column sets
+    intercept[IllegalArgumentException](
+      t.merge(Seq((4L, "d", "x4")).toDF("id", "v", "extra2"), Seq("id")))
+  }
+
+  test("schema-evolving partitioned merge prunes AND widens") {
+    val t = TxLog(spark, tmpDir("evolve_part"))
+    t.overwritePartitioned(
+      Seq(("p1", 1L, "a"), ("p2", 2L, "b")).toDF("pt", "id", "v"), "pt")
+    t.mergePartitioned(Seq(("p1", 1L, "A", 7L)).toDF("pt", "id", "v", "score"),
+      Seq("id"), "pt", evolve = true)
+    val rows = t.snapshot().collect().map(r =>
+      r.getLong(1) -> ((r.getString(2),
+        if (r.schema.fieldNames.contains("score") && !r.isNullAt(r.fieldIndex("score")))
+          Some(r.getLong(r.fieldIndex("score"))) else None))).toMap
+    assert(rows === Map(1L -> (("A", Some(7L))), 2L -> (("b", None))))
+  }
+
+  test("identity append: contiguous ids across commits from manifest stats, no table scan") {
+    val t = TxLog(spark, tmpDir("identity"), statsCols = Seq("row_id"))
+    t.appendWithIdentity(Seq("a", "b", "c").toDF("v"), "row_id",
+      orderCols = Seq(col("v")))
+    t.appendWithIdentity(Seq("d", "e").toDF("v"), "row_id",
+      orderCols = Seq(col("v")))
+    val got = t.snapshot().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L, "e" -> 4L))
+    // GENERATED ALWAYS: a batch carrying the column is refused
+    intercept[IllegalArgumentException](
+      t.appendWithIdentity(Seq(("z", 99L)).toDF("v", "row_id"), "row_id"))
+    // and identity without stats tracking is refused
+    intercept[IllegalArgumentException](
+      TxLog(spark, tmpDir("identity_nostats"))
+        .appendWithIdentity(Seq("x").toDF("v"), "row_id"))
+  }
+
+  test("identity append assigns unique contiguous ids on a large unordered batch") {
+    val t = TxLog(spark, tmpDir("identity_big"), statsCols = Seq("rid"))
+    val n = 10000L
+    t.appendWithIdentity(spark.range(n).toDF("x").repartition(13), "rid")
+    val ids = t.snapshot().select("rid").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until n))
+  }
+
   test("CHECK constraint declarations are validated at construction") {
     intercept[IllegalArgumentException](
       TxLog(spark, tmpDir("txlog_checks_bad1"),
