@@ -889,6 +889,55 @@ final case class TxLog(spark: SparkSession, root: String,
     val snap = snapshot().repartitionByRange(nBuckets, col(c))
       .withColumn("__bucket", spark_partition_id())
       .localCheckpoint(true)
+    commitBucketedRewrite(snap, nBuckets, "compactClustered")
+  }
+
+  /** Multi-column Z-ORDER compaction — the liquid-clustering move:
+    * rewrite the snapshot ordered by the BIT-INTERLEAVED rank codes of
+    * `zCols`, so each dir's committed [min,max] is tight on EVERY listed
+    * column at once and [[snapshotRangeOn]] prunes dirs for predicates
+    * on ANY of them (1-D [[compactClustered]] only serves its first
+    * column). Codes are 16-bit per-column GLOBAL RANKS — the two-phase
+    * range-partitioned rank, so arbitrary value distributions
+    * interleave uniformly and no step funnels through one task.
+    * `zCols` must be tracked stats columns (the layout is only useful
+    * through the stats that skip on it). Unsupported on
+    * partition-tagged tables, like [[compactClustered]]. */
+  def compactZOrder(zCols: Seq[String], nBuckets: Int): Long = {
+    require(exists(), s"TxLog table at $root has no commits to compact")
+    require(zCols.size >= 2, "compactZOrder interleaves 2+ columns (use compactClustered for 1)")
+    require(zCols.forall(statsCols.contains),
+      s"compactZOrder columns must all be in statsCols (got $zCols vs $statsCols)")
+    require(readManifestFull(currentVersion()).partCol.isEmpty,
+      "z-order compaction on a partition-tagged table is unsupported")
+    import org.apache.spark.sql.functions.{col, expr, lit, shiftright, spark_partition_id}
+    val n = zCols.size
+    val ranked = zCols.zipWithIndex.foldLeft(
+      graft.functions.GlobalRank.rowNumber(snapshot(), "__zr0", 32,
+        Seq(col(zCols.head)), totalCol = Some("__zn"))) {
+      case (d, (c, j)) if j > 0 =>
+        graft.functions.GlobalRank.rowNumber(d, s"__zr$j", 32, Seq(col(c)))
+      case (d, _) => d
+    }
+    val codes = (0 until n).map(j => expr(s"((__zr$j - 1) * 65536) div __zn"))
+    val z = (0 until 16).flatMap(i => (0 until n).map(j =>
+        shiftright(codes(j), i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j))))
+      .reduce(_ + _)
+    val bucketed = ranked.withColumn("__zz", z)
+      .repartitionByRange(nBuckets, col("__zz"))
+      .withColumn("__bucket", spark_partition_id())
+      .drop((0 until n).map(j => s"__zr$j") ++ Seq("__zn", "__zz"): _*)
+      .localCheckpoint(true)
+    commitBucketedRewrite(bucketed, nBuckets, "compactZOrder")
+  }
+
+  /** Shared tail of the clustered/z-order compactions: write each
+    * `__bucket` slice as its own dir, commit all dirs as the next
+    * version with fresh stats/blooms (validated against the full
+    * constraint set — a compaction rewrites every row anyway). */
+  private def commitBucketedRewrite(snap: DataFrame, nBuckets: Int,
+                                    op: String): Long = {
+    import org.apache.spark.sql.functions.col
     val uuids = (0 until nBuckets).flatMap { b =>
       val part = snap.filter(col("__bucket") === b).drop("__bucket")
       if (part.isEmpty) None else Some(writeDataDir(part))
@@ -903,8 +952,6 @@ final case class TxLog(spark: SparkSession, root: String,
       val prev =
         if (cur >= 0) readManifestFull(cur)
         else Manifest(None, Seq.empty, Seq.empty, Map.empty)
-      // a compaction rewrites every row anyway — validate the rewrite
-      // against the full (possibly newly-extended) constraint set
       val checks = mergedChecks(prev.checks)
       enforceChecks(uuids, checks)
       val m = Manifest(None, header,
@@ -914,7 +961,7 @@ final case class TxLog(spark: SparkSession, root: String,
       attempt += 1
     }
     throw new java.io.IOException(
-      s"TxLog compactClustered lost $MaxRaceRetries optimistic races at $root")
+      s"TxLog $op lost $MaxRaceRetries optimistic races at $root")
   }
 
   /** Garbage-collect data dirs unreferenced by any of the newest

@@ -658,6 +658,35 @@ class TxLogSpec extends SparkTestBase {
     assert(ids.toSeq === (0L until n))
   }
 
+  test("z-order compaction: range reads prune dirs on BOTH clustered columns") {
+    val t = TxLog(spark, tmpDir("txlog_zorder"), statsCols = Seq("a", "b"))
+    // independent uniform columns — the adversarial case for 1-D sort
+    val rows = (0 until 4096).map(i => ((i * 37) % 4096).toLong -> ((i * 59) % 4096).toLong)
+    t.overwrite(rows.toDF("a", "b"))
+    t.compactZOrder(Seq("a", "b"), nBuckets = 16)
+    val total = t.snapshotDataDirs().length
+    assert(total > 4, s"expected a multi-dir rewrite, got $total")
+    // a narrow range on EITHER column opens a strict subset of dirs
+    val aDirs = t.rangeDirs("0", "255", Some("a")).length
+    val bDirs = t.rangeDirs("0", "255", Some("b")).length
+    assert(aDirs < total, s"a-range opened all $total dirs")
+    assert(bDirs < total, s"b-range opened all $total dirs")
+    // numeric-string bounds: rangeDirs/snapshotRangeOn compare as BIGINT
+    assert(t.snapshotRangeOn("a", "0", "255").count() ===
+      rows.count { case (a, _) => a <= 255 })
+    assert(t.snapshotRangeOn("b", "0", "255").count() ===
+      rows.count { case (_, b) => b <= 255 })
+    // content preserved exactly
+    assert(t.snapshot().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      === rows.sorted)
+    // 1-D clustering would NOT have pruned b: prove z-order beats it
+    val t1 = TxLog(spark, tmpDir("txlog_zorder_1d"), statsCols = Seq("a", "b"))
+    t1.overwrite(rows.toDF("a", "b"))
+    t1.compactClustered(16)
+    assert(t1.rangeDirs("0", "255", Some("b")).length === t1.snapshotDataDirs().length,
+      "1-D layout unexpectedly pruned the second column")
+  }
+
   test("CHECK constraint declarations are validated at construction") {
     intercept[IllegalArgumentException](
       TxLog(spark, tmpDir("txlog_checks_bad1"),
