@@ -290,5 +290,47 @@ object MergeQueries {
       SELECT s_suppkey + 1000000, s_name, CAST(bal AS DOUBLE), '2024-06-01',
              CAST(NULL AS VARCHAR), true
       FROM sup WHERE s_suppkey % 5 = 0""")),
+
+    // O6 — MERGE with AUTOMATIC SCHEMA EVOLUTION through the
+    // transaction log (Delta's withSchemaEvolution): the source batch
+    // carries a NEW `grade` column and LACKS the target's
+    // `p_retailprice`. Updated rows must take the source name, KEEP
+    // their retail price (UPDATE * never nulls a column the source
+    // doesn't carry), and gain the grade; untouched rows read grade
+    // null; inserted rows null-fill the price. The oracle spells the
+    // widened relation out in SQL — evolution must not change a single
+    // pre-existing value.
+    Q("o6_evolve_merge", (spark, dir) => {
+      val t0 = load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      val src = load(spark, dir, "part").filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit(" v2")).as("p_name"), lit("A").as("grade"))
+        .unionByName(load(spark, dir, "part").filter(col("p_partkey") % 6 === 0)
+          .select((col("p_partkey") + 500000L).as("p_partkey"),
+            col("p_name"), lit("B").as("grade")))
+      val path = "/root/repo/target/tmp/o6_evolve/part"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(path).getParentFile)
+      val t = graft.pipeline.TxLog(spark, path)
+      t.overwrite(t0)
+      t.merge(src, Seq("p_partkey"), evolve = true)
+      t.snapshot()
+    }, oracle = Some("""
+      WITH t AS (
+        SELECT p_partkey, p_name, p_retailprice FROM part),
+      s AS (
+        SELECT p_partkey, p_name || ' v2' AS p_name, 'A' AS grade
+        FROM part WHERE p_partkey % 4 = 0
+        UNION ALL
+        SELECT p_partkey + 500000, p_name, 'B' AS grade
+        FROM part WHERE p_partkey % 6 = 0)
+      SELECT t.p_partkey,
+             CASE WHEN s.p_partkey IS NOT NULL THEN s.p_name ELSE t.p_name END AS p_name,
+             t.p_retailprice, s.grade
+      FROM t LEFT JOIN s ON t.p_partkey = s.p_partkey
+      UNION ALL
+      SELECT s.p_partkey, s.p_name, CAST(NULL AS DOUBLE) AS p_retailprice, s.grade
+      FROM s WHERE s.p_partkey NOT IN (SELECT p_partkey FROM t)""")),
   )
 }
