@@ -138,4 +138,30 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning(doc_id") ||
       p.contains("hashpartitioning(chunk"), p.take(1200))
   }
+
+  test("context-window packing: arithmetic buckets, offsets broadcast, fan-out stays narrow") {
+    val p = planOf("pack_context_windows")
+    // the exclusive-prefix offsets join ships as a broadcast (a
+    // numParts-row frame), never a shuffled join; the doc→window
+    // explode is a Generate over the row, no extra exchange
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("Generate explode"), "sequence fan-out missing")
+  }
+
+  test("quarantine tagging is one narrow codegen'd pass (no UDF, no extra exchange)") {
+    val p = planOf("dq_quarantine_split")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(800))
+    // exactly the one aggregation exchange (partial + final)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(1200))
+  }
+
+  test("temperature mixture: metadata-size frames broadcast, corpus scanned once") {
+    val p = planOf("curate_temperature_mixture")
+    // the 1-row totals frame rides a broadcast (nested-loop on a
+    // single row is the broadcast cross join — fine); what must NOT
+    // appear is a shuffled join or an unbroadcast cartesian
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
