@@ -217,6 +217,27 @@ final case class TxLog(spark: SparkSession, root: String,
     readEntries(m, m.dirs.toSet)
   }
 
+  /** TIMESTAMP AS OF resolution (Delta's time travel by time): the
+    * highest version whose manifest was committed at-or-before
+    * `tsMillis`. Commit time IS the manifest file's mtime — the atomic
+    * publish is the instant the version became visible, so no extra
+    * clock needs recording. Fails if every commit is later than
+    * `tsMillis` (nothing existed then), like Delta. */
+  def versionAsOf(tsMillis: Long): Long = {
+    val cur = currentVersion()
+    require(cur >= 0, s"TxLog table at $root has no commits")
+    val eligible = (0L to cur).filter { v =>
+      fs.exists(manifestPath(v)) &&
+        fs.getFileStatus(manifestPath(v)).getModificationTime <= tsMillis
+    }
+    require(eligible.nonEmpty,
+      s"TxLog table at $root has no commit at or before timestamp $tsMillis")
+    eligible.max
+  }
+
+  /** Snapshot as of a wall-clock instant — [[versionAsOf]] + [[snapshot]]. */
+  def snapshotAsOf(tsMillis: Long): DataFrame = snapshot(versionAsOf(tsMillis))
+
   /** Range read over ONE of the table's stats columns — TxLog data
     * skipping: dirs whose committed [min,max] for `column` cannot
     * intersect [lo,hi] are never opened (the lakehouse file-skipping

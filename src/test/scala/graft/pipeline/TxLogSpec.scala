@@ -687,6 +687,36 @@ class TxLogSpec extends SparkTestBase {
       "1-D layout unexpectedly pruned the second column")
   }
 
+  test("timestamp time travel: versionAsOf resolves by commit mtime, vacuum shrinks eligibility") {
+    val root = tmpDir("txlog_asof")
+    val t = TxLog(spark, root)
+    t.overwrite(Seq((1L, "v0")).toDF("id", "v"))
+    t.overwrite(Seq((1L, "v1")).toDF("id", "v"))
+    t.overwrite(Seq((1L, "v2")).toDF("id", "v"))
+    // pin commit times: v0 at 1000s, v1 at 2000s, v2 at 3000s (epoch ms)
+    Seq(0L, 1L, 2L).foreach { v =>
+      new java.io.File(f"$root/_txlog/$v%08d.json").setLastModified((v + 1) * 1000000L)
+    }
+    assert(t.versionAsOf(1500000L) === 0L)
+    assert(t.versionAsOf(2000000L) === 1L) // at-or-before is inclusive
+    assert(t.versionAsOf(9999999L) === 2L)
+    assert(t.snapshotAsOf(2500000L).collect().head.getString(1) === "v1")
+    intercept[IllegalArgumentException](t.versionAsOf(500L)) // before first commit
+    // vacuum removes v0's manifest: the old instant is no longer resolvable
+    t.vacuum(keepVersions = 1)
+    intercept[IllegalArgumentException](t.versionAsOf(1500000L))
+  }
+
+  test("property: evolving merge equals strict merge whenever schemas already match") {
+    val t0 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "v", "x")
+    val src = Seq((2L, "B", 99L), (9L, "i", 90L)).toDF("id", "v", "x")
+    val strict = Upsert.merge(t0, src, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val evolved = Upsert.mergeEvolve(t0, src, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(strict === evolved)
+  }
+
   test("CHECK constraint declarations are validated at construction") {
     intercept[IllegalArgumentException](
       TxLog(spark, tmpDir("txlog_checks_bad1"),
