@@ -238,6 +238,26 @@ final case class TxLog(spark: SparkSession, root: String,
   /** Snapshot as of a wall-clock instant — [[versionAsOf]] + [[snapshot]]. */
   def snapshotAsOf(tsMillis: Long): DataFrame = snapshot(versionAsOf(tsMillis))
 
+  /** DESCRIBE HISTORY: one row per surviving version — commit instant
+    * (the manifest's publish mtime, the same clock [[versionAsOf]]
+    * resolves against), the operation recorded at commit (`#op=`
+    * header; pre-op manifests read UNKNOWN), and the snapshot's dir
+    * count. Newest first, like Delta's DESCRIBE HISTORY. */
+  def history(): DataFrame = {
+    val cur = currentVersion()
+    require(cur >= 0, s"TxLog table at $root has no commits")
+    import spark.implicits._
+    (0L to cur).filter(v => fs.exists(manifestPath(v))).reverse.map { v =>
+      val st = fs.getFileStatus(manifestPath(v))
+      val in = fs.open(manifestPath(v))
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val op = txt.linesIterator.find(_.startsWith("#op="))
+        .map(_.stripPrefix("#op=")).getOrElse("UNKNOWN")
+      (v, new java.sql.Timestamp(st.getModificationTime), op,
+        readManifestFull(v).dirs.size)
+    }.toDF("version", "timestamp", "operation", "n_dirs")
+  }
+
   /** Range read over ONE of the table's stats columns — TxLog data
     * skipping: dirs whose committed [min,max] for `column` cannot
     * intersect [lo,hi] are never opened (the lakehouse file-skipping
@@ -484,11 +504,13 @@ final case class TxLog(spark: SparkSession, root: String,
     *     lock (same contract as delta-on-S3).
     *
     * Returns whether THIS writer won `version`. */
-  private def tryCommitManifest(version: Long, lines: Seq[String]): Boolean = {
+  private def tryCommitManifest(version: Long, lines: Seq[String],
+                                op: String = ""): Boolean = {
     val tmp = new Path(s"$logDir/_tmp_${java.util.UUID.randomUUID()}")
     fs.mkdirs(new Path(logDir))
     val out = fs.create(tmp, false)
-    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val withOp = if (op.isEmpty) lines else s"#op=$op" +: lines
+    try out.write(withOp.mkString("\n").getBytes("UTF-8")) finally out.close()
     val dst = manifestPath(version)
     val won =
       if (fs.getUri.getScheme == "file")
@@ -580,7 +602,7 @@ final case class TxLog(spark: SparkSession, root: String,
       enforceChecks(Seq(uuid), checks)
       val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
         prev.txns, blooms, checks))
-      if (tryCommitManifest(cur + 1, lines)) return cur + 1
+      if (tryCommitManifest(cur + 1, lines, "OVERWRITE")) return cur + 1
       attempt += 1
     }
     throw new java.io.IOException(
@@ -623,7 +645,7 @@ final case class TxLog(spark: SparkSession, root: String,
         txnsAfter(prev.txns, txn),
         prev.blooms ++ newBlooms,
         checks)
-      if (tryCommitManifest(cur + 1, manifestLines(m))) return cur + 1
+      if (tryCommitManifest(cur + 1, manifestLines(m), "APPEND")) return cur + 1
       attempt += 1
     }
     throw new java.io.IOException(
@@ -706,7 +728,7 @@ final case class TxLog(spark: SparkSession, root: String,
       enforceChecks(Seq(uuid), checks)
       val lines = manifestLines(Manifest(Some(partCol), hdr, entries, ranges,
         txnsAfter(prev.txns, txn), blooms, checks))
-      if (tryCommitManifest(cur + 1, lines)) return cur + 1
+      if (tryCommitManifest(cur + 1, lines, "OVERWRITE")) return cur + 1
       attempt += 1
     }
     throw new java.io.IOException(
@@ -829,7 +851,7 @@ final case class TxLog(spark: SparkSession, root: String,
         carry ++ newEntries,
         carriedRanges ++ newRanges, txnsAfter(prev.txns, txn),
         carriedBlooms ++ newBlooms, checks))
-      if (tryCommitManifest(base + 1, lines)) return base + 1
+      if (tryCommitManifest(base + 1, lines, op.toUpperCase)) return base + 1
       attempt += 1
     }
     throw new java.io.IOException(
@@ -870,7 +892,7 @@ final case class TxLog(spark: SparkSession, root: String,
       enforceChecks(Seq(uuid), checks)
       val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
         txnsAfter(prev.txns, txn), bloomsFor(uuid), checks))
-      if (tryCommitManifest(base + 1, lines)) return base + 1
+      if (tryCommitManifest(base + 1, lines, "MERGE")) return base + 1
       attempt += 1
     }
     throw new java.io.IOException(
@@ -978,7 +1000,7 @@ final case class TxLog(spark: SparkSession, root: String,
       val m = Manifest(None, header,
         uuids.map(u => (u, None)), stats.flatMap(_._2).toMap, prev.txns,
         blooms, checks)
-      if (tryCommitManifest(cur + 1, manifestLines(m))) return cur + 1
+      if (tryCommitManifest(cur + 1, manifestLines(m), op.toUpperCase)) return cur + 1
       attempt += 1
     }
     throw new java.io.IOException(
@@ -1030,7 +1052,7 @@ final case class TxLog(spark: SparkSession, root: String,
       enforceChecks(m.dirs, addedChecks(m.checks))
       val lines = manifestLines(m.copy(txns = readManifestFull(cur).txns,
         checks = checks))
-      if (tryCommitManifest(cur + 1, lines)) return cur + 1
+      if (tryCommitManifest(cur + 1, lines, s"RESTORE v$version")) return cur + 1
       attempt += 1
     }
     throw new java.io.IOException(
@@ -1068,7 +1090,7 @@ final case class TxLog(spark: SparkSession, root: String,
       Map.empty, // fresh txn history
       m.blooms.map { case ((d, c), b) => (abs(d), c) -> b },
       m.checks)
-    require(dest.tryCommitManifest(0L, manifestLines(cloned)),
+    require(dest.tryCommitManifest(0L, manifestLines(cloned), s"CLONE $root@v$v"),
       s"clone destination $destRoot was committed concurrently")
     dest
   }

@@ -707,6 +707,21 @@ class TxLogSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t.versionAsOf(1500000L))
   }
 
+  test("history records each commit's operation, newest first") {
+    val t = TxLog(spark, tmpDir("txlog_history"))
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.merge(Seq((2L, "B")).toDF("id", "v"), Seq("id"))
+    t.restoreTo(1L)
+    val h = t.history().collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    assert(h.toSeq === Seq(3L -> "RESTORE v1", 2L -> "MERGE",
+      1L -> "APPEND", 0L -> "OVERWRITE"))
+    // a clone's v0 names its source
+    val c = t.shallowCloneTo(tmpDir("txlog_history_clone"))
+    assert(c.history().collect().head.getString(2).startsWith("CLONE "))
+  }
+
   test("property: evolving merge equals strict merge whenever schemas already match") {
     val t0 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "v", "x")
     val src = Seq((2L, "B", 99L), (9L, "i", 90L)).toDF("id", "v", "x")
