@@ -150,6 +150,28 @@ object AnalyticsQueries {
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag""")),
 
+    // EXACT interpolated percentile spread (p10 / p90 / IQR) — the
+    // distribution profile a data-quality report carries. Spark's
+    // `percentile` and DuckDB's `quantile_cont` share the textbook
+    // lerp (lo + (hi-lo)·frac at rank p·(N-1)), so the doubles —
+    // and their difference — hash-match bit-for-bit. Exact percentiles
+    // sort within each group partition; at 100 TB the approx-quantile
+    // sketch (`agg_approx_quantile_bound`) is the scan-only variant.
+    Q("agg_percentile_spread", (spark, dir) =>
+      load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.1)").as("p10"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.75) - percentile(l_extendedprice, 0.25)")
+            .as("iqr")),
+      oracle = Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.1) AS p10,
+             quantile_cont(l_extendedprice, 0.9) AS p90,
+             quantile_cont(l_extendedprice, 0.75)
+               - quantile_cont(l_extendedprice, 0.25) AS iqr
+      FROM lineitem GROUP BY l_returnflag""")),
+
     // Deterministic ARGMAX per group via max(struct): the struct's
     // lexicographic order (balance desc ⇒ max; then NEGATED custkey ⇒
     // lowest key wins ties) makes the pick total-order-deterministic,

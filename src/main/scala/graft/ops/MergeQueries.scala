@@ -164,6 +164,29 @@ object MergeQueries {
       WHERE o_orderkey IN ((SELECT min(o_orderkey) FROM orders),
                            (SELECT max(o_orderkey) FROM orders))""")),
 
+    // IDENTITY columns under the hash gate: GENERATED ALWAYS row ids
+    // assigned by the manifest-stats high-water mark + the distributed
+    // two-phase rank, committed across TWO appends — ids must be the
+    // global 0-based rank of s_suppkey regardless of the batch split.
+    Q("txlog_identity_ids", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_id_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t = graft.pipeline.TxLog(spark, root, statsCols = Seq("row_id"))
+      val sup = load(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      val half = sup.agg(expr("percentile_approx(s_suppkey, 0.5, 1000000)"))
+        .head().getLong(0)
+      // two ordered batches: low keys first, then the rest — identity
+      // continues from the recorded mark, so ids stay the GLOBAL rank
+      t.appendWithIdentity(sup.filter(col("s_suppkey") <= half), "row_id",
+        orderCols = Seq(col("s_suppkey")))
+      t.appendWithIdentity(sup.filter(col("s_suppkey") > half), "row_id",
+        orderCols = Seq(col("s_suppkey")))
+      t.snapshot().select(col("row_id"), col("s_suppkey"), col("s_name"))
+    }, oracle = Some("""
+      SELECT row_number() OVER (ORDER BY s_suppkey) - 1 AS row_id,
+             s_suppkey, s_name
+      FROM supplier""")),
+
     // O4 — CDC APPLY CHANGES: three-clause MERGE folding an I/U/D
     // change feed into the supplier dim (Upsert.applyChanges). Disjoint
     // op classes: every 3rd key updated (name v2, bal+5), every 7th
