@@ -66,5 +66,60 @@ object MultimodalQueries {
                     x -> x = p.pos)) AS DOUBLE)
                / len(string_split(text, '')) AS v
       FROM documents, (SELECT unnest(range(0, 8)) AS pos) p""")),
+
+    // The full multimodal RETRIEVAL bridge: decode-stand-in features
+    // (the 8-bucket byte histogram) become float vectors, and the
+    // payload table runs the same broadcast-queries × corpus-scan
+    // top-k cosine as the embedding stack — media similarity search
+    // with zero new machinery. Native codegen'd cosine on the Spark
+    // side; the oracle recomputes histogram AND cosine from scratch
+    // (sequential double folds both sides — bit-identical).
+    Q("mm_embed_topk", (spark, dir) => {
+      val h = Multimodal.byteHistogram(load(spark, dir, "documents"))
+      val vecs = h.groupBy(col("doc_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v").cast("float")).as("vec"))
+      val queries = broadcast(vecs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"), col("vec").as("qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      queries.join(vecs.select(col("doc_id").as("neighbor_id"), col("vec")),
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("score",
+          graft.functions.expressions.VectorExpressions.cosine_sim(
+            spark, col("qv"), col("vec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+    }, oracle = Some {
+      def cos(x: String, y: String) =
+        s"""list_sum(list_transform(list_zip($x, $y),
+           |  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform($x, p -> CAST(p AS DOUBLE)*CAST(p AS DOUBLE))))
+           |    * sqrt(list_sum(list_transform($y, p -> CAST(p AS DOUBLE)*CAST(p AS DOUBLE)))))"""
+          .stripMargin
+      s"""
+      WITH hist AS (
+        SELECT doc_id, list(CAST(v AS REAL) ORDER BY pos) AS vec FROM (
+          SELECT doc_id, p.pos,
+                 CAST(len(list_filter(
+                        list_transform(string_split(text, ''), c -> ascii(c) % 256 // 32),
+                        x -> x = p.pos)) AS DOUBLE)
+                   / len(string_split(text, '')) AS v
+          FROM documents, (SELECT unnest(range(0, 8)) AS pos) p)
+        GROUP BY doc_id),
+      scored AS (
+        SELECT q.doc_id AS query_id, n.doc_id AS neighbor_id,
+               ${cos("q.vec", "n.vec")} AS score
+        FROM hist q JOIN hist n ON n.doc_id <> q.doc_id
+        WHERE q.doc_id % 97 = 0),
+      ranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= 3"""
+    }),
   )
 }
