@@ -172,6 +172,76 @@ object AnalyticsQueries {
                - quantile_cont(l_extendedprice, 0.25) AS iqr
       FROM lineitem GROUP BY l_returnflag""")),
 
+    // TPC-H Q3 shape — shipping priority: segment-filtered 3-way join,
+    // discounted-revenue rollup per order, exact top-10. Customer and
+    // orders broadcast under lineitem's scan; the top-k is a
+    // WindowGroupLimit-free global sort-limit (TakeOrderedAndProject —
+    // per-partition heap + driver merge of 10 rows, never a full
+    // sort). Decimal(28,6) sums keep the revenue exact cross-engine;
+    // (rev DESC, orderkey) is a total order so LIMIT cannot flip.
+    Q("q3_shipping_priority", (spark, dir) => {
+      val cutoff = "1998-06-15"
+      val c = load(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = load(spark, dir, "orders")
+        .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val l = load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec6))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }, oracle = Some("""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-06-15'
+        AND l_shipdate > TIMESTAMP '1998-06-15'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // TPC-H Q5 shape — local supplier volume: the 6-table star-and-
+    // snowflake join (customer⋈orders⋈lineitem⋈supplier⋈nation⋈region)
+    // with the co-location predicate (customer and supplier share a
+    // nation). Every dimension side broadcasts; lineitem — the 100 TB
+    // side — never shuffles for a join, only for the final n_nations-
+    // key rollup.
+    Q("q5_region_volume", (spark, dir) => {
+      val r = load(spark, dir, "region").filter(col("r_name") === "ASIA")
+      val n = load(spark, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val s = load(spark, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val c = load(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val o = load(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec6))
+          .cast("double").as("revenue"))
+    }, oracle = Some("""
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+      GROUP BY n_name""")),
+
     // Deterministic ARGMAX per group via max(struct): the struct's
     // lexicographic order (balance desc ⇒ max; then NEGATED custkey ⇒
     // lowest key wins ties) makes the pick total-order-deterministic,

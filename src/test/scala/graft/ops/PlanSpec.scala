@@ -156,6 +156,20 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(1200))
   }
 
+  test("Q3 shape: heap top-10 (TakeOrdered), broadcast dims, pushed date filters") {
+    val p = planOf("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), "global sort-limit not heap-merged")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p.take(1200))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), "ship-date not pushed")
+  }
+
+  test("Q5 shape: the fact side joins every dimension via broadcast, no shuffle joins") {
+    val p = planOf("q5_region_volume")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(1200))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(1200))
+  }
+
   test("temperature mixture: metadata-size frames broadcast, corpus scanned once") {
     val p = planOf("curate_temperature_mixture")
     // the 1-row totals frame rides a broadcast (nested-loop on a
