@@ -242,6 +242,36 @@ object AnalyticsQueries {
         AND r_name = 'ASIA'
       GROUP BY n_name""")),
 
+    // TPC-H Q18 shape — large-quantity orders: a HAVING-gated
+    // aggregation reduced FIRST (the per-order qty rollup is the only
+    // full-fact pass), then the small surviving key set broadcast-
+    // semi-joins orders + customer. At 100 TB the big side shuffles
+    // once on its natural join key and everything after the HAVING is
+    // metadata-scale.
+    Q("q18_large_orders", (spark, dir) => {
+      val big = load(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(dec)).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      val o = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = load(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+      o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          col("total_qty").cast("double").as("total_qty"), col("o_totalprice"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }, oracle = Some("""
+      WITH big AS (
+        SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+      SELECT c_name, o_orderkey, CAST(total_qty AS DOUBLE) AS total_qty, o_totalprice
+      FROM big JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY total_qty DESC, o_orderkey LIMIT 20""")),
+
     // Deterministic ARGMAX per group via max(struct): the struct's
     // lexicographic order (balance desc ⇒ max; then NEGATED custkey ⇒
     // lowest key wins ties) makes the pick total-order-deterministic,

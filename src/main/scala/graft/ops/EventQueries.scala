@@ -281,6 +281,31 @@ object EventQueries {
     // entry time is the user's first qualifying event STRICTLY AFTER
     // stage N-1's (min-timestamp chaining — two broadcast-joined
     // conditional aggregations, no window over the full stream).
+    // Per-user lifetime-value QUARTILES over the event stream — the
+    // user-segmentation rollup, through the DISTRIBUTED exact ntile
+    // (range-partitioned two-phase rank; a plain ntile() window would
+    // single-task the whole user set — the classic 100× failure). LTV
+    // sums are exact decimals; (ltv DESC, user_id) totally orders the
+    // frame so tier assignment is bit-stable cross-engine.
+    Q("events_ltv_tiers", (spark, dir) => {
+      val ltv = Tables.loadEvents(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("ltv"))
+      CurationQueries.distributedNtile(ltv, 4, 16, col("ltv").desc, col("user_id"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("ltv")).cast("double").as("tier_value"))
+    }, oracle = Some("""
+      WITH ltv AS (
+        SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS ltv
+        FROM events GROUP BY user_id),
+      tiers AS (
+        SELECT ltv, ntile(4) OVER (ORDER BY ltv DESC, user_id) AS tier
+        FROM ltv)
+      SELECT tier, count(*) AS n_users,
+             CAST(sum(ltv) AS DOUBLE) AS tier_value
+      FROM tiers GROUP BY tier""")),
+
     // Built-in session_window sessions (vs the custom stateful
     // sessionizer): gap-merge is STRICT (< 30 min), so the oracle's
     // islands rule uses >= for the new-session flag; session_end =
