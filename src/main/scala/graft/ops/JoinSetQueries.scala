@@ -88,6 +88,27 @@ object JoinSetQueries {
       WHERE EXISTS (SELECT 1 FROM lineitem l
                     WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)""")),
 
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — per-nation
+    // top-2 customers by balance, written the way an analyst writes it.
+    // Catalyst decorrelates the lateral into a ranked join (the
+    // WindowGroupLimit shape) instead of re-executing the subquery per
+    // outer row — the difference between O(nations) subqueries and one
+    // pass at 100 TB.
+    Q("sql_lateral_topn", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      spark.sql("""
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""")
+    }, oracle = Some("""
+      SELECT n.n_name, c.c_name, c.c_acctbal
+      FROM nation n,
+      LATERAL (SELECT c_name, c_acctbal FROM customer
+               WHERE c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""")),
+
     // Explicit null ordering in a global sort (nulls first) with a
     // deterministic tie-break.
     Q("sort_nulls_first", (spark, dir) =>
