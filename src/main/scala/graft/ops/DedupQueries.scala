@@ -16,6 +16,23 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Per-source duplication-rate report — the accounting table a
+    // dedup run publishes: docs, distinct contents, and the duplicate
+    // share in exact integer ppm. One hash-aggregate pass (count +
+    // count-distinct over the content hash — partial aggregation on
+    // both); no joins, no windows.
+    Q("dedup_rate_by_source", (spark, dir) =>
+      graft.ops.Tables.load(spark, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(graft.functions.TextFunctions.exactHash(col("text"))).as("n_distinct"))
+        .withColumn("dup_ppm", expr("(n_docs - n_distinct) * 1000000L div n_docs")),
+      oracle = Some("""
+      SELECT source, count(*) AS n_docs,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+             (count(*) - count(DISTINCT md5(text))) * 1000000 // count(*) AS dup_ppm
+      FROM documents GROUP BY source""")),
+
     // Exact dedup: one survivor (min doc_id) per identical text.
     Q("dedup_exact", (spark, dir) =>
       load(spark, dir, "documents")
