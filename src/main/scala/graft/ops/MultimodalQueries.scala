@@ -76,9 +76,13 @@ object MultimodalQueries {
     // (sequential double folds both sides — bit-identical).
     Q("mm_embed_topk", (spark, dir) => {
       val h = Multimodal.byteHistogram(load(spark, dir, "documents"))
+      // materialized once: BOTH sides of the self-join read the same
+      // 8-float vectors — without this the feature extraction (a
+      // per-char scan) runs twice
       val vecs = h.groupBy(col("doc_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           x => x.getField("v").cast("float")).as("vec"))
+        .localCheckpoint(true)
       val queries = broadcast(vecs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("query_id"), col("vec").as("qv")))
       val w = org.apache.spark.sql.expressions.Window

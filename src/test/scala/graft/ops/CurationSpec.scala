@@ -114,6 +114,21 @@ class CurationSpec extends SparkTestBase {
     assert(out.map(_._2).sum >= docs.count())
   }
 
+  test("context windows are partition-count and parallelism invariant") {
+    // the distributed prefix sum must yield the SAME windows whatever
+    // the physical layout — rerun the query over a repartitioned copy
+    val q = graft.SparkEntry.queries("pack_context_windows")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val base = rows(q(spark, sf("0.01")))
+    val shuffled = spark.read.parquet(sf("0.01") + "/documents.parquet")
+      .repartition(17).sortWithinPartitions(col("text"))
+    val dir2 = tmpDir("ctx_win_shuffled")
+    shuffled.write.parquet(dir2 + "/documents.parquet")
+    assert(rows(q(spark, dir2)) === base)
+  }
+
   test("temperature mixture weights are exact integer square roots") {
     val out = graft.SparkEntry.queries("curate_temperature_mixture")(spark, sf("0.01"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -55,6 +55,21 @@ class ExpectationsSpec extends SparkTestBase {
     assert(main.snapshot().count() === 1 && quar.snapshot().count() === 1)
   }
 
+  test("property: tagging partitions any batch exactly, reasons match per-row evaluation") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(500)((rnd.nextLong() % 100, rnd.alphanumeric.take(rnd.nextInt(6)).mkString))
+    val df = rows.toDF("id", "v")
+    val tagged = Expectations.tag(df, rules).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(tagged.length === rows.length)
+    tagged.foreach { case (id, v, viol) =>
+      val expect = Seq(
+        if (!(id > 0)) Some("id_pos") else None,
+        if (!(v.length <= 3)) Some("v_short") else None).flatten.sorted.mkString(";")
+      assert(viol === expect, s"row ($id, $v)")
+    }
+  }
+
   test("expectations compose with hard CHECK constraints downstream") {
     // the soft gate routes violators aside; the hard constraint on the
     // main table is then never tripped by this feed
