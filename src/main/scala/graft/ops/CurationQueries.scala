@@ -661,6 +661,66 @@ object CurationQueries {
              CAST(w * 1000000 // (SELECT sum(w) FROM w) AS BIGINT) AS ppm
       FROM w""")),
 
+    // SPLIT-LEAKAGE audit — the eval-integrity check a corpus release
+    // runs after splitting: a NEAR-duplicate pair straddling
+    // train/val/test leaks evaluation signal even though the
+    // content-addressed split makes EXACT-dup leakage impossible by
+    // construction (identical text ⇒ identical md5 bucket ⇒ same
+    // split). Near-dup pairs come from the session-cached inverted-
+    // index detection (no new all-pairs work); split labels broadcast
+    // onto both pair ends; pairs are reported per unordered split
+    // pair. Zero rows = a clean release.
+    Q("pack_split_leakage", (spark, dir) => {
+      val d = load(spark, dir, "documents")
+      val s = d.withColumn("bucket",
+          conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long") % 100)
+        .select(col("doc_id"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test").as("split"))
+      val pairs = ExactJaccard.pairs(d, "doc_id", "text", "lang",
+        shingleN = 3, threshold = 0.5)
+      pairs
+        .join(broadcast(s.select(col("doc_id").as("id_a"), col("split").as("split_a"))), "id_a")
+        .join(broadcast(s.select(col("doc_id").as("id_b"), col("split").as("split_b"))), "id_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select(least(col("split_a"), col("split_b")).as("split_lo"),
+          greatest(col("split_a"), col("split_b")).as("split_hi"))
+        .groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }, oracle = Some(s"""
+      WITH d AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, len(string_split(text,' ')) - 1),
+                           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                    ELSE [text] END AS sh
+        FROM documents),
+      ex AS (SELECT doc_id, lang, unnest(sh) AS s FROM d),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM ex a JOIN ex b
+          ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+      jacc AS (
+        SELECT id_a, id_b
+        FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      splits AS (
+        SELECT doc_id,
+               CASE WHEN ${hexFoldSql("substr(md5(text), 1, 6)")} % 100 < 90 THEN 'train'
+                    WHEN ${hexFoldSql("substr(md5(text), 1, 6)")} % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+      SELECT least(sa.split, sb.split) AS split_lo,
+             greatest(sa.split, sb.split) AS split_hi, count(*) AS n_pairs
+      FROM jacc JOIN splits sa ON sa.doc_id = id_a
+                JOIN splits sb ON sb.doc_id = id_b
+      WHERE sa.split <> sb.split
+      GROUP BY 1, 2""")),
+
     // EXPECTATION / QUARANTINE accounting — the soft data-quality gate
     // ([[graft.pipeline.Expectations]], the DLT expect_or_drop shape):
     // every row is tagged with the SORTED ';'-joined names of the
