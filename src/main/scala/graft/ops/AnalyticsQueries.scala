@@ -272,6 +272,32 @@ object AnalyticsQueries {
       JOIN customer ON o_custkey = c_custkey
       ORDER BY total_qty DESC, o_orderkey LIMIT 20""")),
 
+    // EXACT equi-depth histogram — the statistics a cost-based
+    // optimizer actually stores: 10 equal-population buckets over
+    // price, each reporting its bounds and count. Bucket assignment is
+    // the DISTRIBUTED exact ntile (range partition + local rank +
+    // broadcast offsets — `ntile().over(Window.orderBy)` would drag
+    // the whole column through one task); (price, orderkey,
+    // linenumber) totally orders ties so the cut points are
+    // bit-stable cross-engine.
+    Q("agg_equidepth_hist", (spark, dir) => {
+      val l = load(spark, dir, "lineitem")
+        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      CurationQueries.distributedNtile(l, 10, 32,
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .groupBy(col("tier").as("bucket"))
+        .agg(min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"),
+          count(lit(1)).as("n"))
+    }, oracle = Some("""
+      WITH t AS (
+        SELECT l_extendedprice,
+               ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+        FROM lineitem)
+      SELECT bucket, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+             count(*) AS n
+      FROM t GROUP BY bucket""")),
+
     // Deterministic ARGMAX per group via max(struct): the struct's
     // lexicographic order (balance desc ⇒ max; then NEGATED custkey ⇒
     // lowest key wins ties) makes the pick total-order-deterministic,
