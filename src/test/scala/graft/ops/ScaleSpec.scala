@@ -21,6 +21,56 @@ class ScaleSpec extends SparkTestBase {
     assert(pruned.count() === expected)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (and stays exact)") {
+    // the OTHER skew lever next to explicit salting: Adaptive Query
+    // Execution re-plans a sort-merge join whose largest partition
+    // dwarfs the median into parallel skew-split reads. Thresholds are
+    // lowered (scoped + restored) so the tiny test corpus trips it.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      // coalescing would glue the small partitions back together and
+      // mask the skew detector on a corpus this small
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle join
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(sf("0.01") + "/lineitem.parquet")
+        // multiple map outputs: AQE splits a skewed REDUCE partition
+        // along mapper boundaries, so a single-mapper input (one small
+        // parquet file) is structurally unsplittable however skewed
+        .repartition(8)
+        // 90% of rows land on one key — the classic hot-key fact side
+        .withColumn("sk",
+          when(col("l_orderkey") % 10 < 9, 0L).otherwise(col("l_orderkey")))
+      val dim = spark.range(0, 200000, 1, 4).toDF("sk")
+        .withColumn("tag", col("sk") % 7)
+      val joined = li.join(dim, "sk")
+        .groupBy(col("tag")).agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      val rows = joined.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString)).sortBy(_._1)
+      // AQE actually split the hot partition
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead skewed") && plan.contains("skew=true"),
+        s"no skew split in adaptive plan:\n${plan.take(1500)}")
+      // and the answer matches the skew-oblivious broadcast plan
+      confs.foreach { case (k, _) => spark.conf.unset(k) }
+      val want = li.join(org.apache.spark.sql.functions.broadcast(dim), "sk")
+        .groupBy(col("tag")).agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString)).sortBy(_._1)
+      assert(rows.toSeq === want.toSeq)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join is row-identical to the plain join") {
     val li = spark.read.parquet(sf("0.001") + "/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
