@@ -562,7 +562,17 @@ final case class TxLog(spark: SparkSession, root: String,
       if (pending.nonEmpty) {
         val aggs = pending.map { case (n, sql) =>
           sum(when(not(coalesce(expr(sql), lit(true))), 1L).otherwise(0L)).as(s"__chk_$n") }
-        val row = snapshotOfDir(d).agg(aggs.head, aggs.tail: _*).head()
+        val row =
+          try snapshotOfDir(d).agg(aggs.head, aggs.tail: _*).head()
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            // a constraint naming a column some pre-evolution dir lacks
+            // cannot be evaluated there — fail loudly with the remedy
+            // (Delta null-fills; here compaction rewrites every dir
+            // with the evolved schema, after which the add succeeds)
+            throw new IllegalStateException(
+              s"TxLog CHECK constraint(s) ${pending.map(_._1).mkString(",")} reference a column " +
+                s"absent from pre-evolution data dir $d — compact() the table first (${e.getMessage})")
+          }
         pending.zipWithIndex.foreach { case ((n, sql), i) =>
           val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
           if (bad > 0) throw new IllegalStateException(
