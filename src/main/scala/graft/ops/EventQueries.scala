@@ -238,6 +238,19 @@ object EventQueries {
         AND p.user_id = v.user_id
         AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts""")),
 
+    // Stream-stream LEFT OUTER interval join: unmatched purchases emit
+    // (view_id null) only when the watermark proves no match can still
+    // arrive — the state-expiry path the inner join never takes. Must
+    // equal the batch left join exactly.
+    Q("events_stream_left_join", (spark, dir) =>
+      graft.streaming.EventStreams.purchaseViewLeftJoin(spark, dir),
+      oracle = Some("""
+      SELECT p.event_id AS purchase_id, v.event_id AS view_id
+      FROM events p LEFT JOIN events v
+        ON p.user_id = v.user_id AND v.event_type = 'view'
+        AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+      WHERE p.event_type = 'purchase'""")),
+
     // Streaming → gold MERGE via foreachBatch: update-mode hourly agg
     // upserted per microbatch with the engine's SCD1 merge; the final
     // gold table must equal the one-shot batch aggregation exactly —

@@ -368,6 +368,42 @@ object EventStreams {
     spark.table(queryName).filter(col("user_id") >= 0)
   }
 
+  /** Stream-stream LEFT OUTER interval join — the semantic the inner
+    * join ([[purchaseViewJoin]]) cannot express: a purchase with NO
+    * view in its preceding 30 minutes must still emit (with a null
+    * view id), and it can only do so once the watermark proves no
+    * matching view can still arrive — the state-expiry emission path.
+    * Both sides watermarked, the join condition time-bounds each side,
+    * so state stays bounded at any rate; far-future sentinels drive
+    * the watermark past every real row so each unmatched purchase
+    * flushes. */
+  def purchaseViewLeftJoin(spark: SparkSession, dir: String,
+                           queryName: String = "graft_stream_left_join"): DataFrame = {
+    val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "sslj")
+    def side(t: String): DataFrame = spark.readStream
+      .schema(rawSchema)
+      .option("latestFirst", false)
+      .parquet(stagePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === t || col("event_type") === "sentinel")
+      .withWatermark("ts", "0 seconds")
+    val p = side("purchase").select(col("user_id").as("p_user"),
+      col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val v = side("view").select(col("user_id").as("v_user"),
+      col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val joined = p.join(v, expr(
+      "p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"),
+      "leftOuter")
+    SessionizeStream.withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .outputMode("append").format("memory").queryName(queryName).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+      .filter(col("p_user") >= 0)
+      .select(col("purchase_id"), col("view_id"))
+  }
+
   /** Streaming EXPECTATION-GATED ingest — the full production feed
     * shape composed from the engine's own parts: each microbatch runs
     * through [[graft.pipeline.Expectations.appendWithQuarantine]], so
