@@ -383,6 +383,29 @@ object AnalyticsQueries {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
 
+    // FIRST/LAST navigation over the full partition frame: each
+    // event annotated with its user's first and latest event type as
+    // of that row (running last) and the session-anchoring first
+    // timestamp. first_value needs the explicit unbounded frame or
+    // the default RANGE frame cuts it at CURRENT ROW.
+    Q("window_first_last", (spark, dir) => {
+      val base = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val unbounded = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.loadEvents(spark, dir)
+        .withColumn("first_type", first(col("event_type")).over(unbounded))
+        .withColumn("running_last_type", last(col("event_type")).over(unbounded))
+        .withColumn("first_ts", min(col("ts")).over(base))
+        .select(col("user_id"), col("event_id"), col("first_type"),
+          col("running_last_type"), col("first_ts"))
+    }, oracle = Some("""
+      SELECT user_id, event_id,
+             first_value(event_type) OVER w AS first_type,
+             last_value(event_type) OVER w AS running_last_type,
+             min(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
+
     // RANGE-framed time window: per event, the count and exact decimal
     // sum of the same user's events in the trailing hour — a sliding
     // window keyed by VALUE distance, not row offsets. RANGE frames
