@@ -383,6 +383,29 @@ object AnalyticsQueries {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
 
+    // FILTER-clause conditional aggregation — several differently-
+    // predicated aggregates in ONE grouped pass (the alternative is N
+    // scans or N self-joins); Catalyst folds each FILTER into the
+    // aggregate's update path, so the fact table is read exactly once.
+    Q("agg_filter_clause", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      spark.sql("""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_total,
+               count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O') AS open_custs
+        FROM orders GROUP BY o_orderpriority""")
+    }, oracle = Some("""
+      SELECT o_orderpriority,
+             count(*) AS n,
+             count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_total,
+             count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O') AS open_custs
+      FROM orders GROUP BY o_orderpriority""")),
+
     // FIRST/LAST navigation over the full partition frame: each
     // event annotated with its user's first and latest event type as
     // of that row (running last) and the session-anchoring first
