@@ -661,6 +661,46 @@ object CurationQueries {
              CAST(w * 1000000 // (SELECT sum(w) FROM w) AS BIGINT) AS ppm
       FROM w""")),
 
+    // EPOCH plan under the temperature quota — the last step of mixture
+    // assembly: given each source's isqrt-weighted share of a fixed
+    // token BUDGET, how many passes (epochs) over the source does the
+    // trainer schedule? epochs = ceil(quota_tokens / source_tokens),
+    // all BIGINT ceiling division — sources smaller than their quota
+    // repeat (the up-sampling alpha=0.5 exists to bound), larger ones
+    // sample within one pass. Composes `curate_temperature_mixture`'s
+    // exact-integer weights; two metadata-size aggregations.
+    Q("curate_upsample_epochs", (spark, dir) => {
+      val budget = 1000000L // total training tokens to schedule
+      val t = load(spark, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("toks"))
+      val w = t.withColumn("s0", expr("cast(floor(sqrt(cast(toks as double))) as bigint)"))
+        .withColumn("w", expr(
+          """CASE WHEN (s0 + 1) * (s0 + 1) <= toks THEN s0 + 1
+            |     WHEN s0 * s0 > toks THEN s0 - 1 ELSE s0 END""".stripMargin))
+        .drop("s0")
+      w.crossJoin(broadcast(w.agg(sum(col("w")).as("wtot"))))
+        .withColumn("quota_toks", expr(s"w * ${budget}L div wtot"))
+        .withColumn("epochs", expr("(quota_toks + toks - 1) div toks"))
+        .select(col("source"), col("toks"), col("quota_toks"), col("epochs"))
+    }, oracle = Some("""
+      WITH t AS (
+        SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents GROUP BY source),
+      s AS (
+        SELECT source, toks,
+               CAST(floor(sqrt(CAST(toks AS DOUBLE))) AS BIGINT) AS s0
+        FROM t),
+      w AS (
+        SELECT source, toks,
+               CASE WHEN (s0 + 1) * (s0 + 1) <= toks THEN s0 + 1
+                    WHEN s0 * s0 > toks THEN s0 - 1 ELSE s0 END AS w
+        FROM s)
+      SELECT source, toks,
+             CAST(w * 1000000 // (SELECT sum(w) FROM w) AS BIGINT) AS quota_toks,
+             CAST((w * 1000000 // (SELECT sum(w) FROM w) + toks - 1) // toks AS BIGINT) AS epochs
+      FROM w""")),
+
     // SPLIT-LEAKAGE audit — the eval-integrity check a corpus release
     // runs after splitting: a NEAR-duplicate pair straddling
     // train/val/test leaks evaluation signal even though the

@@ -41,6 +41,8 @@ object Expectations {
                            df: DataFrame, rules: Seq[(String, Column)],
                            txn: Option[(String, Long)] = None): (Option[Long], Option[Long]) = {
     require(rules.nonEmpty, "appendWithQuarantine needs at least one rule")
+    require(!df.columns.contains("_violations"),
+      "batch already carries a _violations column — it is reserved for the quarantine reason tag")
     // materialize the tagging once: the good/bad split must observe
     // the SAME evaluation of a possibly-nondeterministic input
     val tagged = tag(df, rules).localCheckpoint(true)
