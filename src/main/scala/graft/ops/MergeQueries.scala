@@ -187,6 +187,33 @@ object MergeQueries {
              s_suppkey, s_name
       FROM supplier""")),
 
+    // Zero-copy SHALLOW CLONE under the hash gate: the clone of an
+    // earlier VERSION must read exactly that snapshot's content
+    // through its absolute-path manifest references — even after the
+    // source keeps evolving — and the clone's own merge must not touch
+    // the source. Final read: the clone after its own local merge.
+    Q("txlog_clone_snapshot", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_clone_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val src = graft.pipeline.TxLog(spark, s"$root/src")
+      val nat = load(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      src.overwrite(nat)                                    // v0 — the clone target
+      src.merge(nat.filter(col("n_nationkey") % 2 === 0)    // v1 — source moves on
+        .withColumn("n_name", concat(col("n_name"), lit(" MOVED"))),
+        Seq("n_nationkey"))
+      val clone = src.shallowCloneTo(s"$root/dest", version = 0L)
+      clone.merge(nat.filter(col("n_nationkey") % 5 === 0)  // clone evolves alone
+        .withColumn("n_name", concat(col("n_name"), lit(" CLONED"))),
+        Seq("n_nationkey"))
+      clone.snapshot()
+    }, oracle = Some("""
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 5 = 0 THEN n_name || ' CLONED'
+                  ELSE n_name END AS n_name,
+             n_regionkey
+      FROM nation""")),
+
     // O4 — CDC APPLY CHANGES: three-clause MERGE folding an I/U/D
     // change feed into the supplier dim (Upsert.applyChanges). Disjoint
     // op classes: every 3rd key updated (name v2, bal+5), every 7th

