@@ -383,6 +383,23 @@ object AnalyticsQueries {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
 
+    // Boolean aggregates — the data-quality invariants a table
+    // publishes as one row per group: does EVERY order have a positive
+    // total (bool_and), does ANY carry the urgent priority (bool_or).
+    // Plain partial-merge aggregates, no counting detours.
+    Q("agg_bool_logic", (spark, dir) =>
+      load(spark, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("bool_and(o_totalprice > 0)").as("all_positive"),
+          expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+          expr("bool_and(o_orderdate IS NOT NULL)").as("all_dated")),
+      oracle = Some("""
+      SELECT o_orderstatus,
+             bool_and(o_totalprice > 0) AS all_positive,
+             bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+             bool_and(o_orderdate IS NOT NULL) AS all_dated
+      FROM orders GROUP BY o_orderstatus""")),
+
     // FILTER-clause conditional aggregation — several differently-
     // predicated aggregates in ONE grouped pass (the alternative is N
     // scans or N self-joins); Catalyst folds each FILTER into the

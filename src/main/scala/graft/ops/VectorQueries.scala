@@ -201,6 +201,41 @@ object VectorQueries {
     // rounding to the same double), so mean, σ, and every z-score are
     // bit-identical cross-engine and the 2σ cut cannot flip. One
     // narrow scan + a broadcast 1-row stats frame.
+    // Per-DIMENSION distribution diagnostics — the drift/collapse sweep
+    // an embedding pipeline runs per model release (a dead dimension
+    // shows std ≈ 0, a scale bug shows a runaway mean): exact mean and
+    // std per position via the same 2⁻²⁰-grid quantization + integer
+    // moment sums as the norm sweep — BIGINT first moment,
+    // DECIMAL(38,0) second, both rounding to identical doubles
+    // cross-engine. One posexplode pass, one 64-key aggregation.
+    Q("embed_dim_stats", (spark, dir) => {
+      val K = 1048576.0 // 2^20
+      val q = load(spark, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("pos"),
+          floor(col("v").cast("double") * lit(K)).cast("long").as("qv"))
+      val mean = col("sq").cast("double") / (col("n") * lit(K))
+      q.groupBy(col("pos"))
+        .agg(sum(col("qv")).as("sq"),
+          sum(col("qv").cast("decimal(38,0)") * col("qv")).cast("double").as("sqq"),
+          count(lit(1)).as("n"))
+        .select(col("pos"), mean.as("mean"),
+          sqrt(col("sqq") / (col("n") * lit(K) * lit(K)) - mean * mean).as("std"))
+    }, oracle = Some("""
+      WITH q AS (
+        SELECT g.i AS pos,
+               CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        FROM embeddings, (SELECT unnest(range(64)) AS i) g),
+      m AS (
+        SELECT pos, CAST(sum(qv) AS BIGINT) AS sq,
+               CAST(sum(CAST(qv AS HUGEINT) * qv) AS DOUBLE) AS sqq,
+               count(*) AS n
+        FROM q GROUP BY pos)
+      SELECT pos, CAST(sq AS DOUBLE) / (n * 1048576.0) AS mean,
+             sqrt(sqq / (n * 1048576.0 * 1048576.0)
+                  - (CAST(sq AS DOUBLE) / (n * 1048576.0)) * (CAST(sq AS DOUBLE) / (n * 1048576.0))) AS std
+      FROM m""")),
+
     Q("embed_norm_outliers", (spark, dir) => {
       // the vnorm HOF fold optimizes to the native DotProduct loop
       // (same bits — VectorHofRewriteSpec pins both value and plan)
