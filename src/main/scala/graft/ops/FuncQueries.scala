@@ -178,5 +178,27 @@ object FuncQueries {
       SELECT c_nationkey, 'n_cust' AS metric, n_cust AS value FROM m
       UNION ALL
       SELECT c_nationkey, 'bal_sum' AS metric, bal_sum AS value FROM m""")),
+
+    // ANSI-safe try_* arithmetic — Spark 4 runs ANSI mode by default,
+    // where a stray zero divisor or malformed cast KILLS the job; the
+    // try_ family is the production idiom for null-instead-of-error.
+    // The oracle spells the same semantics in portable SQL (nullif
+    // divisor; TRY_CAST).
+    Q("func_try_arithmetic", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      spark.sql("""
+        SELECT o_orderkey,
+               try_divide(o_totalprice, o_orderkey % 3) AS div3,
+               try_cast(CASE WHEN o_orderkey % 2 = 0
+                             THEN CAST(o_orderkey AS STRING)
+                             ELSE concat('x', o_orderkey) END AS BIGINT) AS parsed
+        FROM orders""")
+    }, oracle = Some("""
+      SELECT o_orderkey,
+             o_totalprice / nullif(o_orderkey % 3, 0) AS div3,
+             TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+                           THEN CAST(o_orderkey AS VARCHAR)
+                           ELSE 'x' || o_orderkey END AS BIGINT) AS parsed
+      FROM orders""")),
   )
 }
