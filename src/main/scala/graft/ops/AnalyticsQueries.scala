@@ -242,6 +242,52 @@ object AnalyticsQueries {
         AND r_name = 'ASIA'
       GROUP BY n_name""")),
 
+    // TPC-H Q6 shape — the forecast-revenue scan: NO join, NO group —
+    // pure predicate pushdown + one global aggregate. The point at
+    // 100 TB is that all three filters reach the parquet scan
+    // (PushedFilters, plan-pinned) so row groups outside the
+    // date/discount/quantity bounds never decompress.
+    Q("q6_forecast_revenue", (spark, dir) =>
+      load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount")).cast(dec6))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines")),
+      oracle = Some("""
+      SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // TPC-H Q14 shape — promotion share: conditional revenue ratio in
+    // ONE pass over the (broadcast-joined) fact — numerator and
+    // denominator are two conditionally-predicated aggregates of the
+    // same scan, never two scans. Ratio kept as exact decimal sums
+    // cast at the end.
+    Q("q14_promo_share", (spark, dir) => {
+      val p = load(spark, dir, "part").select(col("p_partkey"), col("p_type"))
+      load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("l_partkey"), (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec6).as("rev"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0).cast(dec6))).cast("double")
+          / sum(col("rev")).cast("double")).as("promo_share"))
+    }, oracle = Some("""
+      SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                 ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS promo_share
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= TIMESTAMP '1997-06-01'
+        AND l_shipdate < TIMESTAMP '1997-07-01'""")),
+
     // TPC-H Q18 shape — large-quantity orders: a HAVING-gated
     // aggregation reduced FIRST (the per-order qty rollup is the only
     // full-fact pass), then the small surviving key set broadcast-

@@ -164,6 +164,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"), "ship-date not pushed")
   }
 
+  test("Q6 shape: every filter reaches the parquet scan, aggregation is partial") {
+    val p = planOf("q6_forecast_revenue")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), pushed)
+    assert(p.contains("partial_sum"), "no map-side aggregation")
+  }
+
   test("Q5 shape: the fact side joins every dimension via broadcast, no shuffle joins") {
     val p = planOf("q5_region_volume")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(1200))
