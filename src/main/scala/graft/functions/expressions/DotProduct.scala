@@ -14,6 +14,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *   - null if the lengths differ (`zip_with` pads the shorter side
   *     with nulls, the products go null, and the fold absorbs them —
   *     so the HOF result is null, and so is this);
+  *   - null if ANY element is null (the null product poisons the fold
+  *     the same way). The per-element check is emitted only when the
+  *     static array type says `containsNull` — a non-null-typed input
+  *     keeps the branch-free loop;
   *   - otherwise one sequential left fold in double precision — the
   *     identical addition order, hence bit-identical results.
   *
@@ -44,6 +48,12 @@ case class DotProduct(left: Expression, right: Expression)
 
   private lazy val leftFloat = elem(left.dataType).contains(FloatType)
   private lazy val rightFloat = elem(right.dataType).contains(FloatType)
+  private def mayHaveNullElems(t: DataType): Boolean = t match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+  private lazy val leftNullable = mayHaveNullElems(left.dataType)
+  private lazy val rightNullable = mayHaveNullElems(right.dataType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -54,6 +64,8 @@ case class DotProduct(left: Expression, right: Expression)
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if ((leftNullable && x.isNullAt(i)) || (rightNullable && y.isNullAt(i)))
+          return null
         val xi = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
         val yi = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
         acc += xi * yi
@@ -70,6 +82,15 @@ case class DotProduct(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val getX = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getY = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      val nullElemCheck = (leftNullable, rightNullable) match {
+        case (true, true) =>
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        case (true, false) =>
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        case (false, true) =>
+          s"if ($b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        case (false, false) => ""
+      }
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -77,9 +98,10 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemCheck
          |    $acc += ($getX) * ($getY);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

@@ -82,11 +82,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Squared L2 distance — the PQ/ADC hot path's metric. Same contract
   * as [[CosineSimilarity]]: allocation-free loop, whole-stage codegen,
   * bit-identical to the HOF form (one sequential fold of (x−y)²) and
-  * to the DuckDB oracle's `list_sum(list_transform(list_zip(...)))`. */
+  * to the DuckDB oracle's `list_sum(list_transform(list_zip(...)))`.
+  *
+  * Null elements poison the HOF fold to null, so they do here too; the
+  * per-element check is emitted only when the static array type says
+  * `containsNull`, keeping the branch-free loop for non-null-typed
+  * inputs. */
 case class L2Squared(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
       case ArrayType(FloatType, _) => true
@@ -99,6 +105,13 @@ case class L2Squared(left: Expression, right: Expression)
   }
   override def prettyName: String = "l2_sq"
 
+  private def mayHaveNullElems(t: DataType): Boolean = t match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+  private lazy val leftNullable = mayHaveNullElems(left.dataType)
+  private lazy val rightNullable = mayHaveNullElems(right.dataType)
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -106,6 +119,8 @@ case class L2Squared(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if ((leftNullable && x.isNullAt(i)) || (rightNullable && y.isNullAt(i)))
+        return null
       val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
       acc += d * d
       i += 1
@@ -119,14 +134,24 @@ case class L2Squared(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      val nullElemCheck = (leftNullable, rightNullable) match {
+        case (true, true) =>
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        case (true, false) =>
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        case (false, true) =>
+          s"if ($b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        case (false, false) => ""
+      }
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullElemCheck
          |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
          |  $acc += $d * $d;
          |}
-         |${ev.value} = $acc;
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
        """.stripMargin
     })
 

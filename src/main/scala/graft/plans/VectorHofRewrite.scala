@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *
   *   - HOF dot product                  → [[DotProduct]] (each side
   *     `array<float>` or `array<double>`; semantics identical incl.
-  *     null-on-ragged, see the expression's scaladoc)
+  *     null-on-ragged and null-on-null-element — a null slot poisons
+  *     the HOF fold to null, and the natives emit the matching
+  *     `isNullAt` check whenever the static type says `containsNull` —
+  *     see the expression's scaladoc)
   *   - HOF squared-L2 (`(x-y)*(x-y)` fold) → [[L2Squared]] behind an
   *     equal-length guard (the native min-length loop is only
   *     HOF-equal when lengths match; the guard If returns null exactly

@@ -14,13 +14,14 @@ class VectorHofRewriteSpec extends SparkTestBase {
   // away entirely, hiding the expression from plan assertions)
   private lazy val vecs: DataFrame = {
     import scala.jdk.CollectionConverters._
-    val rows = Seq(
+    val rows: Seq[(Long, Any, Any)] = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
       (2L, Array(0.0f, 0.0f), Array(0.0f, 0.0f)), // zero vectors
       (3L, Array(1.5f, -2.5f), Array(-1.5f, 2.5f)),
       (4L, Array.empty[Float], Array.empty[Float]), // empty arrays
       (5L, Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)), // ragged
       (6L, null, Array(1.0f)), // null side
+      (7L, Seq[Any](1.0f, null, 3.0f), Array(4.0f, 5.0f, 6.0f)), // null ELEMENT
     )
     val local = spark.createDataFrame(
       rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava,
@@ -77,6 +78,25 @@ class VectorHofRewriteSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(out(5L) && out(6L), "ragged/null rows must be null")
     assert(!out(1L) && !out(4L), "well-formed rows must not be null")
+  }
+
+  test("a null ELEMENT yields null both before and after rewrite (dot and l2)") {
+    // aggregate(zip_with(...)) folds a null product/diff to null; the
+    // natives must do the same, not read the slot as 0.0
+    VectorHofRewrite.install(spark)
+    for ((name, c) <- Seq(
+        ("dot", VectorFunctions.vdot(col("a"), col("b"))),
+        ("l2", VectorFunctions.l2sq(col("a"), col("b"))))) {
+      val q = vecs.filter(col("id").isin(1L, 7L)).select(col("id"), c.as("v"))
+      val rewritten = q.queryExecution.optimizedPlan.toString
+      assert(!rewritten.contains("aggregate("), s"$name: rule did not fire")
+      val got = q.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+      val want = withoutRule( // rebuild: q's QueryExecution is already cached
+        vecs.filter(col("id").isin(1L, 7L)).select(col("id"), c.as("v"))
+          .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap)
+      assert(got(7L) && want(7L), s"$name: null-element row must be null on both paths")
+      assert(!got(1L) && !want(1L), s"$name: clean row must stay non-null")
+    }
   }
 
   test("dot with a double literal matrix side rewrites (the SRP shape)") {
