@@ -173,12 +173,18 @@ object AnalyticsQueries {
       FROM lineitem GROUP BY l_returnflag""")),
 
     // TPC-H Q3 shape — shipping priority: segment-filtered 3-way join,
-    // discounted-revenue rollup per order, exact top-10. Customer and
-    // orders broadcast under lineitem's scan; the top-k is a
-    // WindowGroupLimit-free global sort-limit (TakeOrderedAndProject —
-    // per-partition heap + driver merge of 10 rows, never a full
-    // sort). Decimal(28,6) sums keep the revenue exact cross-engine;
-    // (rev DESC, orderkey) is a total order so LIMIT cannot flip.
+    // discounted-revenue rollup per order, exact top-10. Orders and
+    // customer grow WITH the fact (orders ≈ lineitem/4, customer ∝ sf),
+    // so neither carries a broadcast hint — a hint would override AQE
+    // and OOM at the 100 TB design point. Statistics/AQE pick broadcast
+    // where the filtered side fits (it does at test scale — plan-pinned
+    // in PlanSpec under an explicit threshold; the SMJ fallback is
+    // proven result-identical in ScaleSpec at threshold=-1). The top-k
+    // is a WindowGroupLimit-free global sort-limit
+    // (TakeOrderedAndProject — per-partition heap + driver merge of 10
+    // rows, never a full sort). Decimal(28,6) sums keep the revenue
+    // exact cross-engine; (rev DESC, orderkey) is a total order so
+    // LIMIT cannot flip.
     Q("q3_shipping_priority", (spark, dir) => {
       val cutoff = "1998-06-15"
       val c = load(spark, dir, "customer")
@@ -189,8 +195,8 @@ object AnalyticsQueries {
       val l = load(spark, dir, "lineitem")
         .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec6))
           .cast("double").as("revenue"))
@@ -210,9 +216,12 @@ object AnalyticsQueries {
     // TPC-H Q5 shape — local supplier volume: the 6-table star-and-
     // snowflake join (customer⋈orders⋈lineitem⋈supplier⋈nation⋈region)
     // with the co-location predicate (customer and supplier share a
-    // nation). Every dimension side broadcasts; lineitem — the 100 TB
-    // side — never shuffles for a join, only for the final n_nations-
-    // key rollup.
+    // nation). Only the BOUNDED frames carry broadcast hints: region
+    // (5 rows) and nation (25 rows) are constants of the schema.
+    // Supplier, orders and customer all grow linearly with sf, so they
+    // get NO hint — statistics/AQE broadcast them while they fit (they
+    // do at test scale, plan-pinned) and degrade to shuffle joins at
+    // the 100 TB design point instead of OOMing on a forced broadcast.
     Q("q5_region_volume", (spark, dir) => {
       val r = load(spark, dir, "region").filter(col("r_name") === "ASIA")
       val n = load(spark, dir, "nation")
@@ -225,9 +234,9 @@ object AnalyticsQueries {
       val o = load(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       load(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
-        .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        .join(s, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec6))
@@ -264,17 +273,18 @@ object AnalyticsQueries {
         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
 
     // TPC-H Q14 shape — promotion share: conditional revenue ratio in
-    // ONE pass over the (broadcast-joined) fact — numerator and
-    // denominator are two conditionally-predicated aggregates of the
-    // same scan, never two scans. Ratio kept as exact decimal sums
-    // cast at the end.
+    // ONE pass over the fact — numerator and denominator are two
+    // conditionally-predicated aggregates of the same scan, never two
+    // scans. Part grows linearly with sf, so it carries NO broadcast
+    // hint — stats/AQE broadcast it while it fits. Ratio kept as exact
+    // decimal sums cast at the end.
     Q("q14_promo_share", (spark, dir) => {
       val p = load(spark, dir, "part").select(col("p_partkey"), col("p_type"))
       load(spark, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
         .select(col("l_partkey"), (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec6).as("rev"))
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
         .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0).cast(dec6))).cast("double")
           / sum(col("rev")).cast("double")).as("promo_share"))
     }, oracle = Some("""
@@ -291,9 +301,11 @@ object AnalyticsQueries {
     // TPC-H Q18 shape — large-quantity orders: a HAVING-gated
     // aggregation reduced FIRST (the per-order qty rollup is the only
     // full-fact pass), then the small surviving key set broadcast-
-    // semi-joins orders + customer. At 100 TB the big side shuffles
-    // once on its natural join key and everything after the HAVING is
-    // metadata-scale.
+    // semi-joins orders. Only `big` carries a hint — it is gated to a
+    // handful of rows by the HAVING whatever the sf. Customer grows
+    // with sf so it gets NO hint; after the o⋈big join the LEFT side
+    // is metadata-scale and AQE broadcasts that side at runtime
+    // instead of shipping the whole customer table.
     Q("q18_large_orders", (spark, dir) => {
       val big = load(spark, dir, "lineitem")
         .groupBy(col("l_orderkey"))
@@ -303,7 +315,7 @@ object AnalyticsQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val c = load(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
       o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("o_orderkey"),
           col("total_qty").cast("double").as("total_qty"), col("o_totalprice"))
         .orderBy(col("total_qty").desc, col("o_orderkey"))

@@ -14,6 +14,20 @@ class PlanSpec extends SparkTestBase {
     graft.SparkEntry.queries(name)(spark, sf("0.001"))
       .queryExecution.executedPlan.toString
 
+  /** Scoped session confs (set, run, restore). The TPC-H shape pins
+    * use it to pin broadcast selection through the STATISTICS path —
+    * the queries carry no hints on sf-growing sides, so plan shape at
+    * test scale is a function of the threshold, not of a hard-coded
+    * `broadcast()` that would OOM at the 100 TB design point. */
+  private def withConf[T](pairs: (String, String)*)(f: => T): T = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("watermark filter is pushed into the parquet scan") {
     val p = planOf("s3_incremental_watermark")
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p.take(800))
@@ -156,12 +170,16 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(1200))
   }
 
-  test("Q3 shape: heap top-10 (TakeOrdered), broadcast dims, pushed date filters") {
-    val p = planOf("q3_shipping_priority")
-    assert(p.contains("TakeOrderedAndProject"), "global sort-limit not heap-merged")
-    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p.take(1200))
-    assert(!p.contains("SortMergeJoin"))
-    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), "ship-date not pushed")
+  test("Q3 shape: heap top-10 (TakeOrdered), stats-picked broadcasts, pushed date filters") {
+    // no hints in the query — the broadcasts must come from statistics
+    // under the explicit (default-sized) threshold
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "10MB") {
+      val p = planOf("q3_shipping_priority")
+      assert(p.contains("TakeOrderedAndProject"), "global sort-limit not heap-merged")
+      assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p.take(1200))
+      assert(!p.contains("SortMergeJoin"))
+      assert(p.contains("PushedFilters") && p.contains("l_shipdate"), "ship-date not pushed")
+    }
   }
 
   test("Q6 shape: every filter reaches the parquet scan, aggregation is partial") {
@@ -173,9 +191,22 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("Q5 shape: the fact side joins every dimension via broadcast, no shuffle joins") {
-    val p = planOf("q5_region_volume")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(1200))
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(1200))
+    // only region/nation are hinted (bounded frames); supplier/orders/
+    // customer must broadcast via statistics at this scale
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "10MB") {
+      val p = planOf("q5_region_volume")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(1200))
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(1200))
+    }
+  }
+
+  test("Q14 shape: part broadcasts via statistics (no hint), filters pushed") {
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "10MB") {
+      val p = planOf("q14_promo_share")
+      assert(p.contains("BroadcastHashJoin"), p.take(1200))
+      assert(!p.contains("SortMergeJoin"), p.take(1200))
+      assert(p.contains("PushedFilters") && p.contains("l_shipdate"), "ship-date not pushed")
+    }
   }
 
   test("temperature mixture: metadata-size frames broadcast, corpus scanned once") {

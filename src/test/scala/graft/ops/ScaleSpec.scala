@@ -71,6 +71,37 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("TPC-H shapes survive broadcast being impossible: SMJ fallback is result-identical") {
+    // the 100 TB design point: orders/customer/part no longer fit in a
+    // broadcast. The queries carry no hints on those sides, so forcing
+    // the threshold to -1 (static AND adaptive) must degrade them to
+    // shuffle joins — and the answer must not move a bit.
+    def rows(name: String): Seq[String] =
+      graft.SparkEntry.queries(name)(spark, sf("0.001"))
+        .collect().map(_.toString).sorted.toSeq
+    val broadcastRun = Seq("q3_shipping_priority", "q5_region_volume", "q14_promo_share")
+      .map(n => n -> rows(n)).toMap
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // q3 has NO hints at all — with broadcast off the plan must fall
+      // back to shuffle joins rather than secretly depending on a hint
+      val q3 = graft.SparkEntry.queries("q3_shipping_priority")(spark, sf("0.001"))
+      q3.collect()
+      val p3 = q3.queryExecution.executedPlan.toString
+      assert(!p3.contains("BroadcastHashJoin"), p3.take(1200))
+      assert(p3.contains("SortMergeJoin") || p3.contains("ShuffledHashJoin"), p3.take(1200))
+      for ((name, want) <- broadcastRun)
+        assert(rows(name) === want, s"$name: SMJ fallback changed results")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join is row-identical to the plain join") {
     val li = spark.read.parquet(sf("0.001") + "/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
