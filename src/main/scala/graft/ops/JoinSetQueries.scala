@@ -291,6 +291,78 @@ object JoinSetQueries {
       WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
       GROUP BY l_returnflag""")),
 
+    // DYNAMIC partition pruning — the dominant 100 TB star-scan shape:
+    // a fact table Hive-partitioned on date, joined to a dim whose
+    // FILTER (not a literal on the fact) decides which partitions
+    // matter. Catalyst turns the dim's filtered key set into a runtime
+    // `dynamicpruningexpression` inside the fact scan's
+    // PartitionFilters (plan-pinned in PlanSpec with a fewer-files-read
+    // proof), so at scale only the matching date directories are ever
+    // listed and decompressed — a literal-predicate pruning proof can't
+    // show that, because in a real star join the literal lives on the
+    // dim. Fact is materialized once per corpus under target/tmp.
+    Q("join_dpp_star", (spark, dir) => {
+      val gold = s"/root/repo/target/tmp/dpp_gold_${dir.hashCode.abs}/events_by_date"
+      if (!new java.io.File(s"$gold/_SUCCESS").exists()) {
+        Tables.loadEvents(spark, dir)
+          .withColumn("event_date", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("event_date").parquet(gold)
+      }
+      val fact = spark.read.parquet(gold)
+      // dim: the observed calendar with an AGGREGATE-derived attribute
+      // filter (days whose traffic count ≡ 0 mod 7 — 4-5 of 30 at
+      // every sf). The attribute is data-dependent, so Catalyst CANNOT
+      // infer the predicate onto the fact statically (an expression of
+      // the join key alone would propagate through the equi-join and
+      // turn into static pruning) — the partitions can only fall at
+      // RUNTIME, which is exactly what the pin must prove
+      val dim = Tables.loadEvents(spark, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_day"))
+        .filter(col("n_day") % 7 === 0)
+        .select(col("d"))
+      fact.join(dim, fact("event_date") === dim("d"))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"))
+    }, oracle = Some("""
+      WITH dim AS (
+        SELECT CAST(ts AS DATE) AS d FROM events
+        GROUP BY 1 HAVING count(*) % 7 = 0)
+      SELECT CAST(e.ts AS DATE) AS event_date, count(*) AS n_events,
+             CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events e JOIN dim ON CAST(e.ts AS DATE) = dim.d
+      GROUP BY 1""")),
+
+    // Engine-native runtime bloom filter — the optimizer-injected
+    // sibling of `join_bloom_prefilter`'s manual sketch: Spark's
+    // InjectRuntimeFilter builds a bloom over the dim's filtered join
+    // keys and probes it on the fact side BEFORE the join's shuffle,
+    // for exactly the non-partition-key case DPP can't touch. The
+    // query itself carries no hints and no session mutation (the
+    // default thresholds only arm the rule at real scale — 10 GB scan
+    // on the application side); PlanSpec pins the armed plan under
+    // scoped thresholds and proves it result-identical. At test scale
+    // statistics pick a plain broadcast join, which is the right plan
+    // for this size — the pin proves the 100 TB path, the oracle
+    // proves the semantics.
+    Q("join_runtime_bloom", (spark, dir) => {
+      val hot = load(spark, dir, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .join(hot, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+    }, oracle = Some("""
+      SELECT o_orderpriority, count(*) AS n_lines,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 450000
+      GROUP BY 1""")),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
     // MATCH each other instead of dropping — the semantics SCD key
     // reconciliation and "unknown bucket" joins need. Spark plans

@@ -209,6 +209,55 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("star join: the dim's filter prunes fact partitions DYNAMICALLY (DPP)") {
+    // the dominant 100 TB scan shape — the partition predicate arrives
+    // through a joined dim, not as a literal on the fact. AQE off so
+    // the executed tree is traversable for scan metrics; DPP itself is
+    // orthogonal to AQE.
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = graft.SparkEntry.queries("join_dpp_star")(spark, sf("0.001"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruningexpression"),
+        s"no DPP filter in the fact scan:\n${p.take(1500)}")
+      // and the runtime subquery actually dropped files: the scan's
+      // dynamic numFiles must be strictly below its static file count
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metrics.contains("staticFilesNum") => f
+      }.getOrElse(fail("no dynamically-pruned FileSourceScan in the plan"))
+      val dynamic = scan.metrics("numFiles").value
+      val static0 = scan.metrics("staticFilesNum").value
+      assert(dynamic > 0 && dynamic < static0, s"dynamic=$dynamic static=$static0")
+    }
+  }
+
+  test("runtime bloom join: the optimizer injects the might_contain probe at scale thresholds") {
+    // engine-native sibling of the manual join_bloom_prefilter: at the
+    // default thresholds the rule arms only for 10 GB+ application-side
+    // scans, so the pin scales the thresholds down (and disables
+    // broadcast, the shape the rule targets) instead of hinting the
+    // query
+    val want = graft.SparkEntry.queries("join_runtime_bloom")(spark, sf("0.001"))
+      .collect().map(_.toString).sorted.toSeq
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = graft.SparkEntry.queries("join_runtime_bloom")(spark, sf("0.001"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"runtime bloom not injected:\n${opt.take(1500)}")
+      assert(df.collect().map(_.toString).sorted.toSeq === want,
+        "bloom-armed plan changed results")
+    }
+    // the manual variant carries the same Catalyst probe expression
+    // (BloomFilterMightContain) built explicitly — the pattern the
+    // optimizer rule injects, available for shapes below its radar
+    assert(planOf("join_bloom_prefilter").contains("might_contain"))
+  }
+
   test("temperature mixture: metadata-size frames broadcast, corpus scanned once") {
     val p = planOf("curate_temperature_mixture")
     // the 1-row totals frame rides a broadcast (nested-loop on a
