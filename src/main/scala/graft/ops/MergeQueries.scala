@@ -214,6 +214,33 @@ object MergeQueries {
              n_regionkey
       FROM nation""")),
 
+    // OPTIMIZE (target-size bin-packing) under the hash gate: a table
+    // built as one bulk dir plus five tiny append dirs is packed with
+    // compactSmallFiles — only under-target dirs fold, compliant dirs'
+    // manifest lines (stats included) carry untouched, and a second
+    // OPTIMIZE with no new debt is a version-preserving no-op. The
+    // final read goes through the REPACKED stats (snapshotRange), so
+    // the hash proves packing preserved both content and skipping
+    // metadata.
+    Q("txlog_optimize_pack", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_opt_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t = graft.pipeline.TxLog(spark, root, statsCols = Seq("p_partkey"))
+      val part = load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          col("p_retailprice").cast("double").as("p_retailprice"))
+      t.overwrite(part.filter(col("p_partkey") % 10 =!= 0)) // the compliant bulk
+      (0 until 5).foreach(b => // small-file debt: five single-digit-KB dirs
+        t.append(part.filter(col("p_partkey") % 10 === 0 &&
+          (col("p_partkey") / 10) % 5 === b)))
+      val v = t.compactSmallFiles(64L * 1024)
+      require(t.compactSmallFiles(64L * 1024) == v,
+        "second OPTIMIZE with no new small-file debt must be a no-op")
+      t.snapshotRange("1", "100")
+    }, oracle = Some("""
+      SELECT p_partkey, p_name, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+      FROM part WHERE p_partkey BETWEEN 1 AND 100""")),
+
     // O4 — CDC APPLY CHANGES: three-clause MERGE folding an I/U/D
     // change feed into the supplier dim (Upsert.applyChanges). Disjoint
     // op classes: every 3rd key updated (name v2, bal+5), every 7th

@@ -543,27 +543,46 @@ final case class TxLog(spark: SparkSession, root: String,
   private def addedChecks(prev: Seq[(String, String)]): Seq[(String, String)] =
     checkConstraints.filterNot(c => prev.exists(_._1 == c._1))
 
-  /** (dir, constraintName) pairs this writer instance already proved —
-    * makes retry-loop re-validation free. */
-  private val validatedChecks = scala.collection.mutable.Set.empty[(String, String)]
+  /** (visibleRowsKey, constraintName, constraintSql) triples this
+    * writer instance already proved — makes retry-loop re-validation
+    * free. Keyed on the SQL too: losing an optimistic race to a writer
+    * that persisted a DIFFERENT predicate under the same name must
+    * re-validate, not ride the stale proof. The key's dir component
+    * includes any partition-tag restriction, so a proof over a dir's
+    * live subset never stands in for a proof over the whole dir. */
+  private val validatedChecks = scala.collection.mutable.Set.empty[(String, String, String)]
 
-  /** Enforce CHECK constraints over freshly-written / carried dirs
-    * BEFORE their manifest commits: a row violates when the predicate
-    * is FALSE (null passes — SQL-standard CHECK). One aggregation per
-    * dir covering all pending constraints; on violation the commit is
-    * refused (the manifest never references the dir, so readers never
-    * see the bad rows — write-side atomicity is what makes post-write
-    * pre-commit validation equivalent to Delta's in-write invariant). */
-  private def enforceChecks(dirUuids: Seq[String],
+  /** Enforce CHECK constraints over dirs BEFORE their manifest
+    * commits: a row violates when the predicate is FALSE (null passes
+    * — SQL-standard CHECK). One aggregation per dir covering all
+    * pending constraints; on violation the commit is refused (the
+    * manifest never references the dir, so readers never see the bad
+    * rows — write-side atomicity is what makes post-write pre-commit
+    * validation equivalent to Delta's in-write invariant).
+    *
+    * `dirs` pairs each uuid with the partition tags the committing
+    * manifest exposes for it (None = whole dir): a partition-tagged
+    * dir can be live for only SOME partitions — rows superseded by a
+    * later pruned merge are filtered on read, and validating them here
+    * would refuse an ADD CONSTRAINT / RESTORE that every VISIBLE row
+    * satisfies. */
+  private def enforceChecks(dirs: Seq[(String, Option[Seq[String]])],
+                            partCol: Option[String],
                             checks: Seq[(String, String)]): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
-    for (d <- dirUuids) {
-      val pending = checks.filterNot(c => validatedChecks(d -> c._1))
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, sum, when}
+    for ((d, tags) <- dirs) {
+      val key = d + tags.fold("")(t => "|" + t.sorted.mkString(","))
+      val pending = checks.filterNot(c => validatedChecks((key, c._1, c._2)))
       if (pending.nonEmpty) {
+        val visible = (tags, partCol) match {
+          case (Some(ts), Some(pc)) =>
+            snapshotOfDir(d).filter(col(pc).cast("string").isin(ts: _*))
+          case _ => snapshotOfDir(d)
+        }
         val aggs = pending.map { case (n, sql) =>
           sum(when(not(coalesce(expr(sql), lit(true))), 1L).otherwise(0L)).as(s"__chk_$n") }
         val row =
-          try snapshotOfDir(d).agg(aggs.head, aggs.tail: _*).head()
+          try visible.agg(aggs.head, aggs.tail: _*).head()
           catch { case e: org.apache.spark.sql.AnalysisException =>
             // a constraint naming a column some pre-evolution dir lacks
             // cannot be evaluated there — fail loudly with the remedy
@@ -577,11 +596,33 @@ final case class TxLog(spark: SparkSession, root: String,
           val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
           if (bad > 0) throw new IllegalStateException(
             s"TxLog CHECK constraint '$n' ($sql) violated by $bad row(s) — commit to $root refused")
-          validatedChecks += (d -> n)
+          validatedChecks += ((key, n, sql))
         }
       }
     }
   }
+
+  /** Whole-dir validation — freshly-written dirs, where every row will
+    * be visible. */
+  private def enforceChecks(dirUuids: Seq[String],
+                            checks: Seq[(String, String)]): Unit =
+    enforceChecks(dirUuids.map(d => d -> Option.empty[Seq[String]]), None, checks)
+
+  /** Manifest-filtered validation of a snapshot's entries: each dir
+    * restricted to the partition tags that manifest exposes for it. */
+  private def enforceChecksOnEntries(m: Manifest,
+                                     checks: Seq[(String, String)]): Unit =
+    enforceChecks(entryTagSets(m.entries, m.partCol), m.partCol, checks)
+
+  /** Group (dir, tag) manifest lines into per-dir live-tag sets; a dir
+    * with any untagged line (or an untagged table) validates in full. */
+  private def entryTagSets(entries: Seq[(String, Option[String])],
+                           partCol: Option[String]): Seq[(String, Option[Seq[String]])] =
+    entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
+      val tags = es.map(_._2)
+      d -> (if (partCol.isDefined && tags.forall(_.isDefined)) Some(tags.flatten)
+            else None)
+    }
 
   /** Txn bookkeeping for a commit: previous manifest's per-app batch
     * ids, updated with this commit's (if any). */
@@ -647,7 +688,7 @@ final case class TxLog(spark: SparkSession, root: String,
       // writer is introducing with this commit (the ADD CONSTRAINT scan)
       val checks = mergedChecks(prev.checks)
       enforceChecks(Seq(uuid), checks)
-      enforceChecks(prev.dirs, addedChecks(prev.checks))
+      enforceChecksOnEntries(prev, addedChecks(prev.checks))
       val m = Manifest(prev.partCol,
         header,
         prev.entries :+ ((uuid, None)),
@@ -856,7 +897,8 @@ final case class TxLog(spark: SparkSession, root: String,
         else resultParts.map(p => (uuid, Option(p)))
       val checks = mergedChecks(prev.checks)
       enforceChecks(Seq(uuid), checks)
-      enforceChecks(carry.map(_._1).distinct, addedChecks(prev.checks))
+      enforceChecks(entryTagSets(carry, Some(partCol)), Some(partCol),
+        addedChecks(prev.checks))
       val lines = manifestLines(Manifest(Some(partCol), header,
         carry ++ newEntries,
         carriedRanges ++ newRanges, txnsAfter(prev.txns, txn),
@@ -924,6 +966,90 @@ final case class TxLog(spark: SparkSession, root: String,
     pc.fold(overwrite(snap))(c => overwritePartitioned(snap, c))
   }
 
+  /** On-disk bytes of a data dir — OPTIMIZE's packing metric. A
+    * driver-side metadata listing, not a data read. */
+  private def dirSize(uuid: String): Long = {
+    val p = new Path(dirPath(uuid))
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+  }
+
+  /** Target-size BIN-PACKING compaction — the part of Delta's OPTIMIZE
+    * that [[compact]] (a full rewrite) skips: fold ONLY the dirs whose
+    * on-disk bytes fall below `targetBytes` into right-sized dirs,
+    * CARRYING every compliant dir's manifest lines — entries, tags,
+    * range stats, Bloom words — untouched. Write amplification is
+    * proportional to the small-file debt, not the table size: at
+    * 100 TB, rewriting compliant data on every maintenance pass is the
+    * difference between a bounded background job and a daily
+    * full-table write. Running it again with no new debt is a
+    * version-preserving no-op (one residual under-target dir cannot
+    * pack any better, so ≤1 small dir commits nothing).
+    *
+    * Packed rows are read through the MANIFEST (a partition-tagged dir
+    * live for a subset of its partitions contributes only its visible
+    * rows), re-clustered on the partition column (tagged tables) or
+    * the first stats column (so range skipping stays tight), and
+    * re-tagged from the data. */
+  def compactSmallFiles(targetBytes: Long): Long = {
+    require(exists(), s"TxLog table at $root has no commits to compact")
+    require(targetBytes > 0, s"targetBytes must be positive (got $targetBytes)")
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val cur = currentVersion()
+      val prev = readManifestFull(cur)
+      val sizes = prev.dirs.map(d => d -> dirSize(d)).toMap
+      val smallDirs = prev.dirs.filter(d => sizes(d) < targetBytes)
+      if (smallDirs.size <= 1) return cur // no debt to pack — no version churn
+      val small = smallDirs.toSet
+      val carry = prev.entries.filterNot { case (d, _) => small(d) }
+      val rows = entryTagSets(prev.entries.filter { case (d, _) => small(d) },
+        prev.partCol).map {
+          case (d, Some(ts)) =>
+            snapshotOfDir(d).filter(
+              col(prev.partCol.get).cast("string").isin(ts: _*))
+          case (d, None) => snapshotOfDir(d)
+        }.reduce(_.unionByName(_))
+      val k = math.max(1L, smallDirs.map(sizes).sum / targetBytes).toInt
+      val clusterCol = prev.partCol.orElse(statsCols.headOption)
+      val packed = clusterCol.fold(rows.repartition(k))(c =>
+          rows.repartitionByRange(k, col(c)))
+        .withColumn("__bucket", spark_partition_id())
+        .localCheckpoint(true)
+      val uuids = (0 until k).flatMap { b =>
+        val part = packed.filter(col("__bucket") === b).drop("__bucket")
+        if (part.isEmpty) None else Some(writeDataDir(part))
+      }
+      val stats = uuids.map(statsFor)
+      val header = stats.map(_._1).find(_.nonEmpty).getOrElse(prev.stats)
+      val headerCols = header.map(_._1).toSet
+      val carriedRanges = prev.ranges.filter { case ((d, c), _) =>
+        headerCols(c) && carry.exists(_._1 == d) }
+      val carriedBlooms = prev.blooms.filter { case ((d, _), _) =>
+        carry.exists(_._1 == d) }
+      val newEntries = uuids.flatMap { u =>
+        prev.partCol match {
+          case Some(pc) => partValues(snapshotOfDir(u), pc).map(p => (u, Option(p)))
+          case None => Seq((u, Option.empty[String]))
+        }
+      }
+      val checks = mergedChecks(prev.checks)
+      enforceChecks(uuids, checks)
+      enforceChecks(entryTagSets(carry, prev.partCol), prev.partCol,
+        addedChecks(prev.checks))
+      val m = Manifest(prev.partCol, header, carry ++ newEntries,
+        carriedRanges ++ stats.flatMap(_._2).toMap, prev.txns,
+        carriedBlooms ++ uuids.map(bloomsFor).foldLeft(
+          Map.empty[(String, String), String])(_ ++ _),
+        checks)
+      if (tryCommitManifest(cur + 1, manifestLines(m), "OPTIMIZE")) return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog compactSmallFiles lost $MaxRaceRetries optimistic races at $root")
+  }
+
   /** Range-CLUSTERED compaction — the 1-D Z-ORDER move: rewrite the
     * snapshot as `nBuckets` dirs, range-partitioned on the FIRST stats column,
     * so each dir's committed [min,max] is a tight disjoint slice and
@@ -950,9 +1076,15 @@ final case class TxLog(spark: SparkSession, root: String,
     * `zCols`, so each dir's committed [min,max] is tight on EVERY listed
     * column at once and [[snapshotRangeOn]] prunes dirs for predicates
     * on ANY of them (1-D [[compactClustered]] only serves its first
-    * column). Codes are 16-bit per-column GLOBAL RANKS — the two-phase
+    * column). Codes are per-column GLOBAL RANKS — the two-phase
     * range-partitioned rank, so arbitrary value distributions
-    * interleave uniformly and no step funnels through one task.
+    * interleave uniformly and no step funnels through one task. Code
+    * width is min(16, 62/n) bits per column: the interleaved word must
+    * stay inside a signed long's non-negative range (bit 63 would flip
+    * the sign and misorder the range partitioner; an index ≥ 64 would
+    * silently alias through the JVM's mod-64 shift), so 4+ columns
+    * trade per-column resolution for column count — the standard
+    * z-order curve trade.
     * `zCols` must be tracked stats columns (the layout is only useful
     * through the stats that skip on it). Unsupported on
     * partition-tagged tables, like [[compactClustered]]. */
@@ -972,8 +1104,10 @@ final case class TxLog(spark: SparkSession, root: String,
         graft.functions.GlobalRank.rowNumber(d, s"__zr$j", 32, Seq(col(c)))
       case (d, _) => d
     }
-    val codes = (0 until n).map(j => expr(s"((__zr$j - 1) * 65536) div __zn"))
-    val z = (0 until 16).flatMap(i => (0 until n).map(j =>
+    // max interleave index = bits*n - 1 ≤ 61 < the sign bit
+    val bits = math.min(16, 62 / n)
+    val codes = (0 until n).map(j => expr(s"((__zr$j - 1) * ${1L << bits}) div __zn"))
+    val z = (0 until bits).flatMap(i => (0 until n).map(j =>
         shiftright(codes(j), i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j))))
       .reduce(_ + _)
     val bucketed = ranked.withColumn("__zz", z)
@@ -1059,7 +1193,7 @@ final case class TxLog(spark: SparkSession, root: String,
       // data was validated against them); a writer-declared constraint
       // new to that version still gates the restored dirs first
       val checks = mergedChecks(m.checks)
-      enforceChecks(m.dirs, addedChecks(m.checks))
+      enforceChecksOnEntries(m, addedChecks(m.checks))
       val lines = manifestLines(m.copy(txns = readManifestFull(cur).txns,
         checks = checks))
       if (tryCommitManifest(cur + 1, lines, s"RESTORE v$version")) return cur + 1

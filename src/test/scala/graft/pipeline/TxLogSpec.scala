@@ -740,4 +740,101 @@ class TxLogSpec extends SparkTestBase {
       TxLog(spark, tmpDir("txlog_checks_bad2"),
         checkConstraints = Seq("a" -> "x > 0", "a" -> "x < 9")))
   }
+
+  test("OPTIMIZE bin-packing folds only under-target dirs, carries compliant ones, then no-ops") {
+    val t = TxLog(spark, tmpDir("txlog_optimize"), statsCols = Seq("id"))
+    // one compliant (large) dir + four single-row small-file dirs
+    t.overwrite(spark.range(20000).toDF("id")
+      .withColumn("v", concat(lit("row-"), col("id"))))
+    (0 until 4).foreach(i =>
+      t.append(Seq((100000L + i, s"s$i")).toDF("id", "v")))
+    val before = t.snapshotDataDirs()
+    assert(before.length === 5)
+    def dirBytes(u: String) = // absolute paths; skip .crc files like listStatus does
+      new java.io.File(u).listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.length).sum
+    val big = before.maxBy(dirBytes)
+    // target sits between the small dirs and the compliant one
+    val target = dirBytes(big)
+    val v = t.compactSmallFiles(target)
+    assert(v === t.currentVersion())
+    val after = t.snapshotDataDirs()
+    // the compliant dir's manifest line is CARRIED — same uuid, no rewrite —
+    // and the four small dirs folded into one right-sized dir
+    assert(after.contains(big), "compliant dir was rewritten, not carried")
+    assert(after.length === 2, s"expected big + 1 packed dir, got ${after.length}")
+    // content preserved exactly
+    assert(t.snapshot().count() === 20004)
+    assert(t.snapshotRange("100000", "100003").collect()
+      .map(_.getString(1)).sorted.toSeq === Seq("s0", "s1", "s2", "s3"))
+    // carried range stats still prune: a big-dir-only range opens 1 dir
+    assert(t.rangeDirs("0", "10").length === 1)
+    // carried Bloom words still serve point lookups on the untouched dir
+    assert(t.snapshotPoint("id", "7").count() === 1)
+    // second OPTIMIZE with no new small-file debt: version-preserving no-op
+    assert(t.compactSmallFiles(target) === v)
+    assert(t.currentVersion() === v)
+  }
+
+  test("OPTIMIZE on a partition-tagged table packs visible rows and re-tags") {
+    val t = TxLog(spark, tmpDir("txlog_optimize_part"))
+    t.overwritePartitioned(
+      Seq(("a", 1L, "x1"), ("b", 2L, "x2")).toDF("pt", "id", "v"), "pt")
+    // supersede pt=a: the v0 dir stays live for pt=b only, its pt=a row is dead
+    t.mergePartitioned(Seq(("a", 1L, "X1")).toDF("pt", "id", "v"), Seq("id"), "pt")
+    (0 until 3).foreach(i => t.mergePartitioned(
+      Seq(("c", 10L + i, s"c$i")).toDF("pt", "id", "v"), Seq("id"), "pt"))
+    val v = t.compactSmallFiles(1L << 20) // everything is under 1 MiB → full pack
+    assert(t.snapshotDataDirs().length === 1)
+    // dead rows did NOT resurrect through the pack: pt=a reads the merged value
+    val rows = t.snapshot().collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(rows === Map(1L -> "X1", 2L -> "x2", 10L -> "c0", 11L -> "c1", 12L -> "c2"))
+    // re-tagged: a later partitioned merge still prunes (carries the packed dir)
+    t.mergePartitioned(Seq(("c", 13L, "c3")).toDF("pt", "id", "v"), Seq("id"), "pt")
+    assert(t.snapshotDataDirs().contains(t.snapshotDataDirs(v).head))
+    assert(t.compactSmallFiles(1L << 20) === t.currentVersion()) // ≤1 small dir → no-op
+  }
+
+  test("ADD CONSTRAINT and RESTORE validate only the VISIBLE rows of partition-tagged dirs") {
+    val dir = tmpDir("txlog_checks_visible")
+    val plain = TxLog(spark, dir)
+    plain.overwritePartitioned(
+      Seq(("a", 1L, -5L), ("b", 2L, 10L)).toDF("pt", "id", "amt"), "pt")
+    // the merge supersedes every pt=a row; the v0 dir stays live for pt=b
+    // only, so its violating row is dead — filtered on every read
+    plain.mergePartitioned(Seq(("a", 1L, 5L)).toDF("pt", "id", "amt"), Seq("id"), "pt")
+    assert(plain.snapshot().agg(min("amt")).head().getLong(0) === 5L)
+    // every visible row satisfies amt >= 0 → the ADD must succeed even
+    // though the raw v0 dir still physically holds the -5 row
+    val strict = TxLog(spark, dir, checkConstraints = Seq("amt_pos" -> "amt >= 0"))
+    assert(strict.append(Seq(("c", 3L, 7L)).toDF("pt", "id", "amt")) === 2L)
+    // RESTORE through the constrained writer validates the same way
+    assert(strict.restoreTo(1L) === 3L)
+    // and the persisted constraint still refuses a VISIBLE violation
+    intercept[IllegalStateException](
+      TxLog(spark, dir).append(Seq(("d", 4L, -1L)).toDF("pt", "id", "amt")))
+  }
+
+  test("z-order on 4 columns narrows code width sign-safely and prunes on every column") {
+    val t = TxLog(spark, tmpDir("txlog_zorder4"), statsCols = Seq("a", "b", "c", "d"))
+    // four independent uniform columns — at 16 bits each the interleave
+    // would overflow a signed long; width must narrow to fit
+    val rows = (0 until 4096).map { i =>
+      (((i * 37) % 64).toLong, ((i * 59) % 64).toLong,
+        ((i * 83) % 64).toLong, ((i * 101) % 64).toLong)
+    }
+    t.overwrite(rows.toDF("a", "b", "c", "d"))
+    t.compactZOrder(Seq("a", "b", "c", "d"), nBuckets = 16)
+    val total = t.snapshotDataDirs().length
+    assert(total > 4, s"expected a multi-dir rewrite, got $total")
+    // a narrow range on EACH of the four columns opens a strict subset
+    for (cn <- Seq("a", "b", "c", "d"))
+      assert(t.rangeDirs("0", "7", Some(cn)).length < total,
+        s"$cn-range opened all $total dirs")
+    assert(t.snapshotRangeOn("c", "0", "7").count() ===
+      rows.count(_._3 <= 7))
+    assert(t.snapshot().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+      === rows.sorted)
+  }
 }
