@@ -38,10 +38,17 @@ object Bench {
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // also land the line in a file: sbt interleaves its own [success]
-    // logging with stdout, which can defeat tail-line JSON parsing
+    // land the FULL per-query line in a file: sbt interleaves its own
+    // [success] logging with stdout, which can defeat tail-line parsing
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/target/bench.json"), json.getBytes)
+    // and print a COMPACT summary (total + count + top-20 slowest) as
+    // the very last stdout line: a 160+-query line overflows the
+    // driver's tail capture, truncating the front of the JSON — this
+    // short line always survives and always parses
+    val top = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","count":${results.size},"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

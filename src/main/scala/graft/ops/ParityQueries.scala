@@ -125,10 +125,12 @@ object ParityQueries {
     // row_number over the natural key (the engine's documented
     // refinement of monotonically_increasing_id, SURVEY §4.2).
     Q("r8_surrogate_keys", (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // metaWindow: the distinct-brand frame is metadata-sized; the
+      // production-scale path is KeyMode.Deterministic's GlobalRank
       load(spark, dir, "part").select(col("p_brand")).distinct()
         .withColumn("dim_key",
-          (lit(100L) + row_number().over(Window.orderBy("p_brand"))).cast("long"))
+          (lit(100L) + row_number().over(graft.functions.GlobalRank
+            .metaWindow(col("p_brand")).orderBy("p_brand"))).cast("long"))
         .select(col("dim_key"), col("p_brand"))
     }, oracle = Some("""
       SELECT CAST(100 + row_number() OVER (ORDER BY p_brand) AS BIGINT) AS dim_key,

@@ -5,7 +5,30 @@ package graft
   * correctness is the DuckDB oracle's job (Verify + driver t2). */
 class QueriesSmokeSpec extends SparkTestBase {
 
+  // Captures WindowExec's "No Partition Defined" WARN for the duration
+  // of this suite: every sanctioned single-partition window goes
+  // through GlobalRank.metaWindow (non-empty partitionSpec → no
+  // warning), so ANY occurrence during the full query sweep is an
+  // accidental global window — the last test asserts the count is 0.
+  private val windowWarns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val warnAppender = {
+    val a = new org.apache.logging.log4j.core.appender.AbstractAppender(
+      "graft-windowexec-warn-capture", null, null, false,
+      org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        if (e.getLevel == org.apache.logging.log4j.Level.WARN &&
+          e.getMessage.getFormattedMessage.contains("No Partition Defined"))
+          windowWarns.incrementAndGet()
+    }
+    a.start()
+    org.apache.logging.log4j.LogManager
+      .getLogger("org.apache.spark.sql.execution.window.WindowExec")
+      .asInstanceOf[org.apache.logging.log4j.core.Logger].addAppender(a)
+    a
+  }
+
   test("entry returns rows") {
+    assert(warnAppender.isStarted) // force appender init before any query
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
@@ -26,5 +49,16 @@ class QueriesSmokeSpec extends SparkTestBase {
       // able to reappear silently.
       PlanChecks.assertGlobalWindowsAreMetadataOnly(q.name, df)
     }
+  }
+
+  test("the full query sweep logged ZERO WindowExec global-window warnings") {
+    org.apache.logging.log4j.LogManager
+      .getLogger("org.apache.spark.sql.execution.window.WindowExec")
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+      .removeAppender(warnAppender)
+    warnAppender.stop()
+    assert(windowWarns.get() === 0,
+      s"${windowWarns.get()} partition-less WindowExec executions during the " +
+        "sweep — route metadata-frame windows through GlobalRank.metaWindow")
   }
 }

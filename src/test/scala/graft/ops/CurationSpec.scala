@@ -31,7 +31,6 @@ class CurationSpec extends SparkTestBase {
   }
 
   test("distributed ntile matches Spark's ntile on every size/shape edge") {
-    import org.apache.spark.sql.expressions.Window
     // N < k (each row its own tile), N = k, N mod k = 0, N mod k != 0,
     // and ties in the first sort key (broken by the second)
     for (n <- Seq(3, 10, 40, 47)) {
@@ -39,8 +38,11 @@ class CurationSpec extends SparkTestBase {
         .withColumn("s", col("id") % 7) // duplicate scores → tie-break on id
       val got = CurationQueries.distributedNtile(df, 10, 4, col("s").desc, col("id"))
         .select(col("id"), col("tier"))
+      // ground truth: Spark's own ntile, single-partition via metaWindow
+      // (same execution as a global window, minus the WindowExec warning)
       val want = df.withColumn("tier",
-          ntile(10).over(Window.orderBy(col("s").desc, col("id"))))
+          ntile(10).over(graft.functions.GlobalRank.metaWindow(col("id"))
+            .orderBy(col("s").desc, col("id"))))
         .select(col("id"), col("tier"))
       assert(got.collect().sortBy(_.getLong(0)).toSeq ===
         want.collect().sortBy(_.getLong(0)).toSeq, s"n=$n")
