@@ -158,6 +158,51 @@ object VectorQueries {
         WHERE q.vec_id < 20)
       SELECT query_id, neighbor_id, rank, score FROM probed WHERE rank <= 5""")),
 
+    // MULTI-PROBE IVF — the recall lever of an IVF index at constant
+    // index size: the CORPUS keeps its single-cell assignment (the
+    // index layout — one posting list per vector), while each QUERY
+    // probes its nProbe=3 nearest cells and ranks the union of their
+    // posting lists. Candidate coverage strictly contains the
+    // single-probe query's (the top-1 cell is always among the top-3),
+    // so recall vs brute force is monotone in nProbe — quantified
+    // against `sim_ivf_probe` and `sim_topk_bruteforce` in
+    // VectorFunctionsSpec. Same cached trained quantizer; the extra
+    // cost is probe-side only (3× the candidate join's left side, the
+    // corpus scan unchanged) — at 100 TB that's the knob you turn
+    // instead of retraining a bigger index.
+    Q("sim_ivf_multiprobe", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      val assigned = ivfTrainedAssignment(spark, e) // index: 1 cell per vector
+      val probes = ivfTrainedAssignment(spark, e, nProbe = 3) // queries: 3 cells
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      probes.join(assigned.select(col("vec_id").as("neighbor_id"),
+          col("embedding"), col("cent_id")), Seq("cent_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("score", VectorExpressions.cosine_sim(spark, col("qv"), col("embedding")))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+    }, oracle = Some(s"""
+      WITH ${ivfOracleCtes()},
+      a3p AS (
+        SELECT vec_id, embedding, cent_id FROM (
+          SELECT e.vec_id, e.embedding, c.cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosFrag("e.embedding", "c.cv")} DESC, c.cent_id) AS crk
+          FROM embeddings e CROSS JOIN cents2 c) WHERE crk <= 3),
+      probed AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ${cosFrag("q.embedding", "n.embedding")} AS score,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosFrag("q.embedding", "n.embedding")} DESC, n.vec_id) AS INT) AS rank
+        FROM a3p q JOIN a3 n
+          ON q.cent_id = n.cent_id AND q.vec_id <> n.vec_id
+        WHERE q.vec_id < 20)
+      SELECT query_id, neighbor_id, rank, score FROM probed WHERE rank <= 5""")),
+
     // SemDeDup — SEMANTIC dedup at ANN scale: pairs above a cosine
     // threshold, candidate space blocked by the TRAINED IVF cell
     // instead of labels or all-pairs. The cell assignment is the same

@@ -142,6 +142,31 @@ class VectorFunctionsSpec extends SparkTestBase {
       s"trained=${recall(trained)} seeded=${recall(seeded)}")
   }
 
+  test("multi-probe IVF: candidate superset of single-probe, recall strictly dominates") {
+    val dir = sf("0.001")
+    def pairsOf(name: String): Set[(Long, Long)] =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairsOf("sim_topk_bruteforce")
+    val single = pairsOf("sim_ivf_probe")
+    val multi = pairsOf("sim_ivf_multiprobe")
+    def recall(got: Set[(Long, Long)]) = got.count(brute).toDouble / brute.size
+    // the top-1 cell is always among the top-3 probed cells, so the
+    // multi-probe candidate space CONTAINS the single-probe one —
+    // recall@5 is monotone in nProbe by construction
+    assert(recall(multi) >= recall(single),
+      s"multi=${recall(multi)} single=${recall(single)}")
+    // and on this corpus the extra cells genuinely buy recall: the
+    // multi-probe result must recover brute-force pairs the
+    // single-probe search missed (STRICT improvement, the contract the
+    // nProbe knob exists for)
+    val recovered = (multi -- single).count(brute)
+    assert(recovered > 0,
+      s"nProbe=3 recovered no brute-force pairs beyond nProbe=1 " +
+        s"(multi=${recall(multi)} single=${recall(single)})")
+  }
+
   test("SemDeDup recall: IVF-cell blocking finds a usable share of exact ≥0.35 pairs") {
     import graft.functions.expressions.VectorExpressions
     val dir = sf("0.001")
