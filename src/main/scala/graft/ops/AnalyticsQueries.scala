@@ -330,6 +330,288 @@ object AnalyticsQueries {
       JOIN customer ON o_custkey = c_custkey
       ORDER BY total_qty DESC, o_orderkey LIMIT 20""")),
 
+    // TPC-H Q4 shape — order-priority checking: a date-sliced orders
+    // scan SEMI-joined to lineitem on a CORRELATED inequality (the
+    // EXISTS rewrite — l_shipdate > o_orderdate + 30 days references
+    // both sides, so it lands in the semi-join condition, never a
+    // post-join filter that would duplicate orders). At 100 TB the
+    // date filter prunes the orders scan first and the semi-join
+    // never materializes lineitem rows — existence is decided per
+    // probe. No hints: both sides grow with sf.
+    Q("q4_priority_exists", (spark, dir) => {
+      val o = load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val l = load(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }, oracle = Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-04-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority""")),
+
+    // TPC-H Q7 shape — volume shipping between two nations, by year:
+    // the two-nation filter is pushed INTO the supplier and customer
+    // dim scans (each keeps only rows of the two nations) before the
+    // fact joins, so the fact rows that survive the supplier join are
+    // already nation-filtered — the classic selective-dim star probe.
+    // Nation broadcasts (bounded); supplier/customer/orders grow with
+    // sf and carry no hints.
+    Q("q7_nation_volume", (spark, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val n = load(spark, dir, "nation")
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey"), col("n_name"))
+      val s = load(spark, dir, "supplier")
+        .join(broadcast(n.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val c = load(spark, dir, "customer")
+        .join(broadcast(n.select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val o = load(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec6).as("volume"))
+        .join(s, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("volume")).cast("double").as("revenue"))
+    }, oracle = Some("""
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        AND cn.n_name IN ('NATION_1', 'NATION_2')
+        AND sn.n_name <> cn.n_name
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2, 3""")),
+
+    // TPC-H Q10 shape — returned-item reporting: quarter-sliced orders
+    // ⋈ return-flagged lineitem ⋈ customer ⋈ nation, lost-revenue
+    // rollup per customer, exact top-20 (TakeOrderedAndProject, never
+    // a full sort). Both selective filters (date, returnflag) push to
+    // their scans; only nation broadcasts.
+    Q("q10_returned_items", (spark, dir) => {
+      val o = load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = load(spark, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec6).as("rev"))
+      val c = load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      val n = load(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }, oracle = Some("""
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-04-01'
+        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // TPC-H Q13 shape — customer order-count distribution: LEFT outer
+    // join (customers with zero orders must survive with count 0),
+    // then a DOUBLE aggregation — per-customer count, then the
+    // distribution over counts. The second groupBy's key cardinality
+    // is tiny (max orders per customer), so the heavy shuffle is only
+    // the first; the orders-side filter stands in for Q13's comment
+    // NOT LIKE.
+    Q("q13_order_distribution", (spark, dir) => {
+      val o = load(spark, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      load(spark, dir, "customer").select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }, oracle = Some("""
+      SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      GROUP BY c_count""")),
+
+    // TPC-H Q16 shape (partsupp-free recast) — supplier diversity per
+    // part class: the DISTINCT (partkey, suppkey) pair set is derived
+    // from the fact (the engine's partsupp), a blacklist is removed
+    // with the NOT-IN anti-join (every 97th supplier — Q16's
+    // complaints subquery), and supplier_cnt is an exact
+    // count(DISTINCT) per (brand, type, size). The pair-set distinct
+    // and the count-distinct both partial-aggregate map-side.
+    Q("q16_supplier_diversity", (spark, dir) => {
+      val pairs = load(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val blacklist = load(spark, dir, "supplier")
+        .filter(col("s_suppkey") % 97 === 0).select(col("s_suppkey"))
+      val p = load(spark, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 25)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      pairs.join(blacklist, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }, oracle = Some("""
+      WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM pairs JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1' AND p_size <= 25
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 97 = 0)
+      GROUP BY p_brand, p_type, p_size""")),
+
+    // TPC-H Q19 shape — disjunctive predicate join: three
+    // (brand, size-band, quantity-band) conjunctions OR'd together.
+    // The part-side disjuncts (brand ∈ {1,2,3}, size ≤ 50) are
+    // factored out and PUSHED to the part scan; the mixed
+    // lineitem×part residual stays in the join condition. At 100 TB
+    // the factored pushdown is the difference between scanning 3
+    // brands and scanning the whole part table.
+    Q("q19_disjunctive_bands", (spark, dir) => {
+      val p = load(spark, dir, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val l = load(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec6).as("rev"))
+      l.join(p, col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 30)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(20, 40)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(30, 50))))
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }, oracle = Some("""
+      SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+       AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 20 AND 40)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 30 AND 50))""")),
+
+    // TPC-H Q21 shape — suppliers who kept orders waiting, via the
+    // GROUPED rewrite of the exists/not-exists pair: reduce the fact
+    // ONCE to (order, supplier, was-late) grain (late = shipped > 60
+    // days after order date), then attach per-order supplier/late
+    // counts with a WINDOW over the order key — a late pair in a
+    // multi-supplier order whose supplier is the only late one is a
+    // wait event. One fact scan, two keyed shuffles, zero self-joins —
+    // the naive exists/not-exists formulation scans lineitem three
+    // times and self-joins it twice, which is exactly what dies first
+    // at 100 TB. Top-20 by wait count, exact.
+    Q("q21_waiting_suppliers", (spark, dir) => {
+      val o = load(spark, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val pairs = load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val s = load(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      pairs
+        .withColumn("nsupp", count(lit(1)).over(w))
+        .withColumn("nlate", sum(when(col("late"), 1L).otherwise(0L)).over(w))
+        .filter(col("late") && col("nsupp") > 1 && col("nlate") === 1)
+        .join(s, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }, oracle = Some("""
+      WITH l AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'),
+      stats AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS nsupp,
+               count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate
+        FROM l GROUP BY l_orderkey),
+      waits AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM l JOIN stats USING (l_orderkey)
+        WHERE l.late AND stats.nsupp > 1 AND stats.nlate = 1)
+      SELECT s_name, count(*) AS numwait
+      FROM waits JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")),
+
+    // TPC-H Q22 shape — inactive high-balance customers: the global
+    // average balance is a 1-row aggregate joined back by BROADCAST
+    // (never a collect), the comparison is kept in EXACT integer form
+    // (bal·n > total over DECIMAL — a cross-engine-stable rewrite of
+    // bal > total/n), and "inactive" is an ANTI join against the
+    // recent-orders key set. Grouped per nation.
+    Q("q22_inactive_customers", (spark, dir) => {
+      val c = load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast(dec).as("bal"))
+      val t = c.filter(col("bal") > 0)
+        .agg(sum(col("bal")).as("total"), count(lit(1)).as("n"))
+      val recent = load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(t))
+        .filter(col("bal") * col("n") > col("total"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("bal")).cast("double").as("totacctbal"))
+    }, oracle = Some("""
+      WITH c AS (
+        SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        FROM customer),
+      t AS (SELECT sum(bal) AS total, count(*) AS n FROM c WHERE bal > 0)
+      SELECT c_nationkey, count(*) AS numcust,
+             CAST(sum(bal) AS DOUBLE) AS totacctbal
+      FROM c, t
+      WHERE bal * n > total
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1999-01-01')
+      GROUP BY c_nationkey""")),
+
     // EXACT equi-depth histogram — the statistics a cost-based
     // optimizer actually stores: 10 equal-population buckets over
     // price, each reporting its bounds and count. Bucket assignment is

@@ -266,4 +266,31 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("Q4 shape: EXISTS stays a LeftSemi probe with the correlated inequality in the join") {
+    val p = planOf("q4_priority_exists")
+    // a semi join decides existence per probe row — orders rows are
+    // never duplicated by multiple matching lineitems
+    assert(p.contains("LeftSemi"), p.take(1200))
+    // and the date slice reaches the orders scan
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p.take(1200))
+  }
+
+  test("Q19 shape: the factored brand disjunct is pushed to the part scan") {
+    val p = planOf("q19_disjunctive_bands")
+    val partScan = p.linesIterator
+      .find(l => l.contains("PushedFilters") && l.contains("p_brand"))
+      .getOrElse("")
+    // In(p_brand, [Brand#1,Brand#2,Brand#3]) at the scan: 3 brands
+    // decompress instead of the whole part table
+    assert(partScan.contains("In(p_brand"), p.take(2000))
+  }
+
+  test("Q21 shape: the grouped rewrite scans the fact exactly once") {
+    val p = planOf("q21_waiting_suppliers")
+    val factScans = p.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(factScans === 1,
+      s"expected ONE lineitem scan, found $factScans — the exists/not-exists " +
+        "self-join crept back in:\n" + p.take(1500))
+  }
 }
