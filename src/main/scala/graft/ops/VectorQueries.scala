@@ -203,6 +203,77 @@ object VectorQueries {
         WHERE q.vec_id < 20)
       SELECT query_id, neighbor_id, rank, score FROM probed WHERE rank <= 5""")),
 
+    // MARGIN-criterion pair mining (the bitext-mining scorer of
+    // LASER/CCMatrix): raw cosine over-selects hub vectors whose
+    // neighbourhood is globally dense, so each candidate (x, y) is
+    // scored by cos(x,y) relative to the MEAN of both endpoints' k=4
+    // nearest-neighbour cosines — margin = cos / ((knnx̄ + knnȳ)/2) —
+    // and a pair is mined when x's best-margin match clears 1.05.
+    // The score matrix (src batch × tgt set) is computed ONCE and
+    // localCheckpoint'd (four consumers: both kNN rankings, both
+    // sums); scores are quantized to the 2⁻³² grid so the 4-element
+    // neighbourhood sums are exact integer arithmetic — rank order,
+    // margins, and the threshold are bit-stable cross-engine. At
+    // 100 TB the src side is the (broadcast) mining batch and the tgt
+    // set is pre-blocked by LSH/IVF cells (`sim_lsh_bucketed`,
+    // `sim_ivf_probe`) — the matrix is per-block, never corpus².
+    Q("sim_margin_mining", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      val a = broadcast(e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 40)
+        .select(col("vec_id").as("src_id"), col("embedding").as("sv")))
+      val b = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("tgt_id"), col("embedding").as("tv"))
+      val scored = a.join(b)
+        .withColumn("sq", floor(
+          VectorExpressions.cosine_sim(spark, col("sv"), col("tv"))
+            * lit(4294967296.0)).cast("long"))
+        .select(col("src_id"), col("tgt_id"), col("sq"))
+        .localCheckpoint(true)
+      val wS = Window.partitionBy(col("src_id")).orderBy(col("sq").desc, col("tgt_id"))
+      val wT = Window.partitionBy(col("tgt_id")).orderBy(col("sq").desc, col("src_id"))
+      val ranked = scored
+        .withColumn("rs", row_number().over(wS))
+        .withColumn("rt", row_number().over(wT))
+      val srcSum = ranked.filter(col("rs") <= 4)
+        .groupBy(col("src_id")).agg(sum(col("sq")).as("ssum"))
+      val tgtSum = ranked.filter(col("rt") <= 4)
+        .groupBy(col("tgt_id")).agg(sum(col("sq")).as("tsum"))
+      val wM = Window.partitionBy(col("src_id"))
+        .orderBy(col("margin").desc, col("tgt_id"))
+      scored
+        .join(srcSum, "src_id")
+        .join(tgtSum, "tgt_id")
+        .withColumn("margin",
+          (col("sq") * lit(8.0)).cast("double") / (col("ssum") + col("tsum")))
+        .withColumn("rk", row_number().over(wM))
+        .filter(col("rk") === 1 && col("margin") > 1.05)
+        .select(col("src_id"), col("tgt_id"), col("margin"))
+    }, oracle = Some(s"""
+      WITH a AS (SELECT vec_id AS src_id, embedding AS sv FROM embeddings
+                 WHERE vec_id % 2 = 0 AND vec_id < 40),
+      b AS (SELECT vec_id AS tgt_id, embedding AS tv FROM embeddings
+            WHERE vec_id % 2 = 1),
+      scored AS (
+        SELECT src_id, tgt_id,
+               CAST(floor((${cosFrag("sv", "tv")}) * 4294967296.0) AS BIGINT) AS sq
+        FROM a, b),
+      ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY src_id ORDER BY sq DESC, tgt_id) AS rs,
+               row_number() OVER (PARTITION BY tgt_id ORDER BY sq DESC, src_id) AS rt
+        FROM scored),
+      sa AS (SELECT src_id, sum(sq) AS ssum FROM ranked WHERE rs <= 4 GROUP BY 1),
+      ta AS (SELECT tgt_id, sum(sq) AS tsum FROM ranked WHERE rt <= 4 GROUP BY 1),
+      m AS (
+        SELECT s.src_id, s.tgt_id,
+               CAST(s.sq * 8.0 AS DOUBLE) / (sa.ssum + ta.tsum) AS margin
+        FROM scored s JOIN sa USING (src_id) JOIN ta USING (tgt_id)),
+      top AS (
+        SELECT *, row_number() OVER (PARTITION BY src_id
+                      ORDER BY margin DESC, tgt_id) AS rk
+        FROM m)
+      SELECT src_id, tgt_id, margin FROM top WHERE rk = 1 AND margin > 1.05""")),
+
     // SemDeDup — SEMANTIC dedup at ANN scale: pairs above a cosine
     // threshold, candidate space blocked by the TRAINED IVF cell
     // instead of labels or all-pairs. The cell assignment is the same
