@@ -515,5 +515,54 @@ object EventQueries {
       SELECT hour_start, h.event_type, x AS n_events
       FROM hourly h JOIN stats t ON h.event_type = t.event_type
       WHERE (n * x - s) * (n * x - s) > 4 * (n * s2 - s * s)""")),
+
+    // GAP FILLING — the dense-timeline repair every downstream
+    // time-series consumer (forecasting, anomaly baselines, charting)
+    // needs: per event_type, a contiguous hourly spine from the
+    // corpus's first to last hour (sequence() on a broadcast 1-row
+    // bounds frame — never a driver loop), LEFT-joined to the observed
+    // hourly counts; silent hours read n=0 plus a carry-forward of the
+    // last OBSERVED count (last(ignoreNulls) over an ordered per-type
+    // window). Spine cardinality is hours × types — metadata-scale
+    // next to the event scan, which is the only data-sized pass.
+    Q("events_gap_fill", (spark, dir) => {
+      val ev = Tables.loadEvents(spark, dir)
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_obs"))
+      val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(hourly, Seq("event_type", "hr"), "left")
+        .withColumn("n", coalesce(col("n_obs"), lit(0L)))
+        .withColumn("carried",
+          coalesce(last(col("n_obs"), ignoreNulls = true).over(w), lit(0L)))
+        .select(col("event_type"), col("hr"), col("n"), col("carried"))
+    }, oracle = Some("""
+      WITH b AS (
+        SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+               time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+        FROM events),
+      spine AS (
+        SELECT t.event_type, g.hr
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             b, LATERAL (SELECT unnest(generate_series(b.lo, b.hi,
+                                 INTERVAL 1 HOUR)) AS hr) g),
+      hourly AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hr,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM events GROUP BY 1, 2)
+      SELECT s.event_type, s.hr,
+             COALESCE(h.n_obs, 0) AS n,
+             COALESCE(last_value(h.n_obs IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.hr
+               ROWS UNBOUNDED PRECEDING), 0) AS carried
+      FROM spine s LEFT JOIN hourly h
+        ON s.event_type = h.event_type AND s.hr = h.hr""")),
   )
 }

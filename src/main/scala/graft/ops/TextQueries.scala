@@ -308,5 +308,68 @@ object TextQueries {
              CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
              CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens
       FROM t WHERE tier BETWEEN 2 AND 9 GROUP BY lang""")),
+
+    // CODE-SWITCHING detection — the mixed-language filter a
+    // multilingual corpus runs before per-language sharding: each doc
+    // is split into 8-token chunks (the paragraph stand-in shared with
+    // `dedup_paragraphs`), every chunk is language-tagged by the same
+    // wordlist heuristic as `text_langid`, and the doc reports its
+    // DOMINANT chunk language (ties broken lexicographically), how
+    // many chunks agree, and the switching ratio in exact ppm. One
+    // explode pass + two keyed aggregations; the dominant-language
+    // argmax is a hash-aggregate min over (−count, lang) — no window,
+    // no sort.
+    Q("text_code_switching", (spark, dir) => {
+      val C = 8
+      val tagged = load(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), ((size(col("toks")) - 1) / C).cast("int")),
+          i => array_join(slice(col("toks"), i * C + 1, lit(C)), " "))).as("chunk"))
+        .select(col("doc_id"), langId(col("chunk"), defaultProfiles).as("cl"))
+      tagged.groupBy(col("doc_id"), col("cl"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_chunks"),
+          min(struct((-col("n")).as("negn"), col("cl"))).as("d"))
+        .select(col("doc_id"), col("n_chunks"),
+          col("d.cl").as("dominant_lang"),
+          (-col("d.negn")).as("n_dominant"),
+          ((col("n_chunks") + col("d.negn")) * 1000000L / col("n_chunks"))
+            .cast("long").as("switch_ppm"))
+    }, oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      ch AS (
+        SELECT doc_id,
+               array_to_string(toks[u.pos*8+1 : u.pos*8+8], ' ') AS chunk
+        FROM t, LATERAL (SELECT unnest(range(0, (len(toks) - 1) // 8 + 1)) AS pos) u),
+      h AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(chunk,' '), x -> list_contains(['the','a','of','and','to'], x))) AS INT) AS en_h,
+          CAST(len(list_filter(string_split(chunk,' '), x -> list_contains(['der','die','das','und','ist'], x))) AS INT) AS de_h,
+          CAST(len(list_filter(string_split(chunk,' '), x -> list_contains(['el','la','los','y','es'], x))) AS INT) AS es_h,
+          CAST(len(list_filter(string_split(chunk,' '), x -> list_contains(['le','la','les','et','est'], x))) AS INT) AS fr_h
+        FROM ch),
+      tg AS (
+        SELECT doc_id,
+               CASE
+                 WHEN en_h = greatest(en_h, de_h, es_h, fr_h) AND en_h > 0 THEN 'en'
+                 WHEN de_h = greatest(en_h, de_h, es_h, fr_h) AND de_h > 0 THEN 'de'
+                 WHEN es_h = greatest(en_h, de_h, es_h, fr_h) AND es_h > 0 THEN 'es'
+                 WHEN fr_h = greatest(en_h, de_h, es_h, fr_h) AND fr_h > 0 THEN 'fr'
+                 ELSE 'und'
+               END AS cl
+        FROM h),
+      cnt AS (SELECT doc_id, cl, CAST(count(*) AS BIGINT) AS n
+              FROM tg GROUP BY 1, 2),
+      dom AS (
+        SELECT doc_id, cl, n,
+               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, cl) AS rk,
+               sum(n) OVER (PARTITION BY doc_id) AS n_chunks
+        FROM cnt)
+      SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks, cl AS dominant_lang,
+             n AS n_dominant,
+             CAST((n_chunks - n) * 1000000 // n_chunks AS BIGINT) AS switch_ppm
+      FROM dom WHERE rk = 1""")),
   )
 }
