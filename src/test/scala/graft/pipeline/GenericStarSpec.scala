@@ -59,8 +59,20 @@ class GenericStarSpec extends SparkTestBase {
       .orderBy("user_nk").select(col("dim_user_key"))
       .collect().map(_.getLong(0))
     assert(out2 === keys)
-    // tripwire: the only partition-less windows are metadata-sized
-    val checked = graft.PlanChecks.assertGlobalWindowsAreMetadataOnly("dim_plan", out)
-    assert(checked >= 1) // the offsets window IS there — and only there
+    // tripwire: NO partition-less window anywhere — the offsets frame
+    // rides GlobalRank.metaWindow (constant-valued partition key), so
+    // a partition-less WindowExec reappearing means an accidental
+    // global window over data
+    assert(graft.PlanChecks.assertGlobalWindowsAreMetadataOnly("dim_plan", out) === 0)
+    // and the offsets window itself is still in the plan, partitioned
+    // on the metaWindow key (same single-partition execution, no
+    // WindowExec warning)
+    val wins = out.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    }.flatten
+    assert(wins.nonEmpty, "the broadcast-offsets window vanished from the dim plan")
   }
 }
