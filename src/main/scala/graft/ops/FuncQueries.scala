@@ -108,6 +108,32 @@ object FuncQueries {
              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
       FROM events GROUP BY event_type""")),
 
+    // VARIANT — Spark 4's semi-structured type: props parses ONCE into
+    // the shredded binary encoding (parse_json), then typed paths read
+    // via variant_get without string re-parsing — the open-schema
+    // ingestion shape (vs func_json's per-path get_json_object). A
+    // missing path reads as a typed NULL, counted per type group; the
+    // oracle reproduces both paths over DuckDB's JSON type.
+    Q("func_variant", (spark, dir) =>
+      Tables.loadEvents(spark, dir)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          expr("variant_get(v, '$.missing', 'long')").as("miss"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"),
+          sum(col("k")).as("k_total"),
+          min(col("k")).as("k_min"),
+          sum(when(col("miss").isNull, 1L).otherwise(0L)).as("n_missing")),
+      oracle = Some("""
+      SELECT event_type,
+             count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+             min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+             CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+      FROM events GROUP BY event_type""")),
+
     // Pivot: documents per (source, lang) spread wide — Spark's pivot
     // relational operator; the oracle uses equivalent FILTER aggregates
     // (explicit pivot values keep both schemas static).

@@ -109,6 +109,53 @@ object JoinSetQueries {
                WHERE c_nationkey = n.n_nationkey
                ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""")),
 
+    // RECURSIVE CTE hierarchy rollup (Spark 4 WITH RECURSIVE): parts
+    // form an implicit binary category tree (parent = key div 2); the
+    // recursion enumerates every (part, ancestor) pair — ACYCLIC by
+    // construction, so UNION ALL terminates after ⌈log₂ N⌉ iterations
+    // with O(N log N) total rows, the scale-sane recursion shape (a
+    // cyclic closure belongs to the pointer-doubling operator,
+    // `dedup_clusters`). Revenue then rolls up from the fact to the
+    // top 15 tree nodes: each node's subtree revenue and descendant
+    // count — the org-chart/category-tree aggregation every warehouse
+    // eventually needs.
+    Q("sql_recursive_rollup", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      spark.sql("""
+        WITH RECURSIVE anc(node, anc) AS (
+          SELECT p_partkey, p_partkey FROM part
+          UNION ALL
+          SELECT node, anc div 2 FROM anc WHERE anc > 1
+        ),
+        rev AS (
+          SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS r,
+                 count(*) AS n
+          FROM lineitem GROUP BY l_partkey)
+        SELECT a.anc AS tree_node,
+               count(*) AS n_desc,
+               CAST(sum(rev.n) AS BIGINT) AS n_lines,
+               CAST(sum(rev.r) AS DOUBLE) AS subtree_revenue
+        FROM anc a JOIN rev ON a.node = rev.l_partkey
+        WHERE a.anc BETWEEN 1 AND 15
+        GROUP BY a.anc""")
+    }, oracle = Some("""
+      WITH RECURSIVE anc(node, anc) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION ALL
+        SELECT node, anc // 2 FROM anc WHERE anc > 1
+      ),
+      rev AS (
+        SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS r,
+               count(*) AS n
+        FROM lineitem GROUP BY l_partkey)
+      SELECT a.anc AS tree_node,
+             count(*) AS n_desc,
+             CAST(sum(rev.n) AS BIGINT) AS n_lines,
+             CAST(sum(rev.r) AS DOUBLE) AS subtree_revenue
+      FROM anc a JOIN rev ON a.node = rev.l_partkey
+      WHERE a.anc BETWEEN 1 AND 15
+      GROUP BY a.anc""")),
+
     // Explicit null ordering in a global sort (nulls first) with a
     // deterministic tie-break.
     Q("sort_nulls_first", (spark, dir) =>
