@@ -187,6 +187,32 @@ object EventQueries {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2""")),
 
+    // CHAINED stateful operators: hourly window agg → daily rollup in
+    // ONE streaming query (two state stores, one watermark timeline) —
+    // no intermediate sink/re-read hop. Decimal partial sums make the
+    // two-stage streaming result equal the one-shot batch daily
+    // aggregation exactly, however the input splits into microbatches.
+    Q("events_stream_two_stage", (spark, dir) =>
+      graft.streaming.EventStreams.hourlyToDaily(spark, dir),
+      oracle = Some("""
+      SELECT time_bucket(INTERVAL '1 day', ts) AS day_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2""")),
+
+    // transformWithState (Spark 4's arbitrary-state API, RocksDB
+    // store): per-user running totals held as a typed ValueState of
+    // exact integer cents, one snapshot emitted per (user, microbatch)
+    // across the 4-batch replay; the query folds snapshots to each
+    // user's final state. The batch per-user aggregate is the oracle —
+    // state splitting across microbatches must not change a cent.
+    Q("events_stream_running_totals", (spark, dir) =>
+      graft.streaming.RunningTotals.perUser(spark, dir),
+      oracle = Some("""
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY user_id""")),
+
     // Sessionization: a session breaks after >30 min of user inactivity.
     // lag + flag + running count — the classic gaps-and-islands plan;
     // at scale this is one shuffle on user_id and sorted windows within

@@ -63,6 +63,46 @@ object EventStreams {
     spark.table(queryName).filter(col("event_type") =!= "sentinel")
   }
 
+  /** CHAINED stateful operators (Spark ≥ 3.4 multi-stateful support):
+    * an event-time hourly aggregation feeding a DAILY rollup in ONE
+    * streaming query — two state stores sharing a single watermark
+    * timeline, the second keyed on `window_time()` of the first's
+    * window. The alternative is two queries with an intermediate
+    * sink + re-read; chaining removes that hop and its storage, and
+    * state stays bounded at (#types × open-hours) + (#types ×
+    * open-days) whatever the input rate. APPEND mode end to end: a
+    * day emits exactly once, when the watermark passes its end. */
+  def hourlyToDaily(spark: SparkSession, dir: String,
+                    queryName: String = "graft_events_two_stage"): DataFrame = {
+    val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "two_stage")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", false)
+      .parquet(stagePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val hourly = stream
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_hour"),
+        sum(col("value").cast("decimal(18,2)")).as("v_hour"))
+    val daily = hourly
+      .groupBy(window(window_time(col("window")), "1 day"), col("event_type"))
+      .agg(sum(col("n_hour")).as("n_events"),
+        sum(col("v_hour")).cast("double").as("total_value"))
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+    SessionizeStream.withStatePartitions(spark, 8) {
+      val q = daily.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName).filter(col("event_type") =!= "sentinel")
+  }
+
   /** Streaming → gold MERGE: the production stream-to-star pattern.
     * UPDATE-mode hourly aggregation, each microbatch upserted into a
     * parquet gold table via `foreachBatch` + the engine's SCD1 merge

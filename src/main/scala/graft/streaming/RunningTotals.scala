@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** Typed state record: event count + value in exact integer cents. */
+case class UserRunning(n: Long, cents: Long)
+
+/** Per-emission snapshot of a user's running totals. */
+case class UserRunningOut(user_id: Long, n: Long, cents: Long)
+
+/** Per-user RUNNING totals via Spark 4's `transformWithState` — the
+  * arbitrary-state successor of `mapGroupsWithState`: a typed
+  * `ValueState` per key in the RocksDB state store, updated once per
+  * microbatch with that batch's rows and re-emitted as a snapshot.
+  * Values accumulate as integer cents so the running sums are exact
+  * at any batch split. State is one 16-byte record per user — at
+  * 100 TB input the store size tracks the USER cardinality, not the
+  * event rate, and TTLConfig is the built-in eviction lever this
+  * finite replay doesn't need.
+  */
+class RunningTotalsProcessor
+    extends StatefulProcessor[Long, (Long, Long), UserRunningOut] {
+  @transient private var totals: ValueState[UserRunning] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState("totals",
+      Encoders.product[UserRunning], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues): Iterator[UserRunningOut] = {
+    val prev = if (totals.exists()) totals.get() else UserRunning(0L, 0L)
+    var n = prev.n
+    var c = prev.cents
+    rows.foreach { r => n += 1; c += r._2 }
+    totals.update(UserRunning(n, c))
+    Iterator.single(UserRunningOut(key, n, c))
+  }
+}
+
+object RunningTotals {
+
+  /** Runs the processor over the finite events replay (4 real
+    * microbatches) and folds the emitted snapshots to each user's
+    * final state: `n` is strictly increasing per user, so
+    * max(struct(n, cents)) picks the last emission deterministically. */
+  def perUser(spark: SparkSession, dir: String,
+              queryName: String = "graft_running_totals"): DataFrame = {
+    import spark.implicits._
+    val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "tws",
+      splitEvents = 4)
+    val stream = spark.readStream
+      .schema(EventStreams.rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", false)
+      .parquet(stagePath)
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+    // transformWithState requires the RocksDB state store provider
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try SessionizeStream.withStatePartitions(spark, 8) {
+      val out = stream.groupByKey(_._1)
+        .transformWithState(new RunningTotalsProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF().writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+    spark.table(queryName)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n"), col("cents"))).as("s"))
+      .select(col("user_id"), col("s.n").as("n_events"),
+        (col("s.cents") / lit(100.0)).as("total_value"))
+  }
+}
