@@ -79,7 +79,8 @@ class ScaleSpec extends SparkTestBase {
     def rows(name: String): Seq[String] =
       graft.SparkEntry.queries(name)(spark, sf("0.001"))
         .collect().map(_.toString).sorted.toSeq
-    val broadcastRun = Seq("q3_shipping_priority", "q5_region_volume", "q14_promo_share")
+    val broadcastRun = Seq("q3_shipping_priority", "q5_region_volume", "q14_promo_share",
+        "q7_nation_volume", "q10_returned_items", "q21_waiting_suppliers")
       .map(n => n -> rows(n)).toMap
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",

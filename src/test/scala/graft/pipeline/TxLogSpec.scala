@@ -776,6 +776,24 @@ class TxLogSpec extends SparkTestBase {
     assert(t.currentVersion() === v)
   }
 
+  test("OPTIMIZE survives an optimistic race and vacuum then drops the folded dirs") {
+    val t = fresh("optimize_race")
+    (0 until 3).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    // simulate a concurrent winner stealing the next version slot
+    val cur = new java.io.File(s"${t.root}/_txlog/00000002.json")
+    val next = new java.io.File(s"${t.root}/_txlog/00000003.json")
+    java.nio.file.Files.copy(cur.toPath, next.toPath)
+    // OPTIMIZE's first attempt collides with 00000003 → retries onto 4
+    val v = t.compactSmallFiles(1L << 20)
+    assert(v === 4L && t.snapshot().count() === 3)
+    assert(t.snapshotDataDirs().length === 1)
+    // vacuum reclaims the folded small dirs once history rolls off
+    t.vacuum(keepVersions = 1)
+    val dirs = new java.io.File(s"${t.root}/data").listFiles().count(_.isDirectory)
+    assert(dirs === 1, s"expected only the packed dir to survive vacuum, got $dirs")
+    assert(t.snapshot().collect().map(_.getString(1)).sorted.toSeq === Seq("v0", "v1", "v2"))
+  }
+
   test("OPTIMIZE on a partition-tagged table packs visible rows and re-tags") {
     val t = TxLog(spark, tmpDir("txlog_optimize_part"))
     t.overwritePartitioned(
