@@ -318,6 +318,66 @@ object DedupQueries {
                list(chunk ORDER BY pos) FILTER (WHERE NOT is_bp), ' '), '')
                AS clean_text
       FROM fl GROUP BY doc_id""")),
+
+    // CONTENT-DEFINED chunking dedup (the rsync/LBFS split): chunk
+    // boundaries fall where a per-token polynomial hash ≡ 0 (mod 16) —
+    // a property of the CONTENT, not the offset — so an insertion near
+    // a doc's head shifts every fixed-width chunk (`dedup_paragraphs`
+    // finds nothing) but leaves all later content-defined chunks
+    // byte-identical, and the cross-doc chunk join still catches the
+    // shared tail. Pipeline: one explode pass, the boundary flag's
+    // running sum over a doc-keyed window (one shuffle on doc_id —
+    // never global), chunk reassembly, and a chunk-hash join; expected
+    // chunk length is the modulus (16 tokens). All integer arithmetic
+    // — the same 31-poly/1e9+7 hash as `text_fingerprint`, replayed
+    // by the oracle.
+    Q("dedup_cdc_chunks", (spark, dir) => {
+      val toks = load(spark, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("h", expr(
+          "aggregate(split(tok, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val chunks = toks
+        .withColumn("cid", sum(when(col("h") % 16 === 0, 1L).otherwise(0L)).over(w))
+        .groupBy(col("doc_id"), col("cid"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("chunk"))
+      val shared = chunks.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("chunk"), lit(true).as("is_shared"))
+      chunks.join(shared, Seq("chunk"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("is_shared"), 1L).otherwise(0L)).as("n_shared"))
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, u.pos, u.tok,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(u.tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             LATERAL (SELECT unnest(tk) AS tok,
+                             generate_subscripts(tk, 1) - 1 AS pos) u),
+      cid AS (
+        SELECT doc_id, pos, tok,
+               sum(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS cid
+        FROM toks),
+      chunks AS (
+        SELECT doc_id, cid, array_to_string(list(tok ORDER BY pos), ' ') AS chunk
+        FROM cid GROUP BY doc_id, cid),
+      shared AS (
+        SELECT chunk FROM chunks GROUP BY chunk
+        HAVING count(DISTINCT doc_id) >= 2)
+      SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN s.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM chunks c LEFT JOIN shared s ON c.chunk = s.chunk
+      GROUP BY c.doc_id""")),
   )
 
   /** Generated oracle fragment: the 60 sign-bit terms of the simhash
