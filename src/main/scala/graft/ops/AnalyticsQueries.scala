@@ -612,6 +612,46 @@ object AnalyticsQueries {
                           AND o_orderdate >= TIMESTAMP '1999-01-01')
       GROUP BY c_nationkey""")),
 
+    // ROBUST outlier detection via MAD (median absolute deviation) —
+    // the heavy-tail-safe alternative to the z-score sweep
+    // (`events_anomaly_hours`): per flag, med = median(price), MAD =
+    // median(|price − med|), outlier when |price − med| > 1.5·MAD.
+    // Two aggregate passes + two broadcast 3-row frames (never a
+    // collect); Spark's `percentile` and DuckDB's `quantile_cont`
+    // share the lerp bit-for-bit, so both medians, every deviation,
+    // and the 1.5·MAD cut are identical doubles cross-engine.
+    Q("agg_mad_outliers", (spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      val dev = li.join(broadcast(med), "l_returnflag")
+        .withColumn("ad", abs(col("l_extendedprice") - col("med")))
+      val mad = dev.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "l_returnflag")
+        .filter(col("ad") > lit(1.5) * col("mad"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_outliers"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+    }, oracle = Some("""
+      WITH med AS (
+        SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY 1),
+      dev AS (
+        SELECT l.l_returnflag, l.l_extendedprice,
+               abs(l.l_extendedprice - m.med) AS ad
+        FROM lineitem l JOIN med m USING (l_returnflag)),
+      mad AS (
+        SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY 1)
+      SELECT d.l_returnflag, count(*) AS n_outliers,
+             min(d.l_extendedprice) AS lo, max(d.l_extendedprice) AS hi
+      FROM dev d JOIN mad m USING (l_returnflag)
+      WHERE d.ad > 1.5 * m.mad
+      GROUP BY d.l_returnflag""")),
+
     // EXACT equi-depth histogram — the statistics a cost-based
     // optimizer actually stores: 10 equal-population buckets over
     // price, each reporting its bounds and count. Bucket assignment is

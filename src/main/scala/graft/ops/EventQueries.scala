@@ -277,6 +277,22 @@ object EventQueries {
         AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
       WHERE p.event_type = 'purchase'""")),
 
+    // Stream-stream FULL OUTER interval join — every purchase AND
+    // every view accounted for: matches pair up, unmatched rows on
+    // EITHER side emit when the watermark expires their state. The
+    // batch full-outer band join is the oracle.
+    Q("events_stream_full_join", (spark, dir) =>
+      graft.streaming.EventStreams.purchaseViewFullJoin(spark, dir),
+      oracle = Some("""
+      WITH p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
+                 FROM events WHERE event_type = 'purchase'),
+      v AS (SELECT user_id AS v_user, ts AS v_ts, event_id AS view_id
+            FROM events WHERE event_type = 'view')
+      SELECT purchase_id, view_id
+      FROM p FULL OUTER JOIN v
+        ON p_user = v_user
+        AND v_ts BETWEEN p_ts - INTERVAL 30 MINUTE AND p_ts""")),
+
     // Streaming → gold MERGE via foreachBatch: update-mode hourly agg
     // upserted per microbatch with the engine's SCD1 merge; the final
     // gold table must equal the one-shot batch aggregation exactly —

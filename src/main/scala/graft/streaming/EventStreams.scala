@@ -444,6 +444,41 @@ object EventStreams {
       .select(col("purchase_id"), col("view_id"))
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the engine's
+    * inner/left/full matrix: purchases keep their attributed views,
+    * unmatched purchases AND unmatched views both surface when the
+    * watermark expires their state (the audit shape: every event
+    * accounted for on either side of the attribution). Same bounded
+    * per-key interval state as the left variant; sentinel rows drive
+    * the watermark and are filtered by the user-id sign on whichever
+    * side survived. */
+  def purchaseViewFullJoin(spark: SparkSession, dir: String,
+                           queryName: String = "graft_stream_full_join"): DataFrame = {
+    val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "ssfj")
+    def side(t: String): DataFrame = spark.readStream
+      .schema(rawSchema)
+      .option("latestFirst", false)
+      .parquet(stagePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === t || col("event_type") === "sentinel")
+      .withWatermark("ts", "0 seconds")
+    val p = side("purchase").select(col("user_id").as("p_user"),
+      col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val v = side("view").select(col("user_id").as("v_user"),
+      col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val joined = p.join(v, expr(
+      "p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"),
+      "fullOuter")
+    SessionizeStream.withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .outputMode("append").format("memory").queryName(queryName).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+      .filter(coalesce(col("p_user"), col("v_user")) >= 0)
+      .select(col("purchase_id"), col("view_id"))
+  }
+
   /** Streaming EXPECTATION-GATED ingest — the full production feed
     * shape composed from the engine's own parts: each microbatch runs
     * through [[graft.pipeline.Expectations.appendWithQuarantine]], so
