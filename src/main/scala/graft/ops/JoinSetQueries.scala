@@ -309,6 +309,35 @@ object JoinSetQueries {
              true AS supps_within_5pct
       FROM lineitem""")),
 
+    // MERGEABLE distinct sketches (Apache DataSketches HLL, built into
+    // Spark 4): one sketch per source partition of the corpus, unioned
+    // WITHOUT re-reading the data — the property that makes
+    // incremental/rollup distinct counts possible at 100 TB (per-day
+    // sketches union into month/year counts; recounting is a full
+    // scan). The union's estimate must land within 5% of the exact
+    // global distinct AND within 2% of a sketch built in one pass over
+    // the whole corpus — the mergeability contract itself.
+    Q("agg_hll_mergeable", (spark, dir) => {
+      val d = load(spark, dir, "documents")
+      val perSource = d.groupBy(col("source"))
+        .agg(expr("hll_sketch_agg(doc_id)").as("sk"))
+      val merged = perSource
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("merged_est"))
+      val oneShot = d.agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(doc_id))").as("one_est"),
+        countDistinct(col("doc_id")).as("exact"))
+      merged.crossJoin(broadcast(oneShot))
+        .select(col("exact"),
+          (abs(col("merged_est") - col("exact")) <= col("exact") * 0.05)
+            .as("merged_within_5pct"),
+          (abs(col("merged_est") - col("one_est")) <= col("exact") * 0.02)
+            .as("merge_matches_oneshot"))
+    }, oracle = Some("""
+      SELECT count(DISTINCT doc_id) AS exact,
+             true AS merged_within_5pct,
+             true AS merge_matches_oneshot
+      FROM documents""")),
+
     // Bloom-prefiltered semi join — the runtime-filter pattern as an
     // explicit operator: sketch the hot orders' keys (Spark's own
     // BloomFilterAggregate), drop non-matching lineitem rows AT THE

@@ -103,7 +103,14 @@ object Ingest {
     val raw = toBronze(readSalesCsv(spark, csvPath))
     watermark match {
       case None =>
-        raw.write.mode("overwrite").partitionBy("Year").parquet(bronzePath)
+        // the watermark rides the WRITE job as an observed metric
+        // (CollectMetrics evaluates inline per task) — the full load
+        // never re-scans its CSV for the max
+        val (observed, obs) = Metrics.observed(raw, "bronze_full_load",
+          Seq("Date_ID"), extra = Seq(max(col("Date_ID")).as("max_date_id")))
+        observed.write.mode("overwrite").partitionBy("Year").parquet(bronzePath)
+        Option(obs.get("max_date_id")).map(_.asInstanceOf[String])
+          .orElse(watermark)
       case Some(w) =>
         val fresh = raw.filter(col("Date_ID") > lit(w))
         val batchOld = raw.filter(col("Date_ID") <= lit(w))
@@ -114,17 +121,18 @@ object Ingest {
         // the plan reads bronzePath → staged atomic swap, not in-place
         Upsert.overwriteAtomic(spark, fresh.unionByName(changed), bronzePath,
           partitionCols = Seq("Year"))
+        // One ungrouped max over the BATCH (pushed into the CSV scan) —
+        // never a re-scan of bronze: any bronze row past the old mark
+        // came from this batch, so max(batch) folded with the old mark
+        // IS max(bronze). The mark must never REGRESS: a changed-rows-
+        // only batch holds only Date_IDs at-or-below the old mark, and
+        // persisting that max would make unchanged rows look "fresh"
+        // again.
+        val row = raw.agg(max("Date_ID")).first()
+        Option(row.getString(0))
+          .map(m => Ordering[String].max(w, m))
+          .orElse(watermark)
     }
-    // One ungrouped max over the BATCH (pushed into the CSV scan) —
-    // never a re-scan of bronze: any bronze row past the old mark came
-    // from this batch, so max(batch) folded with the old mark IS
-    // max(bronze). The mark must never REGRESS: a changed-rows-only
-    // batch holds only Date_IDs at-or-below the old mark, and
-    // persisting that max would make unchanged rows look "fresh" again.
-    val row = raw.agg(max("Date_ID")).first()
-    Option(row.getString(0))
-      .map(m => watermark.fold(m)(w => Ordering[String].max(w, m)))
-      .orElse(watermark)
   }
 
   /** Watermark state: a 1-row JSON file next to the bronze dir
