@@ -612,6 +612,128 @@ object AnalyticsQueries {
                           AND o_orderdate >= TIMESTAMP '1999-01-01')
       GROUP BY c_nationkey""")),
 
+    // TPC-H Q8 shape — market share: the share of one nation's
+    // suppliers in a region's yearly revenue, as a ratio of two
+    // conditional aggregates over ONE joined pass (like q14, never two
+    // scans). Customer-side nation keys restrict to the region
+    // (broadcast — nation/region are schema constants); the supplier
+    // side only tags whether the line is "ours". Exact decimal sums;
+    // the final division is one double op on identical operands.
+    Q("q8_market_share", (spark, dir) => {
+      val focus = "NATION_3"
+      val r = load(spark, dir, "region").filter(col("r_name") === "EUROPE")
+      val regionNations = load(spark, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val sNation = load(spark, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val s = load(spark, dir, "supplier")
+        .join(broadcast(sNation), col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val c = load(spark, dir, "customer")
+        .join(broadcast(regionNations), col("c_nationkey") === col("cn_key"))
+        .select(col("c_custkey"))
+      val o = load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec6).as("volume"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(s, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg((sum(when(col("supp_nation") === focus, col("volume"))
+            .otherwise(lit(0).cast(dec6))).cast("double")
+          / sum(col("volume")).cast("double")).as("mkt_share"))
+    }, oracle = Some("""
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                   ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS mkt_share
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1""")),
+
+    // TPC-H Q15 shape — top supplier: the quarterly per-supplier
+    // revenue view, then the suppliers whose revenue EQUALS the view's
+    // max (ties kept, as the spec demands). The max is a 1-row
+    // aggregate of the view broadcast back — never a collect — and
+    // revenues stay exact decimals end to end, so the equality cannot
+    // miss by an ulp on any engine.
+    Q("q15_top_supplier", (spark, dir) => {
+      val rev = load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec6))
+          .as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      val s = load(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(s, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+    }, oracle = Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_rev = (SELECT max(total_rev) FROM rev)""")),
+
+    // TPC-H Q17 shape — small-quantity-order revenue: the correlated
+    // per-part average-quantity subquery decorrelated into ONE grouped
+    // pass re-joined to the fact (the scale formulation — the naive
+    // correlated form re-scans lineitem per part). The 20% threshold
+    // comparison is exact: qty·5·n < sum(qty) in integer-free decimal
+    // arithmetic instead of a rounded avg — bit-stable cross-engine.
+    Q("q17_small_quantity", (spark, dir) => {
+      val p = load(spark, dir, "part")
+        .filter(col("p_brand") === "Brand#5")
+        .select(col("p_partkey"))
+      val li = load(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val stats = li.groupBy(col("l_partkey").as("ag_key"))
+        .agg(sum(col("l_quantity").cast(dec)).as("qty_sum"),
+          count(lit(1)).as("qty_n"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .join(stats, col("l_partkey") === col("ag_key"))
+        .filter(col("l_quantity").cast(dec) * lit(5) * col("qty_n") < col("qty_sum"))
+        .agg((sum(col("l_extendedprice").cast(dec6)) / lit(7.0))
+          .cast("double").as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }, oracle = Some("""
+      WITH stats AS (
+        SELECT l_partkey AS ag_key,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+               count(*) AS qty_n
+        FROM lineitem GROUP BY 1)
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) / 7.0 AS DOUBLE) AS avg_yearly,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN stats ON l_partkey = ag_key
+      WHERE p_brand = 'Brand#5'
+        AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_n < qty_sum""")),
+
     // ROBUST outlier detection via MAD (median absolute deviation) —
     // the heavy-tail-safe alternative to the z-score sweep
     // (`events_anomaly_hours`): per flag, med = median(price), MAD =
@@ -822,6 +944,29 @@ object AnalyticsQueries {
              first_value(event_type) OVER w AS first_type,
              last_value(event_type) OVER w AS running_last_type,
              min(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
+
+    // nth_value + cume_dist — the remaining ranked-window surface: per
+    // user, the type of the SECOND event ever (nth_value over the
+    // running frame — null until the frame holds two rows) and each
+    // event's cumulative time-rank. cume_dist is peers-inclusive; the
+    // (ts, event_id) order is total, so every value is an exact
+    // rational k/n that both engines compute as the same double.
+    Q("window_nth_cume", (spark, dir) => {
+      val base = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val unbounded = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.loadEvents(spark, dir)
+        .withColumn("second_type", nth_value(col("event_type"), 2).over(unbounded))
+        .withColumn("time_pctile", cume_dist().over(base))
+        .select(col("user_id"), col("event_id"), col("second_type"),
+          col("time_pctile"))
+    }, oracle = Some("""
+      SELECT user_id, event_id,
+             nth_value(event_type, 2) OVER w AS second_type,
+             cume_dist() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS time_pctile
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
