@@ -700,39 +700,43 @@ object AnalyticsQueries {
       WHERE total_rev = (SELECT max(total_rev) FROM rev)""")),
 
     // TPC-H Q17 shape — small-quantity-order revenue: the correlated
-    // per-part average-quantity subquery decorrelated into ONE grouped
-    // pass re-joined to the fact (the scale formulation — the naive
-    // correlated form re-scans lineitem per part). The 20% threshold
-    // comparison is exact: qty·5·n < sum(qty) in integer-free decimal
-    // arithmetic instead of a rounded avg — bit-stable cross-engine.
+    // per-part average-quantity subquery becomes a WHOLE-PARTITION
+    // window over the brand-filtered fact rows — ONE lineitem scan
+    // (the brand join prunes it first; a part's lineitem rows all
+    // survive that join, so window stats ≡ the global per-part stats),
+    // one shuffle on partkey, no fact self-join and no stats pass over
+    // parts the brand excluded. The 20% threshold comparison is
+    // exact: qty·5·n < sum(qty) in decimal arithmetic instead of a
+    // rounded avg — bit-stable cross-engine.
     Q("q17_small_quantity", (spark, dir) => {
       val p = load(spark, dir, "part")
         .filter(col("p_brand") === "Brand#5")
         .select(col("p_partkey"))
-      val li = load(spark, dir, "lineitem")
+      val wPart = Window.partitionBy(col("l_partkey"))
+      load(spark, dir, "lineitem")
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      val stats = li.groupBy(col("l_partkey").as("ag_key"))
-        .agg(sum(col("l_quantity").cast(dec)).as("qty_sum"),
-          count(lit(1)).as("qty_n"))
-      li.join(p, col("l_partkey") === col("p_partkey"))
-        .join(stats, col("l_partkey") === col("ag_key"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .withColumn("qty_sum", sum(col("l_quantity").cast(dec)).over(wPart))
+        .withColumn("qty_n", count(lit(1)).over(wPart))
         .filter(col("l_quantity").cast(dec) * lit(5) * col("qty_n") < col("qty_sum"))
         .agg((sum(col("l_extendedprice").cast(dec6)) / lit(7.0))
           .cast("double").as("avg_yearly"),
           count(lit(1)).as("n_lines"))
     }, oracle = Some("""
-      WITH stats AS (
-        SELECT l_partkey AS ag_key,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
-               count(*) AS qty_n
-        FROM lineitem GROUP BY 1)
+      WITH br AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#5'),
+      st AS (
+        SELECT l_quantity, l_extendedprice,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))
+                 OVER (PARTITION BY l_partkey) AS qty_sum,
+               count(*) OVER (PARTITION BY l_partkey) AS qty_n
+        FROM br)
       SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) / 7.0 AS DOUBLE) AS avg_yearly,
              count(*) AS n_lines
-      FROM lineitem
-      JOIN part ON l_partkey = p_partkey
-      JOIN stats ON l_partkey = ag_key
-      WHERE p_brand = 'Brand#5'
-        AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_n < qty_sum""")),
+      FROM st
+      WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_n < qty_sum""")),
 
     // ROBUST outlier detection via MAD (median absolute deviation) —
     // the heavy-tail-safe alternative to the z-score sweep

@@ -293,4 +293,12 @@ class PlanSpec extends SparkTestBase {
       s"expected ONE lineitem scan, found $factScans — the exists/not-exists " +
         "self-join crept back in:\n" + p.take(1500))
   }
+
+  test("Q17 shape: the correlated-avg rewrite scans the fact exactly once") {
+    val p = planOf("q17_small_quantity")
+    val factScans = p.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(factScans === 1,
+      s"expected ONE lineitem scan, found $factScans — the per-part stats " +
+        "pass split off again:\n" + p.take(1500))
+  }
 }
