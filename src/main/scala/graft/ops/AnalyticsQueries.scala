@@ -742,19 +742,30 @@ object AnalyticsQueries {
     // the heavy-tail-safe alternative to the z-score sweep
     // (`events_anomaly_hours`): per flag, med = median(price), MAD =
     // median(|price − med|), outlier when |price − med| > 1.5·MAD.
-    // Two aggregate passes + two broadcast 3-row frames (never a
-    // collect); Spark's `percentile` and DuckDB's `quantile_cont`
-    // share the lerp bit-for-bit, so both medians, every deviation,
-    // and the 1.5·MAD cut are identical doubles cross-engine.
+    // Both medians run through the DISTRIBUTED two-phase rank
+    // ([[groupedMedian]]) — Spark's exact `percentile` buffers every
+    // group value in one aggregation buffer, the per-group OOM at the
+    // 100 TB design point — and the median is assembled with the SAME
+    // lerp arithmetic (lo + (hi−lo)·0.5) DuckDB's quantile_cont uses,
+    // so medians, deviations, and the 1.5·MAD cut are identical
+    // doubles cross-engine. Broadcast 3-row frames, never a collect.
     Q("agg_mad_outliers", (spark, dir) => {
+      // MAD is inherently multi-pass (median → deviations → median →
+      // cut): materialize the projected fact ONCE and run every pass
+      // off the columnar cache — the alternative re-reads the fact per
+      // consumer (6 scans). At 100 TB this is the standard cache-the-
+      // projection trade; the projection is 4 narrow columns.
       val li = load(spark, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"))
-      val med = li.groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .localCheckpoint(true)
+      val med = groupedMedian(li, "l_returnflag", "l_extendedprice",
+        Seq(col("l_orderkey"), col("l_linenumber"))).withColumnRenamed("__med", "med")
       val dev = li.join(broadcast(med), "l_returnflag")
         .withColumn("ad", abs(col("l_extendedprice") - col("med")))
-      val mad = dev.groupBy(col("l_returnflag"))
-        .agg(expr("percentile(ad, 0.5)").as("mad"))
+        .localCheckpoint(true)
+      val mad = groupedMedian(dev, "l_returnflag", "ad",
+        Seq(col("l_orderkey"), col("l_linenumber"))).withColumnRenamed("__med", "mad")
       dev.join(broadcast(mad), "l_returnflag")
         .filter(col("ad") > lit(1.5) * col("mad"))
         .groupBy(col("l_returnflag"))
@@ -1164,4 +1175,35 @@ object AnalyticsQueries {
              CAST(sum(gap) AS DOUBLE) / count(*) AS mean_gap_us
       FROM g WHERE gap IS NOT NULL GROUP BY user_id""")),
   )
+
+  /** EXACT per-group median through the distributed two-phase rank:
+    * range-partition the (group, value) order, rank locally + add
+    * broadcast group offsets, keep only each group's middle row(s),
+    * and assemble the median with quantile_cont's own lerp arithmetic
+    * (lo + (hi − lo)·0.5) — bit-identical to DuckDB. One range
+    * shuffle and a metadata-sized offsets frame; no per-group value
+    * buffering (Spark's exact `percentile` holds every group value in
+    * one aggregation buffer — the per-group OOM at 100 TB). `tb` must
+    * complete a total order so the rank is deterministic (ties make
+    * the VALUES at the middle positions identical either way). */
+  private def groupedMedian(df: org.apache.spark.sql.DataFrame,
+                            grp: String, v: String,
+                            tb: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+    val ranked = graft.functions.GlobalRank.rowNumber(
+      df.select(col(grp) +: col(v) +: tb: _*), "__gr", 32,
+      col(grp) +: col(v) +: tb)
+    val counts = df.groupBy(col(grp)).agg(count(lit(1)).as("__n"))
+    val wOff = graft.functions.GlobalRank.metaWindow(col(grp)).orderBy(col(grp))
+    val offs = counts.withColumn("__off",
+      coalesce(sum(col("__n")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    ranked.join(broadcast(offs), grp)
+      .withColumn("__lr", col("__gr") - col("__off"))
+      .filter(col("__lr") === expr("(__n + 1) div 2") ||
+        col("__lr") === expr("(__n + 2) div 2"))
+      .groupBy(col(grp))
+      .agg(min(col(v)).as("__mlo"), max(col(v)).as("__mhi"))
+      .select(col(grp),
+        (col("__mlo") + (col("__mhi") - col("__mlo")) * lit(0.5)).as("__med"))
+  }
 }
