@@ -68,12 +68,17 @@ object RunningTotals {
       val out = stream.groupByKey(_._1)
         .transformWithState(new RunningTotalsProcessor,
           TimeMode.None(), OutputMode.Update())
+      // Trigger.AvailableNow — the production drain mode: process
+      // everything currently available as rate-limited microbatches,
+      // then terminate on its own (vs processAllAvailable, a test
+      // hook; vs Trigger.Once, one giant unbounded batch)
       val q = out.toDF().writeStream
         .outputMode("update")
         .format("memory")
         .queryName(queryName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.awaitTermination() finally q.stop()
     } finally prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
     spark.table(queryName)
       .groupBy(col("user_id"))

@@ -833,6 +833,39 @@ class TxLogSpec extends SparkTestBase {
       TxLog(spark, dir).append(Seq(("d", 4L, -1L)).toDF("pt", "id", "amt")))
   }
 
+  test("hard delete: merge-delete + compact + vacuum leaves NO physical trace of the key") {
+    // the GDPR/right-to-be-forgotten contract: a logical delete hides
+    // rows from readers, but copy-on-write keeps the bytes in old dirs
+    // until compaction rewrites the live set and vacuum drops history —
+    // only then is the subject's data physically gone from storage
+    val t = fresh("gdpr")
+    t.overwrite(Seq((1L, "alice-SECRET"), (2L, "bob"), (3L, "carol"))
+      .toDF("id", "v"))
+    t.overwrite(Upsert.applyChanges(t.snapshot(),
+      Seq((1L, "alice-SECRET", "D")).toDF("id", "v", "op"), Seq("id")))
+    // logically gone immediately
+    assert(t.snapshot().filter(col("v").contains("SECRET")).count() === 0)
+    def bytesOnDisk: String = {
+      val buf = new StringBuilder
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet"))
+          buf.append(new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.ISO_8859_1))
+      walk(new java.io.File(t.root))
+      buf.toString
+    }
+    // ...but the bytes still exist (time travel still serves them)
+    assert(bytesOnDisk.contains("alice-SECRET"))
+    assert(t.snapshot(0).filter(col("v").contains("SECRET")).count() === 1)
+    // vacuum drops the superseded dirs and the history that cites them
+    t.vacuum(keepVersions = 1)
+    assert(!bytesOnDisk.contains("alice-SECRET"),
+      "deleted subject's bytes survived vacuum")
+    assert(t.snapshot().count() === 2)
+    intercept[Exception](t.snapshot(0).collect()) // time travel window closed
+  }
+
   test("z-order on 4 columns narrows code width sign-safely and prunes on every column") {
     val t = TxLog(spark, tmpDir("txlog_zorder4"), statsCols = Seq("a", "b", "c", "d"))
     // four independent uniform columns — at 16 bits each the interleave
