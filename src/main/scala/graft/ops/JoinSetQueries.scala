@@ -338,6 +338,41 @@ object JoinSetQueries {
              true AS merge_matches_oneshot
       FROM documents""")),
 
+    // BUCKETED co-located join under the hash gate: both sides written
+    // bucketed on the join key (8 buckets, sorted), so the join plans
+    // with ZERO shuffle exchanges — bucket i joins bucket i in place.
+    // At 100 TB this is the difference between re-shuffling the fact
+    // on every join and paying the layout cost once at write time
+    // (PlanSpec separately pins the no-Exchange plan; this query pins
+    // that the bucketed layout changes NOTHING about the answer). The
+    // merge hint forces the sort-merge path so bucketing, not
+    // broadcast, is what eliminates the exchange.
+    Q("join_bucketed_colocated", (spark, dir) => {
+      val suffix = dir.hashCode.abs
+      val (lt, ot) = (s"bj_lineitem_$suffix", s"bj_orders_$suffix")
+      Seq(lt, ot).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(s"/root/repo/spark-warehouse/$t"))
+      }
+      Scale.writeBucketed(load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        lt, "l_orderkey", 8)
+      Scale.writeBucketed(load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        ot, "o_orderkey", 8)
+      spark.table(lt)
+        .join(spark.table(ot).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("total_qty"))
+    }, oracle = Some("""
+      SELECT o_orderpriority, count(*) AS n_lines,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority""")),
+
     // Bloom-prefiltered semi join — the runtime-filter pattern as an
     // explicit operator: sketch the hot orders' keys (Spark's own
     // BloomFilterAggregate), drop non-matching lineitem rows AT THE
