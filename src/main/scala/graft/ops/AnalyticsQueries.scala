@@ -761,9 +761,11 @@ object AnalyticsQueries {
         .localCheckpoint(true)
       val med = groupedMedian(li, "l_returnflag", "l_extendedprice",
         Seq(col("l_orderkey"), col("l_linenumber"))).withColumnRenamed("__med", "med")
+      // dev is NOT checkpointed: its consumers re-derive it from the
+      // cached projection with one broadcast join + an abs — cheaper
+      // than a second materialization
       val dev = li.join(broadcast(med), "l_returnflag")
         .withColumn("ad", abs(col("l_extendedprice") - col("med")))
-        .localCheckpoint(true)
       val mad = groupedMedian(dev, "l_returnflag", "ad",
         Seq(col("l_orderkey"), col("l_linenumber"))).withColumnRenamed("__med", "mad")
       dev.join(broadcast(mad), "l_returnflag")
