@@ -413,7 +413,12 @@ object JoinSetQueries {
     // show that, because in a real star join the literal lives on the
     // dim. Fact is materialized once per corpus under target/tmp.
     Q("join_dpp_star", (spark, dir) => {
-      val gold = s"/root/repo/target/tmp/dpp_gold_${dir.hashCode.abs}/events_by_date"
+      // cache key carries the source file's (size, mtime): a
+      // regenerated events corpus at the same path invalidates the
+      // materialized fact instead of silently serving stale gold
+      val src = new java.io.File(s"$dir/events.parquet")
+      val gold = s"/root/repo/target/tmp/dpp_gold_${dir.hashCode.abs}_" +
+        s"${src.length}_${src.lastModified}/events_by_date"
       if (!new java.io.File(s"$gold/_SUCCESS").exists()) {
         Tables.loadEvents(spark, dir)
           .withColumn("event_date", to_date(col("ts")))

@@ -419,6 +419,17 @@ final case class TxLog(spark: SparkSession, root: String,
     * like [[statsFor]]'s agg. Size for ~10 bits per distinct key per
     * dir (~1% fp); an undersized filter saturates and degrades to
     * "open the dir" — conservative, never wrong. */
+  /** Manifest stats header for a commit that CARRIES previous dirs:
+    * the new dir's stats columns (declared order), plus any column the
+    * carried manifest still tracks but this (possibly
+    * pre-evolution-shaped) batch lacks — dropping such a column would
+    * discard the carried dirs' valid ranges and turn range reads on it
+    * into refusals. New dirs simply commit no range for it (absent
+    * range = conservatively opened, never wrong). */
+  private def carriedHeader(prevStats: Seq[(String, String)],
+                            hdr: Seq[(String, String)]): Seq[(String, String)] =
+    hdr ++ prevStats.filterNot(p => hdr.exists(_._1 == p._1))
+
   private def bloomsFor(uuid: String): Map[(String, String), String] =
     if (bloomCols.isEmpty) Map.empty
     else {
@@ -571,7 +582,11 @@ final case class TxLog(spark: SparkSession, root: String,
                             checks: Seq[(String, String)]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, sum, when}
     for ((d, tags) <- dirs) {
-      val key = d + tags.fold("")(t => "|" + t.sorted.mkString(","))
+      // length-prefixed tag encoding: tags are arbitrary cast-to-string
+      // partition values, so a bare "," join would alias {"a","b"} with
+      // {"a,b"} and let a stale proof stand in for unvalidated rows
+      val key = d + tags.fold("")(t =>
+        "|" + t.sorted.map(s => s.length + ":" + s).mkString)
       val pending = checks.filterNot(c => validatedChecks((key, c._1, c._2)))
       if (pending.nonEmpty) {
         val visible = (tags, partCol) match {
@@ -680,9 +695,8 @@ final case class TxLog(spark: SparkSession, root: String,
       if (alreadyCommitted(prev, txn)) return cur
       // carry the previous snapshot's entries, partition tags, and
       // stats wholesale; ranges are keyed (dir, col), so carried stats
-      // stay valid for any column the chosen header still tracks
-      // (columns outside it read conservatively, never wrong)
-      val header = if (hdr.nonEmpty) hdr else prev.stats
+      // stay valid for every column the merged header tracks
+      val header = carriedHeader(prev.stats, hdr)
       val headerCols = header.map(_._1).toSet
       // new data meets ALL constraints; existing data meets any the
       // writer is introducing with this commit (the ADD CONSTRAINT scan)
@@ -879,7 +893,7 @@ final case class TxLog(spark: SparkSession, root: String,
       val uuid = writeDataDir(folded)
       val (hdr, newRanges) = statsFor(uuid)
       val newBlooms = bloomsFor(uuid)
-      val header = if (hdr.nonEmpty) hdr else prev.stats
+      val header = carriedHeader(prev.stats, hdr)
       val headerCols = header.map(_._1).toSet
       val carriedRanges = prev.ranges.filter { case ((d, c), _) =>
         headerCols(c) && carry.exists(_._1 == d) }
@@ -1004,13 +1018,15 @@ final case class TxLog(spark: SparkSession, root: String,
       if (smallDirs.size <= 1) return cur // no debt to pack — no version churn
       val small = smallDirs.toSet
       val carry = prev.entries.filterNot { case (d, _) => small(d) }
+      // allowMissingColumns: small dirs may span a SCHEMA EVOLUTION —
+      // the same additive-widening semantics every read path uses
       val rows = entryTagSets(prev.entries.filter { case (d, _) => small(d) },
         prev.partCol).map {
           case (d, Some(ts)) =>
             snapshotOfDir(d).filter(
               col(prev.partCol.get).cast("string").isin(ts: _*))
           case (d, None) => snapshotOfDir(d)
-        }.reduce(_.unionByName(_))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
       val k = math.max(1L, smallDirs.map(sizes).sum / targetBytes).toInt
       val clusterCol = prev.partCol.orElse(statsCols.headOption)
       val packed = clusterCol.fold(rows.repartition(k))(c =>
@@ -1022,7 +1038,8 @@ final case class TxLog(spark: SparkSession, root: String,
         if (part.isEmpty) None else Some(writeDataDir(part))
       }
       val stats = uuids.map(statsFor)
-      val header = stats.map(_._1).find(_.nonEmpty).getOrElse(prev.stats)
+      val header = carriedHeader(prev.stats,
+        stats.map(_._1).find(_.nonEmpty).getOrElse(Seq.empty))
       val headerCols = header.map(_._1).toSet
       val carriedRanges = prev.ranges.filter { case ((d, c), _) =>
         headerCols(c) && carry.exists(_._1 == d) }

@@ -13,6 +13,18 @@ trait SparkTestBase extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
     d
   }
+
+  /** Scoped session confs: set, run, restore (unset keys restored to
+    * unset). The plan-shape pins use this to steer broadcast/CBO
+    * selection through the STATISTICS path rather than query hints. */
+  def withConf[T](pairs: (String, String)*)(f: => T): T = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
 
 object SparkTestBase {

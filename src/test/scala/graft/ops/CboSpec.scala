@@ -10,15 +10,6 @@ import org.apache.spark.sql.functions._
   */
 class CboSpec extends SparkTestBase {
 
-  private def withConf[T](pairs: (String, String)*)(f: => T): T = {
-    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("ANALYZEd statistics drive join reorder: selective dim joins the fact first") {
     Seq("cbo_lineitem", "cbo_orders", "cbo_region").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")

@@ -14,19 +14,11 @@ class PlanSpec extends SparkTestBase {
     graft.SparkEntry.queries(name)(spark, sf("0.001"))
       .queryExecution.executedPlan.toString
 
-  /** Scoped session confs (set, run, restore). The TPC-H shape pins
-    * use it to pin broadcast selection through the STATISTICS path —
-    * the queries carry no hints on sf-growing sides, so plan shape at
-    * test scale is a function of the threshold, not of a hard-coded
-    * `broadcast()` that would OOM at the 100 TB design point. */
-  private def withConf[T](pairs: (String, String)*)(f: => T): T = {
-    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+  // withConf (SparkTestBase): the TPC-H shape pins steer broadcast
+  // selection through the STATISTICS path — the queries carry no hints
+  // on sf-growing sides, so plan shape at test scale is a function of
+  // the threshold, not of a hard-coded broadcast() that would OOM at
+  // the 100 TB design point.
 
   test("watermark filter is pushed into the parquet scan") {
     val p = planOf("s3_incremental_watermark")

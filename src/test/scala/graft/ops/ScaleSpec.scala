@@ -26,7 +26,7 @@ class ScaleSpec extends SparkTestBase {
     // Execution re-plans a sort-merge join whose largest partition
     // dwarfs the median into parallel skew-split reads. Thresholds are
     // lowered (scoped + restored) so the tiny test corpus trips it.
-    val confs = Seq(
+    withConf(
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
@@ -34,10 +34,7 @@ class ScaleSpec extends SparkTestBase {
       // mask the skew detector on a corpus this small
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
       "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle join
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") { // force the shuffle join
       val li = spark.read.parquet(sf("0.01") + "/lineitem.parquet")
         // multiple map outputs: AQE splits a skewed REDUCE partition
         // along mapper boundaries, so a single-mapper input (one small
@@ -57,17 +54,16 @@ class ScaleSpec extends SparkTestBase {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("AQEShuffleRead skewed") && plan.contains("skew=true"),
         s"no skew split in adaptive plan:\n${plan.take(1500)}")
-      // and the answer matches the skew-oblivious broadcast plan
-      confs.foreach { case (k, _) => spark.conf.unset(k) }
+      // the answer must match the skew-oblivious broadcast plan,
+      // computed OUTSIDE the scoped skew confs (withConf restores them)
+      (li, dim, rows)
+    } match { case (li, dim, rows) =>
       val want = li.join(org.apache.spark.sql.functions.broadcast(dim), "sk")
         .groupBy(col("tag")).agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
         .collect().map(r =>
           (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString)).sortBy(_._1)
       assert(rows.toSeq === want.toSeq)
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 
@@ -80,14 +76,12 @@ class ScaleSpec extends SparkTestBase {
       graft.SparkEntry.queries(name)(spark, sf("0.001"))
         .collect().map(_.toString).sorted.toSeq
     val broadcastRun = Seq("q3_shipping_priority", "q5_region_volume", "q14_promo_share",
-        "q7_nation_volume", "q10_returned_items", "q21_waiting_suppliers")
+        "q7_nation_volume", "q10_returned_items", "q18_large_orders",
+        "q21_waiting_suppliers")
       .map(n => n -> rows(n)).toMap
-    val confs = Seq(
+    withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
       // q3 has NO hints at all — with broadcast off the plan must fall
       // back to shuffle joins rather than secretly depending on a hint
       val q3 = graft.SparkEntry.queries("q3_shipping_priority")(spark, sf("0.001"))
@@ -97,9 +91,6 @@ class ScaleSpec extends SparkTestBase {
       assert(p3.contains("SortMergeJoin") || p3.contains("ShuffledHashJoin"), p3.take(1200))
       for ((name, want) <- broadcastRun)
         assert(rows(name) === want, s"$name: SMJ fallback changed results")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 

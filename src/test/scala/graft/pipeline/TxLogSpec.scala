@@ -776,6 +776,30 @@ class TxLogSpec extends SparkTestBase {
     assert(t.currentVersion() === v)
   }
 
+  test("OPTIMIZE packs across a schema evolution and keeps evolved stats columns skippable") {
+    val t = TxLog(spark, tmpDir("txlog_opt_evolve"), statsCols = Seq("id", "w"))
+    // the compliant (large) dir carries the evolved column w with
+    // committed ranges; the small dirs predate the evolution
+    t.overwrite(spark.range(20000).toDF("id")
+      .withColumn("v", concat(lit("r"), col("id")))
+      .withColumn("w", col("id") * 2))
+    t.append(Seq((100001L, "s1")).toDF("id", "v"))
+    t.append(Seq((100002L, "s2")).toDF("id", "v"))
+    def dirBytes(u: String) =
+      new java.io.File(u).listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.length).sum
+    val target = t.snapshotDataDirs().map(dirBytes).max
+    t.compactSmallFiles(target)
+    // packed across the evolution: pre-evolution rows read w as null
+    assert(t.snapshot().filter(col("id") === 100001L).head()
+      .isNullAt(2), "evolved column not null-filled through the pack")
+    // w SURVIVES as a stats column: a w-range beyond the big dir's max
+    // skips it, and only the (statless, conservatively opened) packed
+    // dir is read — before the header fix this threw 'keeps no stats'
+    assert(t.rangeDirs("90000", "90010", Some("w")).length === 1)
+    assert(t.snapshotRangeOn("w", "0", "10").count() === 6)
+  }
+
   test("OPTIMIZE survives an optimistic race and vacuum then drops the folded dirs") {
     val t = fresh("optimize_race")
     (0 until 3).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
