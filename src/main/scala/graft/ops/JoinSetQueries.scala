@@ -109,6 +109,44 @@ object JoinSetQueries {
                WHERE c_nationkey = n.n_nationkey
                ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""")),
 
+    // TPC-H Q2 shape (partsupp-free recast) — best supplier per part
+    // via a CORRELATED aggregate subquery: for each small part, the
+    // supplier(s) with the maximum account balance among those who
+    // actually supplied it (the fact-derived pair set standing in for
+    // partsupp). Written the way the spec writes it — the correlated
+    // scalar subquery in the WHERE — precisely so Catalyst must
+    // DECORRELATE it into one aggregate + join instead of re-running
+    // the subquery per outer row; at 100 TB that rewrite is the
+    // difference between one pass over the pair set and |part| passes.
+    Q("sql_correlated_best_supplier", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      load(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .createOrReplaceTempView("supplies_v")
+      spark.sql("""
+        SELECT p.p_partkey, s.s_name, s.s_acctbal
+        FROM part p
+        JOIN supplies_v ps ON ps.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        WHERE p.p_size <= 10
+          AND s.s_acctbal = (
+            SELECT max(s2.s_acctbal)
+            FROM supplies_v ps2 JOIN supplier s2
+              ON s2.s_suppkey = ps2.l_suppkey
+            WHERE ps2.l_partkey = p.p_partkey)""")
+    }, oracle = Some("""
+      WITH supplies_v AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      SELECT p.p_partkey, s.s_name, s.s_acctbal
+      FROM part p
+      JOIN supplies_v ps ON ps.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      WHERE p.p_size <= 10
+        AND s.s_acctbal = (
+          SELECT max(s2.s_acctbal)
+          FROM supplies_v ps2 JOIN supplier s2
+            ON s2.s_suppkey = ps2.l_suppkey
+          WHERE ps2.l_partkey = p.p_partkey)""")),
+
     // RECURSIVE CTE hierarchy rollup (Spark 4 WITH RECURSIVE): parts
     // form an implicit binary category tree (parent = key div 2); the
     // recursion enumerates every (part, ancestor) pair — ACYCLIC by
