@@ -27,7 +27,9 @@ object SparkEntry {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
     val li = Tables.load(spark, dir, "lineitem")
-    val o = broadcast(Tables.load(spark, dir, "orders"))
+    // No broadcast hint: orders grows with sf, so the planner must pick the
+    // strategy from statistics (broadcast at this scale, SMJ beyond threshold).
+    val o = Tables.load(spark, dir, "orders")
     li.join(o, li("l_orderkey") === o("o_orderkey"), "left")
       .groupBy(col("o_orderstatus"))
       .agg(

@@ -17,6 +17,29 @@ object AnalyticsQueries {
   private val dec = DecimalType(18, 2)
   private val dec6 = DecimalType(28, 6)
 
+  /** The partsupp recast shared by the Q9/Q11/Q20 shapes (and mirrored
+    * by Q2/Q16 inline): the corpus has no partsupp table, so the
+    * DISTINCT (l_partkey, l_suppkey) pair set derived from the fact IS
+    * the engine's partsupp, and the two partsupp attributes are
+    * deterministic integer functions of the pair key — exact in any
+    * engine, so the DuckDB oracle recomputes them bit-identically:
+    * supplycost = (pk·37 + sk·17) % 900 + 100 (whole dollars, keeps
+    * the profit arithmetic pure integer/decimal), availqty =
+    * (pk·7 + sk·11) % 9999 + 1. The distinct partial-aggregates
+    * map-side and the attributes are a post-distinct projection, so
+    * the pair set costs one keyed shuffle at any sf.
+    */
+  private def partsuppRecast(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame =
+    load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .select(
+        col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"),
+        ((col("l_partkey") * 37 + col("l_suppkey") * 17) % 900 + 100)
+          .as("ps_supplycost"),
+        ((col("l_partkey") * 7 + col("l_suppkey") * 11) % 9999 + 1)
+          .as("ps_availqty"))
+
   val all: Seq[Q] = Seq(
 
     // TPC-H Q1-shaped pricing summary: the canonical partial+final
@@ -738,6 +761,203 @@ object AnalyticsQueries {
              count(*) AS n_lines
       FROM st
       WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_n < qty_sum""")),
+
+    // TPC-H Q9 shape (partsupp recast) — product-type profit by
+    // supplier nation and year: the widest TPC-H join tree (fact +
+    // FIVE sides). Join order matters at 100 TB: the selective part
+    // filter (name LIKE, pushed to the part scan) prunes the fact
+    // FIRST, the pair-set supplycost attaches on the already-pruned
+    // rows, and bounded nation broadcasts; profit stays exact —
+    // DECIMAL(28,6) revenue minus integer-dollar cost — until the one
+    // final double cast.
+    Q("q9_product_profit", (spark, dir) => {
+      val ps = partsuppRecast(spark, dir)
+        .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost"))
+      val p = load(spark, dir, "part")
+        .filter(col("p_name").contains("red"))
+        .select(col("p_partkey"))
+      val s = load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val n = load(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val o = load(spark, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec6).as("rev"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(ps, col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .join(s, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(sum(col("rev") - col("ps_supplycost") * col("qty"))
+          .cast("double").as("sum_profit"))
+    }, oracle = Some("""
+      WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               (l_partkey*37 + l_suppkey*17) % 900 + 100 AS ps_supplycost
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                      - ps_supplycost * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_profit
+      FROM lineitem l
+      JOIN part ON l.l_partkey = p_partkey
+      JOIN ps ON ps_partkey = l.l_partkey AND ps_suppkey = l.l_suppkey
+      JOIN supplier ON l.l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l.l_orderkey = o_orderkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY 1, 2""")),
+
+    // TPC-H Q11 shape (partsupp recast) — important stock: the value
+    // held by one region's suppliers per part, kept when it exceeds
+    // 0.1% of the region's total. Pure INTEGER value arithmetic
+    // (dollar cost × availqty), so the HAVING threshold is the exact
+    // rewrite value·1000 > total — no division, bit-stable on any
+    // engine. The total is a 1-row aggregate broadcast back (never a
+    // collect), the Q22 discipline. Region-scoped (not single-nation)
+    // so the supplier slice is non-empty at every sf.
+    Q("q11_important_stock", (spark, dir) => {
+      val r = load(spark, dir, "region")
+        .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))
+      val n = load(spark, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val s = load(spark, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val nat = partsuppRecast(spark, dir)
+        .join(s, col("ps_suppkey") === col("s_suppkey"))
+        .select(col("ps_partkey"),
+          (col("ps_supplycost") * col("ps_availqty")).as("v"))
+      val tot = nat.agg(sum(col("v")).as("total"))
+      nat.groupBy(col("ps_partkey"))
+        .agg(sum(col("v")).as("value"))
+        .crossJoin(broadcast(tot))
+        .filter(col("value") * 1000 > col("total"))
+        .select(col("ps_partkey"), col("value"))
+    }, oracle = Some("""
+      WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               (l_partkey*37 + l_suppkey*17) % 900 + 100 AS ps_supplycost,
+               (l_partkey*7 + l_suppkey*11) % 9999 + 1 AS ps_availqty
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)),
+      nat AS (
+        SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+        FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+      tot AS (SELECT sum(v) AS total FROM nat)
+      SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value
+      FROM nat, tot
+      GROUP BY ps_partkey, total
+      HAVING sum(v) * 1000 > total""")),
+
+    // TPC-H Q12 shape — ship-mode priority: the cheapest win in the
+    // sweep, ONE fact pass joined only to orders (no partsupp at all).
+    // Ship mode is a deterministic derivation of the line key (the
+    // corpus carries no l_shipmode column) — CASE over
+    // (orderkey·3+linenumber) mod 7, identical arithmetic in the
+    // oracle — and "late" is shipped > 45 days after order date. The
+    // ship-date year slice pushes to the lineitem scan; the two
+    // priority counts are conditional aggregates in the same pass.
+    Q("q12_shipmode_priority", (spark, dir) => {
+      val modeIdx = pmod(col("l_orderkey") * 3 + col("l_linenumber"), lit(7))
+      val shipmode = when(modeIdx === 0, "AIR").when(modeIdx === 1, "FOB")
+        .when(modeIdx === 2, "MAIL").when(modeIdx === 3, "RAIL")
+        .when(modeIdx === 4, "REG AIR").when(modeIdx === 5, "SHIP")
+        .otherwise("TRUCK")
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val o = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_shipdate"), shipmode.as("shipmode"))
+        .filter(col("shipmode").isin("MAIL", "SHIP"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+        .groupBy(col("shipmode"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+    }, oracle = Some("""
+      SELECT CASE (l_orderkey*3 + l_linenumber) % 7
+               WHEN 0 THEN 'AIR' WHEN 1 THEN 'FOB' WHEN 2 THEN 'MAIL'
+               WHEN 3 THEN 'RAIL' WHEN 4 THEN 'REG AIR' WHEN 5 THEN 'SHIP'
+               ELSE 'TRUCK' END AS shipmode,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
+        AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+        AND CASE (l_orderkey*3 + l_linenumber) % 7
+              WHEN 2 THEN 'MAIL' WHEN 5 THEN 'SHIP' ELSE 'X' END
+            IN ('MAIL','SHIP')
+      GROUP BY 1""")),
+
+    // TPC-H Q20 shape (partsupp recast) — part-supplier pruning:
+    // suppliers in one nation holding EXCESS stock of the filtered
+    // parts (availqty > half the quantity they actually shipped of
+    // that part in the year). The pruning cascade is the point at
+    // 100 TB: the part-name filter prunes the pair set, the year
+    // slice prunes the shipped-quantity aggregate, their join is
+    // pair-keyed, and the surviving supplier keys reach the supplier
+    // table as a LEFT SEMI probe — the supplier scan never fans out.
+    Q("q20_excess_stock", (spark, dir) => {
+      val ps = partsuppRecast(spark, dir)
+        .select(col("ps_partkey"), col("ps_suppkey"), col("ps_availqty"))
+      val p = load(spark, dir, "part")
+        .filter(col("p_name").startsWith("small"))
+        .select(col("p_partkey"))
+      val sq = load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(dec)).as("shipped"))
+      val excess = ps
+        .join(p, col("ps_partkey") === col("p_partkey"))
+        .join(sq, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") * 2 > col("shipped"))
+        .select(col("ps_suppkey"))
+      val n = load(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_3").select(col("n_nationkey"))
+      load(spark, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_name"))
+    }, oracle = Some("""
+      WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               (l_partkey*7 + l_suppkey*11) % 9999 + 1 AS ps_availqty
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)),
+      sq AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS shipped
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+        GROUP BY 1, 2),
+      excess AS (
+        SELECT DISTINCT ps_suppkey
+        FROM ps
+        JOIN sq ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        WHERE ps_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE 'small%')
+          AND ps_availqty * 2 > shipped)
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+        AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+      ORDER BY s_name""")),
 
     // ROBUST outlier detection via MAD (median absolute deviation) —
     // the heavy-tail-safe alternative to the z-score sweep

@@ -117,7 +117,8 @@ object JoinSetQueries {
     // scalar subquery in the WHERE — precisely so Catalyst must
     // DECORRELATE it into one aggregate + join instead of re-running
     // the subquery per outer row; at 100 TB that rewrite is the
-    // difference between one pass over the pair set and |part| passes.
+    // difference between one pass over the pair set and |part| passes
+    // (plan-pinned in PlanSpec: two pair-set scans, one grouped max).
     Q("sql_correlated_best_supplier", (spark, dir) => {
       Tables.registerAll(spark, dir)
       load(spark, dir, "lineitem")

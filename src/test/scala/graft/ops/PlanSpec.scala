@@ -293,4 +293,55 @@ class PlanSpec extends SparkTestBase {
       s"expected ONE lineitem scan, found $factScans — the per-part stats " +
         "pass split off again:\n" + p.take(1500))
   }
+
+  test("Q2 shape: the correlated best-supplier subquery decorrelates into ONE grouped max") {
+    // the query's reason to exist: written as the spec writes it (a
+    // correlated scalar subquery in the WHERE), executed as Catalyst
+    // must rewrite it — one aggregate over the pair set joined back,
+    // never a per-outer-row re-execution
+    val df = graft.SparkEntry.queries("sql_correlated_best_supplier")(spark, sf("0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    // the rewrite needs the pair set exactly twice: the outer join arm
+    // and the grouped-max arm; |part| re-executions would multiply this
+    val pairScans = p.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(pairScans === 2,
+      s"expected TWO lineitem scans (outer + grouped max), found $pairScans:\n" +
+        p.take(1500))
+    // exactly one partial max — a single aggregate computes every
+    // part's best balance in one pass
+    assert("partial_max".r.findAllIn(p).size === 1, p.take(1500))
+    // and no surviving subquery execution node
+    assert(!p.contains("ScalarSubquery"), p.take(1500))
+  }
+
+  test("Q9 shape: part filter pushed, bounded dims broadcast, fact read for data + pairs only") {
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "10MB") {
+      val p = planOf("q9_product_profit")
+      // the selective name filter reaches the part scan — at 100 TB the
+      // join tree starts from the pruned part slice, not the whole table
+      val partScan = p.linesIterator
+        .find(l => l.contains("PushedFilters") && l.contains("p_name"))
+        .getOrElse("")
+      assert(partScan.contains("StringContains"), p.take(2000))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        p.take(1500))
+      // the fact feeds the plan exactly twice: the data pass and the
+      // pair-set (partsupp recast) derivation
+      val factScans = p.linesIterator.count(_.contains("lineitem.parquet"))
+      assert(factScans === 2,
+        s"expected TWO lineitem scans (fact + pair set), found $factScans:\n" +
+          p.take(1500))
+    }
+  }
+
+  test("Q12 shape: ONE fact pass, ship-date slice pushed to the scan") {
+    val p = planOf("q12_shipmode_priority")
+    val factScans = p.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(factScans === 1,
+      s"expected ONE lineitem scan, found $factScans:\n" + p.take(1500))
+    val pushed = p.linesIterator
+      .find(l => l.contains("PushedFilters") && l.contains("l_shipdate"))
+      .getOrElse("")
+    assert(pushed.nonEmpty, "ship-date year slice not pushed:\n" + p.take(1500))
+  }
 }
