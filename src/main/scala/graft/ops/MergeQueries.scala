@@ -241,6 +241,30 @@ object MergeQueries {
       SELECT p_partkey, p_name, CAST(p_retailprice AS DOUBLE) AS p_retailprice
       FROM part WHERE p_partkey BETWEEN 1 AND 100""")),
 
+    // MERGE-ON-READ delete under the hash gate: orders committed as two
+    // append dirs, then TWO stacked deleteWhere calls — each writes only
+    // a (file, row-index) tombstone sidecar, no data dir is rewritten
+    // (TxLogSpec pins the files untouched; at 100 TB this is the
+    // difference between a GDPR delete costing bytes-proportional-to-
+    // deleted-rows and rewriting whole dirs copy-on-write). The final
+    // snapshot read anti-joins both vectors; the oracle recomputes the
+    // surviving set from the raw table.
+    Q("txlog_mor_delete", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_mor_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t = graft.pipeline.TxLog(spark, root)
+      val orders = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      t.append(orders.filter(col("o_orderkey") % 2 === 0))
+      t.append(orders.filter(col("o_orderkey") % 2 === 1))
+      t.deleteWhere("o_orderpriority = '1-URGENT' OR o_totalprice > 400000")
+      t.deleteWhere("o_orderkey % 1000 = 0")
+      t.snapshot()
+    }, oracle = Some("""
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      WHERE NOT (o_orderpriority = '1-URGENT' OR o_totalprice > 400000)
+        AND NOT (o_orderkey % 1000 = 0)""")),
+
     // O4 — CDC APPLY CHANGES: three-clause MERGE folding an I/U/D
     // change feed into the supplier dim (Upsert.applyChanges). Disjoint
     // op classes: every 3rd key updated (name v2, bal+5), every 7th

@@ -81,6 +81,7 @@ final case class TxLog(spark: SparkSession, root: String,
     *   #range\t<dir>\t<col>\t<min>\t<max> // data-skipping stats, one per (dir, col)
     *   #bloom\t<dir>\t<col>\t<hex>        // point-lookup Bloom bits, one per (dir, col)
     *   #txn\t<appId>\t<batchId>           // highest committed batch per writer app
+    *   #tombstone\t<dir>\t<tsDir>         // merge-on-read deletion vector for <dir>
     *   <dir>                              // dir covers the whole table
     *   <dir>\t<partValue>                 // dir carries this partition's live rows
     * }}}
@@ -97,7 +98,8 @@ final case class TxLog(spark: SparkSession, root: String,
                               ranges: Map[(String, String), (String, String)],
                               txns: Map[String, Long] = Map.empty,
                               blooms: Map[(String, String), String] = Map.empty,
-                              checks: Seq[(String, String)] = Nil) {
+                              checks: Seq[(String, String)] = Nil,
+                              tombstones: Map[String, Seq[String]] = Map.empty) {
     def dirs: Seq[String] = entries.map(_._1).distinct
   }
 
@@ -138,6 +140,12 @@ final case class TxLog(spark: SparkSession, root: String,
         case _ => throw new java.io.IOException(s"bad check line: $l")
       }
     }
+    val tombstones = lines.filter(_.startsWith("#tombstone\t")).map { l =>
+      l.stripPrefix("#tombstone\t").split('\t') match {
+        case Array(d, t) => (d, t)
+        case _ => throw new java.io.IOException(s"bad tombstone line: $l")
+      }
+    }.groupBy(_._1).map { case (d, ts) => d -> ts.map(_._2) }
     val entries = lines.filterNot(_.startsWith("#")).map { l =>
       l.split('\t') match {
         case Array(d) => (d, None)
@@ -145,7 +153,7 @@ final case class TxLog(spark: SparkSession, root: String,
         case _ => throw new java.io.IOException(s"bad manifest line: $l")
       }
     }
-    Manifest(partCol, stats, entries, ranges, txns, blooms, checks)
+    Manifest(partCol, stats, entries, ranges, txns, blooms, checks, tombstones)
   }
 
   private def manifestLines(m: Manifest): Seq[String] =
@@ -157,6 +165,8 @@ final case class TxLog(spark: SparkSession, root: String,
       m.blooms.toSeq.sortBy(_._1).map { case ((d, c), hex) =>
         s"#bloom\t$d\t$c\t$hex" } ++
       m.txns.toSeq.sortBy(_._1).map { case (a, i) => s"#txn\t$a\t$i" } ++
+      m.tombstones.toSeq.sortBy(_._1).flatMap { case (d, ts) =>
+        ts.map(t => s"#tombstone\t$d\t$t") } ++
       m.entries.map { case (d, t) => d + t.fold("")("\t" + _) }
 
   private def readManifest(v: Long): Seq[String] =
@@ -196,12 +206,26 @@ final case class TxLog(spark: SparkSession, root: String,
         if (have(f.name)) s"`${f.name}`"
         else s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`").mkString(", ")
       val tags = es.flatMap(_._2)
-      val where = m.partCol match {
+      val tagPred = m.partCol match {
         case Some(pc) if tags.length == es.length =>
-          s" WHERE CAST(`$pc` AS STRING) IN (${tags.map(t => s"'${q(t)}'").mkString(", ")})"
-        case _ => ""
+          Seq(s"CAST(`$pc` AS STRING) IN (${tags.map(t => s"'${q(t)}'").mkString(", ")})")
+        case _ => Nil
       }
-      s"SELECT $cols FROM parquet.`${dirPath(d)}`$where"
+      // merge-on-read deletes in SQL form: the dir's physical row
+      // addresses are projected in a subquery and each tombstone
+      // sidecar subtracts via NOT EXISTS — same semantics as
+      // [[dropTombstoned]]'s anti join
+      val ts = m.tombstones.getOrElse(d, Nil)
+      val from =
+        if (ts.isEmpty) s"parquet.`${dirPath(d)}`"
+        else s"(SELECT *, _metadata.file_path AS __dvf, " +
+          s"_metadata.row_index AS __dvr FROM parquet.`${dirPath(d)}`)"
+      val dvPreds = ts.map(t =>
+        s"NOT EXISTS (SELECT 1 FROM parquet.`${dirPath(t)}` __dv " +
+          "WHERE __dv.file = __dvf AND __dv.row = __dvr)")
+      val preds = tagPred ++ dvPreds
+      val where = if (preds.isEmpty) "" else " WHERE " + preds.mkString(" AND ")
+      s"SELECT $cols FROM $from$where"
     }.mkString(" UNION ALL ")
   }
 
@@ -323,8 +347,49 @@ final case class TxLog(spark: SparkSession, root: String,
     case _ => a.compareTo(b)
   }
 
+  // MERGE-ON-READ deletion vectors: a tombstone sidecar is a parquet
+  // dir of (file STRING, row BIGINT) pairs — the deleted rows' stable
+  // physical addresses, captured from Spark's parquet metadata columns
+  // (`_metadata.file_path`, `_metadata.row_index` — the same row-id
+  // notion Delta's deletion vectors index). Reads subtract them with
+  // one keyed ANTI join; the tombstone side is bounded by delete
+  // volume, so at 100 TB it broadcasts and a one-row GDPR delete costs
+  // a metadata-sized sidecar write instead of a dir rewrite.
+  private final val DvFile = "__dv_file"
+  private final val DvRow = "__dv_row"
+
+  /** `df` widened with the two physical row-address columns. */
+  private def withRowIds(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(col("*"), col("_metadata.file_path").as(DvFile),
+      col("_metadata.row_index").as(DvRow))
+  }
+
+  /** Union of tombstone sidecar frames, in anti-join key shape. */
+  private def tombstoneFrame(tsDirs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    tsDirs.map(t => spark.read.parquet(dirPath(t))
+        .select(col("file").as("__ts_file"), col("row").as("__ts_row")))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Subtract tombstoned rows from a row-id-widened frame (keeps the
+    * address columns — [[deleteWhere]] reuses them). */
+  private def dropTombstoned(withIds: DataFrame, tsDirs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    withIds.join(tombstoneFrame(tsDirs),
+      col(DvFile) === col("__ts_file") && col(DvRow) === col("__ts_row"),
+      "left_anti")
+  }
+
+  /** A dir's rows with its tombstones applied (no partition-tag
+    * restriction — callers layer that on top). */
+  private def dirVisibleRows(tombs: Map[String, Seq[String]], d: String): DataFrame =
+    tombs.get(d).filter(_.nonEmpty).fold(snapshotOfDir(d))(ts =>
+      dropTombstoned(withRowIds(snapshotOfDir(d)), ts).drop(DvFile, DvRow))
+
   /** Union of `selectDirs`, each restricted to the partitions it is
-    * live for in manifest `m`. */
+    * live for in manifest `m`, minus each dir's tombstoned rows. */
   private def readEntries(m: Manifest, selectDirs: Set[String]): DataFrame = {
     val chosen = m.entries.filter(e => selectDirs(e._1))
     require(chosen.nonEmpty || m.entries.nonEmpty, s"empty manifest at $root")
@@ -335,23 +400,43 @@ final case class TxLog(spark: SparkSession, root: String,
       return spark.read.option("mergeSchema", "true")
         .parquet(m.dirs.map(dirPath): _*)
         .filter(org.apache.spark.sql.functions.lit(false))
+    val dirty = chosen.map(_._1).distinct
+      .filter(d => m.tombstones.get(d).exists(_.nonEmpty)).toSet
     // mergeSchema / allowMissingColumns: SCHEMA EVOLUTION — an append
     // that adds a column widens the snapshot; older dirs read the new
     // column as null (Delta's additive evolution semantics)
-    m.partCol match {
-      case None =>
-        spark.read.option("mergeSchema", "true")
-          .parquet(chosen.map(e => dirPath(e._1)).distinct: _*)
-      case Some(pc) =>
-        chosen.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
-          val df = spark.read.parquet(dirPath(d))
-          val tags = es.flatMap(_._2)
-          // untagged line inside a tagged manifest = dir covers all
-          if (tags.length < es.length) df
-          else df.filter(org.apache.spark.sql.functions.col(pc)
-            .cast("string").isin(tags: _*))
-        }.reduce(_.unionByName(_, allowMissingColumns = true))
-    }
+    val clean = chosen.filterNot(e => dirty(e._1))
+    val cleanDf: Option[DataFrame] =
+      if (clean.isEmpty) None
+      else Some(m.partCol match {
+        case None =>
+          spark.read.option("mergeSchema", "true")
+            .parquet(clean.map(e => dirPath(e._1)).distinct: _*)
+        case Some(pc) =>
+          clean.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
+            val df = spark.read.parquet(dirPath(d))
+            val tags = es.flatMap(_._2)
+            // untagged line inside a tagged manifest = dir covers all
+            if (tags.length < es.length) df
+            else df.filter(org.apache.spark.sql.functions.col(pc)
+              .cast("string").isin(tags: _*))
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+      })
+    // tombstoned dirs read per-dir: row addresses are per-file, so the
+    // anti join never crosses dirs; tag filters layer on the survivors
+    val dirtyDfs = chosen.filter(e => dirty(e._1))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
+        val df = dirVisibleRows(m.tombstones, d)
+        val tags = es.flatMap(_._2)
+        (m.partCol, tags.length == es.length) match {
+          case (Some(pc), true) =>
+            df.filter(org.apache.spark.sql.functions.col(pc)
+              .cast("string").isin(tags: _*))
+          case _ => df
+        }
+      }
+    (cleanDf.toSeq ++ dirtyDfs)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Resolve a manifest dir entry to a filesystem path. Entries are
@@ -579,20 +664,25 @@ final case class TxLog(spark: SparkSession, root: String,
     * satisfies. */
   private def enforceChecks(dirs: Seq[(String, Option[Seq[String]])],
                             partCol: Option[String],
-                            checks: Seq[(String, String)]): Unit = {
+                            checks: Seq[(String, String)],
+                            tombs: Map[String, Seq[String]] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, sum, when}
     for ((d, tags) <- dirs) {
       // length-prefixed tag encoding: tags are arbitrary cast-to-string
       // partition values, so a bare "," join would alias {"a","b"} with
-      // {"a,b"} and let a stale proof stand in for unvalidated rows
+      // {"a,b"} and let a stale proof stand in for unvalidated rows;
+      // the tombstone ids join the key too — a dir with NEW deletes is
+      // a different visible set than the proof it recorded before
       val key = d + tags.fold("")(t =>
-        "|" + t.sorted.map(s => s.length + ":" + s).mkString)
+        "|" + t.sorted.map(s => s.length + ":" + s).mkString) +
+        tombs.get(d).filter(_.nonEmpty).fold("")(ts => "|dv:" + ts.mkString(","))
       val pending = checks.filterNot(c => validatedChecks((key, c._1, c._2)))
       if (pending.nonEmpty) {
+        val base = dirVisibleRows(tombs, d)
         val visible = (tags, partCol) match {
           case (Some(ts), Some(pc)) =>
-            snapshotOfDir(d).filter(col(pc).cast("string").isin(ts: _*))
-          case _ => snapshotOfDir(d)
+            base.filter(col(pc).cast("string").isin(ts: _*))
+          case _ => base
         }
         val aggs = pending.map { case (n, sql) =>
           sum(when(not(coalesce(expr(sql), lit(true))), 1L).otherwise(0L)).as(s"__chk_$n") }
@@ -624,10 +714,12 @@ final case class TxLog(spark: SparkSession, root: String,
     enforceChecks(dirUuids.map(d => d -> Option.empty[Seq[String]]), None, checks)
 
   /** Manifest-filtered validation of a snapshot's entries: each dir
-    * restricted to the partition tags that manifest exposes for it. */
+    * restricted to the partition tags that manifest exposes for it,
+    * minus its tombstoned rows. */
   private def enforceChecksOnEntries(m: Manifest,
                                      checks: Seq[(String, String)]): Unit =
-    enforceChecks(entryTagSets(m.entries, m.partCol), m.partCol, checks)
+    enforceChecks(entryTagSets(m.entries, m.partCol), m.partCol, checks,
+      m.tombstones)
 
   /** Group (dir, tag) manifest lines into per-dir live-tag sets; a dir
     * with any untagged line (or an untagged table) validates in full. */
@@ -709,7 +801,8 @@ final case class TxLog(spark: SparkSession, root: String,
         prev.ranges.filter { case ((_, c), _) => headerCols(c) } ++ newRanges,
         txnsAfter(prev.txns, txn),
         prev.blooms ++ newBlooms,
-        checks)
+        checks,
+        prev.tombstones) // carried dirs keep their deletion vectors
       if (tryCommitManifest(cur + 1, manifestLines(m), "APPEND")) return cur + 1
       attempt += 1
     }
@@ -880,7 +973,7 @@ final case class TxLog(spark: SparkSession, root: String,
           val touched = byDir.toSeq.sortBy(_._1).flatMap { case (d, es) =>
             val hit = es.flatMap(_._2).filter(affected)
             if (hit.isEmpty) None
-            else Some(snapshotOfDir(d).filter(
+            else Some(dirVisibleRows(prev.tombstones, d).filter(
               org.apache.spark.sql.functions.col(partCol)
                 .cast("string").isin(hit: _*)))
           }
@@ -909,14 +1002,16 @@ final case class TxLog(spark: SparkSession, root: String,
       val newEntries =
         if (resultParts.isEmpty && carry.isEmpty) Seq((uuid, Option.empty[String]))
         else resultParts.map(p => (uuid, Option(p)))
+      val carriedTombs = prev.tombstones.filter { case (d, _) =>
+        carry.exists(_._1 == d) }
       val checks = mergedChecks(prev.checks)
       enforceChecks(Seq(uuid), checks)
       enforceChecks(entryTagSets(carry, Some(partCol)), Some(partCol),
-        addedChecks(prev.checks))
+        addedChecks(prev.checks), carriedTombs)
       val lines = manifestLines(Manifest(Some(partCol), header,
         carry ++ newEntries,
         carriedRanges ++ newRanges, txnsAfter(prev.txns, txn),
-        carriedBlooms ++ newBlooms, checks))
+        carriedBlooms ++ newBlooms, checks, carriedTombs))
       if (tryCommitManifest(base + 1, lines, op.toUpperCase)) return base + 1
       attempt += 1
     }
@@ -963,6 +1058,65 @@ final case class TxLog(spark: SparkSession, root: String,
     }
     throw new java.io.IOException(
       s"TxLog merge lost $MaxRaceRetries optimistic races at $root")
+  }
+
+  /** MERGE-ON-READ delete — Delta deletion-vector parity: rows
+    * matching `predicate` are recorded as (file, row-index) pairs in a
+    * tombstone sidecar; NO data dir is rewritten. Snapshot reads
+    * anti-join the tombstones away; OPTIMIZE/[[compact]] materialize
+    * them (survivors rewritten, lines dropped). At 100 TB this turns a
+    * one-row GDPR delete from a whole-dir copy-on-write rewrite
+    * ([[Upsert]]'s path) into a sidecar write proportional to the
+    * DELETED rows. Time travel still reads the rows at pre-delete
+    * versions (their manifests carry no tombstone lines) until
+    * [[vacuum]] retires them — the Delta DV contract.
+    *
+    * A predicate matching nothing commits nothing (no version churn).
+    * Pre-evolution dirs missing a predicate column read it as null
+    * (predicate null → row survives — additive-evolution semantics).
+    * Optimistic TRANSACTION like [[merge]]: the hit set depends on the
+    * snapshot read, so a lost race recomputes it. */
+  def deleteWhere(predicate: String): Long = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val cur = currentVersion()
+      require(cur >= 0, s"TxLog table at $root has no commits to delete from")
+      val m = readManifestFull(cur)
+      // evolved full schema: null-fill columns a pre-evolution dir
+      // lacks so the predicate resolves everywhere
+      val full = spark.read.option("mergeSchema", "true")
+        .parquet(m.dirs.map(dirPath): _*).schema
+      val hits = m.entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
+        val base = withRowIds(snapshotOfDir(d))
+        val minus = m.tombstones.get(d).filter(_.nonEmpty)
+          .fold(base)(ts => dropTombstoned(base, ts))
+        val tags = es.flatMap(_._2)
+        val vis = (m.partCol, tags.length == es.length) match {
+          case (Some(pc), true) =>
+            minus.filter(col(pc).cast("string").isin(tags: _*))
+          case _ => minus
+        }
+        val widened = full.fields.filterNot(f => vis.columns.contains(f.name))
+          .foldLeft(vis)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
+        widened.filter(expr(predicate))
+          .select(col(DvFile).as("file"), col(DvRow).as("row"),
+            lit(d).as("__dir"))
+      }.reduce(_.unionByName(_)).localCheckpoint(true)
+      // affected-dir list: bounded metadata (≤ table dir count) — the
+      // sanctioned driver round-trip
+      val affected = hits.select(col("__dir")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (affected.isEmpty) return cur // nothing matched — no-op
+      val uuid = writeDataDir(hits.drop("__dir"))
+      val tombs = affected.foldLeft(m.tombstones)((acc, d) =>
+        acc + (d -> (acc.getOrElse(d, Nil) :+ uuid)))
+      if (tryCommitManifest(cur + 1,
+          manifestLines(m.copy(tombstones = tombs)), "DELETE")) return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog deleteWhere lost $MaxRaceRetries optimistic races at $root")
   }
 
   /** OPTIMIZE-style compaction commit: rewrite the current snapshot as
@@ -1014,8 +1168,15 @@ final case class TxLog(spark: SparkSession, root: String,
       val cur = currentVersion()
       val prev = readManifestFull(cur)
       val sizes = prev.dirs.map(d => d -> dirSize(d)).toMap
-      val smallDirs = prev.dirs.filter(d => sizes(d) < targetBytes)
-      if (smallDirs.size <= 1) return cur // no debt to pack — no version churn
+      // deletion-vector debt counts as packing debt: rewriting a
+      // tombstoned dir MATERIALIZES its deletes (survivors only, lines
+      // dropped) — Delta's OPTIMIZE-purges-DVs behavior
+      val dvDirs = prev.dirs.filter(d =>
+        prev.tombstones.get(d).exists(_.nonEmpty)).toSet
+      val smallDirs = prev.dirs.filter(d => sizes(d) < targetBytes || dvDirs(d))
+      // no size debt (≤1 small dir cannot pack better) and no deletion
+      // debt — no version churn
+      if (smallDirs.size <= 1 && smallDirs.forall(!dvDirs(_))) return cur
       val small = smallDirs.toSet
       val carry = prev.entries.filterNot { case (d, _) => small(d) }
       // allowMissingColumns: small dirs may span a SCHEMA EVOLUTION —
@@ -1023,9 +1184,9 @@ final case class TxLog(spark: SparkSession, root: String,
       val rows = entryTagSets(prev.entries.filter { case (d, _) => small(d) },
         prev.partCol).map {
           case (d, Some(ts)) =>
-            snapshotOfDir(d).filter(
+            dirVisibleRows(prev.tombstones, d).filter(
               col(prev.partCol.get).cast("string").isin(ts: _*))
-          case (d, None) => snapshotOfDir(d)
+          case (d, None) => dirVisibleRows(prev.tombstones, d)
         }.reduce(_.unionByName(_, allowMissingColumns = true))
       val k = math.max(1L, smallDirs.map(sizes).sum / targetBytes).toInt
       val clusterCol = prev.partCol.orElse(statsCols.headOption)
@@ -1051,15 +1212,17 @@ final case class TxLog(spark: SparkSession, root: String,
           case None => Seq((u, Option.empty[String]))
         }
       }
+      val carriedTombs = prev.tombstones.filter { case (d, _) =>
+        carry.exists(_._1 == d) }
       val checks = mergedChecks(prev.checks)
       enforceChecks(uuids, checks)
       enforceChecks(entryTagSets(carry, prev.partCol), prev.partCol,
-        addedChecks(prev.checks))
+        addedChecks(prev.checks), carriedTombs)
       val m = Manifest(prev.partCol, header, carry ++ newEntries,
         carriedRanges ++ stats.flatMap(_._2).toMap, prev.txns,
         carriedBlooms ++ uuids.map(bloomsFor).foldLeft(
           Map.empty[(String, String), String])(_ ++ _),
-        checks)
+        checks, carriedTombs)
       if (tryCommitManifest(cur + 1, manifestLines(m), "OPTIMIZE")) return cur + 1
       attempt += 1
     }
@@ -1175,7 +1338,12 @@ final case class TxLog(spark: SparkSession, root: String,
     val cur = currentVersion()
     if (cur < 0) return
     val keep = (math.max(0, cur - keepVersions + 1) to cur)
-    val live = keep.flatMap(readManifest).toSet
+    // tombstone sidecars referenced by kept manifests are as live as
+    // the data dirs they subtract from
+    val live = keep.flatMap { v =>
+      val m = readManifestFull(v)
+      m.dirs ++ m.tombstones.values.flatten
+    }.toSet
     val dd = new Path(dataDir)
     if (fs.exists(dd)) fs.listStatus(dd).map(_.getPath)
       .filter(p => !live.contains(p.getName))
@@ -1198,7 +1366,7 @@ final case class TxLog(spark: SparkSession, root: String,
     * snapshot references. */
   def restoreTo(version: Long): Long = {
     val m = readManifestFull(version) // throws if the manifest is gone
-    m.dirs.foreach { d =>
+    (m.dirs ++ m.tombstones.values.flatten.toSeq.distinct).foreach { d =>
       require(fs.exists(new Path(dirPath(d))),
         s"cannot restore $root to v$version: data dir $d was vacuumed")
     }
@@ -1238,19 +1406,23 @@ final case class TxLog(spark: SparkSession, root: String,
     val v = if (version >= 0) version else currentVersion()
     require(v >= 0, s"TxLog table at $root has no commits to clone")
     val m = readManifestFull(v)
-    m.dirs.foreach { d =>
+    (m.dirs ++ m.tombstones.values.flatten.toSeq.distinct).foreach { d =>
       require(fs.exists(new Path(dirPath(d))),
         s"cannot clone $root@v$v: data dir $d was vacuumed")
     }
     val dest = TxLog(spark, destRoot, statsCols, bloomCols, bloomBits)
     require(!dest.exists(), s"clone destination $destRoot already has commits")
     def abs(d: String): String = dirPath(d)
+    // tombstone sidecars clone by absolute reference too; their (file,
+    // row) content stays valid because the clone reads the SAME source
+    // files the addresses were captured from
     val cloned = Manifest(m.partCol, m.stats,
       m.entries.map { case (d, t) => (abs(d), t) },
       m.ranges.map { case ((d, c), r) => (abs(d), c) -> r },
       Map.empty, // fresh txn history
       m.blooms.map { case ((d, c), b) => (abs(d), c) -> b },
-      m.checks)
+      m.checks,
+      m.tombstones.map { case (d, ts) => abs(d) -> ts.map(abs) })
     require(dest.tryCommitManifest(0L, manifestLines(cloned), s"CLONE $root@v$v"),
       s"clone destination $destRoot was committed concurrently")
     dest

@@ -890,6 +890,144 @@ class TxLogSpec extends SparkTestBase {
     intercept[Exception](t.snapshot(0).collect()) // time travel window closed
   }
 
+  test("merge-on-read delete hides rows through tombstones without touching any data file") {
+    val t = fresh("mor_basic")
+    t.overwrite((1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.append((7L to 9L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val preVersion = t.currentVersion()
+    def dataFiles: Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"${t.root}/data"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = dataFiles
+    val v = t.deleteWhere("id % 2 = 0")
+    assert(v === preVersion + 1)
+    // read equivalence with the copy-on-write result
+    assert(t.snapshot().select("id").as[Long].collect().sorted
+      === Array(1L, 3L, 5L, 7L, 9L))
+    // NO pre-existing data file was rewritten or removed — the delete
+    // is a sidecar, not a dir rewrite (the copy-on-write path's
+    // write amplification is exactly what this avoids)
+    assert(before.forall { case (p, mtime) =>
+      val f = new java.io.File(p); f.exists() && f.lastModified() === mtime },
+      "merge-on-read delete modified a data file")
+    // time travel: the pre-delete version still reads all rows
+    assert(t.snapshot(preVersion).count() === 9)
+    // a predicate matching nothing is a version-preserving no-op
+    assert(t.deleteWhere("id > 100") === v)
+    // deletes ACCUMULATE: a second vector layers on the first
+    assert(t.deleteWhere("id = 3") === v + 1)
+    assert(t.snapshot().select("id").as[Long].collect().sorted
+      === Array(1L, 5L, 7L, 9L))
+    // range/point reads go through the same visible-row path
+    assert(t.snapshot(v).select("id").as[Long].collect().sorted
+      === Array(1L, 3L, 5L, 7L, 9L))
+  }
+
+  test("merge-on-read delete respects partition tags and dead rows of tagged dirs") {
+    val t = TxLog(spark, tmpDir("txlog_mor_part"))
+    t.overwritePartitioned(
+      Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L)).toDF("pt", "id", "amt"), "pt")
+    // supersede pt=a: v0's pt=a rows are dead; live pt=a is the merged dir
+    t.mergePartitioned(Seq(("a", 1L, 11L), ("a", 2L, 21L)).toDF("pt", "id", "amt"),
+      Seq("id"), "pt")
+    // delete hits only VISIBLE rows: id=1 in the merged dir; the dead
+    // v0 copy must not resurrect anything later
+    t.deleteWhere("id = 1")
+    val rows = t.snapshot().collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(rows === Map(2L -> 21L, 3L -> 30L))
+    // a partitioned merge AFTER the delete carries the tombstones
+    t.mergePartitioned(Seq(("c", 9L, 90L)).toDF("pt", "id", "amt"), Seq("id"), "pt")
+    val rows2 = t.snapshot().collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(rows2 === Map(2L -> 21L, 3L -> 30L, 9L -> 90L))
+  }
+
+  test("OPTIMIZE materializes deletion vectors; vacuum then hard-deletes the bytes") {
+    val t = fresh("mor_optimize")
+    t.overwrite(Seq((1L, "keep-1"), (2L, "gdpr-SECRET"), (3L, "keep-3"))
+      .toDF("id", "v"))
+    t.deleteWhere("v = 'gdpr-SECRET'")
+    def manifestText: String = {
+      val d = new java.io.File(s"${t.root}/_txlog")
+      d.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName).reverse
+        .headOption.map(f => new String(
+          java.nio.file.Files.readAllBytes(f.toPath))).getOrElse("")
+    }
+    assert(manifestText.contains("#tombstone"), "delete committed no tombstone line")
+    def bytesOnDisk: String = {
+      val buf = new StringBuilder
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet"))
+          buf.append(new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.ISO_8859_1))
+      walk(new java.io.File(t.root))
+      buf.toString
+    }
+    // logically gone, physically still present (time travel serves it)
+    assert(t.snapshot().count() === 2)
+    assert(bytesOnDisk.contains("gdpr-SECRET"))
+    // OPTIMIZE rewrites the tombstoned dir: survivors only, lines dropped
+    t.compactSmallFiles(1L << 20)
+    assert(!manifestText.contains("#tombstone"),
+      "OPTIMIZE did not materialize the deletion vector")
+    assert(t.snapshot().select("id").as[Long].collect().sorted === Array(1L, 3L))
+    // a second pass with no new debt is still a no-op
+    assert(t.compactSmallFiles(1L << 20) === t.currentVersion())
+    // vacuum retires the pre-delete dirs + the spent sidecar → the
+    // subject's bytes are physically gone (GDPR contract, MoR edition)
+    t.vacuum(keepVersions = 1)
+    assert(!bytesOnDisk.contains("gdpr-SECRET"),
+      "deleted subject's bytes survived OPTIMIZE + vacuum")
+    assert(t.snapshot().count() === 2)
+  }
+
+  test("vacuum keeps tombstone sidecars alive with the versions that cite them") {
+    val t = fresh("mor_vacuum")
+    t.overwrite((1L to 4L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.deleteWhere("id >= 3")
+    t.vacuum(keepVersions = 1)
+    // the sidecar must have survived (it is referenced by the only
+    // kept manifest) — the read still subtracts the deleted rows
+    assert(t.snapshot().select("id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
+  test("RESTORE moves across a merge-on-read delete in both directions") {
+    val t = fresh("mor_restore")
+    t.overwrite((1L to 4L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val vDel = t.deleteWhere("id = 2")
+    t.restoreTo(vDel - 1) // back before the delete: the row returns
+    assert(t.snapshot().count() === 4)
+    t.restoreTo(vDel) // forward again: the tombstone re-applies
+    assert(t.snapshot().select("id").as[Long].collect().sorted
+      === Array(1L, 3L, 4L))
+  }
+
+  test("snapshotSql reproduces merge-on-read deletes for the catalog view path") {
+    val t = fresh("mor_sql")
+    t.overwrite((1L to 5L).map(i => (i, i * 10L)).toDF("id", "amt"))
+    t.append((6L to 8L).map(i => (i, i * 10L)).toDF("id", "amt"))
+    t.deleteWhere("amt >= 40 AND amt <= 60")
+    val viaSql = spark.sql(t.snapshotSql()).select("id").as[Long].collect().sorted
+    val viaSnapshot = t.snapshot().select("id").as[Long].collect().sorted
+    assert(viaSql === viaSnapshot)
+    assert(viaSnapshot === Array(1L, 2L, 3L, 7L, 8L))
+  }
+
+  test("merge-on-read delete on a schema-evolved table: missing column reads null") {
+    val t = fresh("mor_evolve")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // evolution: the appended batch carries a NEW column
+    t.append(Seq((3L, "c", "fresh")).toDF("id", "v", "tag"))
+    // predicate on the evolved column: pre-evolution rows read tag as
+    // null → predicate null → they survive (additive semantics)
+    t.deleteWhere("tag = 'fresh'")
+    assert(t.snapshot().select("id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
   test("z-order on 4 columns narrows code width sign-safely and prunes on every column") {
     val t = TxLog(spark, tmpDir("txlog_zorder4"), statsCols = Seq("a", "b", "c", "d"))
     // four independent uniform columns — at 16 bits each the interleave
