@@ -477,6 +477,32 @@ object EventQueries {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       FROM sess GROUP BY user_id, session_id""")),
 
+    // The SAME gap sessions through transformWithState EVENT-TIME
+    // TIMERS (registerTimer/handleExpiredTimer): open sessions are
+    // emitted by the timer callback when the watermark passes
+    // last + gap — the eviction half of the new state API. THREE
+    // independent sessionizers (this, the flatMapGroupsWithState twin
+    // above, the batch gaps-and-islands plan) share one oracle.
+    Q("events_stream_session_timers", (spark, dir) =>
+      graft.streaming.SessionTimers.sessions(spark, dir),
+      oracle = Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(ts) AS session_start,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM sess GROUP BY user_id, session_id""")),
+
     // Daily per-type event funnel with conversion-style share-of-day —
     // two-level aggregation reusing the first shuffle's partitioning.
     Q("events_daily_share", (spark, dir) => {

@@ -742,6 +742,17 @@ final case class TxLog(spark: SparkSession, root: String,
   private def alreadyCommitted(m: Manifest, txn: Option[(String, Long)]): Boolean =
     txn.exists { case (app, id) => m.txns.get(app).exists(_ >= id) }
 
+  /** High-water committed foreachBatch id for writer `app`, or None if
+    * that app never committed (Delta's txnVersion-by-appId probe). A
+    * stateful streaming sink needs this BEFORE deciding what to do with
+    * a batch: a redelivered batch must skip the table write but still
+    * CONSUME the dataframe, because the upstream stateful operator has
+    * to commit its state stores for the batch either way. */
+  def txnHighWater(app: String): Option[Long] = {
+    val cur = currentVersion()
+    if (cur < 0) None else readManifestFull(cur).txns.get(app)
+  }
+
   /** Overwrite-style commit: the new snapshot is exactly `df`. The
     * payload is independent of the previous snapshot, so losing an
     * optimistic race only slides the version number. */
