@@ -60,6 +60,22 @@ object BloomFunctions {
       .head().getAs[Array[Byte]]("bf")
   }
 
+  /** One-pass variant: the sketch AND the exact key count from the
+    * same aggregation job — no separate `count()` pass over the input.
+    * The count cannot size THIS sketch (`BloomFilterAggregate` needs
+    * its size up front), so callers size from an estimate and use the
+    * measured count to decide whether the estimate held; see
+    * `join_bloom_prefilter` for the re-sketch-on-overflow contract. */
+  def sketchWithCount(df: DataFrame, key: Column, estimatedItems: Long,
+                      numBits: Long): (Array[Byte], Long) = {
+    register(df.sparkSession)
+    val row = df.select(
+      call_function("bloom_agg", xxhash64(key),
+        lit(estimatedItems), lit(numBits)).as("bf"),
+      count(key).as("n")).head()
+    (row.getAs[Array[Byte]]("bf"), row.getAs[Long]("n"))
+  }
+
   /** Codegen'd membership probe against a driver-built sketch. May
     * return false-positive `true`s (never false negatives) — always
     * follow with the exact join. */

@@ -419,14 +419,26 @@ object JoinSetQueries {
     // broadcast join remove false positives. At 100 TB the bloom cuts
     // the big side BEFORE any shuffle; result ≡ plain semi join
     // (oracle-proven), and JoinSetSpec pins that the prefilter really
-    // prunes. Sketch sizing is measured (hot count), not guessed.
+    // prunes. Sketch + exact count come from ONE aggregation pass —
+    // sized up front from Catalyst's plan statistics (the channel the
+    // injected runtime bloom sizes from), capped at Spark's maxNumBits
+    // default, then re-sketched at measured size only if the estimate
+    // overflowed (FPP degraded). Common path: one pass, no count job.
     Q("join_bloom_prefilter", (spark, dir) => {
       val hot = load(spark, dir, "orders")
         .filter(col("o_totalprice") > 450000)
         .select(col("o_orderkey"))
-      val nHot = hot.count()
-      val bf = graft.functions.BloomFunctions.sketch(
-        hot, col("o_orderkey"), nHot max 1L, (nHot * 10L) max 1024L)
+      val stats = hot.queryExecution.optimizedPlan.stats
+      val estItems = stats.rowCount.map(_.longValue)
+        .getOrElse(stats.sizeInBytes.longValue / 8L) max 64L
+      val estBits = (estItems * 10L) min 67108864L
+      val (bf0, nHot) = graft.functions.BloomFunctions.sketchWithCount(
+        hot, col("o_orderkey"), estItems, estBits)
+      // correctness never depends on sizing (the exact join removes
+      // false positives) — the rebuild is purely an FPP repair
+      val bf = if (nHot <= estItems) bf0
+        else graft.functions.BloomFunctions.sketch(
+          hot, col("o_orderkey"), nHot, nHot * 10L)
       val li = load(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
         .filter(graft.functions.BloomFunctions.mightContain(spark, bf, col("l_orderkey")))
