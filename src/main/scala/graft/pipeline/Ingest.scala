@@ -99,7 +99,16 @@ object Ingest {
     * Returns the new watermark (max Date_ID seen), if any rows loaded.
     */
   def ingest(spark: SparkSession, csvPath: String, bronzePath: String,
-             watermark: Option[String]): Option[String] = {
+             watermark: Option[String]): Option[String] =
+    ingestObserved(spark, csvPath, bronzePath, watermark)._1
+
+  /** [[ingest]] plus the write job's observed metrics (row count,
+    * null-key count, max Date_ID) — BOTH branches ride the same
+    * Observation channel, so the metrics are free riders on the write,
+    * never a second scan. Exposed for IngestSpec's metric assertions. */
+  private[pipeline] def ingestObserved(spark: SparkSession, csvPath: String,
+      bronzePath: String, watermark: Option[String])
+      : (Option[String], Map[String, Any]) = {
     val raw = toBronze(readSalesCsv(spark, csvPath))
     watermark match {
       case None =>
@@ -109,8 +118,8 @@ object Ingest {
         val (observed, obs) = Metrics.observed(raw, "bronze_full_load",
           Seq("Date_ID"), extra = Seq(max(col("Date_ID")).as("max_date_id")))
         observed.write.mode("overwrite").partitionBy("Year").parquet(bronzePath)
-        Option(obs.get("max_date_id")).map(_.asInstanceOf[String])
-          .orElse(watermark)
+        (Option(obs.get("max_date_id")).map(_.asInstanceOf[String]),
+          obs.get.toMap)
       case Some(w) =>
         val fresh = raw.filter(col("Date_ID") > lit(w))
         val batchOld = raw.filter(col("Date_ID") <= lit(w))
@@ -118,20 +127,24 @@ object Ingest {
           .distinct().collect().map(_.getInt(0)).toSeq
         val changed = batchOld.exceptAll(
           existingForBatch(spark, bronzePath, batchOld, years))
+        // the watermark rides the WRITE job here too (same Observation
+        // channel as the full load — no separate max job over the
+        // batch). Folding max(written) with the old mark is exact:
+        // every batch row > w is in `fresh` (hence written), and rows
+        // ≤ w can never raise the mark. The mark must never REGRESS: a
+        // changed-rows-only batch holds only Date_IDs at-or-below the
+        // old mark, and persisting that max would make unchanged rows
+        // look "fresh" again.
+        val (observed, obs) = Metrics.observed(fresh.unionByName(changed),
+          "bronze_incremental", Seq("Date_ID"),
+          extra = Seq(max(col("Date_ID")).as("max_date_id")))
         // the plan reads bronzePath → staged atomic swap, not in-place
-        Upsert.overwriteAtomic(spark, fresh.unionByName(changed), bronzePath,
+        Upsert.overwriteAtomic(spark, observed, bronzePath,
           partitionCols = Seq("Year"))
-        // One ungrouped max over the BATCH (pushed into the CSV scan) —
-        // never a re-scan of bronze: any bronze row past the old mark
-        // came from this batch, so max(batch) folded with the old mark
-        // IS max(bronze). The mark must never REGRESS: a changed-rows-
-        // only batch holds only Date_IDs at-or-below the old mark, and
-        // persisting that max would make unchanged rows look "fresh"
-        // again.
-        val row = raw.agg(max("Date_ID")).first()
-        Option(row.getString(0))
+        (Option(obs.get("max_date_id")).map(_.asInstanceOf[String])
           .map(m => Ordering[String].max(w, m))
-          .orElse(watermark)
+          .orElse(watermark),
+          obs.get.toMap)
     }
   }
 

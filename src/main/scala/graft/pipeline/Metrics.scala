@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
   * At 100 TB the alternative is a second full scan per metric batch;
   * here the counters are free riders on the write.
   *
-  * Used by [[Ingest.ingest]]'s full-load path: the bronze watermark
-  * (max Date_ID), row count, and null-key count all come out of the
-  * write job itself — the separate watermark scan the incremental
-  * path still needs for its (tiny) batch is gone from the full load.
+  * Used by BOTH [[Ingest.ingest]] branches: the bronze watermark
+  * (max Date_ID), row count, and null-key count ride the write job
+  * itself — neither the full load nor an incremental batch ever runs
+  * a separate scan for its watermark.
   */
 object Metrics {
 

@@ -152,4 +152,24 @@ class IngestSpec extends SparkTestBase {
     Ingest.writeWatermark(p, "DT01245")
     assert(Ingest.readWatermark(p) === Some("DT01245"))
   }
+
+  test("observed metrics ride the write on BOTH ingest branches") {
+    val root = tmpDir("ingest_obs")
+    val bronze = s"$root/bronze"
+    // full load: 4 rows, no null keys, watermark from the write job
+    val (wm1, m1) = Ingest.ingestObserved(spark,
+      "/root/reference/IncrementalSales.csv", bronze, None)
+    assert(m1("n_rows") === 4L)
+    assert(m1("null_Date_ID") === 0L)
+    assert(m1("max_date_id") === "DT01247")
+    assert(wm1 === Some("DT01247"))
+    // incremental: only the 3 changed rows flow through the write, and
+    // the metrics come from that same job — max over the WRITTEN rows
+    // folded with the old mark is the watermark (no separate max scan)
+    val (wm2, m2) = Ingest.ingestObserved(spark,
+      "/root/reference/IncrementalSalesUpdate.csv", bronze, wm1)
+    assert(m2("n_rows") === 3L)
+    assert(m2("null_Date_ID") === 0L)
+    assert(wm2 === Some("DT01247"))
+  }
 }
