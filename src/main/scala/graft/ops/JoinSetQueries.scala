@@ -389,10 +389,18 @@ object JoinSetQueries {
     Q("join_bucketed_colocated", (spark, dir) => {
       val suffix = dir.hashCode.abs
       val (lt, ot) = (s"bj_lineitem_$suffix", s"bj_orders_$suffix")
+      // warehouse location comes from the session conf, not a
+      // hard-coded checkout path; the per-corpus tables are dropped and
+      // re-created HERE (not after the query) because the returned
+      // DataFrame is lazy — the caller evaluates it after this function
+      // returns, so the layout must outlive the call. Re-running is a
+      // full drop/recreate, so at most one run's tables exist.
+      val warehouse = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
       Seq(lt, ot).foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(s"/root/repo/spark-warehouse/$t"))
+          new java.io.File(warehouse, t))
       }
       Scale.writeBucketed(load(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),

@@ -3,7 +3,8 @@ package graft
 /** Every declared query must run end-to-end on sf0.001 (the driver's t1
   * smoke shape): no analysis errors, no runtime failures. Value
   * correctness is the DuckDB oracle's job (Verify + driver t2). */
-class QueriesSmokeSpec extends SparkTestBase {
+class QueriesSmokeSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
 
   // Captures WindowExec's "No Partition Defined" WARN for the duration
   // of this suite: every sanctioned single-partition window goes
@@ -52,13 +53,22 @@ class QueriesSmokeSpec extends SparkTestBase {
   }
 
   test("the full query sweep logged ZERO WindowExec global-window warnings") {
+    assert(windowWarns.get() === 0,
+      s"${windowWarns.get()} partition-less WindowExec executions during the " +
+        "sweep — route metadata-frame windows through GlobalRank.metaWindow")
+  }
+
+  // Detach in afterAll, not inside the final test, so a mid-suite abort
+  // cannot leak the appender onto the global logger. NOTE: the capture
+  // assumes suites run sequentially in one JVM (true under Test/fork
+  // with parallel execution off) — enabling testForkedParallel would
+  // let other suites' windows poison the counter.
+  override def afterAll(): Unit = {
     org.apache.logging.log4j.LogManager
       .getLogger("org.apache.spark.sql.execution.window.WindowExec")
       .asInstanceOf[org.apache.logging.log4j.core.Logger]
       .removeAppender(warnAppender)
     warnAppender.stop()
-    assert(windowWarns.get() === 0,
-      s"${windowWarns.get()} partition-less WindowExec executions during the " +
-        "sweep — route metadata-frame windows through GlobalRank.metaWindow")
+    super.afterAll()
   }
 }
