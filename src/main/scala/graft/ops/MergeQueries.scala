@@ -265,6 +265,29 @@ object MergeQueries {
       WHERE NOT (o_orderpriority = '1-URGENT' OR o_totalprice > 400000)
         AND NOT (o_orderkey % 1000 = 0)""")),
 
+    // COLUMN MAPPING (Delta's rename/drop-without-rewrite): rename and
+    // drop are manifest-metadata commits — parquet keeps the physical
+    // names, appends after the rename speak the new schema, the
+    // dropped column's bytes never resurface, and the whole history
+    // stays time-travelable. The snapshot after [rename price→amount,
+    // drop priority, append under the new schema] must equal a plain
+    // relational projection — proving the mapping layer is invisible
+    // to query semantics.
+    Q("txlog_column_mapping", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_colmap_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t = graft.pipeline.TxLog(spark, root)
+      val orders = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      t.overwrite(orders.filter(col("o_orderkey") % 2 === 0))
+      t.renameColumn("o_totalprice", "amount")
+      t.dropColumn("o_orderpriority")
+      t.append(orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice").as("amount")))
+      t.snapshot()
+    }, oracle = Some("""
+      SELECT o_orderkey, o_totalprice AS amount FROM orders""")),
+
     // O4 — CDC APPLY CHANGES: three-clause MERGE folding an I/U/D
     // change feed into the supplier dim (Upsert.applyChanges). Disjoint
     // op classes: every 3rd key updated (name v2, bal+5), every 7th

@@ -82,9 +82,20 @@ final case class TxLog(spark: SparkSession, root: String,
     *   #bloom\t<dir>\t<col>\t<hex>        // point-lookup Bloom bits, one per (dir, col)
     *   #txn\t<appId>\t<batchId>           // highest committed batch per writer app
     *   #tombstone\t<dir>\t<tsDir>         // merge-on-read deletion vector for <dir>
+    *   #colmap\t<logical>\t<physical>     // column mapping, one per VISIBLE column
+    *   #colretired\t<physical>            // physical name retired by DROP (never reused)
     *   <dir>                              // dir covers the whole table
     *   <dir>\t<partValue>                 // dir carries this partition's live rows
     * }}}
+    * `#colmap` lines (Delta's column-mapping `name` mode) decouple the
+    * VISIBLE (logical) schema from the names stored in parquet
+    * (physical): [[renameColumn]]/[[dropColumn]] commit new mapping
+    * metadata and rewrite ZERO data. No lines = identity mapping
+    * (legacy tables). When present, the mapping is TOTAL: the visible
+    * schema is exactly the mapped logical names in line order, and
+    * unmapped physical columns are invisible (dropped). All other
+    * manifest internals — stats headers, range/bloom keys, partcol —
+    * are keyed by PHYSICAL names and are rename-stable.
     * A dir may appear on several entry lines (one per partition it is
     * live for); rows of OTHER partitions inside such a dir are dead —
     * superseded by a later merge — and filtered out on read.
@@ -99,7 +110,9 @@ final case class TxLog(spark: SparkSession, root: String,
                               txns: Map[String, Long] = Map.empty,
                               blooms: Map[(String, String), String] = Map.empty,
                               checks: Seq[(String, String)] = Nil,
-                              tombstones: Map[String, Seq[String]] = Map.empty) {
+                              tombstones: Map[String, Seq[String]] = Map.empty,
+                              colMap: Seq[(String, String)] = Nil,
+                              retired: Seq[String] = Nil) {
     def dirs: Seq[String] = entries.map(_._1).distinct
   }
 
@@ -146,6 +159,14 @@ final case class TxLog(spark: SparkSession, root: String,
         case _ => throw new java.io.IOException(s"bad tombstone line: $l")
       }
     }.groupBy(_._1).map { case (d, ts) => d -> ts.map(_._2) }
+    val colMap = lines.filter(_.startsWith("#colmap\t")).map { l =>
+      l.stripPrefix("#colmap\t").split('\t') match {
+        case Array(lg, ph) => (lg, ph)
+        case _ => throw new java.io.IOException(s"bad colmap line: $l")
+      }
+    }
+    val retired = lines.filter(_.startsWith("#colretired\t"))
+      .map(_.stripPrefix("#colretired\t"))
     val entries = lines.filterNot(_.startsWith("#")).map { l =>
       l.split('\t') match {
         case Array(d) => (d, None)
@@ -153,7 +174,8 @@ final case class TxLog(spark: SparkSession, root: String,
         case _ => throw new java.io.IOException(s"bad manifest line: $l")
       }
     }
-    Manifest(partCol, stats, entries, ranges, txns, blooms, checks, tombstones)
+    Manifest(partCol, stats, entries, ranges, txns, blooms, checks, tombstones,
+      colMap, retired)
   }
 
   private def manifestLines(m: Manifest): Seq[String] =
@@ -167,6 +189,8 @@ final case class TxLog(spark: SparkSession, root: String,
       m.txns.toSeq.sortBy(_._1).map { case (a, i) => s"#txn\t$a\t$i" } ++
       m.tombstones.toSeq.sortBy(_._1).flatMap { case (d, ts) =>
         ts.map(t => s"#tombstone\t$d\t$t") } ++
+      m.colMap.map { case (lg, ph) => s"#colmap\t$lg\t$ph" } ++
+      m.retired.map(ph => s"#colretired\t$ph") ++
       m.entries.map { case (d, t) => d + t.fold("")("\t" + _) }
 
   private def readManifest(v: Long): Seq[String] =
@@ -199,12 +223,19 @@ final case class TxLog(spark: SparkSession, root: String,
       .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
         (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
       }
+    // column mapping in SQL form: visible = mapped logical names in
+    // line order, each aliasing its physical column (identity when
+    // the table is unmapped)
+    val visible: Seq[(String, String, org.apache.spark.sql.types.DataType)] =
+      if (m.colMap.isEmpty) all.map(f => (f.name, f.name, f.dataType))
+      else m.colMap.flatMap { case (lg, ph) =>
+        all.find(_.name == ph).map(f => (lg, ph, f.dataType)) }
     def q(s: String) = s.replace("'", "''")
     m.entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
       val have = schemas(d).fieldNames.toSet
-      val cols = all.map(f =>
-        if (have(f.name)) s"`${f.name}`"
-        else s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`").mkString(", ")
+      val cols = visible.map { case (lg, ph, dt) =>
+        if (have(ph)) s"`$ph`" + (if (ph == lg) "" else s" AS `$lg`")
+        else s"CAST(NULL AS ${dt.sql}) AS `$lg`" }.mkString(", ")
       val tags = es.flatMap(_._2)
       val tagPred = m.partCol match {
         case Some(pc) if tags.length == es.length =>
@@ -295,12 +326,13 @@ final case class TxLog(spark: SparkSession, root: String,
     val v = if (version >= 0) version else currentVersion()
     require(v >= 0, s"TxLog table at $root has no commits")
     val m = readManifestFull(v)
-    val (c, t) = statsEntry(m, column)
+    val (c, t) = statsEntry(m, column) // physical name keys the prune
+    val lg = logicalOf(m.colMap, c)   // visible name keys the residual
     import org.apache.spark.sql.functions.{col, expr}
     def q(s: String) = s.replace("'", "''") // SQL-literal escape
     readEntries(m, pruneDirs(m, c, t, lo, hi).toSet)
-      .filter(col(c) >= expr(s"CAST('${q(lo)}' AS $t)") &&
-        col(c) <= expr(s"CAST('${q(hi)}' AS $t)"))
+      .filter(col(lg) >= expr(s"CAST('${q(lo)}' AS $t)") &&
+        col(lg) <= expr(s"CAST('${q(hi)}' AS $t)"))
   }
 
   /** [[snapshotRangeOn]] over the FIRST declared stats column. */
@@ -310,10 +342,148 @@ final case class TxLog(spark: SparkSession, root: String,
     snapshotRangeOn(firstStatsCol(readManifestFull(v)), lo, hi, version)
   }
 
-  private def statsEntry(m: Manifest, column: String): (String, String) =
-    m.stats.find(_._1 == column).getOrElse(throw new IllegalArgumentException(
+  // ---- column mapping (logical ⇄ physical name indirection) ----
+
+  /** Physical name behind logical `c` (identity when unmapped). */
+  private def physicalOf(map: Seq[(String, String)], c: String): String =
+    map.find(_._1 == c).map(_._2).getOrElse(c)
+
+  /** Logical name exposing physical `p` (identity when unmapped). */
+  private def logicalOf(map: Seq[(String, String)], p: String): String =
+    map.find(_._2 == p).map(_._1).getOrElse(p)
+
+  /** Project a PHYSICAL-named frame to the manifest's visible (logical)
+    * schema. Mapped columns absent from `df` (a pruned read whose
+    * chosen dirs predate an evolution) are skipped — same contract as
+    * the unmapped read, which also exposes only the chosen dirs'
+    * columns. Identity (no-op) for unmapped tables. */
+  private def toLogical(map: Seq[(String, String)], df: DataFrame): DataFrame =
+    if (map.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      val have = df.columns.toSet
+      df.select(map.collect { case (lg, ph) if have(ph) => col(ph).as(lg) }: _*)
+    }
+
+  /** Rename a LOGICAL-named frame to physical names for a carrying
+    * write, and mint identity mappings for columns the map does not
+    * know yet (additive evolution on a mapped table). A new logical
+    * name colliding with a retired physical name gets a fresh physical
+    * (`name__r<k>`) so dropped data can never resurrect. Returns the
+    * physical frame and the FULL map for the commit. */
+  private def toPhysical(map: Seq[(String, String)], retired: Seq[String],
+                         df: DataFrame): (DataFrame, Seq[(String, String)]) =
+    if (map.isEmpty) (df, map)
+    else {
+      // retired physicals stay poisoned forever: re-using one would
+      // resurrect the dropped column's bytes out of old dirs
+      val physTaken = scala.collection.mutable.Set((map.map(_._2) ++ retired): _*)
+      var out = map
+      val renamed = df.columns.foldLeft(df) { (acc, c) =>
+        map.find(_._1 == c) match {
+          case Some((_, ph)) => if (ph == c) acc else acc.withColumnRenamed(c, ph)
+          case None =>
+            val ph = if (!physTaken(c)) c
+              else Iterator.from(1).map(k => s"${c}__r$k").find(!physTaken(_)).get
+            physTaken += ph
+            out = out :+ ((c, ph))
+            if (ph == c) acc else acc.withColumnRenamed(c, ph)
+        }
+      }
+      (renamed, out)
+    }
+
+  /** Current version's column map + retired physicals (empty for
+    * unmapped/absent tables). */
+  private def currentMapState(): (Seq[(String, String)], Seq[String]) = {
+    val cur = currentVersion()
+    if (cur < 0) (Nil, Nil)
+    else { val m = readManifestFull(cur); (m.colMap, m.retired) }
+  }
+
+  /** The TOTAL map a first rename/drop starts from: the existing map,
+    * or identity over the merged physical schema. */
+  private def totalColMap(m: Manifest): Seq[(String, String)] =
+    if (m.colMap.nonEmpty) m.colMap
+    else spark.read.option("mergeSchema", "true")
+      .parquet(m.dirs.map(dirPath): _*).schema.fieldNames.toSeq.map(c => (c, c))
+
+  /** Refuse mapping ops on columns other machinery binds by name. */
+  private def requireRemappable(m: Manifest, logical: String,
+                                physical: String): Unit = {
+    require(!m.partCol.contains(physical),
+      s"cannot rename/drop partition column '$logical' of TxLog table at $root")
+    val word = ("(?<![A-Za-z0-9_`])" +
+      java.util.regex.Pattern.quote(logical) + "(?![A-Za-z0-9_`])").r
+    m.checks.find(c => word.findFirstIn(c._2).isDefined).foreach { case (n, sql) =>
+      throw new IllegalArgumentException(
+        s"cannot rename/drop '$logical': CHECK constraint '$n' ($sql) references it — drop the constraint first")
+    }
+  }
+
+  /** RENAME COLUMN — metadata-only, Delta column-mapping parity: the
+    * logical name changes in the manifest; parquet keeps the physical
+    * name; ZERO data rewritten. Time travel reads each version under
+    * that version's own names. Stats/bloom skipping survives (keyed by
+    * the physical name); the partition column and CHECK-referenced
+    * columns are refused (their machinery binds by name). A full
+    * rewrite ([[compact]]/[[merge]]/[[overwrite]]) later MATERIALIZES
+    * the mapping — logical names become physical, the map resets. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    require(oldName != newName, s"rename to the same name '$oldName'")
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val cur = currentVersion()
+      require(cur >= 0, s"TxLog table at $root has no commits")
+      val m = readManifestFull(cur)
+      val map = totalColMap(m)
+      val ph = map.find(_._1 == oldName).map(_._2).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$oldName' in TxLog table at $root (visible: ${map.map(_._1).mkString(",")})"))
+      require(!map.exists(_._1 == newName),
+        s"column '$newName' already exists in TxLog table at $root")
+      requireRemappable(m, oldName, ph)
+      val lines = manifestLines(m.copy(colMap =
+        map.map { case (lg, p) => if (lg == oldName) (newName, p) else (lg, p) }))
+      if (tryCommitManifest(cur + 1, lines, s"RENAME COLUMN $oldName TO $newName"))
+        return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog renameColumn lost $MaxRaceRetries optimistic races at $root")
+  }
+
+  /** DROP COLUMN — metadata-only (the mapping entry disappears; the
+    * physical bytes stay until a rewrite). A later append re-adding the
+    * same logical name mints a FRESH physical name, so the dropped
+    * column's old values never resurrect — Delta's drop semantics. */
+  def dropColumn(name: String): Long = {
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val cur = currentVersion()
+      require(cur >= 0, s"TxLog table at $root has no commits")
+      val m = readManifestFull(cur)
+      val map = totalColMap(m)
+      val ph = map.find(_._1 == name).map(_._2).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$name' in TxLog table at $root (visible: ${map.map(_._1).mkString(",")})"))
+      require(map.size > 1, s"cannot drop the last column '$name'")
+      requireRemappable(m, name, ph)
+      val lines = manifestLines(m.copy(colMap = map.filterNot(_._1 == name),
+        retired = (m.retired :+ ph).distinct))
+      if (tryCommitManifest(cur + 1, lines, s"DROP COLUMN $name")) return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog dropColumn lost $MaxRaceRetries optimistic races at $root")
+  }
+
+  private def statsEntry(m: Manifest, column: String): (String, String) = {
+    val ph = physicalOf(m.colMap, column)
+    m.stats.find(_._1 == ph).getOrElse(throw new IllegalArgumentException(
       s"TxLog table at $root keeps no stats for '$column' " +
         s"(tracked: ${m.stats.map(_._1).mkString(",")}) — commit through a TxLog(statsCols=...) writer"))
+  }
 
   private def firstStatsCol(m: Manifest): String =
     m.stats.headOption.map(_._1).getOrElse(throw new IllegalArgumentException(
@@ -397,9 +567,9 @@ final case class TxLog(spark: SparkSession, root: String,
       // merged across all dirs, so a schema-evolved table still exposes
       // columns a later append introduced (a residual filter on such a
       // column must resolve, not throw)
-      return spark.read.option("mergeSchema", "true")
+      return toLogical(m.colMap, spark.read.option("mergeSchema", "true")
         .parquet(m.dirs.map(dirPath): _*)
-        .filter(org.apache.spark.sql.functions.lit(false))
+        .filter(org.apache.spark.sql.functions.lit(false)))
     val dirty = chosen.map(_._1).distinct
       .filter(d => m.tombstones.get(d).exists(_.nonEmpty)).toSet
     // mergeSchema / allowMissingColumns: SCHEMA EVOLUTION — an append
@@ -435,8 +605,8 @@ final case class TxLog(spark: SparkSession, root: String,
           case _ => df
         }
       }
-    (cleanDf.toSeq ++ dirtyDfs)
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    toLogical(m.colMap, (cleanDf.toSeq ++ dirtyDfs)
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
   /** Resolve a manifest dir entry to a filesystem path. Entries are
@@ -464,12 +634,16 @@ final case class TxLog(spark: SparkSession, root: String,
     * read. Columns that are absent/unsupported are dropped from the
     * header; bounds containing line-format characters are dropped from
     * the ranges (conservative reads, never wrong). */
-  private def statsFor(uuid: String): (Seq[(String, String)], Map[(String, String), (String, String)]) =
+  private def statsFor(uuid: String, colMap: Seq[(String, String)] = Nil)
+      : (Seq[(String, String)], Map[(String, String), (String, String)]) =
     if (statsCols.isEmpty) (Seq.empty, Map.empty)
     else {
       import org.apache.spark.sql.functions.{col, max, min}
       val df = snapshotOfDir(uuid)
-      val usable = statsCols.flatMap(c => df.schema.find(_.name == c)
+      // writer config names columns LOGICALLY; the dir (and the stats
+      // header keys) are physical — translate through the commit's map
+      val usable = statsCols.map(physicalOf(colMap, _))
+        .flatMap(c => df.schema.find(_.name == c)
         .filter(f => StatsSafeTypes(f.dataType.sql))
         .map(f => (c, f.dataType.sql)))
       if (usable.isEmpty) (Seq.empty, Map.empty)
@@ -515,12 +689,14 @@ final case class TxLog(spark: SparkSession, root: String,
                             hdr: Seq[(String, String)]): Seq[(String, String)] =
     hdr ++ prevStats.filterNot(p => hdr.exists(_._1 == p._1))
 
-  private def bloomsFor(uuid: String): Map[(String, String), String] =
+  private def bloomsFor(uuid: String, colMap: Seq[(String, String)] = Nil)
+      : Map[(String, String), String] =
     if (bloomCols.isEmpty) Map.empty
     else {
       import org.apache.spark.sql.functions.{array, bit_or, col, explode, expr, lit, pmod, xxhash64}
       val df = snapshotOfDir(uuid)
-      bloomCols.filter(c => df.schema.exists(_.name == c)).flatMap { c =>
+      bloomCols.map(physicalOf(colMap, _))
+        .filter(c => df.schema.exists(_.name == c)).flatMap { c =>
         val words = df.filter(col(c).isNotNull)
           .select(explode(array((0 until BloomHashes).map(i =>
             pmod(xxhash64(lit(i), col(c).cast("string")), lit(bloomBits.toLong))): _*))
@@ -563,9 +739,10 @@ final case class TxLog(spark: SparkSession, root: String,
     val v = if (version >= 0) version else currentVersion()
     require(v >= 0, s"TxLog table at $root has no commits")
     val m = readManifestFull(v)
+    val ph = physicalOf(m.colMap, column) // bloom/stats keys are physical
     val bloomed = m.dirs.filter(d =>
-      m.blooms.get((d, column)).forall(bloomMayContain(_, value)))
-    m.stats.find(_._1 == column) match {
+      m.blooms.get((d, ph)).forall(bloomMayContain(_, value)))
+    m.stats.find(_._1 == ph) match {
       case Some((c, t)) => bloomed.intersect(pruneDirs(m, c, t, value, value))
       case None => bloomed
     }
@@ -784,9 +961,16 @@ final case class TxLog(spark: SparkSession, root: String,
     * winner's data (lost update); re-reading makes concurrent appends
     * serialize losslessly (pinned by the TxLogSpec race test). */
   def append(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
-    val uuid = writeDataDir(df)
-    val (hdr, newRanges) = statsFor(uuid)
-    val newBlooms = bloomsFor(uuid)
+    // carrying commit on a mapped table: the new dir must store
+    // PHYSICAL names (carried dirs do), and evolution columns mint
+    // mapping entries. The map is read once up front — a concurrent
+    // rename racing this append is the same single-metadata-writer
+    // caveat as identity columns.
+    val (curMap, curRetired) = currentMapState()
+    val (phys, fullMap) = toPhysical(curMap, curRetired, df)
+    val uuid = writeDataDir(phys)
+    val (hdr, newRanges) = statsFor(uuid, fullMap)
+    val newBlooms = bloomsFor(uuid, fullMap)
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val cur = currentVersion()
@@ -813,7 +997,8 @@ final case class TxLog(spark: SparkSession, root: String,
         txnsAfter(prev.txns, txn),
         prev.blooms ++ newBlooms,
         checks,
-        prev.tombstones) // carried dirs keep their deletion vectors
+        prev.tombstones, // carried dirs keep their deletion vectors
+        colMap = fullMap, retired = prev.retired)
       if (tryCommitManifest(cur + 1, manifestLines(m), "APPEND")) return cur + 1
       attempt += 1
     }
@@ -849,7 +1034,8 @@ final case class TxLog(spark: SparkSession, root: String,
       if (!exists()) 0L
       else {
         val m = readManifestFull(currentVersion())
-        val maxes = m.ranges.collect { case ((_, c), (_, hi)) if c == idCol => hi.toLong }
+        val phId = physicalOf(m.colMap, idCol) // range keys are physical
+        val maxes = m.ranges.collect { case ((_, c), (_, hi)) if c == phId => hi.toLong }
         if (maxes.isEmpty) 0L else maxes.max + 1L
       }
     val order = if (orderCols.nonEmpty) orderCols
@@ -988,15 +1174,20 @@ final case class TxLog(spark: SparkSession, root: String,
               org.apache.spark.sql.functions.col(partCol)
                 .cast("string").isin(hit: _*)))
           }
+          // dirVisibleRows is physical-named; the fold (and its src)
+          // speak the visible schema — map at the boundary
           val t =
-            if (touched.nonEmpty) touched.reduce(_.unionByName(_))
+            if (touched.nonEmpty)
+              toLogical(prev.colMap, touched.reduce(_.unionByName(_)))
             else snapshot(base).filter(org.apache.spark.sql.functions.lit(false))
           (t, entries.filter { case (_, p) => !p.exists(affected) })
         } else (snapshot(base), Seq.empty[(String, Option[String])])
       val folded = fold(target).localCheckpoint(true)
-      val uuid = writeDataDir(folded)
-      val (hdr, newRanges) = statsFor(uuid)
-      val newBlooms = bloomsFor(uuid)
+      // carried dirs keep physical names — the rewritten dir must too
+      val (physFolded, fullMap) = toPhysical(prev.colMap, prev.retired, folded)
+      val uuid = writeDataDir(physFolded)
+      val (hdr, newRanges) = statsFor(uuid, fullMap)
+      val newBlooms = bloomsFor(uuid, fullMap)
       val header = carriedHeader(prev.stats, hdr)
       val headerCols = header.map(_._1).toSet
       val carriedRanges = prev.ranges.filter { case ((d, c), _) =>
@@ -1022,7 +1213,8 @@ final case class TxLog(spark: SparkSession, root: String,
       val lines = manifestLines(Manifest(Some(partCol), header,
         carry ++ newEntries,
         carriedRanges ++ newRanges, txnsAfter(prev.txns, txn),
-        carriedBlooms ++ newBlooms, checks, carriedTombs))
+        carriedBlooms ++ newBlooms, checks, carriedTombs,
+        colMap = fullMap, retired = prev.retired))
       if (tryCommitManifest(base + 1, lines, op.toUpperCase)) return base + 1
       attempt += 1
     }
@@ -1110,7 +1302,17 @@ final case class TxLog(spark: SparkSession, root: String,
         }
         val widened = full.fields.filterNot(f => vis.columns.contains(f.name))
           .foldLeft(vis)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
-        widened.filter(expr(predicate))
+        // the predicate speaks the VISIBLE schema: project physical →
+        // logical (keeping the row-address columns) before evaluating
+        val visNamed =
+          if (m.colMap.isEmpty) widened
+          else {
+            val have = widened.columns.toSet
+            widened.select(m.colMap.collect {
+              case (lg, ph) if have(ph) => col(ph).as(lg) } ++
+              Seq(col(DvFile), col(DvRow)): _*)
+          }
+        visNamed.filter(expr(predicate))
           .select(col(DvFile).as("file"), col(DvRow).as("row"),
             lit(d).as("__dir"))
       }.reduce(_.unionByName(_)).localCheckpoint(true)
@@ -1200,7 +1402,10 @@ final case class TxLog(spark: SparkSession, root: String,
           case (d, None) => dirVisibleRows(prev.tombstones, d)
         }.reduce(_.unionByName(_, allowMissingColumns = true))
       val k = math.max(1L, smallDirs.map(sizes).sum / targetBytes).toInt
-      val clusterCol = prev.partCol.orElse(statsCols.headOption)
+      // `rows` is physical-named (raw dir reads) — resolve the writer's
+      // logical cluster column through the map; partCol is physical
+      val clusterCol = prev.partCol.orElse(
+        statsCols.headOption.map(physicalOf(prev.colMap, _)))
       val packed = clusterCol.fold(rows.repartition(k))(c =>
           rows.repartitionByRange(k, col(c)))
         .withColumn("__bucket", spark_partition_id())
@@ -1209,7 +1414,7 @@ final case class TxLog(spark: SparkSession, root: String,
         val part = packed.filter(col("__bucket") === b).drop("__bucket")
         if (part.isEmpty) None else Some(writeDataDir(part))
       }
-      val stats = uuids.map(statsFor)
+      val stats = uuids.map(statsFor(_, prev.colMap))
       val header = carriedHeader(prev.stats,
         stats.map(_._1).find(_.nonEmpty).getOrElse(Seq.empty))
       val headerCols = header.map(_._1).toSet
@@ -1231,9 +1436,9 @@ final case class TxLog(spark: SparkSession, root: String,
         addedChecks(prev.checks), carriedTombs)
       val m = Manifest(prev.partCol, header, carry ++ newEntries,
         carriedRanges ++ stats.flatMap(_._2).toMap, prev.txns,
-        carriedBlooms ++ uuids.map(bloomsFor).foldLeft(
+        carriedBlooms ++ uuids.map(bloomsFor(_, prev.colMap)).foldLeft(
           Map.empty[(String, String), String])(_ ++ _),
-        checks, carriedTombs)
+        checks, carriedTombs, colMap = prev.colMap, retired = prev.retired)
       if (tryCommitManifest(cur + 1, manifestLines(m), "OPTIMIZE")) return cur + 1
       attempt += 1
     }
@@ -1320,8 +1525,8 @@ final case class TxLog(spark: SparkSession, root: String,
       val part = snap.filter(col("__bucket") === b).drop("__bucket")
       if (part.isEmpty) None else Some(writeDataDir(part))
     }
-    val stats = uuids.map(statsFor)
-    val blooms = uuids.map(bloomsFor).foldLeft(
+    val stats = uuids.map(statsFor(_))
+    val blooms = uuids.map(bloomsFor(_)).foldLeft(
       Map.empty[(String, String), String])(_ ++ _)
     val header = stats.map(_._1).find(_.nonEmpty).getOrElse(Seq.empty)
     var attempt = 0
@@ -1433,7 +1638,8 @@ final case class TxLog(spark: SparkSession, root: String,
       Map.empty, // fresh txn history
       m.blooms.map { case ((d, c), b) => (abs(d), c) -> b },
       m.checks,
-      m.tombstones.map { case (d, ts) => abs(d) -> ts.map(abs) })
+      m.tombstones.map { case (d, ts) => abs(d) -> ts.map(abs) },
+      m.colMap, m.retired) // the clone sees the same visible schema
     require(dest.tryCommitManifest(0L, manifestLines(cloned), s"CLONE $root@v$v"),
       s"clone destination $destRoot was committed concurrently")
     dest

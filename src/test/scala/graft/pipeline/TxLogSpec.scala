@@ -1050,4 +1050,96 @@ class TxLogSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
       === rows.sorted)
   }
+
+  test("column mapping: rename is metadata-only and time travel reads each version's own names") {
+    val t = TxLog(spark, tmpDir("txlog_colmap"), statsCols = Seq("id"))
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    val dirsBefore = t.snapshotDataDirs().toSet
+    val vRename = t.renameColumn("v", "amount")
+    // zero data rewritten: the new version references the SAME dirs,
+    // and the parquet files still store the physical name
+    assert(t.snapshotDataDirs(vRename).toSet === dirsBefore)
+    assert(spark.read.parquet(dirsBefore.head).columns.contains("v"))
+    // the visible schema renamed; values unchanged
+    assert(t.snapshot().columns.toSeq === Seq("id", "amount"))
+    assert(t.snapshot().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // time travel: the pre-rename version still reads the OLD name
+    assert(t.snapshot(vRename - 1).columns.toSeq === Seq("id", "v"))
+    // a later append speaks the new schema and lands under the mapping
+    t.append(Seq((4L, "d")).toDF("id", "amount"))
+    assert(t.snapshot().filter(col("amount") === "d").count() === 1)
+    // snapshotSql exposes the mapped names too
+    assert(spark.sql(t.snapshotSql()).columns.toSeq === Seq("id", "amount"))
+    assert(spark.sql(t.snapshotSql()).count() === 4)
+  }
+
+  test("column mapping: renaming a STATS column keeps range skipping alive (physical keys)") {
+    val t = TxLog(spark, tmpDir("txlog_colmap_stats"), statsCols = Seq("id"))
+    t.overwrite((1L to 100L).map(i => (i, s"r$i")).toDF("id", "v"))
+    t.append((101L to 200L).map(i => (i, s"r$i")).toDF("id", "v"))
+    t.renameColumn("id", "key")
+    // the prune resolves the logical name to its physical stats key
+    val total = t.snapshotDataDirs().length
+    assert(t.rangeDirs("1", "50", Some("key")).length < total)
+    assert(t.snapshotRangeOn("key", "1", "50").count() === 50)
+    // an append through the NEW writer-facing name still records stats
+    // under the stable physical key — skipping covers the new dir too
+    val t2 = TxLog(spark, t.root, statsCols = Seq("key"))
+    t2.append((201L to 300L).map(i => (i, s"r$i")).toDF("key", "v"))
+    assert(t2.rangeDirs("250", "260", Some("key")).length === 1)
+    assert(t2.snapshotRangeOn("key", "250", "260").count() === 11)
+  }
+
+  test("column mapping: drop hides the column and a re-added name never resurrects old values") {
+    val t = fresh("colmap_drop")
+    t.overwrite(Seq((1L, "s1", "x"), (2L, "s2", "y")).toDF("id", "secret", "keep"))
+    val vDrop = t.dropColumn("secret")
+    assert(t.snapshot().columns.toSeq === Seq("id", "keep"))
+    // time travel still reads the dropped column at pre-drop versions
+    assert(t.snapshot(vDrop - 1).columns.contains("secret"))
+    // re-adding the SAME logical name maps to a FRESH physical column:
+    // the old rows' dropped values stay invisible (null), never resurrect
+    t.append(Seq((3L, "z", "s3-new")).toDF("id", "keep", "secret"))
+    val got = t.snapshot().collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("secret")))).toMap
+    assert(got === Map(1L -> None, 2L -> None, 3L -> Some("s3-new")))
+    // a full rewrite MATERIALIZES the mapping: logical names become
+    // physical and the map resets (data now stores "secret" directly)
+    t.compact()
+    assert(t.snapshot().columns.sorted.toSeq === Seq("id", "keep", "secret"))
+    assert(spark.read.parquet(t.snapshotDataDirs().head).columns.contains("secret"))
+    assert(t.snapshot().filter(col("secret").isNotNull).count() === 1)
+  }
+
+  test("column mapping: partitioned merge carries the mapping; deleteWhere speaks the visible schema") {
+    val t = fresh("colmap_merge")
+    t.overwritePartitioned(
+      Seq((1L, "2024-01", 10L), (2L, "2024-02", 20L)).toDF("id", "month", "v"),
+      "month")
+    t.renameColumn("v", "amount")
+    // pruned merge through the NEW name: only 2024-02 rewrites
+    t.mergePartitioned(Seq((2L, "2024-02", 25L)).toDF("id", "month", "amount"),
+      Seq("id"), "month")
+    assert(t.snapshot().collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("amount")).toMap
+      === Map(1L -> 10L, 2L -> 25L))
+    // merge-on-read delete with a predicate over the visible name
+    t.deleteWhere("amount = 10")
+    assert(t.snapshot().collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // the partition column itself is not remappable
+    assertThrows[IllegalArgumentException](t.renameColumn("month", "m"))
+  }
+
+  test("column mapping: CHECK-referenced columns refuse rename/drop") {
+    val t = TxLog(spark, tmpDir("txlog_colmap_chk"),
+      checkConstraints = Seq(("pos_v", "v >= 0")))
+    t.overwrite(Seq((1L, 5L)).toDF("id", "v"))
+    assertThrows[IllegalArgumentException](t.renameColumn("v", "amount"))
+    assertThrows[IllegalArgumentException](t.dropColumn("v"))
+    // un-referenced columns stay remappable
+    t.renameColumn("id", "pk")
+    assert(t.snapshot().columns.toSeq === Seq("pk", "v"))
+  }
 }
