@@ -375,22 +375,29 @@ final case class TxLog(spark: SparkSession, root: String,
                          df: DataFrame): (DataFrame, Seq[(String, String)]) =
     if (map.isEmpty) (df, map)
     else {
+      import org.apache.spark.sql.functions.col
       // retired physicals stay poisoned forever: re-using one would
       // resurrect the dropped column's bytes out of old dirs
       val physTaken = scala.collection.mutable.Set((map.map(_._2) ++ retired): _*)
       var out = map
-      val renamed = df.columns.foldLeft(df) { (acc, c) =>
+      // ONE atomic projection, never a fold of withColumnRenamed: a
+      // legal rename chain can map a logical name onto ANOTHER
+      // column's physical name (rename a→x; rename b→a), where
+      // sequential renames collide or capture the wrong column
+      val cols = df.columns.toSeq.map { c =>
         map.find(_._1 == c) match {
-          case Some((_, ph)) => if (ph == c) acc else acc.withColumnRenamed(c, ph)
+          case Some((_, ph)) => col(c).as(ph)
           case None =>
+            require(!c.exists("\t\n\r".contains(_)),
+              s"column name '$c' cannot join a mapped table (manifest line format)")
             val ph = if (!physTaken(c)) c
               else Iterator.from(1).map(k => s"${c}__r$k").find(!physTaken(_)).get
             physTaken += ph
             out = out :+ ((c, ph))
-            if (ph == c) acc else acc.withColumnRenamed(c, ph)
+            col(c).as(ph)
         }
       }
-      (renamed, out)
+      (df.select(cols: _*), out)
     }
 
   /** Current version's column map + retired physicals (empty for
@@ -431,6 +438,8 @@ final case class TxLog(spark: SparkSession, root: String,
     * the mapping — logical names become physical, the map resets. */
   def renameColumn(oldName: String, newName: String): Long = {
     require(oldName != newName, s"rename to the same name '$oldName'")
+    require(newName.nonEmpty && !newName.exists("\t\n\r".contains(_)),
+      s"column name '$newName' must be non-empty and tab/newline-free (manifest line format)")
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val cur = currentVersion()
@@ -842,7 +851,8 @@ final case class TxLog(spark: SparkSession, root: String,
   private def enforceChecks(dirs: Seq[(String, Option[Seq[String]])],
                             partCol: Option[String],
                             checks: Seq[(String, String)],
-                            tombs: Map[String, Seq[String]] = Map.empty): Unit = {
+                            tombs: Map[String, Seq[String]] = Map.empty,
+                            colMap: Seq[(String, String)] = Nil): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, sum, when}
     for ((d, tags) <- dirs) {
       // length-prefixed tag encoding: tags are arbitrary cast-to-string
@@ -863,8 +873,12 @@ final case class TxLog(spark: SparkSession, root: String,
         }
         val aggs = pending.map { case (n, sql) =>
           sum(when(not(coalesce(expr(sql), lit(true))), 1L).otherwise(0L)).as(s"__chk_$n") }
+        // constraint SQL speaks the VISIBLE schema — project physical →
+        // logical before evaluating (identity on unmapped tables), the
+        // same boundary deleteWhere's predicate crosses
+        val frame = toLogical(colMap, visible)
         val row =
-          try visible.agg(aggs.head, aggs.tail: _*).head()
+          try frame.agg(aggs.head, aggs.tail: _*).head()
           catch { case e: org.apache.spark.sql.AnalysisException =>
             // a constraint naming a column some pre-evolution dir lacks
             // cannot be evaluated there — fail loudly with the remedy
@@ -886,9 +900,11 @@ final case class TxLog(spark: SparkSession, root: String,
 
   /** Whole-dir validation — freshly-written dirs, where every row will
     * be visible. */
-  private def enforceChecks(dirUuids: Seq[String],
-                            checks: Seq[(String, String)]): Unit =
-    enforceChecks(dirUuids.map(d => d -> Option.empty[Seq[String]]), None, checks)
+  private def enforceChecksOnDirs(dirUuids: Seq[String],
+                                  checks: Seq[(String, String)],
+                                  colMap: Seq[(String, String)] = Nil): Unit =
+    enforceChecks(dirUuids.map(d => d -> Option.empty[Seq[String]]), None, checks,
+      colMap = colMap)
 
   /** Manifest-filtered validation of a snapshot's entries: each dir
     * restricted to the partition tags that manifest exposes for it,
@@ -896,7 +912,7 @@ final case class TxLog(spark: SparkSession, root: String,
   private def enforceChecksOnEntries(m: Manifest,
                                      checks: Seq[(String, String)]): Unit =
     enforceChecks(entryTagSets(m.entries, m.partCol), m.partCol, checks,
-      m.tombstones)
+      m.tombstones, m.colMap)
 
   /** Group (dir, tag) manifest lines into per-dir live-tag sets; a dir
     * with any untagged line (or an untagged table) validates in full. */
@@ -945,7 +961,7 @@ final case class TxLog(spark: SparkSession, root: String,
         else Manifest(None, Seq.empty, Seq.empty, Map.empty)
       // constraints survive an overwrite (table metadata, not data)
       val checks = mergedChecks(prev.checks)
-      enforceChecks(Seq(uuid), checks)
+      enforceChecksOnDirs(Seq(uuid), checks)
       val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
         prev.txns, blooms, checks))
       if (tryCommitManifest(cur + 1, lines, "OVERWRITE")) return cur + 1
@@ -980,6 +996,12 @@ final case class TxLog(spark: SparkSession, root: String,
       // a redelivered append MUST be skipped — unlike merge, appending
       // the same batch twice duplicates rows
       if (alreadyCommitted(prev, txn)) return cur
+      // the new dir was translated with the PRE-loop map: committing it
+      // under a concurrently-changed mapping would silently revert the
+      // rename/drop (Delta raises MetadataChangedException here)
+      if (prev.colMap != curMap || prev.retired != curRetired)
+        throw new java.io.IOException(
+          s"concurrent column-mapping change during append to $root — retry the append")
       // carry the previous snapshot's entries, partition tags, and
       // stats wholesale; ranges are keyed (dir, col), so carried stats
       // stay valid for every column the merged header tracks
@@ -988,7 +1010,7 @@ final case class TxLog(spark: SparkSession, root: String,
       // new data meets ALL constraints; existing data meets any the
       // writer is introducing with this commit (the ADD CONSTRAINT scan)
       val checks = mergedChecks(prev.checks)
-      enforceChecks(Seq(uuid), checks)
+      enforceChecksOnDirs(Seq(uuid), checks, colMap = fullMap)
       enforceChecksOnEntries(prev, addedChecks(prev.checks))
       val m = Manifest(prev.partCol,
         header,
@@ -1080,7 +1102,7 @@ final case class TxLog(spark: SparkSession, root: String,
           p
         } else Manifest(None, Seq.empty, Seq.empty, Map.empty)
       val checks = mergedChecks(prev.checks)
-      enforceChecks(Seq(uuid), checks)
+      enforceChecksOnDirs(Seq(uuid), checks)
       val lines = manifestLines(Manifest(Some(partCol), hdr, entries, ranges,
         txnsAfter(prev.txns, txn), blooms, checks))
       if (tryCommitManifest(cur + 1, lines, "OVERWRITE")) return cur + 1
@@ -1207,9 +1229,9 @@ final case class TxLog(spark: SparkSession, root: String,
       val carriedTombs = prev.tombstones.filter { case (d, _) =>
         carry.exists(_._1 == d) }
       val checks = mergedChecks(prev.checks)
-      enforceChecks(Seq(uuid), checks)
+      enforceChecksOnDirs(Seq(uuid), checks, colMap = fullMap)
       enforceChecks(entryTagSets(carry, Some(partCol)), Some(partCol),
-        addedChecks(prev.checks), carriedTombs)
+        addedChecks(prev.checks), carriedTombs, fullMap)
       val lines = manifestLines(Manifest(Some(partCol), header,
         carry ++ newEntries,
         carriedRanges ++ newRanges, txnsAfter(prev.txns, txn),
@@ -1253,7 +1275,7 @@ final case class TxLog(spark: SparkSession, root: String,
       val uuid = writeDataDir(merged)
       val (hdr, ranges) = statsFor(uuid)
       val checks = mergedChecks(prev.checks)
-      enforceChecks(Seq(uuid), checks)
+      enforceChecksOnDirs(Seq(uuid), checks)
       val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
         txnsAfter(prev.txns, txn), bloomsFor(uuid), checks))
       if (tryCommitManifest(base + 1, lines, "MERGE")) return base + 1
@@ -1422,18 +1444,28 @@ final case class TxLog(spark: SparkSession, root: String,
         headerCols(c) && carry.exists(_._1 == d) }
       val carriedBlooms = prev.blooms.filter { case ((d, _), _) =>
         carry.exists(_._1 == d) }
-      val newEntries = uuids.flatMap { u =>
+      val newEntries0 = uuids.flatMap { u =>
         prev.partCol match {
           case Some(pc) => partValues(snapshotOfDir(u), pc).map(p => (u, Option(p)))
           case None => Seq((u, Option.empty[String]))
         }
       }
+      // a full merge-on-read wipe leaves every dir dirty and zero
+      // visible rows: keep a zero-row dir referenced (untagged) so the
+      // manifest still resolves to a snapshot — same guard as the
+      // overwritePartitioned/foldCommit empty cases
+      val newEntries =
+        if (newEntries0.isEmpty && carry.isEmpty)
+          Seq((writeDataDir(packed.drop("__bucket")
+            .filter(org.apache.spark.sql.functions.lit(false))),
+            Option.empty[String]))
+        else newEntries0
       val carriedTombs = prev.tombstones.filter { case (d, _) =>
         carry.exists(_._1 == d) }
       val checks = mergedChecks(prev.checks)
-      enforceChecks(uuids, checks)
+      enforceChecksOnDirs(uuids, checks, prev.colMap)
       enforceChecks(entryTagSets(carry, prev.partCol), prev.partCol,
-        addedChecks(prev.checks), carriedTombs)
+        addedChecks(prev.checks), carriedTombs, prev.colMap)
       val m = Manifest(prev.partCol, header, carry ++ newEntries,
         carriedRanges ++ stats.flatMap(_._2).toMap, prev.txns,
         carriedBlooms ++ uuids.map(bloomsFor(_, prev.colMap)).foldLeft(
@@ -1536,7 +1568,7 @@ final case class TxLog(spark: SparkSession, root: String,
         if (cur >= 0) readManifestFull(cur)
         else Manifest(None, Seq.empty, Seq.empty, Map.empty)
       val checks = mergedChecks(prev.checks)
-      enforceChecks(uuids, checks)
+      enforceChecksOnDirs(uuids, checks)
       val m = Manifest(None, header,
         uuids.map(u => (u, None)), stats.flatMap(_._2).toMap, prev.txns,
         blooms, checks)

@@ -93,7 +93,7 @@ class SessionTimeoutProcessor
 
 object SessionTimers {
 
-  private[streaming] val GapUs = 1800000000L // 30 min in µs
+  private[streaming] def GapUs: Long = SessionizeStream.GapUs
 
   /** Runs the timer-driven sessionizer over the finite events replay
     * (sentinel batches advance the watermark so every open session's

@@ -26,7 +26,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object SessionizeStream {
 
-  private val GapUs = 1800000000L // 30 min in µs
+  // 30 min in µs — the ONE gap constant every sessionizer (this
+  // flatMapGroupsWithState twin, the transformWithState timer variant,
+  // and both oracle SQL literals) must agree on
+  private[streaming] val GapUs = 1800000000L
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, usec: Long,
                 event_id: Long, cents: Long)

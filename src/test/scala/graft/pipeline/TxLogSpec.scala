@@ -1132,6 +1132,40 @@ class TxLogSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](t.renameColumn("month", "m"))
   }
 
+  test("column mapping: a rename CHAIN that swaps a name onto another column's physical stays sound") {
+    val t = fresh("colmap_chain")
+    t.overwrite(Seq((1L, 10L)).toDF("a", "b"))
+    t.renameColumn("a", "x")
+    t.renameColumn("b", "a") // logical 'a' now points at physical 'b'
+    // append in VISIBLE order (x, a): x must land in physical 'a' and
+    // logical 'a' in physical 'b' — an atomic projection, not a
+    // sequential rename that would collide on the shared name
+    t.append(Seq((2L, 20L)).toDF("x", "a"))
+    assert(t.snapshot().columns.toSeq === Seq("x", "a"))
+    assert(t.snapshot().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      === Seq((1L, 10L), (2L, 20L)))
+    // and a CHECK added AFTER the swap validates the LOGICAL column
+    val t2 = TxLog(spark, t.root, checkConstraints = Seq(("a_pos", "a >= 0")))
+    t2.append(Seq((3L, 30L)).toDF("x", "a"))
+    assertThrows[IllegalStateException](
+      t2.append(Seq((4L, -1L)).toDF("x", "a")))
+    // line-format-hostile names are refused up front, not committed
+    assertThrows[IllegalArgumentException](t.renameColumn("x", "bad\tname"))
+  }
+
+  test("column mapping + merge-on-read: a FULL wipe then OPTIMIZE keeps the table readable") {
+    val t = fresh("mor_wipe_optimize")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.deleteWhere("id >= 0") // GDPR-wipe every row via tombstones
+    assert(t.snapshot().count() === 0)
+    t.compactSmallFiles(1024 * 1024) // materializes: all dirs dirty, zero survivors
+    // the committed manifest must still resolve to a (zero-row) snapshot
+    assert(t.snapshot().count() === 0)
+    assert(t.snapshot().columns.toSeq === Seq("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v")) // and the table stays writable
+    assert(t.snapshot().count() === 1)
+  }
+
   test("column mapping: CHECK-referenced columns refuse rename/drop") {
     val t = TxLog(spark, tmpDir("txlog_colmap_chk"),
       checkConstraints = Seq(("pos_v", "v >= 0")))
