@@ -272,6 +272,73 @@ object TextQueries {
                    ELSE 0.0 END) > 0.2 AS is_repetitive
       FROM m""")),
 
+    // CROSS-DOC REPEATED-SPAN audit — the "exact substring
+    // deduplication" signal (contiguous runs of shingles that also
+    // appear in other documents: boilerplate, licenses, templated
+    // text). Positions whose 3-gram shingle occurs in ≥2 distinct
+    // docs are marked via the inverted postings (one groupBy — never
+    // an all-pairs scan), then per-doc gaps-and-islands (pos −
+    // row_number, doc-partitioned window) finds MAXIMAL runs; runs of
+    // ≥5 shingles (≥7 tokens) count as spans. At 100 TB the postings
+    // are df-capped like the dedup index and every window is
+    // doc-partitioned — the run detection never leaves the document.
+    Q("text_repeated_spans", (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val sh = docs
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          when(size(col("toks")) >= 3,
+            transform(sequence(lit(0), size(col("toks")) - 3),
+              i => array_join(slice(col("toks"), i + lit(1), lit(3)), " ")))
+            .otherwise(array().cast("array<string>")).as("sh"))
+        .select(col("doc_id"), posexplode(col("sh")).as(Seq("pos", "shingle")))
+      val repeated = sh.select(col("shingle"), col("doc_id")).distinct()
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("shingle"))
+      val marked = sh.join(repeated, Seq("shingle"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val runs = marked
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("run_len"))
+        .filter(col("run_len") >= 5)
+      val perDoc = runs.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_spans"),
+        max(col("run_len")).as("longest_run"),
+        sum(col("run_len") + lit(2)).as("span_tokens"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+          coalesce(col("span_tokens"), lit(0L)).as("span_tokens"))
+    }, oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(range(1, greatest(len(toks) - 1, 1))) AS pos,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                      i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM t),
+      rep AS (
+        SELECT shingle FROM (SELECT DISTINCT shingle, doc_id FROM sh)
+        GROUP BY shingle HAVING count(*) >= 2),
+      runs AS (
+        SELECT doc_id, grp, count(*) AS run_len FROM (
+          SELECT s.doc_id, s.pos,
+                 s.pos - row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos) AS grp
+          FROM sh s JOIN rep r USING (shingle))
+        GROUP BY doc_id, grp HAVING count(*) >= 5),
+      per AS (
+        SELECT doc_id, count(*) AS n_spans, max(run_len) AS longest_run,
+               CAST(sum(run_len + 2) AS BIGINT) AS span_tokens
+        FROM runs GROUP BY doc_id)
+      SELECT d.doc_id,
+             COALESCE(n_spans, 0) AS n_spans,
+             COALESCE(longest_run, 0) AS longest_run,
+             COALESCE(span_tokens, 0) AS span_tokens
+      FROM documents d LEFT JOIN per USING (doc_id)""")),
+
     // WINSORIZED corpus statistics — robust per-language length stats
     // with the top and bottom DECILE of documents (by n_chars, doc_id
     // tiebreak — a total order) trimmed before aggregating: the

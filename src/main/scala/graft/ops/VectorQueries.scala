@@ -424,6 +424,44 @@ object VectorQueries {
       FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE $oracleCos >= 0.3""")),
 
+    // NEAREST-NEIGHBOR GRAPH within LSH buckets — the kNN-graph
+    // construction step semantic-dedup/clustering pipelines run over
+    // a whole corpus (SemDedup's first stage): every vector's single
+    // best neighbor among its SRP-bucket peers, ties broken by id.
+    // The bucket equi-join bounds the candidate set (never all
+    // pairs), and the per-vector top-1 is a rank-1 window that
+    // Catalyst executes as WindowGroupLimit — a map-side limit, no
+    // per-vector global sort. Same deterministic hyperplanes as
+    // `sim_lsh_bucketed`, so the oracle replays bucket assignment and
+    // the cosine folds bit-for-bit.
+    Q("sim_nn_graph", (spark, dir) => {
+      graft.plans.VectorHofRewrite.install(spark)
+      val e = load(spark, dir, "embeddings")
+        .withColumn("bucket",
+          graft.functions.VectorFunctions.srpBucket(col("embedding"), 8))
+      val a = e.select(col("bucket"), col("vec_id"), col("embedding").as("va"))
+      val b = e.select(col("bucket"), col("vec_id").as("nn_id"),
+        col("embedding").as("vb"))
+      val pairs = a.join(b, Seq("bucket"))
+        .filter(col("vec_id") =!= col("nn_id"))
+        .withColumn("score",
+          VectorExpressions.cosine_sim(spark, col("va"), col("vb")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("nn_id"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("nn_id"), col("score"))
+    }, oracle = Some(s"""
+      WITH bkt AS (
+        SELECT vec_id, embedding, ${srpBucketSql(8)} AS bucket
+        FROM embeddings),
+      p AS (
+        SELECT a.vec_id, b.vec_id AS nn_id, $oracleCos AS score,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY $oracleCos DESC, b.vec_id) AS rn
+        FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+      SELECT vec_id, nn_id, score FROM p WHERE rn = 1""")),
+
     // PRODUCT QUANTIZATION + ADC — the memory-bound ANN path (IVF cuts
     // candidates; PQ cuts bytes-per-candidate): the 64-dim vector is
     // split into 8 8-dim subspaces, each with its own k-means

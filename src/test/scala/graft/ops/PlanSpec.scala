@@ -84,6 +84,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("NN-graph: bucket equi-join (no NLJ), per-vector top-1 via WindowGroupLimit") {
+    val p = planOf("sim_nn_graph")
+    // the candidate set is the LSH-bucket equi-join — all-pairs would
+    // surface as a nested-loop/cartesian here
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    // rank-1 executes as the pushed-down group limit, not a full
+    // per-vector sort of every candidate
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
+  test("repeated-span audit: the run-detection window partitions by document") {
+    val p = planOf("text_repeated_spans")
+    // gaps-and-islands must stay inside the doc — a partition-less
+    // window here would funnel the whole corpus through one task
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")), p.take(1200))
+    assert(p.contains("doc_id"), p.take(400))
+  }
+
   test("heap top-k aggregates map-side with no window sort") {
     val p = planOf("agg_topk_heap")
     // the custom TypedImperativeAggregate plans as ObjectHashAggregate
