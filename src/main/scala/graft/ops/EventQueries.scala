@@ -213,6 +213,18 @@ object EventQueries {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY user_id""")),
 
+    // The SAME totals read back out of the RocksDB store itself via
+    // Spark's state data source (format "statestore") after the
+    // checkpointed replay — the state a streaming job carries IS the
+    // batch aggregate, audited without replaying the stream. Shares
+    // the running-totals oracle.
+    Q("events_state_store_audit", (spark, dir) =>
+      graft.streaming.RunningTotals.stateAudit(spark, dir),
+      oracle = Some("""
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY user_id""")),
+
     // Sessionization: a session breaks after >30 min of user inactivity.
     // lag + flag + running count — the classic gaps-and-islands plan;
     // at scale this is one shuffle on user_id and sorted windows within

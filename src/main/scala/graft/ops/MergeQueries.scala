@@ -288,6 +288,39 @@ object MergeQueries {
     }, oracle = Some("""
       SELECT o_orderkey, o_totalprice AS amount FROM orders""")),
 
+    // INCREMENTAL MATERIALIZED-VIEW refresh over a transactional
+    // table: the MV is maintained by folding each version's NEW data
+    // dirs (the manifest diff) into mergeable partial aggregates —
+    // refresh cost is proportional to the appended data, never a
+    // re-read of carried dirs. At 100 TB this is the
+    // Delta-change-feed → silver-aggregate pattern: count and sum are
+    // self-mergeable, so partials from each append combine exactly;
+    // the result must equal the from-scratch aggregate.
+    Q("txlog_incremental_mv", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_mv_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t = graft.pipeline.TxLog(spark, root)
+      val orders = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      (0 to 2).foreach(r => t.append(orders.filter(col("o_orderkey") % 3 === r)))
+      // per-version manifest diff = exactly the appended dirs
+      val perVersion = (0L to t.currentVersion())
+        .map(v => t.snapshotDataDirs(v).toSet)
+      val deltas = perVersion.zip(Set.empty[String] +: perVersion)
+        .map { case (cur, prevDirs) => cur -- prevDirs }.filter(_.nonEmpty)
+      deltas.map(dirs => spark.read.parquet(dirs.toSeq: _*)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("ps")))
+        .reduce(_.unionByName(_))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("pn")).as("n_orders"),
+          sum(col("ps")).cast("double").as("total_price"))
+    }, oracle = Some("""
+      SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders GROUP BY o_orderpriority""")),
+
     // O4 — CDC APPLY CHANGES: three-clause MERGE folding an I/U/D
     // change feed into the supplier dim (Upsert.applyChanges). Disjoint
     // op classes: every 3rd key updated (name v2, bal+5), every 7th

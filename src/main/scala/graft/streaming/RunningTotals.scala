@@ -86,4 +86,53 @@ object RunningTotals {
       .select(col("user_id"), col("s.n").as("n_events"),
         (col("s.cents") / lit(100.0)).as("total_value"))
   }
+
+  /** Runs the same replay against a PERSISTED checkpoint, then reads
+    * the final per-user totals straight out of the RocksDB store with
+    * Spark's STATE DATA SOURCE (`spark.read.format("statestore")`) —
+    * the Spark 4 operational window into streaming state. The store
+    * contents must equal the batch aggregate: at 100 TB this is how an
+    * operator audits state size/skew and debugs a stateful job without
+    * replaying it. */
+  def stateAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cp = s"/root/repo/target/tmp/tws_state_cp_${dir.hashCode.abs}"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+    val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "tws_audit",
+      splitEvents = 4)
+    val stream = spark.readStream
+      .schema(EventStreams.rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", false)
+      .parquet(stagePath)
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try SessionizeStream.withStatePartitions(spark, 8) {
+      val out = stream.groupByKey(_._1)
+        .transformWithState(new RunningTotalsProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF().writeStream
+        .outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+    // the state source addresses a (checkpoint, operator, state
+    // variable); transformWithState value state reads back as
+    // (key struct, value struct) rows
+    spark.read.format("statestore")
+      .option("stateVarName", "totals")
+      .load(cp)
+      .select(col("key.value").as("user_id"),
+        col("value.n").as("n_events"),
+        (col("value.cents") / lit(100.0)).as("total_value"))
+  }
 }
