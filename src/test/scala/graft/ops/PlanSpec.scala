@@ -84,6 +84,30 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("footer aggregation: the v2 parquet scan answers MIN/MAX/COUNT from metadata") {
+    // parquet footers already carry per-row-group min/max/count — with
+    // aggregate pushdown the scan never decodes a single data page. At
+    // 100 TB that turns a table-wide MIN/MAX/COUNT into a
+    // footer-listing job. (Proof lives here, not in a declared query:
+    // the v2 read path + pushdown conf are session-global, and flipping
+    // them inside a query would leak into every other plan.)
+    withConf(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "") {
+      val df = spark.read.parquet(sf("0.001") + "/lineitem.parquet")
+        .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"),
+          count(col("l_orderkey")).as("n"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [MIN(l_orderkey)"), p.take(1500))
+      // and the metadata answer equals the data answer
+      val viaFooter = df.collect().head
+      val viaData = spark.read.parquet(sf("0.001") + "/lineitem.parquet")
+        .agg(min(col("l_orderkey")), max(col("l_orderkey")), count(col("l_orderkey")))
+        .collect().head
+      assert(viaFooter.toSeq === viaData.toSeq)
+    }
+  }
+
   test("NN-graph: bucket equi-join (no NLJ), per-vector top-1 via WindowGroupLimit") {
     val p = planOf("sim_nn_graph")
     // the candidate set is the LSH-bucket equi-join — all-pairs would
