@@ -138,6 +138,82 @@ class TransformWithStateSpec extends SparkTestBase {
     stage.getAbsolutePath
   }
 
+  test("killed-and-restarted TIMER sessionizer: armed timers restore and still close sessions") {
+    import org.apache.spark.sql.functions.{col, round, timestamp_micros, unix_micros, expr}
+    val dir = sf("0.001")
+    // 4 time-range event files + sentinel batches (watermark driver)
+    val stagePath = SessionizeStream.stageWithSentinels(spark, dir,
+      "tws_timer_restart", splitEvents = 4)
+    val cp = tmpDir("tws_timer_restart_cp")
+    // emissions per batch id — a redelivered batch id overwrites its
+    // own slot, so replays never double-count
+    val byBatch = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long, Long, Long)]]
+    @volatile var crashedOnce = false
+
+    def run(failAtBatch: Long): Option[Throwable] = withRocksDb {
+      val stream = spark.readStream
+        .schema(EventStreams.rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", false)
+        .parquet(stagePath)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("usec"),
+          col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+        .as[SessionizeStream.Ev]
+      val out = stream.groupByKey(_.user_id)
+        .transformWithState(new SessionTimeoutProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+      val q = out.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          val rows = batch.filter(col("user_id") >= 0).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          byBatch.synchronized { byBatch(id) = rows.toSeq }
+          // crash AFTER recording, BEFORE the offset commit: the batch
+          // is redelivered on restart from restored RocksDB state —
+          // including the ARMED TIMERS, which must still fire later
+          if (id == failAtBatch && !crashedOnce) {
+            crashedOnce = true
+            throw new RuntimeException("injected crash")
+          }
+        }.start()
+      try { q.processAllAvailable(); None }
+      catch { case t: Throwable => Some(t) }
+      finally q.stop()
+    }
+
+    assert(run(failAtBatch = 2L).isDefined, "injected crash did not surface")
+    assert(run(failAtBatch = -1L).isEmpty, "restarted run failed")
+
+    // every session closed exactly once across crash + restart, and the
+    // total equals the batch gaps-and-islands ground truth
+    val got = byBatch.synchronized(byBatch.values.flatten.toSeq)
+      .map { case (u, start, n, cents) => (u, start, n, cents) }.sorted
+    val gapUs = SessionTimers.GapUs
+    graft.ops.Tables.loadEvents(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "CAST(round(value * 100) AS LONG) AS cents")
+      .createOrReplaceTempView("ev_truth")
+    val want = spark.sql(s"""
+      WITH flagged AS (
+        SELECT user_id, us, event_id, cents,
+               CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $gapUs
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev_truth WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sess AS (
+        SELECT user_id, us, cents,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, min(us) AS start_us, count(*) AS n, sum(cents) AS cents
+      FROM sess GROUP BY user_id, sid""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got === want)
+  }
+
   test("killed-and-restarted TWS query: RocksDB state restores, redelivered batch dedupes") {
     val dir = sf("0.001")
     val stagePath = stageSplitEvents(dir, 4, "tws_restart")
