@@ -489,5 +489,84 @@ object MergeQueries {
       UNION ALL
       SELECT s.p_partkey, s.p_name, CAST(NULL AS DOUBLE) AS p_retailprice, s.grade
       FROM s WHERE s.p_partkey NOT IN (SELECT p_partkey FROM t)""")),
+
+    // POINT-IN-TIME join against SCD2 history — the lookup every
+    // versioned-dimension warehouse runs: each event joins the dim
+    // VERSION whose validity interval contains the event's own time,
+    // not the current one. Dim: customers SCD2-versioned at 2024-06-01
+    // (every 3rd key renamed " v2" via [[Upsert.scd2Merge]]); probes:
+    // orders carrying a synthetic event_date on either side of the
+    // cut. The join is an EQUI-join on the key with the interval test
+    // as a residual predicate — SMJ/broadcast on c_custkey, never an
+    // interval cross-product, so it scales like any keyed join (each
+    // key's version chain is short; the residual prunes per key).
+    // ISO-8601 date strings compare lexicographically = chronologically.
+    Q("scd2_point_in_time", (spark, dir) => {
+      val cust = load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val target = cust
+        .withColumn("valid_from", lit("2024-01-01"))
+        .withColumn("valid_to", lit(null).cast("string"))
+        .withColumn("is_current", lit(true))
+      val changed = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), concat(col("c_name"), lit(" v2")).as("c_name"))
+      val dim = Upsert.scd2Merge(target, changed, Seq("c_custkey"),
+        effDate = "2024-06-01")
+      val ev = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 2 === 0, lit("2024-03-15"))
+            .otherwise(lit("2024-09-15")).as("event_date"))
+      ev.join(dim,
+          ev("o_custkey") === dim("c_custkey") &&
+            dim("valid_from") <= ev("event_date") &&
+            (dim("valid_to").isNull || ev("event_date") < dim("valid_to")))
+        .select(col("o_orderkey"), col("event_date"),
+          col("c_custkey"), col("c_name"))
+    }, oracle = Some("""
+      WITH dim AS (
+        SELECT c_custkey, c_name, '2024-01-01' AS valid_from,
+               CASE WHEN c_custkey % 3 = 0 THEN '2024-06-01' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_name || ' v2', '2024-06-01', NULL
+        FROM customer WHERE c_custkey % 3 = 0),
+      ev AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN '2024-03-15'
+                    ELSE '2024-09-15' END AS event_date
+        FROM orders)
+      SELECT e.o_orderkey, e.event_date, d.c_custkey, d.c_name
+      FROM ev e JOIN dim d ON e.o_custkey = d.c_custkey
+       AND d.valid_from <= e.event_date
+       AND (d.valid_to IS NULL OR e.event_date < d.valid_to)""")),
+
+    // RESTORE + VACUUM under the hash gate: a bad overwrite (v2 wipes
+    // the table down to a garbage subset) is rolled back METADATA-ONLY
+    // by [[graft.pipeline.TxLog.restoreTo]] — v3 re-references v1's
+    // data dirs, zero bytes copied, history intact — and a subsequent
+    // vacuum(keepVersions=2) must treat the restored head's dirs as
+    // live (restore re-referencing protects them) while reclaiming
+    // nothing the kept manifests still need. The final snapshot reads
+    // THROUGH the post-vacuum table, so the hash proves both the
+    // rollback content and vacuum's liveness accounting. At 100 TB
+    // this is the ops-mistake recovery path: an errant overwrite costs
+    // one manifest write to undo, not a restore-from-backup.
+    Q("txlog_restore_vacuum", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_rst_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t = graft.pipeline.TxLog(spark, root)
+      val cust = load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+      t.overwrite(cust.filter(col("c_custkey") % 3 === 0))   // v0
+      t.append(cust.filter(col("c_custkey") % 3 === 1))      // v1 — the good head
+      t.overwrite(cust.filter(col("c_custkey") % 100 === 7)) // v2 — the mistake
+      val v3 = t.restoreTo(1L)
+      require(v3 == 3L, s"restore must commit as v3, got v$v3")
+      t.vacuum(keepVersions = 2) // keeps v2+v3; v3 re-references v0/v1 dirs
+      t.snapshot()
+    }, oracle = Some("""
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % 3 IN (0, 1)""")),
   )
 }
