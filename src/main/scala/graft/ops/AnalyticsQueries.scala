@@ -1397,6 +1397,41 @@ object AnalyticsQueries {
              CAST(max(gap) AS BIGINT) AS max_gap_us,
              CAST(sum(gap) AS DOUBLE) / count(*) AS mean_gap_us
       FROM g WHERE gap IS NOT NULL GROUP BY user_id""")),
+
+    // COUNT-MIN-SKETCH-PRUNED heavy hitters — the two-pass pattern that
+    // finds heavy keys WITHOUT shuffling the full key space: pass 1
+    // folds every row into a fixed 4×1024 count-min sketch (explode to
+    // (row, depth) cells → keyed count with map-side combine — the
+    // sketch is an aggregate, never a collect; it leaves the pass as a
+    // ONE-ROW broadcast frame). Pass 2 prunes rows MAP-SIDE by the
+    // broadcast sketch's estimate (CMS only ever over-counts, so
+    // est ≥ true count and the prune keeps a superset of the true
+    // heavies) and exact-counts only the survivors. At 100 TB with
+    // billions of distinct keys and a tiny heavy set, the exact
+    // groupBy shuffles only candidate-key rows instead of every key —
+    // the final exact filter makes the output independent of sketch
+    // collisions, which is why a plain GROUP BY/HAVING oracle gates it.
+    Q("agg_countmin_candidates", (spark, dir) => {
+      val W = 1024; val D = 4; val tau = 45L
+      def bucket(j: Int) =
+        pmod(xxhash64(lit(j), col("l_partkey")), lit(W)).cast("int")
+      val li = load(spark, dir, "lineitem").select(col("l_partkey"))
+      val cells = li.select(explode(array((0 until D).map(j =>
+          struct(lit(j).as("j"), bucket(j).as("b"))): _*)).as("c"))
+        .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val sketch = cells.agg(map_from_entries(collect_list(
+        struct((col("j") * W + col("b")).as("k"), col("cnt")))).as("cms"))
+      val est = least((0 until D).map(j =>
+        coalesce(element_at(col("cms"), lit(j * W) + bucket(j)), lit(0L))): _*)
+      li.crossJoin(broadcast(sketch))
+        .filter(est >= tau) // map-side candidate prune, before any shuffle
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"))
+        .filter(col("n_lines") >= tau)
+    }, oracle = Some("""
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1 HAVING count(*) >= 45""")),
   )
 
   /** EXACT per-group median through the distributed two-phase rank:

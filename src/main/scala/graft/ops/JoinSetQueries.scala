@@ -561,5 +561,47 @@ object JoinSetQueries {
                  FROM nation)
       SELECT c.c_custkey, n.n_name
       FROM c JOIN n ON c.seg_k IS NOT DISTINCT FROM n.seg_k""")),
+
+    // JOIN-KEY SKEW PROFILE — the diagnostic a planner runs BEFORE
+    // picking a join strategy at scale: per-key cardinalities of the
+    // fact's join key folded into one row of skew statistics — key
+    // count, row total, the heaviest key (deterministic argmax via
+    // max(struct)), its share of all rows, and the Herfindahl
+    // concentration index sum((cnt/total)²). HHI ≈ 1/n_keys means
+    // uniform (hash-join safely); a top share or HHI far above that
+    // means salt or skew-split THIS key. Two aggregations, both with
+    // map-side partial combine; the squared-share sum is computed as
+    // exact integer Σcnt²/total² with ONE double division, so the
+    // statistic is bit-identical cross-engine.
+    Q("dq_skew_profile", (spark, dir) => {
+      val perKey = load(spark, dir, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      perKey.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_rows"),
+          max(struct(col("cnt"), (-col("l_suppkey")).as("nk"))).as("m"),
+          sum(col("cnt") * col("cnt")).as("sumsq"))
+        .select(col("n_keys"), col("n_rows"),
+          col("m.cnt").as("max_cnt"), (-col("m.nk")).as("top_suppkey"),
+          (col("m.cnt").cast("double") / col("n_rows")).as("top_share"),
+          (col("sumsq").cast("double") /
+            (col("n_rows") * col("n_rows")).cast("double")).as("hhi"))
+    }, oracle = Some("""
+      WITH k AS (
+        SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1),
+      top AS (
+        SELECT l_suppkey, cnt,
+               row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rk
+        FROM k)
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             (SELECT cnt FROM top WHERE rk = 1) AS max_cnt,
+             (SELECT l_suppkey FROM top WHERE rk = 1) AS top_suppkey,
+             CAST((SELECT cnt FROM top WHERE rk = 1) AS DOUBLE)
+               / CAST(sum(cnt) AS BIGINT) AS top_share,
+             CAST(sum(cnt * cnt) AS DOUBLE)
+               / CAST(sum(cnt) * sum(cnt) AS BIGINT) AS hhi
+      FROM k""")),
   )
 }

@@ -438,5 +438,44 @@ object TextQueries {
              n AS n_dominant,
              CAST((n_chunks - n) * 1000000 // n_chunks AS BIGINT) AS switch_ppm
       FROM dom WHERE rk = 1""")),
+
+    // BIGRAM FAMILIARITY — the corpus-statistics LM-score proxy: train
+    // a bigram "model" (global bigram counts) over the whole corpus in
+    // one keyed aggregation, then score each document by the mean
+    // corpus frequency of its own bigrams. Boilerplate/templated text
+    // (bigrams everyone uses) scores high; novel prose scores low —
+    // the count-based stand-in for perplexity filtering that needs no
+    // log/exp (rational arithmetic only, so the doubles are oracle-
+    // exact). Both passes shuffle keyed BY BIGRAM (count with map-side
+    // combine, then one join back) — linear in total tokens at any
+    // corpus size, never quadratic in vocabulary. Single-token docs
+    // have no bigram and drop, mirrored in the oracle.
+    Q("text_bigram_familiarity", (spark, dir) => {
+      val bi = load(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
+      val counts = bi.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      bi.join(counts, "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("cnt")).as("freq_sum"))
+        .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
+          (col("freq_sum").cast("double") / col("n_bigrams")).as("familiarity"))
+    }, oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      b AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM t WHERE len(toks) >= 2),
+      c AS (SELECT bg, count(*) AS cnt FROM b GROUP BY 1)
+      SELECT b.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(c.cnt) AS BIGINT) AS freq_sum,
+             CAST(sum(c.cnt) AS DOUBLE) / count(*) AS familiarity
+      FROM b JOIN c USING (bg) GROUP BY b.doc_id""")),
   )
 }
