@@ -388,4 +388,32 @@ class PlanSpec extends SparkTestBase {
       .getOrElse("")
     assert(pushed.nonEmpty, "ship-date year slice not pushed:\n" + p.take(1500))
   }
+
+  test("SCD2 point-in-time: a KEYED join with the interval as residual, never NL/cartesian") {
+    val p = planOf("scd2_point_in_time")
+    // the validity-interval test must ride a c_custkey equi-join as a
+    // residual predicate — a nested-loop/cartesian interval join would
+    // be quadratic at 100 TB
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(1500))
+  }
+
+  test("count-min candidates: the sketch prune filters rows BELOW the exact-count shuffle") {
+    val p = planOf("agg_countmin_candidates")
+    // exactly one shuffle keyed by the probed key: the exact count of
+    // the candidate set; the sketch pass shuffles by (depth, bucket)
+    val keyExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(l_partkey"))
+    assert(keyExchanges === 1,
+      s"expected ONE l_partkey exchange, found $keyExchanges:\n" + p.take(2000))
+    // top-down plan print: the map-side estimate prune (the least(...)
+    // over sketch cells) must sit BELOW that exchange — rows of
+    // non-candidate keys never enter the shuffle
+    val ex = p.indexOf("Exchange hashpartitioning(l_partkey")
+    val prune = p.indexOf("least(")
+    assert(prune > ex && ex >= 0,
+      s"sketch prune not below the key exchange (ex=$ex, prune=$prune):\n" + p.take(2000))
+  }
 }
