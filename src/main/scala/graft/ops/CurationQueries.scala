@@ -787,5 +787,67 @@ object CurationQueries {
              x -> x IS NOT NULL)), ';'), '') AS viol,
              count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
       FROM documents GROUP BY 1""")),
+
+    // DSIR-style IMPORTANCE RESAMPLING (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling") in
+    // exact integer arithmetic: score raw-pool docs by how much their
+    // hashed-unigram profile looks like a trusted target domain.
+    // Features = md5-hashed token buckets (cross-engine stable, the
+    // paper's hashed n-gram trick); per-bucket weight = target ppm −
+    // raw ppm (integer parts-per-million — the log-likelihood-ratio
+    // surrogate that keeps every comparison bit-exact); doc score =
+    // Σ token-instance weights (BIGINT, order-independent). Selection
+    // is a TakeOrdered top-25, not a global window. At 100 TB: one
+    // token-explode pass, a ≤256-row broadcast weight table, and a
+    // distributed top-k heap — no all-to-all anywhere.
+    Q("curate_dsir_weights", (spark, dir) => {
+      val toks = load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long") % 256)
+        .withColumn("is_t",
+          col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      val bc = toks.groupBy(col("b")).agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+      val totals = bc.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+      val wts = bc.crossJoin(broadcast(totals))
+        .withColumn("w", expr("ct * 1000000 div tt - cr * 1000000 div tr"))
+        .select(col("b"), col("w"))
+      toks.filter(!col("is_t"))
+        .join(broadcast(wts), Seq("b"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("w")).cast("long").as("score"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(25)
+    }, oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      tb AS (
+        SELECT doc_id, source,
+               ${hexFoldSql("substr(md5(tok), 1, 6)")} % 256 AS b,
+               source IN ('src0','src1','src2','src3','src4') AS is_t
+        FROM toks),
+      bc AS (
+        SELECT b,
+               CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        FROM tb GROUP BY b),
+      tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                     CAST(sum(cr) AS BIGINT) AS tr FROM bc),
+      w AS (SELECT b, ct * 1000000 // tt - cr * 1000000 // tr AS w
+            FROM bc, tot),
+      scored AS (
+        SELECT t.doc_id, t.source,
+               CAST(sum(w.w) AS BIGINT) AS score,
+               count(*) AS n_tokens
+        FROM tb t JOIN w ON w.b = t.b
+        WHERE NOT t.is_t
+        GROUP BY 1, 2)
+      SELECT doc_id, source, score, n_tokens
+      FROM scored ORDER BY score DESC, doc_id LIMIT 25""")),
   )
 }

@@ -187,6 +187,22 @@ object EventQueries {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2""")),
 
+    // UNION of two independently-watermarked streaming sources into
+    // one windowed aggregation — the query watermark is the MINIMUM
+    // across branches, so state is bounded by the laggier source. The
+    // branches project different shapes (purchases keep value, others
+    // contribute 0), making the batch oracle a conditional sum.
+    Q("events_stream_union", (spark, dir) =>
+      graft.streaming.EventStreams.unionSources(spark, dir),
+      oracle = Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,2))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS total_value
+      FROM events GROUP BY 1, 2""")),
+
     // CHAINED stateful operators: hourly window agg → daily rollup in
     // ONE streaming query (two state stores, one watermark timeline) —
     // no intermediate sink/re-read hop. Decimal partial sums make the

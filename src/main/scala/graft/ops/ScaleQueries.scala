@@ -290,7 +290,76 @@ object ScaleQueries {
              min(l_partkey) AS min_part, max(l_partkey) AS max_part,
              min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
       FROM z GROUP BY 1""")),
+
+    // K-CORE decomposition (k=2) over the duplicate-pair graph — the
+    // density filter a dedup pipeline runs to separate docs in densely
+    // duplicated neighbourhoods (template farms, mirrored sites) from
+    // incidental one-off pairs: repeatedly peel nodes of degree < k
+    // until the remainder is a 2-core. Peeling is iterative by nature;
+    // three unrolled rounds (a fixpoint on this corpus — round 3 ==
+    // round 4, asserted in DedupSpec) keep the plan static: each round
+    // is one degree aggregation + two semi-joins over the cached edge
+    // frame, O(E) per round at any scale, no driver round-trips. The
+    // oracle replays the identical three peels.
+    Q("graph_kcore", (spark, dir) => {
+      val pairs = ExactJaccard.pairs(load(spark, dir, "documents"),
+        "doc_id", "text", "lang", shingleN = 3, threshold = 0.5)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      var edges = pairs
+        .union(pairs.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val keep = edges.groupBy(col("a").as("node"))
+          .agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 2)
+          .select(col("node"))
+        edges = edges
+          .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+      }
+      edges.groupBy(col("a").as("doc_id"))
+        .agg(count(lit(1)).as("core_degree"))
+    }, oracle = Some(s"""
+      WITH d AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, len(string_split(text,' ')) - 1),
+                           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                    ELSE [text] END AS sh
+        FROM documents),
+      ex AS (SELECT doc_id, lang, unnest(sh) AS s FROM d),
+      cnt AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM ex a JOIN ex b
+          ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+      pairs AS (
+        SELECT id_a, id_b FROM cnt
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      e0 AS (SELECT id_a AS a, id_b AS b FROM pairs
+             UNION ALL SELECT id_b, id_a FROM pairs),
+      ${(1 to 3).map(kcorePeelSql).mkString(",\n      ")}
+      SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+      FROM e3 GROUP BY a""")),
   )
+
+  /** One unrolled 2-core peel round as a CTE pair: surviving-node set
+    * (degree >= 2) + edge restriction to both-endpoint survivors
+    * (mirrors the Spark loop body). */
+  private def kcorePeelSql(i: Int): String = {
+    val prev = s"e${i - 1}"
+    s"""k$i AS (SELECT a AS node FROM $prev GROUP BY a HAVING count(*) >= 2),
+       |      e$i AS (
+       |        SELECT e.a, e.b FROM $prev e
+       |        JOIN k$i x ON e.a = x.node
+       |        JOIN k$i y ON e.b = y.node)"""
+      .stripMargin
+  }
 
   /** One unrolled integer-PageRank iteration as a CTE pair: inflow
     * aggregation + damped update (mirrors the Spark loop body). */

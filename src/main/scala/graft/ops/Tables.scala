@@ -11,19 +11,24 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
-    * refuses by default (PARQUET_TYPE_ILLEGAL). Read the raw nanos as
-    * long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-    * microseconds with INTEGER division — epoch-nanos ≈ 1.7e18 exceeds
-    * a double's 53-bit mantissa, so `/ 1000` through double would
-    * corrupt the low digits. Truncation (floor) matches how DuckDB and
-    * Arrow read the same file, so oracle comparisons line up.
-    */
+  /** The events table's `ts` physical type has varied across driver
+    * data generations: TIMESTAMP(NANOS) (Spark 4 refuses it by default
+    * — read raw nanos as long via `nanosAsLong` and floor-divide to
+    * micros; `/ 1000` through double would corrupt the low digits) or
+    * native TIMESTAMP(MICROS) without zone (reads as TIMESTAMP_NTZ —
+    * cast to the session zone, UTC everywhere here). Both paths yield
+    * the same UTC-micros TimestampType column DuckDB and Arrow see, so
+    * oracle comparisons line up regardless of the file's vintage. */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Register every table as a temp view for SQL-path queries (S4/S9). */

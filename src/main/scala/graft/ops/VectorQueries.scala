@@ -518,6 +518,86 @@ object VectorQueries {
         FROM adc)
       SELECT query_id, neighbor_id, rank, adc_dist
       FROM ranked WHERE rank <= 5""")),
+
+    // SQ8 + EXACT RE-RANK — the memory-compressed retrieval shape
+    // (FAISS SQ8 / Lucene int8 HNSW storage): symmetric int8 codes
+    // (per-vector abs-max scale, q=floor(v/scale·127)) drive the
+    // candidate scan — an integer dot product (exact BIGINT fold,
+    // 4× smaller reads and SIMD-friendly at 100 TB) ranked by the
+    // neighbor-scale-reconstructed score; only the 3k-candidate pool
+    // pays the exact float cosine, which re-ranks to the final top-k.
+    // Candidate ordering uses ONE double multiply of two exact values
+    // (neighbor scale × integer dot) so every tie and every boundary
+    // is bit-identical cross-engine; the oracle replays quantization,
+    // integer scan, pool cut, and re-rank literally. Recall-vs-exact
+    // contract asserted in VectorFunctionsSpec.
+    Q("sim_sq8_rerank", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      val codes = e
+        .withColumn("scale",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .withColumn("code", transform(col("embedding"),
+          x => when(col("scale") === 0.0, lit(0L))
+            .otherwise(floor(x.cast("double") / col("scale") * lit(127.0))
+              .cast("long"))))
+      val queries = broadcast(codes.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"), col("code").as("qc")))
+      val intDot = aggregate(
+        zip_with(col("qc"), col("code"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      val wCand = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx").desc, col("neighbor_id"))
+      val wFinal = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      codes
+        .select(col("vec_id").as("neighbor_id"), col("embedding"),
+          col("code"), col("scale"))
+        .join(queries, col("query_id") =!= col("neighbor_id"))
+        .withColumn("approx", col("scale") * intDot.cast("double"))
+        .withColumn("crk", row_number().over(wCand))
+        .filter(col("crk") <= 15)
+        .withColumn("score",
+          VectorExpressions.cosine_sim(spark, col("qv"), col("embedding")))
+        .withColumn("rank", row_number().over(wFinal))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+    }, oracle = Some(s"""
+      WITH sc AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings),
+      codes AS (
+        SELECT vec_id, embedding, scale,
+               list_transform(embedding,
+                 x -> CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(floor(CAST(x AS DOUBLE) / scale * 127.0) AS BIGINT)
+                      END) AS code
+        FROM sc),
+      cand AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               q.embedding AS qv, b.embedding AS nv,
+               b.scale * CAST(list_sum(list_transform(
+                 list_zip(q.code, b.code), p -> p[1] * p[2])) AS DOUBLE) AS approx
+        FROM codes q JOIN codes b ON b.vec_id <> q.vec_id
+        WHERE q.vec_id < 20),
+      pool AS (
+        SELECT query_id, neighbor_id, qv, nv,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY approx DESC, neighbor_id) AS crk
+        FROM cand),
+      rer AS (
+        SELECT query_id, neighbor_id,
+               ${cosFrag("qv", "nv")} AS score
+        FROM pool WHERE crk <= 15),
+      ranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM rer)
+      SELECT query_id, neighbor_id, rank, score
+      FROM ranked WHERE rank <= 5""")),
   )
 
   /** Nearest-centroid assignment: top-`nProbe` cosine cells over a

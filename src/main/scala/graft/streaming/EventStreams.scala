@@ -19,7 +19,9 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw-nanos schema of events.parquet as read with nanosAsLong. */
+  /** Schema of STAGED event files ([[SessionizeStream.stageWithSentinels]]
+    * normalizes `ts` to epoch-micros longs, whatever the driver file's
+    * physical timestamp vintage). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -28,6 +30,29 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType),
   ))
+
+  /** Schema of the driver's events.parquet read DIRECTLY (native
+    * TIMESTAMP(MICROS) without zone → TIMESTAMP_NTZ). */
+  private val directSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** Stream the driver's events file straight from the sf dir (no
+    * staging): native-timestamp schema, cast to the session zone (UTC
+    * everywhere here) so downstream windows match the batch oracle. */
+  private def directSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(directSchema)
+      // the file-stream source wants a directory; select the single
+      // events file out of the sf dir with a glob filter
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
 
   /** Production-shape hourly aggregation: APPEND output mode — a window
     * emits exactly once, when the watermark passes its end, and its
@@ -43,7 +68,7 @@ object EventStreams {
       .option("maxFilesPerTrigger", 1)
       .option("latestFirst", false)
       .parquet(stagePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
     val agg = stream
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -80,7 +105,7 @@ object EventStreams {
       .option("maxFilesPerTrigger", 1)
       .option("latestFirst", false)
       .parquet(stagePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
     val hourly = stream
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -136,7 +161,7 @@ object EventStreams {
       .option("maxFilesPerTrigger", 2)
       .option("latestFirst", false)
       .parquet(stagePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
     val agg = stream
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -189,7 +214,7 @@ object EventStreams {
       .schema(rawSchema)
       .option("latestFirst", false)
       .parquet(stagePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
       .filter(col("event_type") === t || col("event_type") === "sentinel")
       .withWatermark("ts", "0 seconds")
     val p = side("purchase").select(col("user_id").as("p_user"),
@@ -231,7 +256,7 @@ object EventStreams {
       .option("maxFilesPerTrigger", 2)
       .option("latestFirst", false)
       .parquet(stagePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
     val agg = stream
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -291,7 +316,7 @@ object EventStreams {
       .schema(rawSchema)
       .option("latestFirst", false)
       .parquet(stagePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
     SessionizeStream.withStatePartitions(spark, 8) {
@@ -319,7 +344,7 @@ object EventStreams {
       .schema(rawSchema)
       .option("latestFirst", false)
       .parquet(stagePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
       .withWatermark("ts", "2 hours")
       .withColumn("hour_start", date_trunc("hour", col("ts")))
       .select(col("ts"), col("user_id"), col("event_type"), col("hour_start"))
@@ -345,14 +370,9 @@ object EventStreams {
     * metadata-scale state. */
   def segmentEnrich(spark: SparkSession, dir: String,
                     queryName: String = "graft_stream_enrich"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment")))
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = directSource(spark, dir)
     val agg = stream
       .join(dim, stream("user_id") === dim("c_custkey"), "left")
       .withColumn("segment", coalesce(col("c_mktsegment"), lit("unknown")))
@@ -389,7 +409,7 @@ object EventStreams {
       .schema(rawSchema)
       .option("latestFirst", false)
       .parquet(stagePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
     val agg = stream
       .withWatermark("ts", "0 seconds")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -424,7 +444,7 @@ object EventStreams {
       .schema(rawSchema)
       .option("latestFirst", false)
       .parquet(stagePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
       .filter(col("event_type") === t || col("event_type") === "sentinel")
       .withWatermark("ts", "0 seconds")
     val p = side("purchase").select(col("user_id").as("p_user"),
@@ -459,7 +479,7 @@ object EventStreams {
       .schema(rawSchema)
       .option("latestFirst", false)
       .parquet(stagePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
       .filter(col("event_type") === t || col("event_type") === "sentinel")
       .withWatermark("ts", "0 seconds")
     val p = side("purchase").select(col("user_id").as("p_user"),
@@ -526,16 +546,48 @@ object EventStreams {
     * the query to completion over the finite input and returns the
     * result as a batch DataFrame. */
   def hourlyByType(spark: SparkSession, dir: String, queryName: String = "graft_events_hourly"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      // the file-stream source wants a directory; select the single
-      // events file out of the sf dir with a glob filter
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = directSource(spark, dir)
     val agg = stream
       .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+    SessionizeStream.withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
+  /** UNION of two INDEPENDENT streaming sources feeding one stateful
+    * aggregation — the multi-topic ingest shape (e.g. a purchases
+    * stream joined by a clickstream into one hourly rollup). Each
+    * source is watermarked separately (1 h vs 30 min); Structured
+    * Streaming advances the query watermark as the MINIMUM across
+    * sources, so the union's window state is bounded by the laggier
+    * branch — exactly the semantics a multi-source 100 TB ingest
+    * needs. The branches project different shapes (purchases keep
+    * `value`, other events contribute 0) to prove the union is not a
+    * trivial re-read of one source. */
+  def unionSources(spark: SparkSession, dir: String,
+                   queryName: String = "graft_events_union"): DataFrame = {
+    def src(): DataFrame = directSource(spark, dir)
+    val purchases = src()
+      .filter(col("event_type") === "purchase")
+      .select(col("ts"), col("event_type"), col("value"))
+      .withWatermark("ts", "1 hour")
+    val others = src()
+      .filter(col("event_type") =!= "purchase")
+      .select(col("ts"), col("event_type"), lit(0.0).as("value"))
+      .withWatermark("ts", "30 minutes")
+    val agg = purchases.unionByName(others)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),

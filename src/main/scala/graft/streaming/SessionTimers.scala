@@ -108,7 +108,7 @@ object SessionTimers {
       .option("maxFilesPerTrigger", 1)
       .option("latestFirst", false)
       .parquet(stagePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
       .withWatermark("ts", "0 seconds")
       // sentinel rows flow through to the operator (which ignores
       // key -1): filtering here would push BELOW the watermark node

@@ -101,16 +101,26 @@ object SessionizeStream {
 
   private def stage0(spark: SparkSession, dir: String, splitEvents: Int): String = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stage = new java.io.File(
       s"/root/repo/target/tmp/stream_shared_${dir.hashCode.abs}_$splitEvents")
     org.apache.commons.io.FileUtils.deleteDirectory(stage)
     stage.mkdirs()
-    if (splitEvents <= 1)
-      org.apache.commons.io.FileUtils.copyFile(
-        new java.io.File(s"$dir/events.parquet"),
+    // Normalize ts to epoch-MICROS longs in the staged files (the
+    // rawSchema convention): the driver's physical timestamp type has
+    // varied across data generations (nanos vs native micros), and a
+    // plain long column keeps sentinel construction and the streaming
+    // schema independent of that vintage.
+    val normalized = graft.ops.Tables.loadEvents(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    if (splitEvents <= 1) {
+      val tmp = new java.io.File(stage, "tmp_one")
+      normalized.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      org.apache.commons.io.FileUtils.moveFile(part,
         new java.io.File(stage, "0_events.parquet"))
-    else {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    } else {
       // split by TIME RANGE so microbatches arrive in event-time order
       // — the shape real ingest has. Nothing is late against the
       // watermark, and batch boundaries fall inside hours, so later
@@ -118,7 +128,7 @@ object SessionizeStream {
       // per-batch sink (exercising the merge path). Part-file names
       // encode the range order; sorted staging mtimes preserve it.
       val tmp = new java.io.File(stage, "tmp_split")
-      spark.read.parquet(s"$dir/events.parquet")
+      normalized
         .repartitionByRange(splitEvents, col("ts"))
         .write.mode("overwrite").parquet(tmp.getAbsolutePath)
       tmp.listFiles().filter(_.getName.endsWith(".parquet"))
@@ -130,12 +140,11 @@ object SessionizeStream {
         }
       org.apache.commons.io.FileUtils.deleteDirectory(tmp)
     }
-    val maxNs = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max("ts")).head().getLong(0)
+    val maxUs = normalized.agg(max("ts")).head().getLong(0)
     Seq(1, 2, 3).foreach { i =>
-      val sentinelNs = maxNs + i * 3600L * 1000000000L
+      val sentinelUs = maxUs + i * 3600L * 1000000L
       val tmp = new java.io.File(stage, s"tmp_sent$i")
-      Seq((-1L, sentinelNs, -1L, "sentinel", 0.0, "{}"))
+      Seq((-1L, sentinelUs, -1L, "sentinel", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
       val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
@@ -160,7 +169,7 @@ object SessionizeStream {
       .option("maxFilesPerTrigger", 1)
       .option("latestFirst", false)
       .parquet(stagePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
       .withWatermark("ts", "0 seconds")
       // keep the watermarked ts column itself through the typed view —
       // projecting it away would drop the event-time watermark marker

@@ -120,12 +120,16 @@ class TransformWithStateSpec extends SparkTestBase {
     * would either trip the state-store commit validation (an isEmpty
     * probe scans one partition) or churn table versions. */
   private def stageSplitEvents(dir: String, n: Int, name: String): String = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stage = new java.io.File(tmpDir(s"tws_split_$name"))
     org.apache.commons.io.FileUtils.deleteDirectory(stage)
     stage.mkdirs()
     val tmp = new java.io.File(stage, "tmp_split")
-    spark.read.parquet(s"$dir/events.parquet")
+    // normalize ts to epoch-micros longs (the rawSchema convention),
+    // robust to the driver file's physical timestamp vintage
+    graft.ops.Tables.loadEvents(spark, dir)
+      .select(col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
       .repartitionByRange(n, col("ts"))
       .write.mode("overwrite").parquet(tmp.getAbsolutePath)
     tmp.listFiles().filter(_.getName.endsWith(".parquet"))
@@ -156,7 +160,7 @@ class TransformWithStateSpec extends SparkTestBase {
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", false)
         .parquet(stagePath)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", timestamp_micros(col("ts")))
         .withWatermark("ts", "0 seconds")
         .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("usec"),
           col("event_id"), round(col("value") * 100).cast("long").as("cents"))
