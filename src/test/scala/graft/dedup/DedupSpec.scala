@@ -109,4 +109,40 @@ class DedupSpec extends SparkTestBase {
     assert(out(3L) === ((1L, 0L, "lone words that appear nowhere else at all")))
     assert(out(4L) === ((1L, 0L, "tiny doc")))
   }
+
+  test("graph_kcore: 3 peel rounds reach the 2-core fixpoint on both sf corpora") {
+    import org.apache.spark.sql.functions._
+    // the declared query unrolls exactly 3 peel rounds; the k-core is
+    // only correct if that is a FIXPOINT on the corpus — i.e. a 4th
+    // round removes nothing. Replay the peeling here with a variable
+    // round count and compare 3 vs 4.
+    def kcore(dir: String, rounds: Int): Map[Long, Long] = {
+      val pairs = graft.dedup.ExactJaccard.pairs(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "lang", shingleN = 3, threshold = 0.5)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      var edges = pairs
+        .union(pairs.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        val keep = edges.groupBy(col("a").as("node"))
+          .agg(count(lit(1)).as("d")).filter(col("d") >= 2).select(col("node"))
+        edges = edges
+          .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+      }
+      edges.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    Seq(sf("0.001"), sf("0.01")).foreach { dir =>
+      val r3 = kcore(dir, 3)
+      val r4 = kcore(dir, 4)
+      assert(r3 === r4, s"peeling not converged after 3 rounds at $dir")
+      // and the query surface agrees with the replay
+      val declared = graft.SparkEntry.queries("graph_kcore")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(declared === r3)
+    }
+  }
 }

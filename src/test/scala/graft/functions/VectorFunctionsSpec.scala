@@ -241,4 +241,21 @@ class VectorFunctionsSpec extends SparkTestBase {
     // sanity floor, not a guarantee.
     assert(recall >= 0.15, s"PQ ADC recall vs brute force = $recall")
   }
+
+  test("SQ8 re-rank: high recall vs brute force, and every hit survives from the int8 candidate pool") {
+    val dir = sf("0.01")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairsOf(graft.SparkEntry.queries("sim_topk_bruteforce")(spark, dir))
+    val sq8 = pairsOf(graft.SparkEntry.queries("sim_sq8_rerank")(spark, dir))
+    assert(sq8.size === brute.size, "both return top-5 per query")
+    val recall = sq8.count(brute).toDouble / brute.size
+    // int8 symmetric quantization distorts each dot product by well
+    // under the inter-neighbor score gaps on this corpus, and the 3k
+    // candidate pool gives the exact re-rank room to repair ordering
+    // errors — recall should be near-perfect, unlike the lossy-code
+    // PQ path above. 0.9 is the contract floor, not the typical value.
+    assert(recall >= 0.9, s"SQ8+rerank recall vs brute force = $recall")
+  }
 }
