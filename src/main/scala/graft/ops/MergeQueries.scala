@@ -288,6 +288,42 @@ object MergeQueries {
     }, oracle = Some("""
       SELECT o_orderkey, o_totalprice AS amount FROM orders""")),
 
+    // PARTITION EVOLUTION under the hash gate — Iceberg's partition-
+    // spec change, which Delta lacks: a table partitioned by
+    // o_orderpriority is switched — metadata-only, zero dirs
+    // rewritten — to partition by o_orderstatus. Before the switch a
+    // pruned old-scheme merge leaves DEAD rows in a carried dir
+    // (superseded 1-URGENT originals); the evolution re-records that
+    // dir's tags scheme-qualified, so the dead rows stay dead. The
+    // post-evolution merge under the NEW column folds the foreign
+    // dirs in (the self-heal path) and the final snapshot must equal
+    // the plain relational result of the same three upserts — which
+    // is exactly what the oracle computes from the raw table.
+    Q("txlog_partition_evolution", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_evo_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t = graft.pipeline.TxLog(spark, root)
+      val orders = load(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("price"))
+      val base = orders.filter(col("o_orderkey") % 100 < 30)
+      t.overwritePartitioned(base, "o_orderpriority")
+      t.mergePartitioned(
+        base.filter(col("o_orderpriority") === "1-URGENT")
+          .withColumn("price", col("price") + 1.0),
+        Seq("o_orderkey"), "o_orderpriority")
+      t.evolvePartitioning("o_orderstatus")
+      t.mergePartitioned(
+        orders.filter(col("o_orderkey") % 100 >= 30 && col("o_orderkey") % 100 < 35),
+        Seq("o_orderkey"), "o_orderstatus")
+      t.snapshot()
+    }, oracle = Some("""
+      SELECT o_orderkey, o_orderpriority, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE)
+               + CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 100 < 30
+                      THEN 1.0 ELSE 0.0 END AS price
+      FROM orders WHERE o_orderkey % 100 < 35""")),
+
     // INCREMENTAL MATERIALIZED-VIEW refresh over a transactional
     // table: the MV is maintained by folding each version's NEW data
     // dirs (the manifest diff) into mergeable partial aggregates —

@@ -171,11 +171,53 @@ final case class TxLog(spark: SparkSession, root: String,
       l.split('\t') match {
         case Array(d) => (d, None)
         case Array(d, p) => (d, Some(p))
+        // 3-field line: scheme-qualified tag under a FOREIGN column
+        // (layout predates the current partition column — written by
+        // evolvePartitioning)
+        case Array(d, p, c) => (d, Some(foreignTag(c, p)))
         case _ => throw new java.io.IOException(s"bad manifest line: $l")
       }
     }
     Manifest(partCol, stats, entries, ranges, txns, blooms, checks, tombstones,
       colMap, retired)
+  }
+
+  /** Scheme-qualified FOREIGN tag — a partition tag recorded under a
+    * column that is no longer the table's partition column (written by
+    * [[evolvePartitioning]] for dirs whose layout predates the current
+    * scheme). Encoded in memory as `<col>NUL<value>` inside the
+    * ordinary tag slot (values never contain NUL — they are manifest
+    * text lines); on disk as a 3-field entry line `dir\tvalue\tcol`
+    * (legacy readers never see 3 fields on pre-evolution tables). */
+  private val SchemeSep = '\u0000'
+  private def foreignTag(col: String, v: String): String = s"$col$SchemeSep$v"
+  private def splitTag(tag: String): (Option[String], String) =
+    tag.indexOf(SchemeSep.toInt) match {
+      case -1 => (None, tag)
+      case i => (Some(tag.substring(0, i)), tag.substring(i + 1))
+    }
+  private def isForeign(tag: Option[String]): Boolean =
+    tag.exists(_.indexOf(SchemeSep.toInt) >= 0)
+
+  /** Row-visibility filter for one dir from its manifest tag lines:
+    * same-scheme tags restrict on the table's partition column,
+    * foreign tags on their own recorded (physical) column — IN within
+    * a column, AND across columns. None = dir fully visible (any
+    * untagged line, or an untagged table). Physical names throughout:
+    * tag filters apply to raw dir reads, and column mapping renames
+    * only the logical view, so foreign tags survive renames. */
+  private def tagFilter(partCol: Option[String],
+                        tags: Seq[Option[String]]): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    if (tags.isEmpty || tags.exists(_.isEmpty)) return None
+    val parsed = tags.flatten.map(splitTag)
+    val byCol = parsed.flatMap { case (scheme, v) =>
+      scheme.orElse(partCol).map(_ -> v)
+    }.groupBy(_._1)
+    if (byCol.isEmpty) return None // bare tags on an untagged table: legacy full-read
+    Some(byCol.toSeq.sortBy(_._1).map { case (c, vs) =>
+      col(c).cast("string").isin(vs.map(_._2).distinct: _*)
+    }.reduce(_ && _))
   }
 
   private def manifestLines(m: Manifest): Seq[String] =
@@ -191,7 +233,13 @@ final case class TxLog(spark: SparkSession, root: String,
         ts.map(t => s"#tombstone\t$d\t$t") } ++
       m.colMap.map { case (lg, ph) => s"#colmap\t$lg\t$ph" } ++
       m.retired.map(ph => s"#colretired\t$ph") ++
-      m.entries.map { case (d, t) => d + t.fold("")("\t" + _) }
+      m.entries.map { case (d, t) =>
+        t.map(splitTag) match {
+          case Some((Some(c), v)) => s"$d\t$v\t$c"
+          case Some((None, v)) => s"$d\t$v"
+          case None => d
+        }
+      }
 
   private def readManifest(v: Long): Seq[String] =
     readManifestFull(v).dirs
@@ -236,12 +284,18 @@ final case class TxLog(spark: SparkSession, root: String,
       val cols = visible.map { case (lg, ph, dt) =>
         if (have(ph)) s"`$ph`" + (if (ph == lg) "" else s" AS `$lg`")
         else s"CAST(NULL AS ${dt.sql}) AS `$lg`" }.mkString(", ")
-      val tags = es.flatMap(_._2)
-      val tagPred = m.partCol match {
-        case Some(pc) if tags.length == es.length =>
-          Seq(s"CAST(`$pc` AS STRING) IN (${tags.map(t => s"'${q(t)}'").mkString(", ")})")
-        case _ => Nil
-      }
+      // per-dir visibility in SQL form — same-scheme tags restrict on
+      // the table partition column, foreign tags (post-evolution) on
+      // their own recorded column; mirrors tagFilter exactly
+      val tags = es.map(_._2)
+      val tagPred =
+        if (tags.isEmpty || tags.exists(_.isEmpty)) Nil
+        else tags.flatten.map(splitTag)
+          .flatMap { case (scheme, v) => scheme.orElse(m.partCol).map(_ -> v) }
+          .groupBy(_._1).toSeq.sortBy(_._1).map { case (c, vs) =>
+            s"CAST(`$c` AS STRING) IN (${vs.map(_._2).distinct
+              .map(t => s"'${q(t)}'").mkString(", ")})"
+          }
       // merge-on-read deletes in SQL form: the dir's physical row
       // addresses are projected in a subquery and each tombstone
       // sidecar subtracts via NOT EXISTS — same semantics as
@@ -487,6 +541,49 @@ final case class TxLog(spark: SparkSession, root: String,
       s"TxLog dropColumn lost $MaxRaceRetries optimistic races at $root")
   }
 
+  /** PARTITION EVOLUTION — metadata-only, the Iceberg partition-spec
+    * change: make `newCol` the table's partition column WITHOUT
+    * rewriting any data dir. Every carried same-scheme partition tag
+    * is re-recorded as a scheme-qualified FOREIGN tag under the old
+    * column (a 3-field manifest line), so each dir's row-visibility
+    * restriction keeps applying verbatim — dead partitions of
+    * pre-evolution merges stay dead. Dirs committed after the
+    * evolution are tagged, read-filtered, and merge-pruned under the
+    * new column. Foreign-scheme dirs cannot be pruned by new-scheme
+    * merges: they are merged in whole and come out re-tagged, so the
+    * table SELF-HEALS into the new layout one merge at a time (or in
+    * one pass via [[compact]], which rewrites under the new scheme).
+    * At 100 TB this is the difference between changing a table's
+    * partition strategy with a metadata commit and rewriting the
+    * table: exactly Iceberg's spec-evolution contract, which Delta
+    * lacks. */
+  def evolvePartitioning(newCol: String): Long = {
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val cur = currentVersion()
+      require(cur >= 0, s"TxLog table at $root has no commits to evolve")
+      val prev = readManifestFull(cur)
+      val phys = physicalOf(prev.colMap, newCol)
+      require(!prev.partCol.contains(phys),
+        s"TxLog table at $root is already partitioned by $newCol")
+      require(snapshot(cur).schema.fieldNames.contains(newCol),
+        s"partition column '$newCol' absent from TxLog table at $root")
+      val evolved = prev.entries.map {
+        case (d, Some(tag)) if !isForeign(Some(tag)) =>
+          val oldCol = prev.partCol.getOrElse(throw new IllegalStateException(
+            s"tagged entries without a partition column at $root"))
+          (d, Some(foreignTag(oldCol, tag)))
+        case e => e
+      }
+      val lines = manifestLines(prev.copy(partCol = Some(phys), entries = evolved))
+      if (tryCommitManifest(cur + 1, lines, s"EVOLVE PARTITIONING TO $newCol"))
+        return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog evolvePartitioning lost $MaxRaceRetries optimistic races at $root")
+  }
+
   private def statsEntry(m: Manifest, column: String): (String, String) = {
     val ph = physicalOf(m.colMap, column)
     m.stats.find(_._1 == ph).getOrElse(throw new IllegalArgumentException(
@@ -585,34 +682,25 @@ final case class TxLog(spark: SparkSession, root: String,
     // that adds a column widens the snapshot; older dirs read the new
     // column as null (Delta's additive evolution semantics)
     val clean = chosen.filterNot(e => dirty(e._1))
+    val cleanByDir = clean.groupBy(_._1).toSeq.sortBy(_._1)
+    // per-dir visibility filters (same-scheme AND foreign-scheme tags
+    // — see tagFilter); dirs with no restriction batch into one read
     val cleanDf: Option[DataFrame] =
       if (clean.isEmpty) None
-      else Some(m.partCol match {
-        case None =>
-          spark.read.option("mergeSchema", "true")
-            .parquet(clean.map(e => dirPath(e._1)).distinct: _*)
-        case Some(pc) =>
-          clean.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
-            val df = spark.read.parquet(dirPath(d))
-            val tags = es.flatMap(_._2)
-            // untagged line inside a tagged manifest = dir covers all
-            if (tags.length < es.length) df
-            else df.filter(org.apache.spark.sql.functions.col(pc)
-              .cast("string").isin(tags: _*))
-          }.reduce(_.unionByName(_, allowMissingColumns = true))
-      })
+      else if (cleanByDir.forall { case (_, es) =>
+        tagFilter(m.partCol, es.map(_._2)).isEmpty })
+        Some(spark.read.option("mergeSchema", "true")
+          .parquet(cleanByDir.map(e => dirPath(e._1)).distinct: _*))
+      else Some(cleanByDir.map { case (d, es) =>
+        val df = spark.read.parquet(dirPath(d))
+        tagFilter(m.partCol, es.map(_._2)).fold(df)(df.filter)
+      }.reduce(_.unionByName(_, allowMissingColumns = true)))
     // tombstoned dirs read per-dir: row addresses are per-file, so the
     // anti join never crosses dirs; tag filters layer on the survivors
     val dirtyDfs = chosen.filter(e => dirty(e._1))
       .groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
         val df = dirVisibleRows(m.tombstones, d)
-        val tags = es.flatMap(_._2)
-        (m.partCol, tags.length == es.length) match {
-          case (Some(pc), true) =>
-            df.filter(org.apache.spark.sql.functions.col(pc)
-              .cast("string").isin(tags: _*))
-          case _ => df
-        }
+        tagFilter(m.partCol, es.map(_._2)).fold(df)(df.filter)
       }
     toLogical(m.colMap, (cleanDf.toSeq ++ dirtyDfs)
       .reduce(_.unionByName(_, allowMissingColumns = true)))
@@ -866,9 +954,9 @@ final case class TxLog(spark: SparkSession, root: String,
       val pending = checks.filterNot(c => validatedChecks((key, c._1, c._2)))
       if (pending.nonEmpty) {
         val base = dirVisibleRows(tombs, d)
-        val visible = (tags, partCol) match {
-          case (Some(ts), Some(pc)) =>
-            base.filter(col(pc).cast("string").isin(ts: _*))
+        val visible = tags match {
+          case Some(ts) =>
+            tagFilter(partCol, ts.map(Option(_))).fold(base)(base.filter)
           case _ => base
         }
         val aggs = pending.map { case (n, sql) =>
@@ -1186,23 +1274,37 @@ final case class TxLog(spark: SparkSession, root: String,
       val entries = prev.entries
       val affected = partValues(src, partCol).toSet
       val pruned = prev.partCol.contains(partCol) && entries.forall(_._2.isDefined)
+      // dirs tagged under a FOREIGN scheme (their layout predates the
+      // current partition column, see evolvePartitioning) cannot be
+      // pruned on this merge's column: they are merged in whole (their
+      // visible rows) and come out re-tagged under the current scheme
+      // — the table self-heals into the new layout one merge at a time
+      val foreignDirs = entries.filter(e => isForeign(e._2)).map(_._1).distinct
       val (target, carry) =
         if (pruned) {
           val byDir = entries.groupBy(_._1)
           val touched = byDir.toSeq.sortBy(_._1).flatMap { case (d, es) =>
-            val hit = es.flatMap(_._2).filter(affected)
-            if (hit.isEmpty) None
-            else Some(dirVisibleRows(prev.tombstones, d).filter(
-              org.apache.spark.sql.functions.col(partCol)
-                .cast("string").isin(hit: _*)))
+            if (foreignDirs.contains(d))
+              Some(tagFilter(prev.partCol, es.map(_._2))
+                .fold(dirVisibleRows(prev.tombstones, d))(
+                  dirVisibleRows(prev.tombstones, d).filter))
+            else {
+              val hit = es.flatMap(_._2).filter(affected)
+              if (hit.isEmpty) None
+              else Some(dirVisibleRows(prev.tombstones, d).filter(
+                org.apache.spark.sql.functions.col(partCol)
+                  .cast("string").isin(hit: _*)))
+            }
           }
           // dirVisibleRows is physical-named; the fold (and its src)
           // speak the visible schema — map at the boundary
           val t =
             if (touched.nonEmpty)
-              toLogical(prev.colMap, touched.reduce(_.unionByName(_)))
+              toLogical(prev.colMap, touched.reduce(
+                _.unionByName(_, allowMissingColumns = true)))
             else snapshot(base).filter(org.apache.spark.sql.functions.lit(false))
-          (t, entries.filter { case (_, p) => !p.exists(affected) })
+          (t, entries.filter { case (d, p) =>
+            !foreignDirs.contains(d) && !p.exists(affected) })
         } else (snapshot(base), Seq.empty[(String, Option[String])])
       val folded = fold(target).localCheckpoint(true)
       // carried dirs keep physical names — the rewritten dir must too
@@ -1218,8 +1320,11 @@ final case class TxLog(spark: SparkSession, root: String,
         carry.exists(_._1 == d) }
       // the retag path (and any delete-capable fold) must enumerate the
       // result's actual partitions
+      // foreign-scheme dirs merged in contribute rows OUTSIDE the
+      // affected set — enumerate the folded result's real partitions
       val resultParts =
-        if (resultPartsAreAffected && pruned) affected.toSeq.sorted
+        if (resultPartsAreAffected && pruned && foreignDirs.isEmpty)
+          affected.toSeq.sorted
         else partValues(folded, partCol)
       // all affected partitions emptied AND nothing carried: keep the
       // (zero-row) dir referenced untagged so the manifest resolves
@@ -1316,12 +1421,7 @@ final case class TxLog(spark: SparkSession, root: String,
         val base = withRowIds(snapshotOfDir(d))
         val minus = m.tombstones.get(d).filter(_.nonEmpty)
           .fold(base)(ts => dropTombstoned(base, ts))
-        val tags = es.flatMap(_._2)
-        val vis = (m.partCol, tags.length == es.length) match {
-          case (Some(pc), true) =>
-            minus.filter(col(pc).cast("string").isin(tags: _*))
-          case _ => minus
-        }
+        val vis = tagFilter(m.partCol, es.map(_._2)).fold(minus)(minus.filter)
         val widened = full.fields.filterNot(f => vis.columns.contains(f.name))
           .foldLeft(vis)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
         // the predicate speaks the VISIBLE schema: project physical →
@@ -1416,12 +1516,10 @@ final case class TxLog(spark: SparkSession, root: String,
       val carry = prev.entries.filterNot { case (d, _) => small(d) }
       // allowMissingColumns: small dirs may span a SCHEMA EVOLUTION —
       // the same additive-widening semantics every read path uses
-      val rows = entryTagSets(prev.entries.filter { case (d, _) => small(d) },
-        prev.partCol).map {
-          case (d, Some(ts)) =>
-            dirVisibleRows(prev.tombstones, d).filter(
-              col(prev.partCol.get).cast("string").isin(ts: _*))
-          case (d, None) => dirVisibleRows(prev.tombstones, d)
+      val rows = prev.entries.filter { case (d, _) => small(d) }
+        .groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
+          val base = dirVisibleRows(prev.tombstones, d)
+          tagFilter(prev.partCol, es.map(_._2)).fold(base)(base.filter)
         }.reduce(_.unionByName(_, allowMissingColumns = true))
       val k = math.max(1L, smallDirs.map(sizes).sum / targetBytes).toInt
       // `rows` is physical-named (raw dir reads) — resolve the writer's

@@ -1176,4 +1176,94 @@ class TxLogSpec extends SparkTestBase {
     t.renameColumn("id", "pk")
     assert(t.snapshot().columns.toSeq === Seq("pk", "v"))
   }
+
+  // ---- partition evolution (Iceberg-style spec change) ----
+
+  private def evolveBase(name: String): TxLog = {
+    val t = fresh(name)
+    val base = Seq(("a", "r1", 1L, "x1"), ("a", "r2", 2L, "x2"),
+      ("b", "r1", 3L, "x3"), ("c", "r2", 4L, "x4"))
+      .toDF("day", "region", "id", "v")
+    t.overwritePartitioned(base, "day") // v0: one dir tagged a,b,c
+    // pruned merge on day=b: v0's dir stays live for a,c only — its
+    // day=b row (id=3 "x3") is DEAD, superseded by the new dir's "X3"
+    t.mergePartitioned(Seq(("b", "r1", 3L, "X3")).toDF("day", "region", "id", "v"),
+      Seq("id"), "day")
+    t
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Map[Long, (String, String, String)] =
+    df.collect().map(r => r.getLong(2) ->
+      ((r.getString(0), r.getString(1), r.getString(3)))).toMap
+
+  test("partition evolution is metadata-only and keeps reads exact, incl. dead partition rows") {
+    val t = evolveBase("evolve_read")
+    val dirsBefore = t.snapshotDataDirs()
+    val before = rowsOf(t.snapshot())
+    assert(before(3L) === (("b", "r1", "X3"))) // sanity: merge applied
+    val vE = t.evolvePartitioning("region")
+    // zero data dirs written — same uuids referenced
+    assert(t.snapshotDataDirs(vE).sorted === dirsBefore.sorted)
+    // reads identical: the v0 dir's dead day=b row must NOT resurrect
+    assert(rowsOf(t.snapshot()) === before)
+    // the catalog-SQL read path agrees (scheme-qualified tags in SQL)
+    assert(rowsOf(spark.sql(t.snapshotSql())) === before)
+    // time travel: the pre-evolution version still reads its own scheme
+    assert(rowsOf(t.snapshot(vE - 1)) === before)
+    // guards: same column refused, absent column refused
+    assertThrows[IllegalArgumentException](t.evolvePartitioning("region"))
+    assertThrows[IllegalArgumentException](t.evolvePartitioning("nope"))
+  }
+
+  test("partition evolution: new-scheme merge self-heals foreign dirs, then prunes") {
+    val t = evolveBase("evolve_heal")
+    t.evolvePartitioning("region")
+    val dirsBefore = t.snapshotDataDirs().toSet
+    // first merge under the NEW scheme: every pre-evolution dir is
+    // foreign — merged in whole, re-tagged under region
+    val vm = t.mergePartitioned(
+      Seq(("d", "r1", 5L, "x5")).toDF("day", "region", "id", "v"),
+      Seq("id"), "region")
+    assert(t.snapshotDataDirs(vm).toSet.intersect(dirsBefore).isEmpty,
+      "foreign dirs must be folded away by the healing merge")
+    assert(rowsOf(t.snapshot()) === Map(
+      1L -> (("a", "r1", "x1")), 2L -> (("a", "r2", "x2")),
+      3L -> (("b", "r1", "X3")), 4L -> (("c", "r2", "x4")),
+      5L -> (("d", "r1", "x5"))))
+    // second new-scheme merge: healed table prunes — r2's dir carries
+    val healedDirs = t.snapshotDataDirs().toSet
+    val v2 = t.mergePartitioned(
+      Seq(("e", "r1", 6L, "x6")).toDF("day", "region", "id", "v"),
+      Seq("id"), "region")
+    assert(t.snapshotDataDirs(v2).toSet.intersect(healedDirs).nonEmpty,
+      "post-heal merge must carry unaffected partitions' dirs")
+    assert(t.snapshot().count() === 6)
+  }
+
+  test("partition evolution: compact materializes the new scheme in one pass") {
+    val t = evolveBase("evolve_compact")
+    val before = rowsOf(t.snapshot())
+    t.evolvePartitioning("region")
+    val preDirs = t.snapshotDataDirs().toSet
+    t.compact()
+    assert(t.snapshotDataDirs().toSet.intersect(preDirs).isEmpty)
+    assert(rowsOf(t.snapshot()) === before)
+    // compacted layout is tagged under region: a merge prunes at once
+    val healedDirs = t.snapshotDataDirs().toSet
+    t.mergePartitioned(
+      Seq(("d", "r1", 5L, "x5")).toDF("day", "region", "id", "v"),
+      Seq("id"), "region")
+    assert(t.snapshotDataDirs().toSet.intersect(healedDirs).nonEmpty)
+  }
+
+  test("partition evolution: deleteWhere sees only visible rows across schemes") {
+    val t = evolveBase("evolve_delete")
+    t.evolvePartitioning("region")
+    // matches the VISIBLE id=3 row ("X3") and the dead "x3" row's
+    // address must not be tombstoned twice / resurrected
+    t.deleteWhere("v = 'x1'")
+    val after = rowsOf(t.snapshot())
+    assert(!after.contains(1L) && after(3L) === (("b", "r1", "X3")))
+    assert(after.keySet === Set(2L, 3L, 4L))
+  }
 }
