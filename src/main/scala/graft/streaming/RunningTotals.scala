@@ -41,90 +41,79 @@ class RunningTotalsProcessor
 
 object RunningTotals {
 
+  /** One CHECKPOINTED replay per (JVM, source dir), shared by the
+    * running-totals query and the state audit: the replay emits its
+    * per-batch snapshots into a memory table AND persists its RocksDB
+    * state under the returned checkpoint path. Sharing is not just a
+    * cost save — it is the audit's semantics: an operator audits the
+    * state of a job that ALREADY RAN, not a private re-execution. */
+  private val replayed =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def tableFor(dir: String) = s"graft_running_totals_${dir.hashCode.abs}"
+
+  private def replay(spark: SparkSession, dir: String): String =
+    replayed.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      val cp = s"/root/repo/target/tmp/tws_state_cp_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "tws",
+        splitEvents = 4)
+      val stream = spark.readStream
+        .schema(EventStreams.rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", false)
+        .parquet(stagePath)
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .as[(Long, Long)]
+      // transformWithState requires the RocksDB state store provider
+      val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(confKey)
+      spark.conf.set(confKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try SessionizeStream.withStatePartitions(spark, 8) {
+        val out = stream.groupByKey(_._1)
+          .transformWithState(new RunningTotalsProcessor,
+            TimeMode.None(), OutputMode.Update())
+        // Trigger.AvailableNow — the production drain mode: process
+        // everything currently available as rate-limited microbatches,
+        // then terminate on its own (vs processAllAvailable, a test
+        // hook; vs Trigger.Once, one giant unbounded batch)
+        val q = out.toDF().writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(tableFor(dir))
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      } finally prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+      cp
+    })
+
   /** Runs the processor over the finite events replay (4 real
     * microbatches) and folds the emitted snapshots to each user's
     * final state: `n` is strictly increasing per user, so
     * max(struct(n, cents)) picks the last emission deterministically. */
-  def perUser(spark: SparkSession, dir: String,
-              queryName: String = "graft_running_totals"): DataFrame = {
-    import spark.implicits._
-    val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "tws",
-      splitEvents = 4)
-    val stream = spark.readStream
-      .schema(EventStreams.rawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .option("latestFirst", false)
-      .parquet(stagePath)
-      .filter(col("event_type") =!= "sentinel")
-      .select(col("user_id"),
-        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-      .as[(Long, Long)]
-    // transformWithState requires the RocksDB state store provider
-    val confKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try SessionizeStream.withStatePartitions(spark, 8) {
-      val out = stream.groupByKey(_._1)
-        .transformWithState(new RunningTotalsProcessor,
-          TimeMode.None(), OutputMode.Update())
-      // Trigger.AvailableNow — the production drain mode: process
-      // everything currently available as rate-limited microbatches,
-      // then terminate on its own (vs processAllAvailable, a test
-      // hook; vs Trigger.Once, one giant unbounded batch)
-      val q = out.toDF().writeStream
-        .outputMode("update")
-        .format("memory")
-        .queryName(queryName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
-    } finally prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
-    spark.table(queryName)
+  def perUser(spark: SparkSession, dir: String): DataFrame = {
+    replay(spark, dir)
+    spark.table(tableFor(dir))
       .groupBy(col("user_id"))
       .agg(max(struct(col("n"), col("cents"))).as("s"))
       .select(col("user_id"), col("s.n").as("n_events"),
         (col("s.cents") / lit(100.0)).as("total_value"))
   }
 
-  /** Runs the same replay against a PERSISTED checkpoint, then reads
-    * the final per-user totals straight out of the RocksDB store with
-    * Spark's STATE DATA SOURCE (`spark.read.format("statestore")`) —
-    * the Spark 4 operational window into streaming state. The store
-    * contents must equal the batch aggregate: at 100 TB this is how an
-    * operator audits state size/skew and debugs a stateful job without
-    * replaying it. */
+  /** Reads the final per-user totals straight out of the shared
+    * replay's RocksDB store with Spark's STATE DATA SOURCE
+    * (`spark.read.format("statestore")`) — the Spark 4 operational
+    * window into streaming state. The store contents must equal the
+    * batch aggregate: at 100 TB this is how an operator audits state
+    * size/skew and debugs a stateful job without replaying it. */
   def stateAudit(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val cp = s"/root/repo/target/tmp/tws_state_cp_${dir.hashCode.abs}"
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
-    val stagePath = SessionizeStream.stageWithSentinels(spark, dir, "tws_audit",
-      splitEvents = 4)
-    val stream = spark.readStream
-      .schema(EventStreams.rawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .option("latestFirst", false)
-      .parquet(stagePath)
-      .filter(col("event_type") =!= "sentinel")
-      .select(col("user_id"),
-        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-      .as[(Long, Long)]
-    val confKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try SessionizeStream.withStatePartitions(spark, 8) {
-      val out = stream.groupByKey(_._1)
-        .transformWithState(new RunningTotalsProcessor,
-          TimeMode.None(), OutputMode.Update())
-      val q = out.toDF().writeStream
-        .outputMode("update")
-        .format("noop")
-        .option("checkpointLocation", cp)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
-    } finally prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+    val cp = replay(spark, dir)
     // the state source addresses a (checkpoint, operator, state
     // variable); transformWithState value state reads back as
     // (key struct, value struct) rows
