@@ -598,6 +598,107 @@ object VectorQueries {
         FROM rer)
       SELECT query_id, neighbor_id, rank, score
       FROM ranked WHERE rank <= 5""")),
+
+    // IVF-PQ with RESIDUAL CODING — the standard billion-scale index
+    // shape (FAISS IndexIVFPQ): the trained coarse quantizer assigns
+    // each vector to a cell, PQ codebooks are trained on the RESIDUAL
+    // (vector − cell centroid) — residual magnitudes are much smaller
+    // than raw vectors, so the same code budget buys less distortion —
+    // and search is ADC over only the nProbe=2 probed cells' codes:
+    // per (query, probed cell) a residual distance table broadcasts,
+    // and each candidate pays pqM lookups. At 100 TB the scan touches
+    // nProbe/nlist of the codes (4 small ints each), not the floats.
+    // Residual subtraction is double-sub-then-float-round (IEEE-exact
+    // cross-engine); the oracle replays coarse training, residuals, PQ
+    // training, encoding, probing, and ADC literally. Recall contract
+    // in VectorFunctionsSpec.
+    Q("sim_ivfpq_adc", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      val cents = ivfTrainedCents(spark, e)
+      val residCol = zip_with(col("embedding"), col("cv"),
+        (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+      val resid = ivfAssign(spark, e, cents)
+        .join(broadcast(cents), Seq("cent_id"))
+        .select(col("vec_id"), col("cent_id").as("cell"),
+          residCol.as("embedding"))
+        .localCheckpoint(true)
+      val (codes, books) = pqTrainedCodes(spark,
+        resid.select(col("vec_id"), col("embedding")))
+      val codesWithCell = codes.join(resid.select(col("vec_id"), col("cell")),
+        Seq("vec_id"))
+      // queries probe their 2 nearest cells; the residual is PER CELL
+      val qresid = ivfAssign(spark, e.filter(col("vec_id") < 20), cents, nProbe = 2)
+        .withColumnRenamed("cent_id", "cell")
+        .join(broadcast(cents.withColumnRenamed("cent_id", "cell")), Seq("cell"))
+        .select(col("vec_id").as("query_id"), col("cell"),
+          residCol.as("rq"))
+      val qsubs = qresid.select(col("query_id"), col("cell"),
+          posexplode(transform(sequence(lit(0), lit(pqM - 1)),
+            s => slice(col("rq"), s * pqSubDim + 1, lit(pqSubDim)))))
+        .select(col("query_id"), col("cell"), col("pos").as("s"), col("col").as("sv"))
+      val qd = qsubs.join(broadcast(books), Seq("s"))
+        .withColumn("qd", VectorExpressions.l2_sq(spark, col("sv"), col("cv")))
+        .select(col("query_id"), col("cell"), col("s"), col("cent_id"), col("qd"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist").asc, col("neighbor_id"))
+      val ds = (0 until pqM).map(s0 => max(when(col("s") === s0, col("qd"))).as(s"d$s0"))
+      codesWithCell.join(broadcast(qd), Seq("cell", "s", "cent_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(ds.head, ds.tail: _*)
+        .withColumn("adc_dist",
+          (0 until pqM).map(s0 => col(s"d$s0")).reduce(_ + _))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_dist"))
+    }, oracle = Some(s"""
+      WITH ${ivfOracleCtes(1)},
+      resid AS (
+        SELECT a.vec_id, a.cent_id AS cell,
+               list_transform(list_zip(a.embedding, c.cv),
+                 p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS REAL))
+                 AS embedding
+        FROM a3 a JOIN cents2 c ON c.cent_id = a.cent_id),
+      ${pqOracleCtes(src = "resid")},
+      qprobe AS (
+        SELECT vec_id AS query_id, cent_id AS cell FROM (
+          SELECT e.vec_id, c.cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosFrag("e.embedding", "c.cv")} DESC, c.cent_id) AS crk
+          FROM embeddings e CROSS JOIN cents2 c
+          WHERE e.vec_id < 20) WHERE crk <= 2),
+      qresid AS (
+        SELECT q.query_id, q.cell,
+               list_transform(list_zip(e.embedding, c.cv),
+                 p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS REAL)) AS rq
+        FROM qprobe q
+        JOIN embeddings e ON e.vec_id = q.query_id
+        JOIN cents2 c ON c.cent_id = q.cell),
+      qsubs AS (
+        SELECT query_id, cell, u.s,
+               rq[u.s*$pqSubDim+1 : u.s*$pqSubDim+$pqSubDim] AS sv
+        FROM qresid, LATERAL (SELECT unnest(range(0, $pqM)) AS s) u),
+      qd AS (
+        SELECT qs.query_id, qs.cell, qs.s, c.cent_id,
+               ${l2Frag("qs.sv", "c.cv")} AS qd
+        FROM qsubs qs JOIN pc2 c ON c.s = qs.s),
+      adc AS (
+        SELECT qd.query_id, n.vec_id AS neighbor_id,
+               ${(0 until pqM).map(s0 =>
+                  s"max(CASE WHEN n.s = $s0 THEN qd.qd END) AS d$s0")
+                 .mkString(",\n               ")}
+        FROM pa3 n
+        JOIN resid r ON r.vec_id = n.vec_id
+        JOIN qd ON qd.cell = r.cell AND qd.s = n.s AND qd.cent_id = n.cent_id
+        WHERE n.vec_id <> qd.query_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, $pqAdcSumSql AS adc_dist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY $pqAdcSumSql ASC, neighbor_id) AS INT) AS rank
+        FROM adc)
+      SELECT query_id, neighbor_id, rank, adc_dist
+      FROM ranked WHERE rank <= 5""")),
   )
 
   /** Nearest-centroid assignment: top-`nProbe` cosine cells over a
@@ -645,21 +746,25 @@ object VectorQueries {
   private val centsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), org.apache.spark.sql.DataFrame]()
 
-  /** Full trained coarse quantizer: every-25th-vector seeds, 2 Lloyd
-    * iterations (always single-assignment, cached per corpus), then a
-    * final `nProbe`-cell assignment → (vec_id, embedding, cent_id). */
-  private def ivfTrainedAssignment(spark: org.apache.spark.sql.SparkSession,
-                                   e: org.apache.spark.sql.DataFrame,
-                                   nProbe: Int = 1): org.apache.spark.sql.DataFrame = {
+  /** Trained coarse quantizer centroids: every-25th-vector seeds, 2
+    * Lloyd iterations, cached per (session, corpus). */
+  private def ivfTrainedCents(spark: org.apache.spark.sql.SparkSession,
+                              e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
       e.queryExecution.analyzed.semanticHash())
-    val cents2 = centsCache.computeIfAbsent(key, _ => {
+    centsCache.computeIfAbsent(key, _ => {
       val cents0 = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
       ivfRetrain(ivfAssign(spark, e, ivfRetrain(ivfAssign(spark, e, cents0))))
     })
-    ivfAssign(spark, e, cents2, nProbe)
   }
+
+  /** Full trained coarse quantizer: [[ivfTrainedCents]] plus a final
+    * `nProbe`-cell assignment → (vec_id, embedding, cent_id). */
+  private def ivfTrainedAssignment(spark: org.apache.spark.sql.SparkSession,
+                                   e: org.apache.spark.sql.DataFrame,
+                                   nProbe: Int = 1): org.apache.spark.sql.DataFrame =
+    ivfAssign(spark, e, ivfTrainedCents(spark, e), nProbe)
 
   /** Oracle CTE chain replaying [[ivfTrainedAssignment]] exactly:
     * `cents0 → a1 → cents1 → a2 → cents2 → a3` (final assignment,
@@ -781,8 +886,10 @@ object VectorQueries {
   }
 
   /** Oracle CTE chain replaying [[pqTrainedCodes]] exactly:
-    * `subs → seeds0 → pa1 → pc1 → pa2 → pc2 → pa3` (final codes). */
-  private def pqOracleCtes(): String = {
+    * `subs → seeds0 → pa1 → pc1 → pa2 → pc2 → pa3` (final codes).
+    * `src` is any prior CTE exposing (vec_id, embedding) — the
+    * residual relation for IVF-PQ, the raw table by default. */
+  private def pqOracleCtes(src: String = "embeddings"): String = {
     def assignSql(cents: String, out: String) = s"""
       $out AS (
         SELECT vec_id, s, sv, cent_id FROM (
@@ -804,7 +911,7 @@ object VectorQueries {
     s"""subs AS (
         SELECT vec_id, u.s,
                embedding[u.s*$pqSubDim+1 : u.s*$pqSubDim+$pqSubDim] AS sv
-        FROM embeddings, LATERAL (SELECT unnest(range(0, $pqM)) AS s) u),
+        FROM $src, LATERAL (SELECT unnest(range(0, $pqM)) AS s) u),
       seeds0 AS (
         SELECT s, vec_id AS cent_id, sv AS cv FROM subs
         WHERE vec_id % 25 = 0 AND vec_id < 1600),
