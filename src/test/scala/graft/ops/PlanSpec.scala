@@ -174,6 +174,31 @@ class PlanSpec extends SparkTestBase {
       "ADC recombination fell out of the equi-join shape")
   }
 
+  test("IVF-PQ: the ADC probe is a broadcast EQUI-join on (cell, s, cent_id)") {
+    val p = planOf("sim_ivfpq_adc")
+    // the code scan joins the broadcast distance table on the full
+    // (cell, subspace, centroid) key — candidates outside probed cells
+    // never materialize. The coarse assignment's centroid crossJoin is
+    // a deliberate bounded broadcast (nlist rows), so BNLJ is not
+    // globally forbidden here — the pin is on the ADC join's shape.
+    assert(p.contains("BroadcastHashJoin [cell"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("SQ8 re-rank: code scan joins the broadcast query side, windows keyed by query") {
+    val p = planOf("sim_sq8_rerank")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(p.contains("hashpartitioning(query_id"), p.take(1200))
+  }
+
+  test("DSIR weights: ≤256-row weight table broadcasts; selection is a TakeOrdered heap, not a global sort") {
+    val p = planOf("curate_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("GlobalLimit"), "top-25 must be the distributed heap")
+  }
+
   test("last-touch attribution stays an equi-join on user (band predicate as residual)") {
     val p = planOf("events_last_touch")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
