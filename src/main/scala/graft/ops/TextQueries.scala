@@ -477,5 +477,82 @@ object TextQueries {
              CAST(sum(c.cnt) AS BIGINT) AS freq_sum,
              CAST(sum(c.cnt) AS DOUBLE) / count(*) AS familiarity
       FROM b JOIN c USING (bg) GROUP BY b.doc_id""")),
+
+    // BM25-shaped retrieval scoring — the IR ranking function next to
+    // the TF-IDF pack: k1=1.2, b=0.75, with the RATIONAL idf surrogate
+    // (N−df+0.5)/(df+0.5) in place of its log (transcendental-free:
+    // the surrogate is strictly monotone in the true idf, and libm ln
+    // differs across engines in the last ulp). The query = the 3 most
+    // frequent non-stopword corpus terms, derived identically on both
+    // sides; per-doc scores fold over the term scores in SORTED term
+    // order (a sequential double fold — bit-identical cross-engine,
+    // the same discipline as every vector score here). Selection is
+    // the distributed top-20 heap. At 100 TB: tf/df are one
+    // shuffle each, the query-term frame is a 3-row broadcast, and
+    // scoring is a narrow projection — the inverted-index shape
+    // shared with the TF-IDF/decontamination queries.
+    Q("text_bm25_topk", (spark, dir) => {
+      val toks = load(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+      val dfr = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+      val qterms = broadcast(dfr.filter(!col("term").isin(stop: _*))
+        .orderBy(col("ctf").desc, col("term")).limit(3)
+        .select(col("term"), col("df")))
+      tf.join(qterms, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("s",
+          ((col("nd").cast("double") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)))
+            * (col("tf").cast("double") * lit(2.2))
+            / (col("tf").cast("double") + (lit(0.3) + lit(0.9)
+              * ((col("dl").cast("double") * col("nd").cast("double"))
+                / col("tt").cast("double")))))
+        .groupBy(col("doc_id"))
+        .agg(
+          aggregate(array_sort(collect_list(struct(col("term"), col("s")))),
+            lit(0.0), (acc, x) => acc + x.getField("s")).as("score"),
+          count(lit(1)).as("n_hit"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             FROM toks GROUP BY 1),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                       CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+      dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                     CAST(sum(tf) AS BIGINT) AS ctf
+              FROM tf GROUP BY 1),
+      qterms AS (
+        SELECT term, df FROM dfr
+        WHERE term NOT IN ('the','a','of','and','to')
+        ORDER BY ctf DESC, term LIMIT 3),
+      ts AS (
+        SELECT t.doc_id, t.term,
+               ((CAST(s.nd AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+                 / (CAST(q.df AS DOUBLE) + 0.5))
+                 * (CAST(t.tf AS DOUBLE) * 2.2)
+                 / (CAST(t.tf AS DOUBLE) + (0.3 + 0.9
+                   * ((CAST(d.dl AS DOUBLE) * CAST(s.nd AS DOUBLE))
+                     / CAST(s.tt AS DOUBLE)))) AS s
+        FROM tf t
+        JOIN qterms q ON q.term = t.term
+        JOIN dl d ON d.doc_id = t.doc_id, stats s),
+      folded AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(s ORDER BY term)), (acc, x) -> acc + x) AS score,
+               count(*) AS n_hit
+        FROM ts GROUP BY doc_id)
+      SELECT doc_id, score, n_hit FROM folded
+      ORDER BY score DESC, doc_id LIMIT 20""")),
   )
 }

@@ -699,6 +699,72 @@ object VectorQueries {
         FROM adc)
       SELECT query_id, neighbor_id, rank, adc_dist
       FROM ranked WHERE rank <= 5""")),
+
+    // RECIPROCAL RANK FUSION (Cormack et al. 2009) — the standard
+    // ensemble step of hybrid retrieval: two retrievers rank the same
+    // corpus (here cosine similarity vs L2 distance — genuinely
+    // different orders when norms vary), and fusion scores each
+    // candidate by Σ 1/(k + rank) with k=60 over the lists it appears
+    // in (top-10 each). Ranks are integers and the fused score adds
+    // exactly two terms in fixed order, so every comparison is
+    // bit-stable cross-engine with no score normalization — which is
+    // precisely why RRF is the production default for fusing
+    // incomparable retriever scores. One corpus scan computes both
+    // rankings; windows are keyed per query.
+    Q("sim_rrf_fusion", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      val queries = broadcast(e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      val wCos = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val wL2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("l2").asc, col("neighbor_id"))
+      val wFused = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_score").desc, col("neighbor_id"))
+      queries
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", VectorExpressions.cosine_sim(spark, col("qv"), col("embedding")))
+        .withColumn("l2", VectorExpressions.l2_sq(spark, col("qv"), col("embedding")))
+        .withColumn("ra", row_number().over(wCos))
+        .withColumn("rb", row_number().over(wL2))
+        .filter(col("ra") <= 10 || col("rb") <= 10)
+        .withColumn("rrf_score",
+          when(col("ra") <= 10, lit(1.0) / (lit(60.0) + col("ra").cast("double")))
+            .otherwise(lit(0.0))
+            + when(col("rb") <= 10, lit(1.0) / (lit(60.0) + col("rb").cast("double")))
+            .otherwise(lit(0.0)))
+        .withColumn("rank", row_number().over(wFused))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("rrf_score"))
+    }, oracle = Some(s"""
+      WITH pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               $oracleCos AS cos,
+               ${l2Frag("a.embedding", "b.embedding")} AS l2
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 20),
+      ranked2 AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS ra,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY l2 ASC, neighbor_id) AS rb
+        FROM pairs),
+      fused AS (
+        SELECT query_id, neighbor_id,
+               (CASE WHEN ra <= 10 THEN 1.0 / (60.0 + CAST(ra AS DOUBLE))
+                     ELSE 0.0 END)
+               + (CASE WHEN rb <= 10 THEN 1.0 / (60.0 + CAST(rb AS DOUBLE))
+                       ELSE 0.0 END) AS rrf_score
+        FROM ranked2 WHERE ra <= 10 OR rb <= 10),
+      final AS (
+        SELECT query_id, neighbor_id, rrf_score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf_score DESC, neighbor_id) AS INT) AS rank
+        FROM fused)
+      SELECT query_id, neighbor_id, rank, rrf_score
+      FROM final WHERE rank <= 5""")),
   )
 
   /** Nearest-centroid assignment: top-`nProbe` cosine cells over a
