@@ -278,6 +278,72 @@ object EventQueries {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       FROM sess GROUP BY user_id, session_id"""), bench = true),
 
+    // INTERVAL-OVERLAP self-join over sessions — the temporal-join
+    // operator behind concurrency analytics ("who was on-site while I
+    // was"): cross-USER session pairs whose [start, end] spans
+    // intersect, aggregated per lower user. The quadratic pair space
+    // is blocked by HOUR BUCKET: each session emits one row per hour
+    // it spans, pairs join on the bucket, and each surviving pair
+    // counts exactly once — in the bucket holding its overlap start
+    // (greatest(s1,s2) lies inside both spans by construction). At
+    // 100 TB this is one shuffle on (hour) with AQE absorbing hot
+    // hours, never an all-pairs product; the oracle computes the same
+    // pairs with a plain unblocked inequality join, proving the
+    // bucketing answer-preserving — the same discipline as the salted
+    // joins in ScaleQueries.
+    Q("events_session_overlap", (spark, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val HourUs = 3600000000L
+      val sess = Tables.loadEvents(spark, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+      val spans = sess.select(col("user_id"), col("s"), col("e"),
+        explode(sequence(expr(s"s div $HourUs"), expr(s"e div $HourUs"))).as("bucket"))
+      val a = spans.select(col("bucket"), col("user_id").as("u1"),
+        col("s").as("s1"), col("e").as("e1"))
+      val b = spans.select(col("bucket"), col("user_id").as("u2"),
+        col("s").as("s2"), col("e").as("e2"))
+      a.join(b, Seq("bucket"))
+        .filter(col("u1") < col("u2")
+          && col("s1") <= col("e2") && col("s2") <= col("e1")
+          && col("bucket") === expr(s"greatest(s1, s2) div $HourUs"))
+        .groupBy(col("u1").as("user_id"))
+        .agg(count(lit(1)).as("n_overlap_pairs"),
+          sum(expr("least(e1, e2) - greatest(s1, s2)")).cast("long")
+            .as("total_overlap_us"))
+    }, oracle = Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged),
+      sess AS (
+        SELECT user_id, session_id,
+               CAST(min(us) AS BIGINT) AS s, CAST(max(us) AS BIGINT) AS e
+        FROM numbered GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.user_id AS u1,
+               least(a.e, b.e) - greatest(a.s, b.s) AS ov
+        FROM sess a JOIN sess b
+          ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e)
+      SELECT u1 AS user_id, count(*) AS n_overlap_pairs,
+             CAST(sum(ov) AS BIGINT) AS total_overlap_us
+      FROM pairs GROUP BY 1""")),
+
     // The same sessionization through the STATEFUL streaming path
     // Stream-stream interval join (both sides watermarked, join
     // condition time-bounds each side → bounded state): purchases ×

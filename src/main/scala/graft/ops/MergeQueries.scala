@@ -288,6 +288,40 @@ object MergeQueries {
     }, oracle = Some("""
       SELECT o_orderkey, o_totalprice AS amount FROM orders""")),
 
+    // GENERATED COLUMNS under the hash gate (Delta's GENERATED ALWAYS
+    // AS): ship_year and gross_cents derive from expressions recorded
+    // as table metadata. The first append writes a frame WITHOUT the
+    // columns — the writer computes them; the second supplies them —
+    // the derived CHECK (null-safe equality, persisted in the
+    // manifest, binding every later writer) validates instead. A
+    // frame carrying a wrong value is refused atomically
+    // (TxLogSpec). The oracle derives the same expressions
+    // relationally — generation must be invisible to query semantics.
+    Q("txlog_generated_cols", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_gen_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t = graft.pipeline.TxLog(spark, root, generatedCols = Seq(
+        ("ship_year", "year(l_shipdate)"),
+        ("gross_cents", "CAST(floor(l_extendedprice * 100) AS BIGINT)")))
+      val li = load(spark, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_extendedprice"))
+      t.append(li.filter(col("l_orderkey") % 2 === 0))
+      t.append(li.filter(col("l_orderkey") % 2 === 1)
+        .withColumn("ship_year", expr("year(l_shipdate)"))
+        .withColumn("gross_cents",
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")))
+      t.snapshot()
+        .groupBy(col("ship_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("gross_cents")).cast("long").as("gross_cents"))
+    }, oracle = Some("""
+      SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+             count(*) AS n_lines,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS gross_cents
+      FROM lineitem GROUP BY 1""")),
+
     // PARTITION EVOLUTION under the hash gate — Iceberg's partition-
     // spec change, which Delta lacks: a table partitioned by
     // o_orderpriority is switched — metadata-only, zero dirs

@@ -38,11 +38,12 @@ final case class TxLog(spark: SparkSession, root: String,
                        statsCols: Seq[String] = Nil,
                        bloomCols: Seq[String] = Nil,
                        bloomBits: Int = 4096,
-                       checkConstraints: Seq[(String, String)] = Nil) {
+                       checkConstraints: Seq[(String, String)] = Nil,
+                       generatedCols: Seq[(String, String)] = Nil) {
 
   // CHECK constraints are manifest header lines (one per `\t`-free SQL
   // predicate); reject undeclarable ones at construction, not commit
-  checkConstraints.foreach { case (n, s) =>
+  (checkConstraints ++ generatedCols).foreach { case (n, s) =>
     require(n.nonEmpty && !n.exists("\t\n\r".contains(_)),
       s"constraint name '$n' must be non-empty and tab/newline-free")
     require(s.nonEmpty && !s.exists("\t\n\r".contains(_)),
@@ -50,6 +51,27 @@ final case class TxLog(spark: SparkSession, root: String,
   }
   require(checkConstraints.map(_._1).distinct.size == checkConstraints.size,
     "duplicate CHECK constraint names")
+
+  /** GENERATED ALWAYS AS columns (Delta parity): each (name, sqlExpr)
+    * is computed when a write's frame LACKS the column and VALIDATED
+    * (null-safe equality, via the CHECK machinery) when the frame
+    * supplies it — a frame carrying a wrong value is refused
+    * atomically. The derived CHECKs persist in the manifest like any
+    * constraint, so they bind every later writer of the table even
+    * ones constructed without `generatedCols`. */
+  private val generatedChecks: Seq[(String, String)] =
+    generatedCols.map { case (n, s) => (s"__gen_$n", s"`$n` <=> ($s)") }
+  private val allChecks: Seq[(String, String)] =
+    checkConstraints ++ generatedChecks
+
+  /** Compute any generated column the frame lacks; columns the frame
+    * already carries are left alone (the derived CHECK validates them
+    * pre-commit). */
+  private def withGenerated(df: DataFrame): DataFrame =
+    generatedCols.foldLeft(df) { case (acc, (n, s)) =>
+      if (acc.columns.contains(n)) acc
+      else acc.withColumn(n, org.apache.spark.sql.functions.expr(s))
+    }
 
   private val logDir = s"$root/_txlog"
   private val dataDir = s"$root/data"
@@ -905,13 +927,13 @@ final case class TxLog(spark: SparkSession, root: String,
     * once committed they bind every later writer, declared or not;
     * redeclaring an existing name does not alter it). */
   private def mergedChecks(prev: Seq[(String, String)]): Seq[(String, String)] =
-    prev ++ checkConstraints.filterNot(c => prev.exists(_._1 == c._1))
+    prev ++ allChecks.filterNot(c => prev.exists(_._1 == c._1))
 
   /** Writer-declared constraints NOT yet persisted as of `prev` — the
     * ones existing data must be validated against before the commit
     * that introduces them (Delta's ALTER TABLE ADD CONSTRAINT scan). */
   private def addedChecks(prev: Seq[(String, String)]): Seq[(String, String)] =
-    checkConstraints.filterNot(c => prev.exists(_._1 == c._1))
+    allChecks.filterNot(c => prev.exists(_._1 == c._1))
 
   /** (visibleRowsKey, constraintName, constraintSql) triples this
     * writer instance already proved — makes retry-loop re-validation
@@ -1037,7 +1059,8 @@ final case class TxLog(spark: SparkSession, root: String,
   /** Overwrite-style commit: the new snapshot is exactly `df`. The
     * payload is independent of the previous snapshot, so losing an
     * optimistic race only slides the version number. */
-  def overwrite(df: DataFrame): Long = {
+  def overwrite(df0: DataFrame): Long = {
+    val df = withGenerated(df0)
     val uuid = writeDataDir(df)
     val (hdr, ranges) = statsFor(uuid)
     val blooms = bloomsFor(uuid)
@@ -1064,7 +1087,8 @@ final case class TxLog(spark: SparkSession, root: String,
     * loser that recommitted its pre-race view would silently drop the
     * winner's data (lost update); re-reading makes concurrent appends
     * serialize losslessly (pinned by the TxLogSpec race test). */
-  def append(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
+  def append(df0: DataFrame, txn: Option[(String, Long)] = None): Long = {
+    val df = withGenerated(df0)
     // carrying commit on a mapped table: the new dir must store
     // PHYSICAL names (carried dirs do), and evolution columns mint
     // mapping entries. The map is read once up front — a concurrent
@@ -1169,8 +1193,9 @@ final case class TxLog(spark: SparkSession, root: String,
     * `txn` = (appId, batchId) records the writer's batch high-water
     * mark; a redelivered batch (id ≤ recorded) is skipped — the
     * foreachBatch exactly-once contract. */
-  def overwritePartitioned(df: DataFrame, partCol: String,
+  def overwritePartitioned(df0: DataFrame, partCol: String,
                            txn: Option[(String, Long)] = None): Long = {
+    val df = withGenerated(df0)
     val uuid = writeDataDir(df)
     val (hdr, ranges) = statsFor(uuid)
     val blooms = bloomsFor(uuid)

@@ -1256,6 +1256,26 @@ class TxLogSpec extends SparkTestBase {
     assert(t.snapshotDataDirs().toSet.intersect(healedDirs).nonEmpty)
   }
 
+  test("generated columns: computed when absent, validated when supplied, wrong values refused") {
+    val t = TxLog(spark, tmpDir("txlog_gencol"),
+      generatedCols = Seq(("y", "id * 2")))
+    t.append(Seq(1L, 2L).toDF("id")) // column absent → computed
+    assert(t.snapshot().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(1L -> 2L, 2L -> 4L))
+    t.append(Seq((3L, 6L)).toDF("id", "y")) // supplied correctly → validated
+    assert(t.snapshot().count() === 3)
+    // wrong supplied value: commit refused atomically, snapshot intact
+    assertThrows[IllegalStateException](t.append(Seq((4L, 9L)).toDF("id", "y")))
+    assert(t.snapshot().count() === 3)
+    // the derived CHECK persisted in the manifest BINDS a later writer
+    // constructed without generatedCols (Delta: generation is table
+    // metadata, not writer configuration)
+    val t2 = TxLog(spark, t.root)
+    assertThrows[IllegalStateException](t2.append(Seq((5L, 11L)).toDF("id", "y")))
+    t2.append(Seq((5L, 10L)).toDF("id", "y"))
+    assert(t2.snapshot().count() === 4)
+  }
+
   test("partition evolution: deleteWhere sees only visible rows across schemes") {
     val t = evolveBase("evolve_delete")
     t.evolvePartitioning("region")
