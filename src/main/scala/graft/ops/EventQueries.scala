@@ -455,6 +455,50 @@ object EventQueries {
              CAST(sum(ltv) AS DOUBLE) AS tier_value
       FROM tiers GROUP BY tier""")),
 
+    // RFM SEGMENTATION — the classic customer-value grid: per-user
+    // Recency (last event time), Frequency (event count), Monetary
+    // (purchase value, exact decimal) each quartiled INDEPENDENTLY
+    // through the distributed exact ntile (range-partitioned two-phase
+    // rank — a plain ntile() window would single-task the whole user
+    // set), then users counted per (R,F,M) cell. Three rank passes
+    // over a users-sized frame plus broadcast-joined tier labels — at
+    // 100 TB the frame is user-cardinality, not event-cardinality,
+    // and every step before it is one map-side-combined aggregation.
+    Q("events_rfm_segments", (spark, dir) => {
+      val base = Tables.loadEvents(spark, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(max(col("us")).as("recency"),
+          count(lit(1)).as("freq"),
+          sum(when(col("event_type") === "purchase",
+              col("value").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("monetary"))
+        .localCheckpoint(true)
+      def tiered(c: org.apache.spark.sql.Column, as: String) =
+        CurationQueries.distributedNtile(base, 4, 16, c, col("user_id"))
+          .select(col("user_id"), col("tier").as(as))
+      base.select(col("user_id"))
+        .join(tiered(col("recency").desc, "r_tier"), Seq("user_id"))
+        .join(tiered(col("freq").desc, "f_tier"), Seq("user_id"))
+        .join(tiered(col("monetary").desc, "m_tier"), Seq("user_id"))
+        .groupBy(col("r_tier"), col("f_tier"), col("m_tier"))
+        .agg(count(lit(1)).as("n_users"))
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT user_id, max(epoch_us(ts)) AS recency, count(*) AS freq,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS monetary
+        FROM events GROUP BY 1),
+      t AS (
+        SELECT user_id,
+               ntile(4) OVER (ORDER BY recency DESC, user_id) AS r_tier,
+               ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_tier,
+               ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_tier
+        FROM base)
+      SELECT r_tier, f_tier, m_tier, count(*) AS n_users
+      FROM t GROUP BY 1, 2, 3""")),
+
     // Built-in session_window sessions (vs the custom stateful
     // sessionizer): gap-merge is STRICT (< 30 min), so the oracle's
     // islands rule uses >= for the new-session flag; session_end =
