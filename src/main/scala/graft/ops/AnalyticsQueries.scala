@@ -1370,6 +1370,68 @@ object AnalyticsQueries {
                   / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n AS intercept
       FROM m""")),
 
+    // Exact higher-moment SHAPE statistics per group — skewness and
+    // excess kurtosis from INTEGER power sums (Σc, Σc², Σc³, Σc⁴ of
+    // the floored value are exact longs, order-independent), finished
+    // by one fixed double expression tree per moment. sqrt is IEEE
+    // correctly-rounded, so even σ³ is bit-identical cross-engine —
+    // the one "transcendental" this repo's determinism rules allow.
+    // Spark's own skewness()/kurtosis() stream floating partial sums
+    // (order-dependent merges); at 100 TB this is the map-side-
+    // combined one-pass formulation that stays exact.
+    Q("agg_skewness_exact", (spark, dir) => {
+      val d = Tables.loadEvents(spark, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(floor(value) AS BIGINT)").as("c"))
+      val nD = col("n").cast("double")
+      d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"),
+          sum(col("c") * col("c") * col("c")).as("s3"),
+          sum(col("c") * col("c") * col("c") * col("c")).as("s4"))
+        .withColumn("mean", col("s1").cast("double") / nD)
+        .withColumn("m2",
+          col("s2").cast("double") / nD - col("mean") * col("mean"))
+        .withColumn("m3",
+          col("s3").cast("double") / nD
+            - lit(3.0) * col("mean") * (col("s2").cast("double") / nD)
+            + lit(2.0) * col("mean") * col("mean") * col("mean"))
+        .withColumn("m4",
+          col("s4").cast("double") / nD
+            - lit(4.0) * col("mean") * (col("s3").cast("double") / nD)
+            + lit(6.0) * col("mean") * col("mean") * (col("s2").cast("double") / nD)
+            - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+        .select(col("event_type"), col("n"), col("mean"),
+          (col("m3") / (sqrt(col("m2")) * col("m2"))).as("skewness"),
+          (col("m4") / (col("m2") * col("m2")) - lit(3.0)).as("kurtosis"))
+    }, oracle = Some("""
+      WITH b AS (
+        SELECT event_type, CAST(floor(value) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL),
+      m AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c*c) AS BIGINT) AS s2,
+               CAST(sum(c*c*c) AS BIGINT) AS s3,
+               CAST(sum(c*c*c*c) AS BIGINT) AS s4
+        FROM b GROUP BY 1),
+      w1 AS (SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM m),
+      w2 AS (SELECT *, CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - mean * mean AS m2 FROM w1),
+      w3 AS (SELECT *, CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - 3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                       + 2.0 * mean * mean * mean AS m3 FROM w2),
+      w4 AS (SELECT *, CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - 4.0 * mean * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                       + 6.0 * mean * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                       - 3.0 * mean * mean * mean * mean AS m4 FROM w3)
+      SELECT event_type, n, mean,
+             m3 / (sqrt(m2) * m2) AS skewness,
+             m4 / (m2 * m2) - 3.0 AS kurtosis
+      FROM w4""")),
+
     // Inter-arrival statistics per user: mean/max gap between
     // consecutive events (µs) — sequence health metrics over the same
     // lag machinery as `window_lag_delta`; sums are exact longs, the

@@ -455,6 +455,34 @@ object EventQueries {
              CAST(sum(ltv) AS DOUBLE) AS tier_value
       FROM tiers GROUP BY tier""")),
 
+    // CEP-style CONTIGUOUS pattern detection — the MATCH_RECOGNIZE
+    // shape: count view→click→purchase runs of three CONSECUTIVE
+    // events per user (the funnel query allows gaps; this is the
+    // strict-adjacency complement a clickstream CEP engine matches).
+    // Two lead() columns over the per-user order and a filter — one
+    // shuffle on user_id, no self-joins, linear at any scale.
+    Q("events_pattern_detect", (spark, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.loadEvents(spark, dir)
+        .withColumn("t1", lead(col("event_type"), 1).over(byUser))
+        .withColumn("t2", lead(col("event_type"), 2).over(byUser))
+        .filter(col("event_type") === "view" && col("t1") === "click"
+          && col("t2") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("ts")).as("first_match_ts"))
+    }, oracle = Some("""
+      WITH o AS (
+        SELECT user_id, ts, event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, count(*) AS n_matches, min(ts) AS first_match_ts
+      FROM o
+      WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      GROUP BY 1""")),
+
     // RFM SEGMENTATION — the classic customer-value grid: per-user
     // Recency (last event time), Frequency (event count), Monetary
     // (purchase value, exact decimal) each quartiled INDEPENDENTLY

@@ -199,6 +199,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("GlobalLimit"), "top-25 must be the distributed heap")
   }
 
+  test("BM25: the 3-term query frame broadcasts; selection is a TakeOrdered heap") {
+    val p = planOf("text_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
+  test("session overlap: the pair space is an equi-join on the hour bucket, never a cross product") {
+    val p = planOf("events_session_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(p.contains("hashpartitioning(bucket") || p.contains("[bucket"), p.take(1200))
+  }
+
   test("last-touch attribution stays an equi-join on user (band predicate as residual)") {
     val p = planOf("events_last_touch")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
