@@ -235,6 +235,42 @@ object JoinSetQueries {
       FROM p ASOF LEFT JOIN v
         ON p.user_id = v.user_id AND p.ts >= v.ts"""), bench = true),
 
+    // AS-OF with a TOLERANCE bound (pandas merge_asof(tolerance=...)):
+    // the latest view at-or-before each purchase counts only when it
+    // happened within the last 30 minutes — staler matches null out.
+    // Composed as the plain as-of (one shuffle, one pass) plus a
+    // post-projection on the matched timestamp: tolerance is a FILTER
+    // on the match, not a different join algorithm, so the scale shape
+    // is identical to the unbounded as-of. DuckDB's native ASOF with a
+    // CASE projection is the oracle.
+    Q("asof_join_tolerance", (spark, dir) => {
+      val ev = Tables.loadEvents(spark, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .select(col("user_id"), col("ts").as("vts"), col("view_id"),
+          col("ts").as("view_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      graft.operators.AsOfJoin.asofLeft(purchases, views,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "vts")
+        .withColumn("view_id_tol",
+          when(unix_micros(col("ts")) - unix_micros(col("view_ts")) <= 1800000000L,
+            col("view_id")))
+        .select(col("user_id"), col("purchase_id"), col("view_id_tol"))
+    }, oracle = Some("""
+      WITH v AS (
+        SELECT user_id, ts, max(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+      p AS (
+        SELECT user_id, ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id, p.purchase_id,
+             CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+                  THEN v.view_id END AS view_id_tol
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts >= v.ts""")),
+
     // The SAME as-of semantics through the native custom operator
     // (graft.plans.NativeAsOfJoin: LogicalPlan + Strategy + merge
     // SparkPlan): one forward pass over hash-clustered, (key,ts)-sorted

