@@ -20,7 +20,7 @@ object CurationQueries {
 
   /** DuckDB fragment: parse a lowercase hex string column `hx` into a
     * BIGINT via a character fold (DuckDB cannot cast '0x…' literals). */
-  private def hexFoldSql(hx: String): String =
+  private[ops] def hexFoldSql(hx: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(string_split($hx, ''), c -> CAST(ascii(c) AS BIGINT))),
        |  (acc, c) -> acc * 16 + c - CASE WHEN c >= 97 THEN 87 ELSE 48 END)"""

@@ -378,6 +378,75 @@ object DedupQueries {
              CAST(sum(CASE WHEN s.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
       FROM chunks c LEFT JOIN shared s ON c.chunk = s.chunk
       GROUP BY c.doc_id""")),
+
+    // MinHash ESTIMATOR-ACCURACY audit — the sketch-contract query for
+    // the dedup stack: 16 md5-fold hash functions (h_i(s) = fold of
+    // md5("i|" + shingle) — cross-engine replayable, unlike a native
+    // xxhash sketch) give each doc a 16-component signature; for every
+    // EXACT near-dup pair (the threshold-0.5 inverted-index pair set)
+    // the query emits the MinHash estimate (matching components / 16)
+    // NEXT TO the true Jaccard it estimates. Both sides replay the
+    // signatures literally, and DedupSpec pins the estimator's mean
+    // absolute error. At 100 TB the signature build is one pass over
+    // the shared posting index and the estimate is a 16-row-per-pair
+    // equi-join — the audit a production LSH deployment runs on a
+    // sample to calibrate its band/row geometry.
+    Q("dedup_minhash_estimate", (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val post = ExactJaccard.postings(docs, "doc_id", "text", "lang")
+      val sigs = post
+        .select(col("id"), explode(sequence(lit(0), lit(15))).as("i"), col("s"))
+        .withColumn("h", conv(substring(md5(
+            concat(col("i").cast("string"), lit("|"), col("s"))), 1, 12), 16, 10)
+          .cast("long"))
+        .groupBy(col("id"), col("i")).agg(min(col("h")).as("mh"))
+        .localCheckpoint(true)
+      val p = ExactJaccard.pairs(docs, "doc_id", "text", "lang",
+        shingleN = 3, threshold = 0.5)
+      p.join(sigs.select(col("id").as("id_a"), col("i"), col("mh").as("ma")),
+          Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("i"), col("mh").as("mb")),
+          Seq("id_b", "i"))
+        .groupBy(col("id_a"), col("id_b"), col("jaccard"))
+        .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).cast("double")
+          / lit(16.0)).as("estimate"))
+        .select(col("id_a"), col("id_b"), col("jaccard"), col("estimate"))
+    }, oracle = Some(s"""
+      WITH d AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, len(string_split(text,' ')) - 1),
+                           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                    ELSE [text] END AS sh
+        FROM documents),
+      ex AS (SELECT doc_id, lang, unnest(sh) AS s FROM d),
+      cnt AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM ex a JOIN ex b
+          ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+      pairs AS (
+        SELECT id_a, id_b,
+               CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        FROM cnt
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      sig AS (
+        SELECT doc_id, f.i,
+               min(${CurationQueries.hexFoldSql(
+                 "substr(md5(CAST(f.i AS VARCHAR) || '|' || ex.s), 1, 12)")}) AS mh
+        FROM ex, (SELECT unnest(range(0, 16)) AS i) f
+        GROUP BY doc_id, f.i)
+      SELECT p.id_a, p.id_b, p.jaccard,
+             CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0
+               AS estimate
+      FROM pairs p
+      JOIN sig a ON a.doc_id = p.id_a
+      JOIN sig b ON b.doc_id = p.id_b AND b.i = a.i
+      GROUP BY 1, 2, 3""")),
   )
 
   /** Generated oracle fragment: the 60 sign-bit terms of the simhash

@@ -110,6 +110,23 @@ class DedupSpec extends SparkTestBase {
     assert(out(4L) === ((1L, 0L, "tiny doc")))
   }
 
+  test("MinHash estimator: every near-dup pair's estimate lands within 0.25 of true Jaccard") {
+    Seq(sf("0.001"), sf("0.01")).foreach { dir =>
+      val rows = graft.SparkEntry.queries("dedup_minhash_estimate")(spark, dir)
+        .select(org.apache.spark.sql.functions.col("jaccard"),
+          org.apache.spark.sql.functions.col("estimate"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      assert(rows.nonEmpty, s"no near-dup pairs at $dir")
+      // 16 components: σ = sqrt(J(1−J)/16) ≤ 0.125; 0.25 = 2σ at the
+      // worst J, a generous per-pair bound — and the mean error should
+      // sit well inside one σ
+      rows.foreach { case (j, e) =>
+        assert(math.abs(j - e) <= 0.25, s"estimate $e vs true $j at $dir") }
+      val mean = rows.map { case (j, e) => math.abs(j - e) }.sum / rows.size
+      assert(mean <= 0.125, s"mean |err| $mean at $dir")
+    }
+  }
+
   test("graph_kcore: 3 peel rounds reach the 2-core fixpoint on both sf corpora") {
     import org.apache.spark.sql.functions._
     // the declared query unrolls exactly 3 peel rounds; the k-core is
