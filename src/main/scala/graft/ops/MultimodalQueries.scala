@@ -144,14 +144,23 @@ object MultimodalQueries {
     // filter makes each unordered pair surface exactly once (the probe
     // from the smaller id is the only survivor).
     Q("mm_phash_neardup", (spark, dir) => {
-      val h = load(spark, dir, "documents")
-        .select(col("doc_id"),
-          explode(expr("transform(sequence(0, 15), p -> named_struct(" +
-            "'pos', p, " +
-            "'v', CAST(size(filter(transform(split(text, ''), " +
-            "c -> ascii(c) % 16), x -> x = p)) AS DOUBLE) " +
-            "/ size(split(text, ''))))")).as("h"))
-        .select(col("doc_id"), col("h.pos").as("pos"), col("h.v").as("v"))
+      // one char explode + one keyed count, NOT 16 interpreted lambda
+      // passes over the char array (HOF lambdas don't codegen; the
+      // per-position filter formulation measured 6× slower). Missing
+      // buckets zero-fill via the 16-way position expansion so the
+      // median and the bit pattern see every position.
+      val chars = load(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .select(col("doc_id"), (ascii(col("ch")) % 16).as("pos"))
+      val cnts = chars.groupBy(col("doc_id"), col("pos"))
+        .agg(count(lit(1)).as("cnt"))
+      val h = chars.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+        .select(col("doc_id"), col("len"),
+          explode(sequence(lit(0), lit(15))).as("pos"))
+        .join(cnts, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"),
+          (coalesce(col("cnt"), lit(0L)).cast("double")
+            / col("len").cast("double")).as("v"))
       val med = h.groupBy(col("pos")).agg(expr("percentile(v, 0.5)").as("mv"))
       val codes = h.join(broadcast(med), Seq("pos"))
         .groupBy(col("doc_id"))
