@@ -849,5 +849,34 @@ object CurationQueries {
         GROUP BY 1, 2)
       SELECT doc_id, source, score, n_tokens
       FROM scored ORDER BY score DESC, doc_id LIMIT 25""")),
+
+    // LENGTH-BUCKETED batch packing — the dynamic-batching step of a
+    // training data loader: documents sort into 8 length-homogeneous
+    // buckets (the distributed exact ntile — no single-task window),
+    // and each bucket reports its PADDING WASTE (n·max_len − Σlen):
+    // the token budget a fixed-shape batch burns on pad tokens, the
+    // quantity length bucketing exists to minimize. Integer-exact
+    // throughout; the oracle is a plain ntile window.
+    Q("pack_length_buckets", (spark, dir) => {
+      val d = load(spark, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("len"))
+      distributedNtile(d, 8, 16, col("len"), col("doc_id"))
+        .groupBy(col("tier").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("len")).as("max_len"),
+          sum(col("len")).as("sum_len"))
+        .withColumn("padding_waste",
+          col("n_docs") * col("max_len") - col("sum_len"))
+    }, oracle = Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        FROM documents),
+      t AS (
+        SELECT len, ntile(8) OVER (ORDER BY len, doc_id) AS bucket FROM d)
+      SELECT bucket, count(*) AS n_docs,
+             CAST(max(len) AS BIGINT) AS max_len,
+             CAST(sum(len) AS BIGINT) AS sum_len,
+             CAST(count(*) * max(len) - sum(len) AS BIGINT) AS padding_waste
+      FROM t GROUP BY bucket""")),
   )
 }

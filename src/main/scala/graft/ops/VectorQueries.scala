@@ -700,6 +700,62 @@ object VectorQueries {
       SELECT query_id, neighbor_id, rank, adc_dist
       FROM ranked WHERE rank <= 5""")),
 
+    // k-NN MAJORITY-VOTE CLASSIFICATION — the label-propagation use of
+    // the similarity stack (weak-label bootstrapping / embedding QA):
+    // every 25th vector is a query, its top-5 cosine neighbours vote,
+    // majority label wins (ties to the lowest label — both the vote
+    // argmax and the neighbour cut are total orders, so the prediction
+    // is bit-stable). Output pairs each query's true label with the
+    // prediction — the per-query correctness audit a labeling pipeline
+    // ships. Same broadcast-queries × corpus-scan shape as the top-k
+    // baseline; the vote is a keyed count over 5·|Q| rows.
+    Q("sim_knn_classify", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      val queries = broadcast(e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("true_label")))
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val wVote = Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("label"))
+      queries
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding"),
+          col("label")), col("query_id") =!= col("neighbor_id"))
+        .withColumn("score",
+          VectorExpressions.cosine_sim(spark, col("qv"), col("embedding")))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+        .groupBy(col("query_id"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rk", row_number().over(wVote))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("true_label"),
+          col("label").as("pred_label"),
+          (col("true_label") === col("label")).as("correct"))
+    }, oracle = Some(s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+        FROM embeddings WHERE vec_id % 25 = 0),
+      scored AS (
+        SELECT q.query_id, q.true_label, b.vec_id AS neighbor_id,
+               b.label,
+               ${cosFrag("q.qv", "b.embedding")} AS score
+        FROM q JOIN embeddings b ON b.vec_id <> q.query_id),
+      top5 AS (
+        SELECT query_id, true_label, label FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored) WHERE rank <= 5),
+      votes AS (
+        SELECT query_id, true_label, label, count(*) AS votes
+        FROM top5 GROUP BY 1, 2, 3)
+      SELECT query_id, true_label, label AS pred_label,
+             true_label = label AS correct
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY votes DESC, label) AS rk
+            FROM votes)
+      WHERE rk = 1""")),
+
     // RECIPROCAL RANK FUSION (Cormack et al. 2009) — the standard
     // ensemble step of hybrid retrieval: two retrievers rank the same
     // corpus (here cosine similarity vs L2 distance — genuinely
