@@ -85,17 +85,21 @@ object MultimodalQueries {
         .localCheckpoint(true)
       val queries = broadcast(vecs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("query_id"), col("vec").as("qv")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("neighbor_id"))
+      // Ranking via the bounded-heap pair aggregate, not
+      // row_number().over(partitionBy(query_id)): the window form sorts
+      // each query's whole corpus-sized candidate set in one task; the
+      // heap keeps O(k) per-query state and combines map-side.
       queries.join(vecs.select(col("doc_id").as("neighbor_id"), col("vec")),
           col("query_id") =!= col("neighbor_id"))
         .withColumn("score",
           graft.functions.expressions.VectorExpressions.cosine_sim(
             spark, col("qv"), col("vec")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.expressions.TopKPairAgg
+          .topk_pair_agg(spark, col("score"), col("neighbor_id"), 3).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"), col("col.score").as("score"))
     }, oracle = Some {
       def cos(x: String, y: String) =
         s"""list_sum(list_transform(list_zip($x, $y),

@@ -39,18 +39,28 @@ object VectorQueries {
 
     // Brute-force exact top-5 cosine neighbours for 20 query vectors.
     // The baseline ANN: broadcast the queries, scan the corpus once.
+    // Ranking goes through the bounded-heap pair aggregate
+    // ([[graft.functions.expressions.TopKPairAgg]]) instead of
+    // row_number().over(partitionBy(query_id)) — the window form sorts
+    // each query's ENTIRE candidate set (the whole corpus) in one task,
+    // i.e. 20 single-task corpus sorts at scale; the heap keeps O(k)
+    // state per query and pushes partials map-side, so the shuffle
+    // carries ≤ k pairs per (query, partition). The oracle stays the
+    // window formulation — proving the heap computes the identical
+    // ranked rows.
     Q("sim_topk_bruteforce", (spark, dir) => {
       val e = load(spark, dir, "embeddings")
       val queries = broadcast(e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("neighbor_id"))
       queries.join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
           col("query_id") =!= col("neighbor_id"))
         .withColumn("score", VectorExpressions.cosine_sim(spark, col("qv"), col("embedding")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.expressions.TopKPairAgg
+          .topk_pair_agg(spark, col("score"), col("neighbor_id"), 5).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"), col("col.score").as("score"))
     }, oracle = Some(s"""
       WITH scored AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

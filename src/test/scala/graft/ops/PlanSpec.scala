@@ -438,6 +438,43 @@ class PlanSpec extends SparkTestBase {
       p.take(1500))
   }
 
+  test("brute-force top-k ranks through the bounded heap — no WindowExec in either plan") {
+    // r6 verdict: row_number().over(partitionBy(query_id)) put each
+    // query's ENTIRE corpus-sized candidate set through one task's
+    // sort. Both retrieval baselines must now rank via TopKPairAgg
+    // (O(k) per-query state, map-side partials) — assert the window
+    // operator is gone and an ObjectHashAggregate (the
+    // TypedImperativeAggregate host) is present.
+    Seq("sim_topk_bruteforce", "mm_embed_topk").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q still ranks through a window:\n" + p.take(1500))
+      assert(p.contains("ObjectHashAggregate") && p.contains("topk_pair_agg"),
+        s"$q: bounded-heap aggregate missing:\n" + p.take(1500))
+    }
+  }
+
+  test("heap-ranked brute-force top-k rows equal the window formulation bit-for-bit") {
+    import graft.functions.expressions.VectorExpressions
+    val e = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+    val queries = broadcast(e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    val windowed = queries
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", VectorExpressions.cosine_sim(spark, col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val heaped = graft.SparkEntry.queries("sim_topk_bruteforce")(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(heaped === windowed)
+  }
+
   test("count-min candidates: the sketch prune filters rows BELOW the exact-count shuffle") {
     val p = planOf("agg_countmin_candidates")
     // exactly one shuffle keyed by the probed key: the exact count of
