@@ -1,12 +1,72 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Fixed CPU-bound calibration probe: 128M xxhash64 folds across all
+    * cores, zero I/O, zero data dependence — its runtime moves with
+    * host contention (shared CPUs, noisy neighbours) and with nothing
+    * else. Run FIRST and LAST so a contention band that drifts across
+    * the run is visible, and used to normalize per-query comparisons
+    * against the committed reference map: identical code on a 2×-loaded
+    * host doubles the probe too, so calibrated ratios stay ~1. */
+  def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 128L * 1000 * 1000, 1, 32)
+      .selectExpr("sum(xxhash64(id))").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Calibrated regression flags — the mechanical "query X moved
+    * alone" tripwire (r6 verdict item 4: three rounds of hand-waving
+    * totals against a ±20-30% host-contention band).
+    *
+    * ratio = (t / calib) / (ref_t / ref_calib): the query's slowdown
+    * vs the reference AFTER dividing out what the host did to the
+    * CPU probe. Uniform contention cancels; a real per-query
+    * regression survives. Flags when ratio ≥ threshold AND the query
+    * is above the noise floor on both readings.
+    */
+  def flaggedRegressions(cur: Seq[(String, Double)], calib: Double,
+                         ref: Map[String, Double],
+                         threshold: Double = 2.0,
+                         minSec: Double = 0.5): Seq[(String, Double)] =
+    ref.get("__calib__") match {
+      case Some(refCalib) if refCalib > 0 && calib > 0 =>
+        cur.flatMap { case (n, t) =>
+          ref.get(n).filter(_ >= 0.1).flatMap { rt =>
+            val ratio = (t / calib) / (rt / refCalib)
+            if (t >= minSec && ratio >= threshold)
+              Some(n -> math.rint(ratio * 100) / 100) else None
+          }
+        }.sortBy(-_._2)
+      case _ => Nil
+    }
+
+  /** Committed per-query reference map (`tools/bench_reference.txt`,
+    * lines `name seconds`, probe under `__calib__`). Written by a
+    * clean run with SPARK_GRAFT_WRITE_REF=1. */
+  def loadReference(path: String = "/root/repo/tools/bench_reference.txt"): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(p)).asScala
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { l =>
+        l.split("\\s+") match {
+          case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
+          case _ => None
+        }
+      }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -19,6 +79,7 @@ object Bench {
       SparkEntry.queries.get("agg_pricing_summary")
         .foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
+    val calibFirst = calibrate(spark)
     // deterministic (sorted) order: stable round-over-round per-query
     // comparison, and cache-sharing families (dedup_*) run adjacently
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -33,15 +94,31 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val calibLast = calibrate(spark)
+    val calib = (calibFirst + calibLast) / 2
+    val layoutSec = ops.Scale.layoutNanos.get() / 1e9
+    val regressions = flaggedRegressions(results, calib, loadReference())
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val regs = regressions.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val extras = s""""calib_first":$calibFirst,"calib_last":$calibLast,""" +
+      s""""layout_sec":$layoutSec,"regressions":$regs"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",$extras,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // land the FULL per-query line in a file: sbt interleaves its own
     // [success] logging with stdout, which can defeat tail-line parsing
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/target/bench.json"), json.getBytes)
+    // refresh the committed reference map on request (clean-host runs)
+    if (sys.env.get("SPARK_GRAFT_WRITE_REF").contains("1")) {
+      val lines = (s"__calib__ $calib" +:
+        results.map { case (k, v) => s"$k $v" }).mkString("\n") + "\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/tools/bench_reference.txt"),
+        lines.getBytes)
+    }
     // and print a COMPACT summary (total + count + top-20 slowest) as
     // the very last stdout line: a 160+-query line overflows the
     // driver's tail capture, truncating the front of the JSON — this
@@ -51,7 +128,7 @@ object Bench {
     // "truncated":true marks this line's "queries" map as the top-20
     // SUBSET — distinguishable from the full-map line above for any
     // parser that would otherwise treat it as complete coverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","count":${results.size},"truncated":true,"queries":$top,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","count":${results.size},"truncated":true,$extras,"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

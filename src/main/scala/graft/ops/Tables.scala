@@ -13,15 +13,22 @@ object Tables {
 
   /** The events table's `ts` physical type has varied across driver
     * data generations: TIMESTAMP(NANOS) (Spark 4 refuses it by default
-    * — read raw nanos as long via `nanosAsLong` and floor-divide to
-    * micros; `/ 1000` through double would corrupt the low digits) or
-    * native TIMESTAMP(MICROS) without zone (reads as TIMESTAMP_NTZ —
-    * cast to the session zone, UTC everywhere here). Both paths yield
-    * the same UTC-micros TimestampType column DuckDB and Arrow see, so
-    * oracle comparisons line up regardless of the file's vintage. */
+    * — read raw nanos as long via the session conf
+    * `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to micros;
+    * `/ 1000` through double would corrupt the low digits) or native
+    * TIMESTAMP(MICROS) without zone (reads as TIMESTAMP_NTZ — cast to
+    * the session zone, UTC everywhere here). Both paths yield the same
+    * UTC-micros TimestampType column DuckDB and Arrow see, so oracle
+    * comparisons line up regardless of the file's vintage.
+    *
+    * `nanosAsLong` is SESSION setup (set by the engine's entry-point
+    * builders — `Verify`/`Bench`/`BenchOne`/the test base), NOT
+    * mutated here: a conf write inside a query body is a global side
+    * effect on shared sessions (r6 verdict item 6). On a nanos-vintage
+    * file under a session missing the conf, Spark's own
+    * unsupported-nanos analysis error names the conf to set. */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -29,6 +36,37 @@ object Tables {
       case _ =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
+  }
+
+  /** Footer probe: is `$dir/events.parquet`'s `ts` the legacy
+    * TIMESTAMP(NANOS) vintage? Reads one parquet footer (no Spark scan,
+    * no session conf needed) — streaming readers use this to pick the
+    * matching explicit schema, since `readStream.schema(...)` cannot
+    * adapt after the fact the way [[loadEvents]]'s inferred-schema
+    * match does. */
+  def eventsTsIsNanos(spark: SparkSession, dir: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(hconf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .headOption.getOrElse(p)
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hconf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val ts = schema.getType(schema.getFieldIndex("ts"))
+      ts.asPrimitiveType().getLogicalTypeAnnotation match {
+        case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+        case _ => false
+      }
+    } finally reader.close()
   }
 
   /** Register every table as a temp view for SQL-path queries (S4/S9). */

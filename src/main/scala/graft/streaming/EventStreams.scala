@@ -42,17 +42,34 @@ object EventStreams {
     StructField("props", StringType),
   ))
 
+  /** [[directSchema]] for the legacy TIMESTAMP(NANOS) vintage — read
+    * as raw long under the session's `nanosAsLong` conf. */
+  private val directSchemaNanos: StructType = StructType(
+    directSchema.fields.map(f =>
+      if (f.name == "ts") StructField("ts", LongType) else f))
+
   /** Stream the driver's events file straight from the sf dir (no
-    * staging): native-timestamp schema, cast to the session zone (UTC
-    * everywhere here) so downstream windows match the batch oracle. */
+    * staging): the file's `ts` physical vintage is probed from the
+    * parquet footer ([[graft.ops.Tables.eventsTsIsNanos]]) — a
+    * readStream schema is fixed up front, so unlike the batch path it
+    * cannot adapt from the inferred schema — then cast/converted to the
+    * session zone (UTC everywhere here) so downstream windows match the
+    * batch oracle whichever vintage the driver generated. */
   private def directSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(directSchema)
-      // the file-stream source wants a directory; select the single
-      // events file out of the sf dir with a glob filter
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", col("ts").cast("timestamp"))
+    if (graft.ops.Tables.eventsTsIsNanos(spark, dir))
+      spark.readStream
+        .schema(directSchemaNanos)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream
+        .schema(directSchema)
+        // the file-stream source wants a directory; select the single
+        // events file out of the sf dir with a glob filter
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
 
   /** Production-shape hourly aggregation: APPEND output mode — a window
     * emits exactly once, when the watermark passes its end, and its

@@ -35,6 +35,9 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // session setup, not per-query mutation: legacy nanos-vintage
+      // events.parquet reads as raw long (see Tables.loadEvents)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
