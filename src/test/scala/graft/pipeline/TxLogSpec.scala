@@ -1286,4 +1286,115 @@ class TxLogSpec extends SparkTestBase {
     assert(!after.contains(1L) && after(3L) === (("b", "r1", "X3")))
     assert(after.keySet === Set(2L, 3L, 4L))
   }
+
+  private def dataDirCount(t: TxLog): Int = {
+    val d = new java.io.File(s"${t.root}/data")
+    if (!d.exists()) 0 else d.listFiles.count(_.isDirectory)
+  }
+
+  test("disjoint-partition concurrent merges both commit one fold each (rebase, no re-merge)") {
+    val t = fresh("race_disjoint")
+    t.overwritePartitioned(Seq(("a", 1L, "x1"), ("b", 2L, "x2"), ("c", 3L, "x3"))
+      .toDF("day", "id", "v"), "day")
+    val other = TxLog(spark, t.root)
+    // deterministic race: after t's fold reads day=a and writes its
+    // result dir, a concurrent writer merges day=c and wins version 1
+    var fired = false
+    t.onCommitAttempt = () => if (!fired) {
+      fired = true
+      other.mergePartitioned(Seq(("c", 3L, "C3"), ("c", 6L, "c6"))
+        .toDF("day", "id", "v"), Seq("id"), "day")
+    }
+    val before = dataDirCount(t)
+    val v = try t.mergePartitioned(Seq(("a", 1L, "A1")).toDF("day", "id", "v"),
+      Seq("id"), "day")
+    finally t.onCommitAttempt = () => ()
+    // the loser REBASED onto the winner's head: version 2, and exactly
+    // TWO new data dirs exist (one fold per writer) — a full re-merge
+    // retry would have abandoned t's first dir and written a third
+    assert(v === 2L)
+    assert(dataDirCount(t) === before + 2)
+    val rows = t.snapshot().collect()
+      .map(r => r.getLong(1) -> (r.getString(0), r.getString(2))).toMap
+    assert(rows === Map(1L -> ("a", "A1"), 2L -> ("b", "x2"),
+      3L -> ("c", "C3"), 6L -> ("c", "c6")))
+    // time travel: the winner's intermediate version is intact
+    assert(t.snapshot(1).filter(col("id") === 1L).head().getString(2) === "x1")
+  }
+
+  test("overlapping-partition concurrent merges still serialize through a full re-merge") {
+    val t = fresh("race_overlap")
+    t.overwritePartitioned(Seq(("a", 1L, "x1"), ("b", 2L, "x2"))
+      .toDF("day", "id", "v"), "day")
+    val other = TxLog(spark, t.root)
+    var fired = false
+    t.onCommitAttempt = () => if (!fired) {
+      fired = true
+      other.mergePartitioned(Seq(("a", 1L, "OTHER")).toDF("day", "id", "v"),
+        Seq("id"), "day")
+    }
+    val before = dataDirCount(t)
+    val v = try t.mergePartitioned(Seq(("a", 5L, "t5")).toDF("day", "id", "v"),
+      Seq("id"), "day")
+    finally t.onCommitAttempt = () => ()
+    assert(v === 2L)
+    // same partition touched → the fold re-ran against the winner's
+    // snapshot: three new dirs (winner's, t's abandoned first attempt,
+    // t's re-merge), and NO lost update — the winner's value survives
+    assert(dataDirCount(t) === before + 3)
+    val rows = t.snapshot().collect()
+      .map(r => r.getLong(1) -> (r.getString(0), r.getString(2))).toMap
+    assert(rows === Map(1L -> ("a", "OTHER"), 2L -> ("b", "x2"), 5L -> ("a", "t5")))
+  }
+
+  test("partition values containing NUL, tab, or newline are rejected at commit time") {
+    val t = fresh("tag_safe")
+    for (bad <- Seq("a\u0000b", "a\tb", "a\nb", "a\rb")) {
+      val e = intercept[IllegalArgumentException] {
+        t.overwritePartitioned(Seq((bad, 1L)).toDF("day", "id"), "day")
+      }
+      assert(e.getMessage.contains("control character"))
+    }
+    // the refused commits never published a manifest
+    assert(!t.exists())
+  }
+
+  test("manifest format gate: a higher-format manifest fails with a clear version error") {
+    val t = fresh("format_gate")
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    val m0 = java.nio.file.Paths.get(s"${t.root}/_txlog/00000000.json")
+    val doctored = "#format=3\n" + new String(java.nio.file.Files.readAllBytes(m0))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${t.root}/_txlog/00000001.json"), doctored.getBytes)
+    val e = intercept[java.io.IOException] { t.snapshot().collect() }
+    assert(e.getMessage.contains("format 3") && e.getMessage.contains("upgrade"))
+    // pre-gate versions still read
+    assert(t.snapshot(0).count() === 1)
+  }
+
+  test("a dir tagged under multiple schemes is refused loudly, not silently intersected") {
+    val t = fresh("multi_scheme")
+    t.overwritePartitioned(Seq(("a", 1L, "x")).toDF("day", "id", "v"), "day")
+    val log = s"${t.root}/_txlog"
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$log/00000000.json"))).linesIterator.toSeq
+    val dir = lines.filterNot(_.startsWith("#")).head.split('\t').head
+    // hand-craft the undefined state: the SAME dir tagged both under
+    // the live scheme (day) and a foreign column
+    val doctored = ("#format=2" +: lines :+ s"$dir\ta\tother_col").mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$log/00000001.json"), doctored.getBytes)
+    val e = intercept[IllegalArgumentException] { t.snapshot().collect() }
+    assert(e.getMessage.contains("multiple schemes"))
+  }
+
+  test("evolvePartitioning stamps #format=2; format-1 tables stay headerless") {
+    val t = fresh("format_stamp")
+    t.overwritePartitioned(Seq(("a", 1L, "x")).toDF("day", "id", "v"), "day")
+    def manifestText(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"${t.root}/_txlog/$v%08d.json")))
+    assert(!manifestText(0).contains("#format="))
+    t.evolvePartitioning("v")
+    assert(manifestText(1).linesIterator.exists(_ == "#format=2"))
+  }
 }
