@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.VectorHofRewrite)
+    // MERGE INTO / UPDATE / DELETE strings against registered TxLog
+    // tables (graft.sql.TxLogSql.register) — the SQL-DML face of the
+    // transaction log
+    e.injectResolutionRule(session => graft.sql.TxLogSql.TxLogDmlRule(session))
     e.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

@@ -241,6 +241,95 @@ object MergeQueries {
       SELECT p_partkey, p_name, CAST(p_retailprice AS DOUBLE) AS p_retailprice
       FROM part WHERE p_partkey BETWEEN 1 AND 100""")),
 
+    // SQL-form MERGE (r6 verdict item 2): the IDENTICAL upsert as
+    // o1_scd1_merge, but driven by the user-facing string
+    // `MERGE INTO ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    // THEN INSERT *` against a registered TxLog table —
+    // GraftExtensions' resolution rule routes the parsed
+    // MergeIntoTable into TxLog.merge. Same oracle as o1: the SQL face
+    // must be semantically invisible.
+    Q("txlog_sql_merge", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_sqlmerge_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val sup = load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("decimal(18,2)").as("s_acctbal"))
+      val t = graft.pipeline.TxLog(spark, root)
+      t.overwrite(sup.filter(col("s_suppkey") % 7 =!= 0))
+      sup.filter(col("s_suppkey") % 3 === 0)
+        .select(col("s_suppkey"), concat(col("s_name"), lit(" up")).as("s_name"),
+          (col("s_acctbal") + lit(10)).cast("decimal(18,2)").as("s_acctbal"))
+        .unionByName(sup.filter(col("s_suppkey") % 5 === 0)
+          .select((col("s_suppkey") + 1000000L).as("s_suppkey"), col("s_name"),
+            col("s_acctbal")))
+        .createOrReplaceTempView("txlog_sql_merge_src")
+      graft.sql.TxLogSql.register("txlog_sql_merge_tgt", t)
+      spark.sql("""
+        MERGE INTO txlog_sql_merge_tgt AS t
+        USING txlog_sql_merge_src AS s
+        ON t.s_suppkey = s.s_suppkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      t.snapshot().select(col("s_suppkey"), col("s_name"),
+        col("s_acctbal").cast("double").as("s_acctbal"))
+    }, oracle = Some("""
+      WITH sup AS (
+        SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+        FROM supplier),
+      target AS (SELECT * FROM sup WHERE s_suppkey % 7 <> 0),
+      src AS (
+        SELECT s_suppkey, s_name || ' up' AS s_name,
+               CAST(s_acctbal + 10 AS DECIMAL(18,2)) AS s_acctbal
+        FROM sup WHERE s_suppkey % 3 = 0
+        UNION ALL
+        SELECT s_suppkey + 1000000, s_name, s_acctbal
+        FROM sup WHERE s_suppkey % 5 = 0)
+      SELECT COALESCE(s.s_suppkey, t.s_suppkey) AS s_suppkey,
+             CASE WHEN s.s_suppkey IS NOT NULL THEN s.s_name ELSE t.s_name END AS s_name,
+             CAST(CASE WHEN s.s_suppkey IS NOT NULL THEN s.s_acctbal ELSE t.s_acctbal END AS DOUBLE) AS s_acctbal
+      FROM target t LEFT JOIN src s ON t.s_suppkey = s.s_suppkey
+      UNION ALL
+      SELECT s.s_suppkey, s.s_name, CAST(s.s_acctbal AS DOUBLE)
+      FROM src s LEFT JOIN target t ON s.s_suppkey = t.s_suppkey
+      WHERE t.s_suppkey IS NULL""")),
+
+    // SQL-form UPDATE + DELETE against the same TxLog DML route:
+    // UPDATE is copy-on-write (every RHS sees the pre-update row),
+    // DELETE is the merge-on-read deletion-vector path — both driven
+    // by plain SQL strings; the oracle derives the end state
+    // relationally.
+    Q("txlog_sql_update_delete", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_sqlud_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t = graft.pipeline.TxLog(spark, root)
+      t.overwrite(load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").as("c_acctbal")))
+      graft.sql.TxLogSql.register("txlog_sql_ud_tgt", t)
+      spark.sql("""
+        UPDATE txlog_sql_ud_tgt
+        SET c_acctbal = c_acctbal + 100, c_name = concat(c_name, ' *')
+        WHERE c_mktsegment = 'BUILDING'""")
+      spark.sql("DELETE FROM txlog_sql_ud_tgt WHERE c_acctbal < 0")
+      t.snapshot().select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT c_custkey, c_name, c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        FROM customer),
+      updated AS (
+        SELECT c_custkey,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN c_name || ' *'
+                    ELSE c_name END AS c_name,
+               c_mktsegment,
+               CASE WHEN c_mktsegment = 'BUILDING'
+                    THEN CAST(c_acctbal + 100 AS DECIMAL(18,2))
+                    ELSE c_acctbal END AS c_acctbal
+        FROM base)
+      SELECT c_custkey, c_name, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      FROM updated WHERE NOT (c_acctbal < 0)""")),
+
     // MERGE-ON-READ delete under the hash gate: orders committed as two
     // append dirs, then TWO stacked deleteWhere calls — each writes only
     // a (file, row-index) tombstone sidecar, no data dir is rewritten

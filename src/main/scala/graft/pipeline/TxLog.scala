@@ -1528,6 +1528,48 @@ final case class TxLog(spark: SparkSession, root: String,
       s"TxLog merge lost $MaxRaceRetries optimistic races at $root")
   }
 
+  /** Copy-on-write `UPDATE ... SET ... [WHERE ...]` commit: every
+    * visible row matching `predicate` (all rows when None) takes the
+    * `assignments` — each RHS is a SQL expression evaluated against
+    * the PRE-update row (one projection computes every assignment, so
+    * `SET a = b, b = a` swaps — SQL UPDATE semantics), cast back to
+    * the column's existing type (UPDATE never changes the schema).
+    * The updated relation commits as a fresh single-dir snapshot like
+    * [[merge]]; same optimistic-transaction retry. */
+  def updateWhere(assignments: Seq[(String, String)],
+                  predicate: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    require(assignments.nonEmpty, "UPDATE requires at least one assignment")
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val base = currentVersion()
+      require(base >= 0, s"TxLog table at $root has no commits to update")
+      val prev = readManifestFull(base)
+      val snap = snapshot(base)
+      val unknown = assignments.map(_._1).filterNot(snap.columns.contains)
+      require(unknown.isEmpty,
+        s"UPDATE of unknown column(s): ${unknown.mkString(", ")}")
+      val cond = predicate.map(expr).getOrElse(lit(true))
+      val updated = snap.select(snap.schema.fields.map { f =>
+        assignments.find(_._1 == f.name) match {
+          case Some((_, rhs)) =>
+            when(cond, expr(rhs).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq: _*).localCheckpoint(true)
+      val uuid = writeDataDir(updated)
+      val (hdr, ranges) = statsFor(uuid)
+      val checks = mergedChecks(prev.checks)
+      enforceChecksOnDirs(Seq(uuid), checks)
+      val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
+        txnsAfter(prev.txns, None), bloomsFor(uuid), checks))
+      if (tryCommitManifest(base + 1, lines, "UPDATE")) return base + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog updateWhere lost $MaxRaceRetries optimistic races at $root")
+  }
+
   /** MERGE-ON-READ delete — Delta deletion-vector parity: rows
     * matching `predicate` are recorded as (file, row-index) pairs in a
     * tombstone sidecar; NO data dir is rewritten. Snapshot reads

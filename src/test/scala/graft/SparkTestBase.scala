@@ -38,6 +38,9 @@ object SparkTestBase {
       // session setup, not per-query mutation: legacy nanos-vintage
       // events.parquet reads as raw long (see Tables.loadEvents)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the engine's own extensions: native functions, as-of planning,
+      // HOF rewrite, TxLog SQL DML — the production session shape
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
