@@ -219,10 +219,31 @@ class TransformWithStateSpec extends SparkTestBase {
   }
 
   test("killed-and-restarted TWS query: RocksDB state restores, redelivered batch dedupes") {
+    restartScenario("tws_restart", changelog = false)
+  }
+
+  test("changelog checkpointing: killed-and-restarted TWS query restores equivalently") {
+    // production path for LARGE state: instead of re-uploading a full
+    // RocksDB snapshot per batch, only the batch's changelog ships to
+    // the checkpoint and restore replays it over the last snapshot —
+    // restart-equivalence must be indistinguishable from snapshot mode
+    restartScenario("tws_restart_clog", changelog = true)
+  }
+
+  private def restartScenario(tag: String, changelog: Boolean): Unit = {
+    val ClogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevClog = spark.conf.getOption(ClogKey)
+    spark.conf.set(ClogKey, changelog.toString)
+    try restartScenarioBody(tag)
+    finally prevClog.fold(spark.conf.unset(ClogKey))(spark.conf.set(ClogKey, _))
+  }
+
+  private def restartScenarioBody(tag: String): Unit = {
     val dir = sf("0.001")
-    val stagePath = stageSplitEvents(dir, 4, "tws_restart")
-    val cp = tmpDir("tws_restart_cp")
-    val log = TxLog(spark, tmpDir("tws_restart_table"))
+    val stagePath = stageSplitEvents(dir, 4, tag)
+    val cp = tmpDir(s"${tag}_cp")
+    val log = TxLog(spark, tmpDir(s"${tag}_table"))
     @volatile var crashedOnce = false
 
     def run(failAtBatch: Long): Option[Throwable] = withRocksDb {
@@ -246,10 +267,10 @@ class TransformWithStateSpec extends SparkTestBase {
           // write but must still be consumed — the TWS operator has to
           // commit its state stores for the batch either way (Spark's
           // state-store commit validation enforces this)
-          if (log.txnHighWater("tws_restart").exists(_ >= id))
+          if (log.txnHighWater(tag).exists(_ >= id))
             batch.foreach(_ => ())
           else if (log.exists())
-            log.merge(batch, Seq("user_id"), Some(("tws_restart", id)))
+            log.merge(batch, Seq("user_id"), Some((tag, id)))
           else log.overwrite(batch)
           // crash AFTER the commit, BEFORE the checkpoint offset write
           // — the redelivery window foreachBatch exactly-once covers
