@@ -61,6 +61,32 @@ object Bench {
       }.toMap
   }
 
+  /** Cumulative executor-side resource counters, fed by a
+    * SparkListener: shuffle read/write bytes and memory/disk spill.
+    * Snapshot deltas around each timed query attribute the bytes —
+    * the mechanical evidence behind the 100 TB story ("this query
+    * shuffles N× its input / never spills"), reported per query in
+    * `target/bench_metrics.json`. */
+  private final class ResourceCounters
+      extends org.apache.spark.scheduler.SparkListener {
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val memSpill = new java.util.concurrent.atomic.AtomicLong
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long, Long, Long) =
+      (shuffleRead.get, shuffleWrite.get, memSpill.get, diskSpill.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -69,6 +95,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -86,6 +113,10 @@ object Bench {
     // 0.32 s steady-state), which would masquerade as contention drift
     calibrate(spark)
     val calibFirst = calibrate(spark)
+    val counters = new ResourceCounters
+    spark.sparkContext.addSparkListener(counters)
+    val resources = scala.collection.mutable.ArrayBuffer
+      .empty[(String, (Long, Long, Long, Long))]
     // deterministic (sorted) order: stable round-over-round per-query
     // comparison, and cache-sharing families (dedup_*) run adjacently
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -97,9 +128,15 @@ object Bench {
       // (diagnosis in BASELINE.md).
       System.gc()
       val l0 = ops.Scale.layoutNanos.get()
+      val r0 = counters.snapshot
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val elapsed = System.nanoTime() - t0
+      // drain async task-end events so trailing metrics bill to THIS
+      // query, not the next one
+      org.apache.spark.graft.GraftCoreBridge.drainListenerBus(spark.sparkContext)
+      val r1 = counters.snapshot
+      resources += name -> (r1._1 - r0._1, r1._2 - r0._2, r1._3 - r0._3, r1._4 - r0._4)
       // one-time layout writes (bucketed-table creation) bill to
       // layout_sec, not to the query that happened to trigger them —
       // the query's reading is the steady-state cost of the READ plan
@@ -123,6 +160,18 @@ object Bench {
     // [success] logging with stdout, which can defeat tail-line parsing
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/target/bench.json"), json.getBytes)
+    // per-query resource map (MB, 2dp): shuffle volumes + spill — the
+    // scale-evidence sidecar BASELINE.md's scaling tables read
+    val mb = 1024.0 * 1024.0
+    def r2(x: Double) = math.rint(x * 100) / 100
+    val resJson = resources.map { case (k, (sr, sw, ms, ds)) =>
+      s"\"" + k + s"\":{\"shuffle_read_mb\":${r2(sr / mb)}," +
+        s"\"shuffle_write_mb\":${r2(sw / mb)}," +
+        s"\"spill_mem_mb\":${r2(ms / mb)},\"spill_disk_mb\":${r2(ds / mb)}}"
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/target/bench_metrics.json"),
+      resJson.getBytes)
     // refresh the committed reference map on request (clean-host runs)
     if (sys.env.get("SPARK_GRAFT_WRITE_REF").contains("1")) {
       val lines = (s"__calib__ $calib" +:

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor multiplier for the driver's test tables: builds an
+  * sf×N dataset from an existing sf dir by unioning N key-shifted
+  * copies — the cheap local stand-in for a larger driver generation,
+  * used for the sf0.1 → sf1 scaling-ratio evidence in BASELINE.md
+  * (r6 verdict item 3: validate the 100 TB design claims with one 10×
+  * datapoint instead of plan-shape argument alone).
+  *
+  * Shape preserved: dimension tables (region, nation) stay fixed —
+  * real deployments grow facts, not geography; every foreign key
+  * shifts consistently (copy c's lineitem rows reference copy c's
+  * orders/parts/suppliers), so join selectivities and per-key group
+  * sizes match the original distribution; the fixed query frames
+  * (`vec_id < 20`, `doc_id % 97 = 0` on copy 0) keep their size while
+  * the corpus under them grows N× — exactly the scan-scaling shape a
+  * bigger cluster faces. Documents get a per-copy text suffix (exact
+  * dup-rates scale instead of exploding) and embeddings a per-copy
+  * first-component nudge (near-dup structure scales, all-ties
+  * artifacts avoided).
+  *
+  * Usage: runMain graft.ScaleUp [srcDir] [dstDir] [copies]
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/root/repo/target/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
+    // driver layout: ONE parquet FILE per table named <name>.parquet —
+    // the streaming direct readers glob for exactly that file name
+    // (a directory of part files silently yields an empty stream)
+    def write(df: DataFrame, name: String): Unit = {
+      val tmp = new java.io.File(s"$dst/_tmp_$name")
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file for $name"))
+      val target = new java.io.File(s"$dst/$name.parquet")
+      if (target.exists()) org.apache.commons.io.FileUtils.forceDelete(target)
+      org.apache.commons.io.FileUtils.moveFile(part, target)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+
+    /** Key-offset so shifted copies never collide: next power of ten
+      * above the current max (keeps ids readable in failures). */
+    def offsetOf(df: DataFrame, key: String): Long = {
+      val mx = df.agg(max(col(key))).head().getLong(0)
+      var o = 1L
+      while (o <= mx) o *= 10
+      o
+    }
+
+    /** N copies of `df`, the listed key columns shifted per copy. */
+    def scaled(df: DataFrame, keys: Seq[(String, Long)])
+              (perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until copies).map { c =>
+        val shifted = keys.foldLeft(df) { case (d, (k, off)) =>
+          d.withColumn(k, col(k) + lit(off * c))
+        }
+        perCopy(shifted, c)
+      }.reduce(_.unionByName(_))
+
+    // dimensions stay fixed
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    val customer = read("customer")
+    val supplier = read("supplier")
+    val part = read("part")
+    val orders = read("orders")
+    val custOff = offsetOf(customer, "c_custkey")
+    val suppOff = offsetOf(supplier, "s_suppkey")
+    val partOff = offsetOf(part, "p_partkey")
+    val orderOff = offsetOf(orders, "o_orderkey")
+
+    write(scaled(customer, Seq("c_custkey" -> custOff))(), "customer")
+    write(scaled(supplier, Seq("s_suppkey" -> suppOff))(), "supplier")
+    write(scaled(part, Seq("p_partkey" -> partOff))(), "part")
+    write(scaled(orders, Seq("o_orderkey" -> orderOff, "o_custkey" -> custOff))(),
+      "orders")
+    write(scaled(read("lineitem"), Seq("l_orderkey" -> orderOff,
+      "l_partkey" -> partOff, "l_suppkey" -> suppOff))(), "lineitem")
+
+    // events: same time range every copy (streaming watermark shape
+    // unchanged), user/event ids shift — state cardinality scales
+    val events = ops.Tables.loadEvents(spark, src)
+    val userOff = offsetOf(events, "user_id")
+    val eventOff = offsetOf(events, "event_id")
+    write(scaled(events, Seq("event_id" -> eventOff, "user_id" -> userOff))()
+      // driver vintage: TIMESTAMP_NTZ physical (isAdjustedToUTC=false)
+      .withColumn("ts", col("ts").cast("timestamp_ntz")), "events")
+
+    val documents = read("documents")
+    val docOff = offsetOf(documents, "doc_id")
+    write(scaled(documents, Seq("doc_id" -> docOff)) { (d, c) =>
+      if (c == 0) d
+      else d.withColumn("text", concat(col("text"), lit(s" c$c")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }, "documents")
+
+    val embeddings = read("embeddings")
+    val vecOff = offsetOf(embeddings, "vec_id")
+    write(scaled(embeddings, Seq("vec_id" -> vecOff)) { (d, c) =>
+      if (c == 0) d
+      else d.withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x + lit(c * 1e-4)).cast("float")).otherwise(x)))
+    }, "embeddings")
+
+    println(s"""{"scaled":"$dst","copies":$copies}""")
+    spark.stop()
+  }
+}

@@ -724,17 +724,28 @@ object VectorQueries {
       val queries = broadcast(e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
           col("label").as("true_label")))
-      val wTop = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("neighbor_id"))
+      // neighbor selection through the bounded pair heap (not a
+      // per-query corpus-sort window): this query's frame (vec_id %
+      // 25) GROWS with the corpus, so at sf1 the window form paid
+      // ~100x work through single-task sorts (29x measured). The
+      // heap's top-5 ids re-join the corpus for labels as a broadcast
+      // (top-k frame is Q x 5 rows — output-sized); the vote window
+      // ranks <= #labels rows per query.
       val wVote = Window.partitionBy(col("query_id"))
         .orderBy(col("votes").desc, col("label"))
-      queries
-        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding"),
-          col("label")), col("query_id") =!= col("neighbor_id"))
+      val top5 = queries
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          col("query_id") =!= col("neighbor_id"))
         .withColumn("score",
           VectorExpressions.cosine_sim(spark, col("qv"), col("embedding")))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= 5)
+        .groupBy(col("query_id"), col("true_label"))
+        .agg(graft.functions.expressions.TopKPairAgg
+          .topk_pair_agg(spark, col("score"), col("neighbor_id"), 5).as("top"))
+        .select(col("query_id"), col("true_label"),
+          explode(col("top.id")).as("neighbor_id"))
+      broadcast(top5)
+        .join(e.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("neighbor_id"))
         .groupBy(col("query_id"), col("true_label"), col("label"))
         .agg(count(lit(1)).as("votes"))
         .withColumn("rk", row_number().over(wVote))

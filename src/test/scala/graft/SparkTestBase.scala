@@ -41,6 +41,12 @@ object SparkTestBase {
       // the engine's own extensions: native functions, as-of planning,
       // HOF rewrite, TxLog SQL DML — the production session shape
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // TypedImperativeAggregate heaps/sketches carry O(k) state per
+      // group: the default 128-group fallback to SORT-based
+      // aggregation re-introduces exactly the per-group sort the
+      // bounded-heap operators exist to avoid (measured 2x on
+      // sim_knn_classify at sf1 with 800 query groups)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
