@@ -17,10 +17,25 @@ import org.apache.spark.sql.functions._
   * sizes match the original distribution; the fixed query frames
   * (`vec_id < 20`, `doc_id % 97 = 0` on copy 0) keep their size while
   * the corpus under them grows N× — exactly the scan-scaling shape a
-  * bigger cluster faces. Documents get a per-copy text suffix (exact
-  * dup-rates scale instead of exploding) and embeddings a per-copy
-  * first-component nudge (near-dup structure scales, all-ties
-  * artifacts avoided).
+  * bigger cluster faces.
+  *
+  * Near-dup structure must scale in cluster COUNT, not cluster SIZE:
+  * a copy that differs from the original only by a 3-char suffix is a
+  * near-duplicate of it, so N such copies turned every dup cluster
+  * into a 10×-bigger one and TRUE near-dup pairs grew N² — the first
+  * sf1 run measured 92× candidate-shuffle growth on dedup_containment
+  * purely from that artifact, which is not what a 10× corpus looks
+  * like (dup RATE stays, cluster count grows). So each copy applies an
+  * injective per-copy transform that preserves structure WITHIN the
+  * copy exactly and destroys similarity ACROSS copies:
+  *   - documents: every token gets a per-copy tag (`w` → `w~c3`) —
+  *     within-copy shingle sets are isomorphic to copy 0's (exact-dup
+  *     and Jaccard structure identical), cross-copy shingle overlap is
+  *     zero;
+  *   - embeddings: dimensions cyclically rotated by the copy index — a
+  *     permutation is orthogonal, so within-copy norms/distances are
+  *     bit-preserved while cross-copy cosines collapse to background
+  *     noise.
   *
   * Usage: runMain graft.ScaleUp [srcDir] [dstDir] [copies]
   */
@@ -109,17 +124,20 @@ object ScaleUp {
     val docOff = offsetOf(documents, "doc_id")
     write(scaled(documents, Seq("doc_id" -> docOff)) { (d, c) =>
       if (c == 0) d
-      else d.withColumn("text", concat(col("text"), lit(s" c$c")))
+      else d.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"$$1~c$c"))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
 
     val embeddings = read("embeddings")
     val vecOff = offsetOf(embeddings, "vec_id")
+    val dims = embeddings.select(size(col("embedding"))).head().getInt(0)
     write(scaled(embeddings, Seq("vec_id" -> vecOff)) { (d, c) =>
-      if (c == 0) d
+      val r = c % dims
+      if (r == 0) d
       else d.withColumn("embedding",
-        transform(col("embedding"), (x, i) =>
-          when(i === 0, (x + lit(c * 1e-4)).cast("float")).otherwise(x)))
+        concat(slice(col("embedding"), r + 1, dims - r),
+          slice(col("embedding"), 1, r)))
     }, "embeddings")
 
     println(s"""{"scaled":"$dst","copies":$copies}""")

@@ -83,7 +83,9 @@ object MultimodalQueries {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           x => x.getField("v").cast("float")).as("vec"))
         .localCheckpoint(true)
-      val queries = broadcast(vecs.filter(col("doc_id") % 97 === 0)
+      // query SAMPLE capped at 64: an uncapped %-of-corpus frame makes
+      // the broadcast-queries × corpus scan quadratic in N
+      val queries = broadcast(vecs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 97L * 64)
         .select(col("doc_id").as("query_id"), col("vec").as("qv")))
       // Ranking via the bounded-heap pair aggregate, not
       // row_number().over(partitionBy(query_id)): the window form sorts
@@ -121,7 +123,7 @@ object MultimodalQueries {
         SELECT q.doc_id AS query_id, n.doc_id AS neighbor_id,
                ${cos("q.vec", "n.vec")} AS score
         FROM hist q JOIN hist n ON n.doc_id <> q.doc_id
-        WHERE q.doc_id % 97 = 0),
+        WHERE q.doc_id % 97 = 0 AND q.doc_id < 6208),
       ranked AS (
         SELECT query_id, neighbor_id, score,
                CAST(row_number() OVER (PARTITION BY query_id

@@ -721,7 +721,10 @@ object VectorQueries {
     // baseline; the vote is a keyed count over 5·|Q| rows.
     Q("sim_knn_classify", (spark, dir) => {
       val e = load(spark, dir, "embeddings")
-      val queries = broadcast(e.filter(col("vec_id") % 25 === 0)
+      // audit SAMPLE capped at 64 queries: an uncapped %-of-corpus
+      // frame makes the broadcast-queries × corpus scan quadratic in N
+      // (the audit is a fixed-size spot check, not a full relabel)
+      val queries = broadcast(e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 25L * 64)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
           col("label").as("true_label")))
       // neighbor selection through the bounded pair heap (not a
@@ -756,7 +759,7 @@ object VectorQueries {
     }, oracle = Some(s"""
       WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv, label AS true_label
-        FROM embeddings WHERE vec_id % 25 = 0),
+        FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 1600),
       scored AS (
         SELECT q.query_id, q.true_label, b.vec_id AS neighbor_id,
                b.label,
@@ -889,14 +892,21 @@ object VectorQueries {
   private val centsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), org.apache.spark.sql.DataFrame]()
 
-  /** Trained coarse quantizer centroids: every-25th-vector seeds, 2
-    * Lloyd iterations, cached per (session, corpus). */
+  /** Trained coarse quantizer centroids: every-25th-vector seeds
+    * CAPPED at nlist=64, 2 Lloyd iterations, cached per (session,
+    * corpus). The cap makes the index build linear in the corpus:
+    * uncapped nlist∝N made every assignment pass N·nlist = quadratic
+    * (measured 70× time at 10× data in the sf1 scaling run — the same
+    * defect the PQ codebook cap already fixed for subspace training).
+    * nlist is an index-format parameter, not a corpus property; cells
+    * grow linearly (N/64) and the probe cost with them, which is the
+    * standard IVF trade a deployment tunes via nlist. */
   private def ivfTrainedCents(spark: org.apache.spark.sql.SparkSession,
                               e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
       e.queryExecution.analyzed.semanticHash())
     centsCache.computeIfAbsent(key, _ => {
-      val cents0 = e.filter(col("vec_id") % 25 === 0)
+      val cents0 = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 25L * 64)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
       ivfRetrain(ivfAssign(spark, e, ivfRetrain(ivfAssign(spark, e, cents0))))
     })
@@ -932,7 +942,8 @@ object VectorQueries {
           GROUP BY a.cent_id, u.pos)
         GROUP BY cent_id)"""
     s"""cents0 AS (
-        SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 25 = 0),
+        SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+        WHERE vec_id % 25 = 0 AND vec_id < 1600),
       ${assignSql("cents0", "a1")},
       ${retrainSql("a1", "cents1")},
       ${assignSql("cents1", "a2")},
