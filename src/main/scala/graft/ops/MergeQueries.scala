@@ -727,5 +727,135 @@ object MergeQueries {
     }, oracle = Some("""
       SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
       FROM customer WHERE c_custkey % 3 IN (0, 1)""")),
+
+    // CHANGE DATA FEED under the hash gate: orders seeded at v0, a
+    // merge batch (updates every %6=1 key, inserts every %6=0 key) at
+    // v1, a merge-on-read delete at v2 — then `changes(0, 2, key)`
+    // reconstructs the classified row-level delta from the SNAPSHOTS
+    // alone (storage-free, dir-granular diff: untouched dirs are never
+    // opened). The oracle re-derives the same feed relationally from
+    // the raw table, so the hash proves classification (insert /
+    // update_pre+postimage / delete), per-commit attribution, and the
+    // exclusion of rows the rewrite copied verbatim.
+    Q("txlog_cdf", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_cdf_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t = graft.pipeline.TxLog(spark, root)
+      val base = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      t.overwrite(base.filter(col("o_orderkey") % 3 =!= 0))          // v0
+      val upd = base.filter(col("o_orderkey") % 6 === 1)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice",
+          (col("o_totalprice") + lit(5)).cast("decimal(18,2)"))
+      val ins = base.filter(col("o_orderkey") % 6 === 0)
+      t.merge(upd.unionByName(ins), Seq("o_orderkey"))               // v1
+      t.deleteWhere("o_totalprice < 50000")                          // v2
+      t.changes(0, 2, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("_change_type"), col("_commit_version"))
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM orders),
+      t0 AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+      upd AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               CAST(o_totalprice + 5 AS DECIMAL(18,2)) AS o_totalprice
+        FROM base WHERE o_orderkey % 6 = 1),
+      ins AS (SELECT * FROM base WHERE o_orderkey % 6 = 0),
+      hits AS (
+        SELECT t.o_orderkey AS k,
+               t.o_custkey AS pre_ck, t.o_orderstatus AS pre_st, t.o_totalprice AS pre_tp,
+               u.o_custkey AS post_ck, u.o_orderstatus AS post_st, u.o_totalprice AS post_tp
+        FROM t0 t JOIN upd u ON t.o_orderkey = u.o_orderkey
+        WHERE t.o_orderstatus <> u.o_orderstatus OR t.o_totalprice <> u.o_totalprice),
+      state1 AS (
+        SELECT t.o_orderkey,
+               COALESCE(u.o_custkey, t.o_custkey) AS o_custkey,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                    ELSE t.o_orderstatus END AS o_orderstatus,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                    ELSE t.o_totalprice END AS o_totalprice
+        FROM t0 t LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
+        UNION ALL SELECT * FROM ins),
+      feed AS (
+        SELECT k AS o_orderkey, pre_ck AS o_custkey, pre_st AS o_orderstatus,
+               pre_tp AS o_totalprice, 'update_preimage' AS _change_type,
+               1 AS _commit_version FROM hits
+        UNION ALL
+        SELECT k, post_ck, post_st, post_tp, 'update_postimage', 1 FROM hits
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'insert', 1
+        FROM ins
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'delete', 2
+        FROM state1 WHERE o_totalprice < 50000)
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice, _change_type,
+             CAST(_commit_version AS BIGINT) AS _commit_version
+      FROM feed""")),
+
+    // Incremental materialized-view maintenance: the gold aggregate is
+    // NOT recomputed after each commit — the change feed folds into it
+    // with signed deltas (insert/postimage +1, delete/preimage −1), so
+    // refresh cost tracks the commits' bytes, not the table (the 100 TB
+    // shape of the reference's recompute-gold-every-run loop). The
+    // update batch MOVES rows between groups (o_orderpriority →
+    // '1-URGENT'), exercising the decrement-old/increment-new path, and
+    // the delete drains groups. The query itself asserts incremental ==
+    // recompute exactly (decimal arithmetic) before returning the view;
+    // the oracle aggregates the derived final state.
+    Q("txlog_cdf_mv", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_imv_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t = graft.pipeline.TxLog(spark, root)
+      val base = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      t.overwrite(base.filter(col("o_orderkey") % 3 =!= 0))          // v0
+      val upd = base.filter(col("o_orderkey") % 6 === 1)
+        .withColumn("o_orderpriority", lit("1-URGENT"))
+        .withColumn("o_totalprice",
+          (col("o_totalprice") + lit(5)).cast("decimal(18,2)"))
+      val ins = base.filter(col("o_orderkey") % 6 === 0)
+      t.merge(upd.unionByName(ins), Seq("o_orderkey"))               // v1
+      t.deleteWhere("o_totalprice < 50000")                          // v2
+      val g = Seq("o_orderpriority"); val s = Seq("o_totalprice")
+      val mv0 = graft.pipeline.IncrementalMV.recompute(t.snapshot(0), g, s)
+      val inc = graft.pipeline.IncrementalMV.applyDelta(
+        mv0, t.changes(0, 2, Seq("o_orderkey")), g, s)
+      val full = graft.pipeline.IncrementalMV.recompute(t.snapshot(), g, s)
+      require(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+        "incremental view must equal full recompute exactly")
+      inc.select(col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_totalprice"), col("cnt"))
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM orders),
+      t0 AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+      upd AS (
+        SELECT o_orderkey, '1-URGENT' AS o_orderpriority,
+               CAST(o_totalprice + 5 AS DECIMAL(18,2)) AS o_totalprice
+        FROM base WHERE o_orderkey % 6 = 1),
+      ins AS (SELECT * FROM base WHERE o_orderkey % 6 = 0),
+      state1 AS (
+        SELECT t.o_orderkey,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority
+                    ELSE t.o_orderpriority END AS o_orderpriority,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                    ELSE t.o_totalprice END AS o_totalprice
+        FROM t0 t LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
+        UNION ALL SELECT * FROM ins),
+      state2 AS (SELECT * FROM state1 WHERE NOT (o_totalprice < 50000))
+      SELECT o_orderpriority,
+             CAST(SUM(o_totalprice) AS DOUBLE) AS o_totalprice,
+             COUNT(*) AS cnt
+      FROM state2 GROUP BY 1""")),
   )
 }
