@@ -857,5 +857,133 @@ object MergeQueries {
              CAST(SUM(o_totalprice) AS DOUBLE) AS o_totalprice,
              COUNT(*) AS cnt
       FROM state2 GROUP BY 1""")),
+
+    // STREAMING SOURCE over the transaction log: `readStream.format
+    // ("graft-txlog")` tails version offsets (graft.streaming
+    // .TxLogStreamProvider — the Delta-source pattern on the v1
+    // Source API). Two Trigger.AvailableNow runs share one
+    // checkpoint: run 1's batch 0 is the start-offset snapshot
+    // (orders %3≠0 + the first append), run 2 resumes from the
+    // checkpointed version and emits ONLY the two commits made in
+    // between; the foreachBatch sink appends into a second TxLog
+    // carrying (app, batchId) txn marks, so redelivery cannot
+    // double-append. The oracle is the whole orders relation — the
+    // hash proves tail completeness AND exactly-once (a dup or a
+    // dropped microbatch both break it).
+    Q("txlog_stream_source", (spark, dir) => {
+      val tag = dir.hashCode.abs
+      val root = s"/root/repo/target/tmp/txlog_stream_src_$tag"
+      val sinkRoot = s"/root/repo/target/tmp/txlog_stream_sink_$tag"
+      val ckpt = s"/root/repo/target/tmp/txlog_stream_ckpt_$tag"
+      Seq(root, sinkRoot, ckpt).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+      val base = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      val t = graft.pipeline.TxLog(spark, root)
+      t.overwrite(base.filter(col("o_orderkey") % 3 === 1))          // v0
+      t.append(base.filter(col("o_orderkey") % 3 === 2))             // v1
+      val sink = graft.pipeline.TxLog(spark, sinkRoot)
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft-txlog").option("path", root)
+          .load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            sink.append(batch, txn = Some(("txlog_stream_source", id)))
+            ()
+          }.start()
+        try q.awaitTermination() finally q.stop()
+      }
+      drain()                                  // snapshot batch through v1
+      t.append(base.filter(col("o_orderkey") % 6 === 0))             // v2
+      t.append(base.filter(col("o_orderkey") % 6 === 3))             // v3
+      drain()                                  // tail: exactly v2 + v3
+      sink.snapshot()
+        .withColumn("o_totalprice", col("o_totalprice").cast("double"))
+    }, oracle = Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+      FROM orders""")),
+
+    // STREAMING CHANGE FEED: the same overwrite → merge → delete
+    // commit history as `txlog_cdf`, but consumed through
+    // `readChangeFeed=true` on the graft-txlog source — each
+    // microbatch is the classified row-level diff of the commits it
+    // covers, proving the streamed feed is byte-equal to the batch
+    // `changes()` reconstruction (same oracle, same hash).
+    Q("txlog_stream_cdf", (spark, dir) => {
+      val tag = dir.hashCode.abs
+      val root = s"/root/repo/target/tmp/txlog_scdf_$tag"
+      val ckpt = s"/root/repo/target/tmp/txlog_scdf_ckpt_$tag"
+      val out = s"/root/repo/target/tmp/txlog_scdf_out_$tag"
+      Seq(root, ckpt, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+      val t = graft.pipeline.TxLog(spark, root)
+      val base = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      t.overwrite(base.filter(col("o_orderkey") % 3 =!= 0))          // v0
+      val upd = base.filter(col("o_orderkey") % 6 === 1)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice",
+          (col("o_totalprice") + lit(5)).cast("decimal(18,2)"))
+      t.merge(upd.unionByName(base.filter(col("o_orderkey") % 6 === 0)),
+        Seq("o_orderkey"))                                           // v1
+      t.deleteWhere("o_totalprice < 50000")                          // v2
+      val q = spark.readStream.format("graft-txlog").option("path", root)
+        .option("readChangeFeed", "true").option("keys", "o_orderkey")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+          ()
+        }.start()
+      try q.awaitTermination() finally q.stop()
+      spark.read.parquet(out)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("_change_type"), col("_commit_version"))
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM orders),
+      t0 AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+      upd AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               CAST(o_totalprice + 5 AS DECIMAL(18,2)) AS o_totalprice
+        FROM base WHERE o_orderkey % 6 = 1),
+      ins AS (SELECT * FROM base WHERE o_orderkey % 6 = 0),
+      hits AS (
+        SELECT t.o_orderkey AS k,
+               t.o_custkey AS pre_ck, t.o_orderstatus AS pre_st, t.o_totalprice AS pre_tp,
+               u.o_custkey AS post_ck, u.o_orderstatus AS post_st, u.o_totalprice AS post_tp
+        FROM t0 t JOIN upd u ON t.o_orderkey = u.o_orderkey
+        WHERE t.o_orderstatus <> u.o_orderstatus OR t.o_totalprice <> u.o_totalprice),
+      state1 AS (
+        SELECT t.o_orderkey,
+               COALESCE(u.o_custkey, t.o_custkey) AS o_custkey,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                    ELSE t.o_orderstatus END AS o_orderstatus,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                    ELSE t.o_totalprice END AS o_totalprice
+        FROM t0 t LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
+        UNION ALL SELECT * FROM ins),
+      feed AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               'insert' AS _change_type, 1 AS _commit_version FROM ins
+        UNION ALL
+        SELECT k, pre_ck, pre_st, pre_tp, 'update_preimage', 1 FROM hits
+        UNION ALL
+        SELECT k, post_ck, post_st, post_tp, 'update_postimage', 1 FROM hits
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'delete', 2
+        FROM state1 WHERE o_totalprice < 50000)
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice, _change_type,
+             CAST(_commit_version AS BIGINT) AS _commit_version
+      FROM feed""")),
   )
 }

@@ -479,6 +479,30 @@ final case class TxLog(spark: SparkSession, root: String,
        !k0.contains(e -> m1.tombstones.getOrElse(e._1, Nil).toSet)))
   }
 
+  /** Streaming-tail support ([[graft.streaming.TxLogStreamProvider]]):
+    * classify commit `v` and return its rows. `Right(rows)` = the
+    * commit only ADDED manifest entries — a pure append (including the
+    * v0 table seed, whose rows are the whole snapshot, and
+    * metadata-only commits, whose frame is empty). `Left(reason)` =
+    * the commit rewrote, retagged, or tombstoned existing entries
+    * (overwrite / merge / delete / compaction) and has no append-rows
+    * representation — the streaming mirror of Delta's source tailing
+    * AddFile actions and raising "data update detected" on anything
+    * else. Dir-granular: only the ADDED entries' dirs are ever
+    * opened. */
+  def appendedAt(v: Long): Either[String, DataFrame] = {
+    require(v >= 0 && fs.exists(manifestPath(v)),
+      s"appendedAt($v): no committed version $v at $root")
+    if (v == 0) return Right(snapshot(0))
+    require(fs.exists(manifestPath(v - 1)),
+      s"appendedAt($v): predecessor manifest v${v - 1} was vacuumed")
+    val (removed, added) = changedEntriesBetween(v - 1, v)
+    if (removed.nonEmpty)
+      Left(s"commit v$v rewrote ${removed.size} existing manifest " +
+        s"entr${if (removed.size == 1) "y" else "ies"}")
+    else Right(readChosen(readManifestFull(v), added))
+  }
+
   /** One commit's change rows: dir-granular manifest diff, then a
     * keyed full-outer join of only the CHANGED dirs' visible rows.
     * Rows a rewrite copied verbatim join equal and drop out. */

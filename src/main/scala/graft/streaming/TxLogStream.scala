@@ -1,0 +1,168 @@
+package graft.streaming
+
+import graft.pipeline.TxLog
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.GraftSqlBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Structured-Streaming SOURCE over a [[TxLog]] table — `spark
+  * .readStream.format("graft-txlog").option("path", root).load()`
+  * tails the transaction log with VERSION-based offsets, the way
+  * Delta's streaming source tails its log (reference:
+  * `gold_dim_branch.ipynb` consumes recomputed gold each run; a
+  * streaming tail is that loop's 100 TB shape — each trigger reads
+  * only the newly committed bytes, never the table).
+  *
+  * Built on the v1 `Source`/`StreamSourceProvider` API — the API
+  * Delta's own source uses — because `getBatch` returns a DataFrame:
+  * each microbatch is a fully distributed plan over exactly the dirs
+  * the tailed commits added (or the change feed's pruned diff), with
+  * no custom row readers.
+  *
+  * Options:
+  *  - `path` (required): TxLog table root.
+  *  - `readChangeFeed` (default false): emit row-level CDF rows
+  *    (`_change_type`, `_commit_version`) via [[TxLog.changes]]
+  *    instead of appended rows — rewriting commits (merge / delete /
+  *    overwrite) stream as classified changes.
+  *  - `keys`: comma-separated key columns (required with
+  *    `readChangeFeed` — the feed classifies rows by key identity).
+  *  - `skipChangeCommits` (default false): in append mode, silently
+  *    skip rewriting commits instead of failing the stream (Delta's
+  *    option of the same name).
+  *  - `startingVersion`: first commit to stream. Append mode default:
+  *    batch 0 is the full snapshot at the stream's start offset, then
+  *    pure tailing (Delta's default). CDF mode default: 0.
+  *
+  * Offset semantics: offset N = "committed through version N". A batch
+  * (start, end] replays deterministically from the manifests, so
+  * checkpoint recovery re-produces the identical batch; end-to-end
+  * exactly-once composes with a `foreachBatch` sink committing
+  * `TxLog.append(df, txn = Some((app, batchId)))`.
+  */
+class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-txlog"
+
+  private def build(sqlContext: SQLContext,
+                    parameters: Map[String, String]): TxLogSource = {
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-txlog source requires option 'path' (the TxLog table root)"))
+    val cdf = parameters.get("readChangeFeed").exists(_.toBoolean)
+    val keys = parameters.get("keys")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    require(!cdf || keys.nonEmpty,
+      "graft-txlog: readChangeFeed=true requires option 'keys' " +
+        "(comma-separated key columns — the feed classifies by key identity)")
+    new TxLogSource(sqlContext.sparkSession, root, cdf, keys,
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
+      startingVersion = parameters.get("startingVersion").map(_.toLong))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), build(sqlContext, parameters).schema)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    build(sqlContext, parameters)
+}
+
+class TxLogSource(spark: SparkSession, root: String, readChangeFeed: Boolean,
+                  keys: Seq[String], skipChangeCommits: Boolean,
+                  startingVersion: Option[Long])
+    extends Source with SupportsTriggerAvailableNow {
+
+  private val t = TxLog(spark, root)
+  require(t.exists(), s"graft-txlog: no committed TxLog table at $root")
+
+  /** Trigger.AvailableNow (the FileStreamSource pattern): pin the
+    * version visible at query start; batches drain up to the pin and
+    * the query terminates even while writers keep committing. */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(t.currentVersion())
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val v = availableNowCap.getOrElse(t.currentVersion())
+    if (v < 0) null else LongOffset(v)
+  }
+  override def reportLatestOffset(): OffsetV2 = {
+    val v = t.currentVersion()
+    if (v < 0) null else LongOffset(v)
+  }
+
+  /** Fixed for the stream's lifetime, computed from the start-time
+    * snapshot (a later schema-evolving append's new columns are not
+    * retro-added — conform() pads older frames with typed nulls and
+    * drops columns the declared schema lacks, Delta's behavior short
+    * of a schema-change stream restart). CDF order matches
+    * [[TxLog.changes]]' natural `keys ++ values` output. */
+  override val schema: StructType = {
+    val snap = t.snapshot().schema
+    keys.foreach(k => require(snap.fieldNames.contains(k),
+      s"graft-txlog: key '$k' is not a column of the table at $root"))
+    if (!readChangeFeed) snap
+    else StructType(
+      (keys ++ snap.fieldNames.filterNot(keys.contains)).map(n =>
+        StructField(n, snap(n).dataType, nullable = true)) ++
+        Seq(StructField("_change_type", StringType, nullable = true),
+          StructField("_commit_version", LongType, nullable = true)))
+  }
+
+  /** Engine-agnostic offset decode: `LongOffset.json` and a
+    * checkpoint-recovered `SerializedOffset.json` are both the bare
+    * version number. */
+  private def ver(o: OffsetV1): Long = o.json.trim.toLong
+
+  override def getOffset: Option[OffsetV1] = {
+    val v = t.currentVersion()
+    if (v < 0) None else Some(LongOffset(v))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = ver(end)
+    val batch =
+      if (readChangeFeed)
+        t.changes(start.map(ver).getOrElse(startingVersion.getOrElse(0L)),
+          endV, keys)
+      else (start.map(ver), startingVersion) match {
+        case (Some(s), _) => appendRows(s + 1, endV)
+        case (None, Some(sv)) => appendRows(sv, endV)
+        case (None, None) => t.snapshot(endV) // existing table = batch 0
+      }
+    GraftSqlBridge.streamingFrame(spark, conform(batch))
+  }
+
+  /** Append-mode tail of commits [from, to]: each must be append-only
+    * ([[TxLog.appendedAt]]); rewriting commits fail the stream with
+    * the remedy spelled out, or are skipped under `skipChangeCommits`. */
+  private def appendRows(from: Long, to: Long): DataFrame =
+    (from to to).flatMap { v =>
+      t.appendedAt(v) match {
+        case Right(df) => Some(df)
+        case Left(_) if skipChangeCommits => None
+        case Left(why) => throw new IllegalStateException(
+          s"graft-txlog stream at $root: $why. A streaming tail requires " +
+            "append-only commits — set skipChangeCommits=true to skip " +
+            "rewriting commits, or readChangeFeed=true to stream them as " +
+            "row-level changes")
+      }
+    }.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(t.snapshot(to).filter(lit(false)))
+
+  private def conform(df: DataFrame): DataFrame =
+    schema.fields.foldLeft(df)((acc, f) =>
+      if (acc.columns.contains(f.name)) acc
+      else acc.withColumn(f.name, lit(null).cast(f.dataType)))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -12,4 +12,17 @@ import org.apache.spark.sql.classic
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-root a computed batch frame as a STREAMING leaf
+    * (`isStreaming=true`) — the v1 `Source.getBatch` contract
+    * (MicroBatchExecution asserts it; Delta's source satisfies it the
+    * same way via `DeltaLog.createDataFrame`). The underlying
+    * `RDD[InternalRow]` is taken lazily from the frame's physical plan,
+    * so the batch stays fully distributed. */
+  def streamingFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val cdf = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    cs.internalCreateDataFrame(cdf.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
 }

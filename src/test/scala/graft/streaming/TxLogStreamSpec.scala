@@ -1,0 +1,133 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.pipeline.TxLog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+/** The graft-txlog streaming SOURCE: version-offset tailing, snapshot
+  * batch 0, checkpoint-resume exactly-once into a TxLog sink,
+  * rewrite-commit semantics (fail / skipChangeCommits), and the
+  * readChangeFeed mode's equivalence with batch [[TxLog.changes]]. */
+class TxLogStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def table(name: String): TxLog = TxLog(spark, tmpDir(name))
+
+  /** One Trigger.AvailableNow run of the source over `root`, folded
+    * into `sink` exactly-once via the manifest txn high-water mark. */
+  private def runOnce(root: String, sink: TxLog, checkpoint: String,
+                      options: Map[String, String] = Map.empty): Unit = {
+    val reader = spark.readStream.format("graft-txlog").option("path", root)
+    val q = options.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.append(batch, txn = Some(("txlog_stream_spec", batchId)))
+        ()
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+  }
+
+  test("tail: snapshot batch 0, then append-only microbatches; " +
+    "checkpoint resume is exactly-once") {
+    val t = table("stream_tail")
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "s"))      // v0
+    t.append(Seq((3, "c")).toDF("k", "s"))                   // v1
+    val sink = table("stream_tail_sink")
+    sink.overwrite(Seq.empty[(Int, String)].toDF("k", "s"))
+    val ckpt = tmpDir("stream_tail_ckpt")
+
+    runOnce(t.root, sink, ckpt) // batch 0 = full snapshot through v1
+    assert(sink.snapshot().as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b"), (3, "c")))
+
+    t.append(Seq((4, "d"), (5, "e")).toDF("k", "s"))         // v2
+    t.append(Seq((6, "f")).toDF("k", "s"))                   // v3
+    runOnce(t.root, sink, ckpt) // resume: ONLY v2+v3 rows
+    runOnce(t.root, sink, ckpt) // no new commits: nothing re-emitted
+    assert(sink.snapshot().as[(Int, String)].collect().toSet ===
+      (1 to 6).map(i => (i, ('a' + i - 1).toChar.toString)).toSet)
+    assert(sink.snapshot().count() === 6L) // exactly-once: no dups
+  }
+
+  test("a rewriting commit fails the append-mode tail with the remedy") {
+    val t = table("stream_fail")
+    t.overwrite(Seq((1, 10), (2, 20)).toDF("k", "v"))        // v0
+    val sink = table("stream_fail_sink")
+    sink.overwrite(Seq.empty[(Int, Int)].toDF("k", "v"))
+    val ckpt = tmpDir("stream_fail_ckpt")
+    runOnce(t.root, sink, ckpt)                              // through v0
+    t.deleteWhere("k = 1")                                   // v1: rewrite
+    val e = intercept[StreamingQueryException] {
+      runOnce(t.root, sink, ckpt)
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("skipChangeCommits")))
+  }
+
+  test("skipChangeCommits skips the rewrite and keeps tailing appends") {
+    val t = table("stream_skip")
+    t.overwrite(Seq((1, 10), (2, 20)).toDF("k", "v"))        // v0
+    val sink = table("stream_skip_sink")
+    sink.overwrite(Seq.empty[(Int, Int)].toDF("k", "v"))
+    val ckpt = tmpDir("stream_skip_ckpt")
+    runOnce(t.root, sink, ckpt)                              // through v0
+    t.deleteWhere("k = 1")                                   // v1: skipped
+    t.append(Seq((3, 30)).toDF("k", "v"))                    // v2: emitted
+    runOnce(t.root, sink, ckpt, Map("skipChangeCommits" -> "true"))
+    // the delete is NOT retracted downstream (skip semantics); v2 lands
+    assert(sink.snapshot().as[(Int, Int)].collect().toSet ===
+      Set((1, 10), (2, 20), (3, 30)))
+  }
+
+  test("readChangeFeed stream equals batch changes() across commits") {
+    val t = table("stream_cdf")
+    t.overwrite(Seq((1, "a", 10), (2, "b", 20), (3, "c", 30))
+      .toDF("k", "s", "v"))                                  // v0
+    t.merge(Seq((2, "b2", 21), (4, "d", 40)).toDF("k", "s", "v"),
+      Seq("k"))                                              // v1
+    t.deleteWhere("k = 3")                                   // v2
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Any]]
+    val q = spark.readStream.format("graft-txlog")
+      .option("path", t.root)
+      .option("readChangeFeed", "true")
+      .option("keys", "k")
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("stream_cdf_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        got.synchronized { got += batch.collect().map(r => r: Any).toSet }
+        ()
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = got.foldLeft(Set.empty[Any])(_ ++ _)
+    val expect = t.changes(0, 2, Seq("k"))
+      .select("k", "s", "v", "_change_type", "_commit_version")
+      .collect().map(r => r: Any).toSet
+    // same rows (stream conforms column order to keys-first = batch's)
+    assert(streamed === expect)
+    assert(streamed.nonEmpty)
+  }
+
+  test("source schema: append mode = snapshot; CDF mode adds feed columns") {
+    val t = table("stream_schema")
+    t.overwrite(Seq((1, "a")).toDF("k", "s"))
+    val plain = spark.readStream.format("graft-txlog")
+      .option("path", t.root).load()
+    assert(plain.schema.fieldNames.toSeq === Seq("k", "s"))
+    assert(plain.isStreaming)
+    val cdf = spark.readStream.format("graft-txlog")
+      .option("path", t.root).option("readChangeFeed", "true")
+      .option("keys", "k").load()
+    assert(cdf.schema.fieldNames.toSeq ===
+      Seq("k", "s", "_change_type", "_commit_version"))
+  }
+}
