@@ -978,5 +978,63 @@ object MergeQueries {
              CAST(o_totalprice AS DOUBLE) AS o_totalprice, _change_type,
              CAST(_commit_version AS BIGINT) AS _commit_version
       FROM feed""")),
+
+    // CONTINUOUSLY-MAINTAINED VIEW: the full production loop in one
+    // query — the CDF STREAM (maxVersionsPerTrigger=1, so each
+    // microbatch is exactly one commit's classified diff) folds
+    // per-commit signed deltas into the gold aggregate via
+    // IncrementalMV.applyDelta. This is the reference's
+    // recompute-gold-every-run notebook loop re-expressed for 100 TB:
+    // per-trigger cost tracks ONE commit's bytes; the view is never
+    // recomputed. localCheckpoint bounds fold lineage (a week-long
+    // stream must not accrete a thousand-plan DAG). Oracle = the
+    // final-state aggregate, so the hash proves every intermediate
+    // fold composed exactly.
+    Q("txlog_stream_mv", (spark, dir) => {
+      val ckpt = s"/root/repo/target/tmp/txlog_smv_ckpt_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      val t = graft.pipeline.TxLog(spark, cdfScenarioRoot(spark, dir))
+      val g = Seq("o_orderstatus"); val s = Seq("o_totalprice")
+      val mv = new java.util.concurrent.atomic.AtomicReference(
+        graft.pipeline.IncrementalMV.recompute(t.snapshot(0), g, s)
+          .localCheckpoint())
+      val q = spark.readStream.format("graft-txlog").option("path", t.root)
+        .option("readChangeFeed", "true").option("keys", "o_orderkey")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          mv.set(graft.pipeline.IncrementalMV.applyDelta(mv.get, batch, g, s)
+            .localCheckpoint())
+          ()
+        }.start()
+      try q.awaitTermination() finally q.stop()
+      mv.get.select(col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"), col("cnt"))
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM orders),
+      t0 AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+      upd AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               CAST(o_totalprice + 5 AS DECIMAL(18,2)) AS o_totalprice
+        FROM base WHERE o_orderkey % 6 = 1),
+      ins AS (SELECT * FROM base WHERE o_orderkey % 6 = 0),
+      state1 AS (
+        SELECT t.o_orderkey,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                    ELSE t.o_orderstatus END AS o_orderstatus,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                    ELSE t.o_totalprice END AS o_totalprice
+        FROM t0 t LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
+        UNION ALL SELECT * FROM ins),
+      state2 AS (SELECT * FROM state1 WHERE NOT (o_totalprice < 50000))
+      SELECT o_orderstatus,
+             CAST(SUM(o_totalprice) AS DOUBLE) AS o_totalprice,
+             COUNT(*) AS cnt
+      FROM state2 GROUP BY 1""")),
   )
 }

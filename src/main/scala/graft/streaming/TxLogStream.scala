@@ -38,6 +38,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *  - `startingVersion`: first commit to stream. Append mode default:
   *    batch 0 is the full snapshot at the stream's start offset, then
   *    pure tailing (Delta's default). CDF mode default: 0.
+  *  - `maxVersionsPerTrigger`: cap each microbatch at N commits
+  *    (Delta's `maxFilesPerTrigger` analogue); with `startingVersion`
+  *    it paces the backfill too.
   *
   * Offset semantics: offset N = "committed through version N". A batch
   * (start, end] replays deterministically from the manifests, so
@@ -60,7 +63,8 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
         "(comma-separated key columns — the feed classifies by key identity)")
     new TxLogSource(sqlContext.sparkSession, root, cdf, keys,
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
-      startingVersion = parameters.get("startingVersion").map(_.toLong))
+      startingVersion = parameters.get("startingVersion").map(_.toLong),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toInt))
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -76,11 +80,14 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
 
 class TxLogSource(spark: SparkSession, root: String, readChangeFeed: Boolean,
                   keys: Seq[String], skipChangeCommits: Boolean,
-                  startingVersion: Option[Long])
+                  startingVersion: Option[Long],
+                  maxVersionsPerTrigger: Option[Int] = None)
     extends Source with SupportsTriggerAvailableNow {
 
   private val t = TxLog(spark, root)
   require(t.exists(), s"graft-txlog: no committed TxLog table at $root")
+  require(maxVersionsPerTrigger.forall(_ > 0),
+    "graft-txlog: maxVersionsPerTrigger must be positive")
 
   /** Trigger.AvailableNow (the FileStreamSource pattern): pin the
     * version visible at query start; batches drain up to the pin and
@@ -89,9 +96,30 @@ class TxLogSource(spark: SparkSession, root: String, readChangeFeed: Boolean,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(t.currentVersion())
 
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger
+      .map(n => TxLogSource.MaxVersions(n): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control: `maxVersionsPerTrigger` bounds each
+    * microbatch to N commits (Delta's `maxFilesPerTrigger` analogue —
+    * a backfill over a long history drains in paced batches instead of
+    * one giant plan). Under Trigger.AvailableNow the pace still drains
+    * to the pinned cap, just across several batches. */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val v = availableNowCap.getOrElse(t.currentVersion())
-    if (v < 0) null else LongOffset(v)
+    val avail = availableNowCap.getOrElse(t.currentVersion())
+    if (avail < 0) return null
+    val capped = limit match {
+      case TxLogSource.MaxVersions(n) =>
+        // batch base: the committed offset, or (startingVersion-1) on
+        // the very first batch so the limit paces a backfill too; an
+        // unset startingVersion first-batches the whole snapshot.
+        Option(start).map(o => o.json.trim.toLong)
+          .orElse(startingVersion.map(_ - 1))
+          .map(from => math.min(avail, from + n)).getOrElse(avail)
+      case _ => avail
+    }
+    LongOffset(capped)
   }
   override def reportLatestOffset(): OffsetV2 = {
     val v = t.currentVersion()
@@ -165,4 +193,11 @@ class TxLogSource(spark: SparkSession, root: String, readChangeFeed: Boolean,
 
   override def commit(end: OffsetV1): Unit = ()
   override def stop(): Unit = ()
+}
+
+object TxLogSource {
+  /** Custom ReadLimit carrying the per-trigger commit budget — the
+    * engine treats ReadLimit opaquely and hands it back to
+    * [[TxLogSource.latestOffset]]. */
+  private[streaming] case class MaxVersions(n: Int) extends ReadLimit
 }

@@ -117,6 +117,33 @@ class TxLogStreamSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("maxVersionsPerTrigger paces an AvailableNow drain one commit " +
+    "per microbatch, losing nothing") {
+    val t = table("stream_paced")
+    t.overwrite(Seq((0, "z")).toDF("k", "s"))                // v0
+    (1 to 3).foreach(i =>
+      t.append(Seq((i, i.toString)).toDF("k", "s")))         // v1..v3
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Int])]
+    val q = spark.readStream.format("graft-txlog")
+      .option("path", t.root)
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("stream_paced_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ks = batch.select("k").collect().map(_.getInt(0)).toSet
+        batches.synchronized { batches += ((id, ks)) }
+        ()
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // one commit per microbatch: 4 batches, each a single version's rows
+    assert(batches.size === 4)
+    assert(batches.map(_._2).toSeq === Seq(Set(0), Set(1), Set(2), Set(3)))
+  }
+
   test("source schema: append mode = snapshot; CDF mode adds feed columns") {
     val t = table("stream_schema")
     t.overwrite(Seq((1, "a")).toDF("k", "s"))
