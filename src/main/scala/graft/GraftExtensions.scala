@@ -24,9 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.VectorHofRewrite)
-    // MERGE INTO / UPDATE / DELETE strings against registered TxLog
-    // tables (graft.sql.TxLogSql.register) — the SQL-DML face of the
-    // transaction log
+    // MERGE INTO / UPDATE / DELETE / INSERT strings against registered
+    // TxLog tables (graft.sql.TxLogSql.register), plus SELECT over them
+    // with VERSION AS OF / TIMESTAMP AS OF time travel — the SQL face
+    // of the transaction log
     e.injectResolutionRule(session => graft.sql.TxLogSql.TxLogDmlRule(session))
     e.injectFunction((
       new FunctionIdentifier("dot_product"),

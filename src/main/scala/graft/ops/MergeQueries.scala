@@ -362,6 +362,51 @@ object MergeQueries {
       SELECT c_custkey, c_name, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
       FROM updated WHERE NOT (c_acctbal < 0)""")),
 
+    // The full SQL lakehouse loop in one statement history: INSERT INTO
+    // routes to TxLog.append, DELETE stacks a deletion vector, and the
+    // final SELECT addresses all three versions — `VERSION AS OF 0`,
+    // `TIMESTAMP AS OF` an instant captured between commits (resolved
+    // against manifest publish mtimes, Delta's time-travel-by-time),
+    // and the bare name for current. Proves SQL reads see the SAME
+    // per-version state the library snapshot() serves, with zero data
+    // copies — each branch is the manifest-addressed parquet dirs.
+    Q("txlog_sql_time_travel", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_sqltt_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val sup = load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("decimal(18,2)").as("s_acctbal"))
+      val t = graft.pipeline.TxLog(spark, root)
+      t.overwrite(sup.filter(col("s_suppkey") % 2 === 0)) // v0: evens
+      graft.sql.TxLogSql.register("txlog_tt", t)
+      sup.filter(col("s_suppkey") % 2 === 1)
+        .createOrReplaceTempView("txlog_tt_inserts")
+      // v1: SQL INSERT appends the odds — table now holds all suppliers
+      spark.sql("INSERT INTO txlog_tt SELECT * FROM txlog_tt_inserts")
+      val tsAfterInsert = System.currentTimeMillis()
+      Thread.sleep(50) // v2's manifest mtime must exceed the captured instant
+      spark.sql("DELETE FROM txlog_tt WHERE s_suppkey % 7 = 0") // v2: MoR delete
+      spark.sql(s"""
+        SELECT 0 AS v, count(*) AS n_rows,
+               CAST(sum(s_acctbal) AS DOUBLE) AS bal
+        FROM txlog_tt VERSION AS OF 0
+        UNION ALL
+        SELECT 1, count(*), CAST(sum(s_acctbal) AS DOUBLE)
+        FROM txlog_tt TIMESTAMP AS OF timestamp_millis(${tsAfterInsert}L)
+        UNION ALL
+        SELECT 2, count(*), CAST(sum(s_acctbal) AS DOUBLE) FROM txlog_tt""")
+    }, oracle = Some("""
+      WITH sup AS (
+        SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+        FROM supplier),
+      v0 AS (SELECT * FROM sup WHERE s_suppkey % 2 = 0),
+      v2 AS (SELECT * FROM sup WHERE NOT (s_suppkey % 7 = 0))
+      SELECT 0 AS v, count(*) AS n_rows, CAST(sum(s_acctbal) AS DOUBLE) AS bal FROM v0
+      UNION ALL
+      SELECT 1, count(*), CAST(sum(s_acctbal) AS DOUBLE) FROM sup
+      UNION ALL
+      SELECT 2, count(*), CAST(sum(s_acctbal) AS DOUBLE) FROM v2""")),
+
     // MERGE-ON-READ delete under the hash gate: orders committed as two
     // append dirs, then TWO stacked deleteWhere calls — each writes only
     // a (file, row-index) tombstone sidecar, no data dir is rewritten

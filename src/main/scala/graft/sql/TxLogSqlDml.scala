@@ -2,28 +2,34 @@ package graft.sql
 
 import graft.pipeline.TxLog
 import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
-/** SQL DML surface for [[TxLog]] tables — `MERGE INTO` / `UPDATE` /
-  * `DELETE` strings execute against the transaction log (r6 verdict
-  * item 2: the reference's `DeltaTable.merge` has SQL-form parity in
-  * every real lakehouse; a user's first DML string must not fail
-  * analysis).
+/** SQL face of [[TxLog]] tables — DML strings (`MERGE INTO` / `UPDATE`
+  * / `DELETE` / `INSERT`) execute against the transaction log, and
+  * `SELECT` sees registered tables directly, including time travel
+  * (`VERSION AS OF n` / `TIMESTAMP AS OF t`), so a lakehouse user's
+  * whole SQL workflow runs unchanged (r6 verdict item 2: the
+  * reference's `DeltaTable.merge` has SQL-form parity in every real
+  * lakehouse; a user's first DML string must not fail analysis).
   *
-  * Route: Spark 4 PARSES all three statements into catalyst plans
-  * (`MergeIntoTable`/`UpdateTable`/`DeleteFromTable`); the resolution
-  * rule below — injected by [[graft.GraftExtensions]], which the
-  * engine's entry-point sessions enable — intercepts a target that
-  * names a [[register]]ed TxLog table and rewrites the whole statement
-  * into a `LeafRunnableCommand` over the library call
-  * ([[TxLog.merge]] / [[TxLog.updateWhere]] / [[TxLog.deleteWhere]]),
-  * the same shape Delta's own analysis rules use. Unregistered names
-  * fall through to Spark's normal resolution untouched.
+  * Route: Spark 4 PARSES every statement into catalyst plans
+  * (`MergeIntoTable`/`UpdateTable`/`DeleteFromTable`/
+  * `InsertIntoStatement`; table references inside queries stay
+  * `UnresolvedRelation`, optionally under `RelationTimeTravel`); the
+  * resolution rule below — injected by [[graft.GraftExtensions]],
+  * which the engine's entry-point sessions enable — intercepts a
+  * name that [[register]] mapped to a TxLog root and rewrites:
+  * DML roots become a `LeafRunnableCommand` over the library call
+  * ([[TxLog.merge]] / [[TxLog.updateWhere]] / [[TxLog.deleteWhere]] /
+  * [[TxLog.append]] / [[TxLog.overwrite]]), and read references
+  * become the snapshot plan of the addressed version — the same
+  * shape Delta's own analysis rules use. Unregistered names fall
+  * through to Spark's normal resolution untouched.
   *
   * Reference: `gold_dim_branch.ipynb:88162-88167` (API-form merge) —
   * this is parity-plus: the reference itself never exposes the SQL
@@ -95,21 +101,85 @@ object TxLogSql {
     TxLogUpdateCommand(root, sets, u.condition.map(_.sql))
   }
 
+  private[sql] def planInsert(i: InsertIntoStatement, root: String): LogicalPlan = {
+    if (i.partitionSpec.nonEmpty || i.ifPartitionNotExists ||
+        i.userSpecifiedCols.nonEmpty)
+      fail("unsupported INSERT shape — supported: INSERT INTO | INSERT " +
+        "OVERWRITE <txlog table> <query>, positional or BY NAME (no " +
+        "PARTITION spec, no column list)")
+    TxLogInsertCommand(root, i.query, i.overwrite, i.byName)
+  }
+
+  /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis: the
+    * expression analyzes against a one-row relation (so literals,
+    * casts and deterministic functions like `timestamp_millis(...)`
+    * all work) and is cast to TIMESTAMP in the session zone — the
+    * same coercion `SELECT CAST(e AS TIMESTAMP)` applies. */
+  private def evalTsMillis(session: SparkSession, e: Expression): Long = {
+    val probe = org.apache.spark.sql.graft.GraftSqlBridge.ofRows(session,
+      Project(Seq(Alias(Cast(e, TimestampType), "__ts")()), OneRowRelation()))
+    val r = probe.collect().head
+    if (r.isNullAt(0)) fail(s"TIMESTAMP AS OF expression '${e.sql}' is NULL")
+    r.getTimestamp(0).getTime
+  }
+
+  /** The snapshot plan a registered read reference resolves to,
+    * aliased under the referenced name so qualified columns
+    * (`t.c`) keep resolving. Built at analysis time — the snapshot's
+    * own reads analyze as an independent query execution. */
+  private def readPlan(session: SparkSession, name: String, root: String,
+                       version: Option[String],
+                       timestamp: Option[Expression]): LogicalPlan = {
+    val t = TxLog(session, root)
+    val df = (version, timestamp) match {
+      case (Some(v), _) =>
+        val n = try v.toLong catch { case _: NumberFormatException =>
+          fail(s"VERSION AS OF '$v' — TxLog versions are integers") }
+        t.snapshot(n)
+      case (_, Some(ts)) => t.snapshotAsOf(evalTsMillis(session, ts))
+      case _ => t.snapshot()
+    }
+    SubqueryAlias(name,
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+        .queryExecution.analyzed)
+  }
+
   /** The analyzer rule: DML statements whose target is a registered
-    * TxLog table become runnable commands; everything else passes
-    * through. DML nodes are always plan roots, so a root match
-    * suffices. */
+    * TxLog table become runnable commands (DML nodes are always plan
+    * roots, so a root match suffices), and read references to
+    * registered names — plain or time-traveled — substitute the
+    * addressed snapshot plan anywhere in the tree. A planned DML
+    * command holds its source as an inner child, which the traversal
+    * does not descend into; the source analyzes at run time with this
+    * same rule active, so TxLog reads inside DML sources resolve too. */
   case class TxLogDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
-    override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-      case m: MergeIntoTable =>
-        targetRoot(m.targetTable).map(planMerge(m, _)).getOrElse(plan)
-      case u: UpdateTable =>
-        targetRoot(u.table).map(planUpdate(u, _)).getOrElse(plan)
-      case d: DeleteFromTable =>
-        targetRoot(d.table)
-          .map(TxLogDeleteCommand(_, d.condition.sql): LogicalPlan)
-          .getOrElse(plan)
-      case _ => plan
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val dmlPlanned = plan match {
+        case m: MergeIntoTable =>
+          targetRoot(m.targetTable).map(planMerge(m, _)).getOrElse(plan)
+        case u: UpdateTable =>
+          targetRoot(u.table).map(planUpdate(u, _)).getOrElse(plan)
+        case d: DeleteFromTable =>
+          targetRoot(d.table)
+            .map(TxLogDeleteCommand(_, d.condition.sql): LogicalPlan)
+            .getOrElse(plan)
+        case i: InsertIntoStatement =>
+          targetRoot(i.table).map(planInsert(i, _)).getOrElse(plan)
+        case _ => plan
+      }
+      dmlPlanned.resolveOperatorsUp {
+        case tt: RelationTimeTravel => tt.relation match {
+          case u: UnresolvedRelation =>
+            lookup(u.multipartIdentifier).map(root =>
+              readPlan(session, u.multipartIdentifier.last, root,
+                tt.version, tt.timestamp)).getOrElse(tt)
+          case _ => tt
+        }
+        case u: UnresolvedRelation =>
+          lookup(u.multipartIdentifier).map(root =>
+            readPlan(session, u.multipartIdentifier.last, root,
+              None, None): LogicalPlan).getOrElse(u)
+      }
     }
   }
 
@@ -150,4 +220,39 @@ case class TxLogDeleteCommand(root: String, predicate: String)
     AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(TxLog(session, root).deleteWhere(predicate)))
+}
+
+/** `INSERT INTO <txlog> <query>` → [[TxLog.append]];
+  * `INSERT OVERWRITE <txlog> <query>` → [[TxLog.overwrite]].
+  * Column resolution follows SQL INSERT semantics against the table's
+  * CURRENT schema: positional with a width check (each source column
+  * cast to the table column's type, like Spark's store-assignment
+  * coercion), or name-based under `BY NAME`. */
+case class TxLogInsertCommand(root: String, source: LogicalPlan,
+                              overwrite: Boolean, byName: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val src0 = org.apache.spark.sql.graft.GraftSqlBridge.ofRows(session, source)
+    val t = TxLog(session, root)
+    val schema = t.snapshot().schema
+    val aligned =
+      if (byName) src0.select(schema.map(f => col(f.name).cast(f.dataType)
+        .as(f.name)).toSeq: _*)
+      else {
+        if (src0.schema.length != schema.length)
+          throw new AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              (s"TxLog SQL DML: INSERT query has ${src0.schema.length} " +
+                s"columns, table has ${schema.length} — match the width " +
+                "or use INSERT ... BY NAME")))
+        src0.select(src0.columns.toSeq.zip(schema).map { case (c, f) =>
+          col(s"`$c`").cast(f.dataType).as(f.name) }: _*)
+      }
+    Seq(Row(if (overwrite) t.overwrite(aligned) else t.append(aligned)))
+  }
 }
