@@ -39,7 +39,8 @@ final case class TxLog(spark: SparkSession, root: String,
                        bloomCols: Seq[String] = Nil,
                        bloomBits: Int = 4096,
                        checkConstraints: Seq[(String, String)] = Nil,
-                       generatedCols: Seq[(String, String)] = Nil) {
+                       generatedCols: Seq[(String, String)] = Nil,
+                       targetFileBytes: Long = 128L << 20) {
 
   // CHECK constraints are manifest header lines (one per `\t`-free SQL
   // predicate); reject undeclarable ones at construction, not commit
@@ -920,11 +921,40 @@ final case class TxLog(spark: SparkSession, root: String,
   private def dirPath(d: String): String =
     if (d.startsWith("/")) d else s"$dataDir/$d"
 
+  /** OPTIMIZED WRITE (Delta's `optimizedWrite` parity): right-size the
+    * dir's file count from the plan's size estimate so each task
+    * writes roughly one [[targetFileBytes]] file, instead of
+    * inheriting the upstream partitioning (at 100 TB the alternative
+    * is a shuffle's worth of tiny files per commit; locally it is 32
+    * near-empty files per dir that every later stats/bloom/snapshot
+    * scan pays to open). A round-robin repartition — an adaptive
+    * shuffle, exactly Delta's design — preserves upstream COMPUTE
+    * parallelism (a plain coalesce would drag the whole job into the
+    * merged tasks). Only shrinks: when the estimate already calls for
+    * at least the session's shuffle parallelism, the frame is left
+    * untouched, so genuinely large writes keep their width and the
+    * extra shuffle never exceeds one target file per task.
+    * `targetFileBytes <= 0` disables (layout-controlled rewrites —
+    * bucketed/clustered/packed — bypass via `sized = false`). */
+  private def sizedForWrite(df: DataFrame): DataFrame =
+    if (targetFileBytes <= 0) df
+    else {
+      val est = org.apache.spark.sql.graft.GraftSqlBridge.planSizeBytes(df)
+      // catalyst sizeInBytes is the in-memory width — parquet encoding
+      // + compression lands near a third of it
+      val n = est / 3 / targetFileBytes + 1
+      val cur = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      if (n < cur) df.repartition(n.toInt) else df
+    }
+
   /** Write `df` fully into a fresh uuid data dir (no manifest yet —
-    * unreferenced dirs are invisible to readers and GC'd by vacuum). */
-  private def writeDataDir(df: DataFrame): String = {
+    * unreferenced dirs are invisible to readers and GC'd by vacuum).
+    * `sized = false` bypasses the optimized-write repartition for
+    * callers that already control their layout exactly. */
+  private def writeDataDir(df: DataFrame, sized: Boolean = true): String = {
     val uuid = java.util.UUID.randomUUID().toString
-    df.write.mode("overwrite").parquet(s"$dataDir/$uuid")
+    (if (sized) sizedForWrite(df) else df)
+      .write.mode("overwrite").parquet(s"$dataDir/$uuid")
     uuid
   }
 
@@ -1865,7 +1895,7 @@ final case class TxLog(spark: SparkSession, root: String,
         .localCheckpoint(true)
       val uuids = (0 until k).flatMap { b =>
         val part = packed.filter(col("__bucket") === b).drop("__bucket")
-        if (part.isEmpty) None else Some(writeDataDir(part))
+        if (part.isEmpty) None else Some(writeDataDir(part, sized = false))
       }
       val stats = uuids.map(statsFor(_, prev.colMap))
       val header = carriedHeader(prev.stats,
@@ -1888,7 +1918,7 @@ final case class TxLog(spark: SparkSession, root: String,
       val newEntries =
         if (newEntries0.isEmpty && carry.isEmpty)
           Seq((writeDataDir(packed.drop("__bucket")
-            .filter(org.apache.spark.sql.functions.lit(false))),
+            .filter(org.apache.spark.sql.functions.lit(false)), sized = false),
             Option.empty[String]))
         else newEntries0
       val carriedTombs = prev.tombstones.filter { case (d, _) =>
@@ -1986,7 +2016,7 @@ final case class TxLog(spark: SparkSession, root: String,
     import org.apache.spark.sql.functions.col
     val uuids = (0 until nBuckets).flatMap { b =>
       val part = snap.filter(col("__bucket") === b).drop("__bucket")
-      if (part.isEmpty) None else Some(writeDataDir(part))
+      if (part.isEmpty) None else Some(writeDataDir(part, sized = false))
     }
     val stats = uuids.map(statsFor(_))
     val blooms = uuids.map(bloomsFor(_)).foldLeft(

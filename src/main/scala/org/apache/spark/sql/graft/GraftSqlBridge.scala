@@ -13,6 +13,13 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Catalyst's size estimate for the frame (optimizer plan
+    * statistics, bytes of the IN-MEMORY representation) — the input to
+    * write right-sizing without executing anything. */
+  def planSizeBytes(df: DataFrame): BigInt =
+    df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+
   /** Re-root a computed batch frame as a STREAMING leaf
     * (`isStreaming=true`) — the v1 `Source.getBatch` contract
     * (MicroBatchExecution asserts it; Delta's source satisfies it the
