@@ -29,6 +29,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // with VERSION AS OF / TIMESTAMP AS OF time travel — the SQL face
     // of the transaction log
     e.injectResolutionRule(session => graft.sql.TxLogSql.TxLogDmlRule(session))
+    // Delta-shaped CDF + history table-valued functions over registered
+    // TxLog tables: table_changes('t', from, to) / txlog_history('t')
+    e.injectTableFunction((
+      new FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.sql.TxLogSql.getClass.getName, "table_changes"),
+      (exprs: Seq[Expression]) => graft.sql.TxLogSql.tableChangesPlan(exprs)))
+    e.injectTableFunction((
+      new FunctionIdentifier("txlog_history"),
+      new ExpressionInfo(graft.sql.TxLogSql.getClass.getName, "txlog_history"),
+      (exprs: Seq[Expression]) => graft.sql.TxLogSql.historyPlan(exprs)))
     e.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

@@ -863,6 +863,52 @@ object MergeQueries {
              CAST(_commit_version AS BIGINT) AS _commit_version
       FROM feed""")),
 
+    // Delta's CDF SQL face: `table_changes('t', from, to)` as a
+    // TABLE-VALUED FUNCTION over the same shared commit history —
+    // change keys come from the table REGISTRATION (metadata), so the
+    // TVF signature is exactly Delta's three-argument form. The query
+    // aggregates the feed per (change type, commit version) with exact
+    // decimal sums; the oracle re-derives the same rollup relationally.
+    Q("txlog_sql_table_changes", (spark, dir) => {
+      val t = graft.pipeline.TxLog(spark, cdfScenarioRoot(spark, dir))
+      graft.sql.TxLogSql.register("txlog_cdf_tbl", t, Seq("o_orderkey"))
+      spark.sql("""
+        SELECT _change_type, CAST(_commit_version AS BIGINT) AS _commit_version,
+               count(*) AS n, CAST(sum(o_totalprice) AS DOUBLE) AS tp
+        FROM table_changes('txlog_cdf_tbl', 0, 2)
+        GROUP BY _change_type, _commit_version""")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM orders),
+      t0 AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+      upd AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               CAST(o_totalprice + 5 AS DECIMAL(18,2)) AS o_totalprice
+        FROM base WHERE o_orderkey % 6 = 1),
+      ins AS (SELECT * FROM base WHERE o_orderkey % 6 = 0),
+      hits AS (
+        SELECT t.o_orderkey AS k, t.o_totalprice AS pre_tp, u.o_totalprice AS post_tp
+        FROM t0 t JOIN upd u ON t.o_orderkey = u.o_orderkey
+        WHERE t.o_orderstatus <> u.o_orderstatus OR t.o_totalprice <> u.o_totalprice),
+      state1 AS (
+        SELECT t.o_orderkey,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                    ELSE t.o_totalprice END AS o_totalprice
+        FROM t0 t LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
+        UNION ALL SELECT o_orderkey, o_totalprice FROM ins),
+      feed AS (
+        SELECT 'update_preimage' AS _change_type, 1 AS _commit_version,
+               pre_tp AS o_totalprice FROM hits
+        UNION ALL SELECT 'update_postimage', 1, post_tp FROM hits
+        UNION ALL SELECT 'insert', 1, o_totalprice FROM ins
+        UNION ALL SELECT 'delete', 2, o_totalprice
+        FROM state1 WHERE o_totalprice < 50000)
+      SELECT _change_type, CAST(_commit_version AS BIGINT) AS _commit_version,
+             count(*) AS n, CAST(sum(o_totalprice) AS DOUBLE) AS tp
+      FROM feed GROUP BY 1, 2""")),
+
     // Incremental materialized-view maintenance: the gold aggregate is
     // NOT recomputed after each commit — the change feed folds into it
     // with signed deltas (insert/postimage +1, delete/preimage −1), so

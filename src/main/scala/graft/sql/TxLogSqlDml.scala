@@ -37,23 +37,31 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   */
 object TxLogSql {
 
-  /** identifier (lowercased, dot-joined) → TxLog root. */
-  private val tables = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** identifier (lowercased, dot-joined) → (TxLog root, declared key
+    * columns). Keys are table METADATA: `table_changes` classifies
+    * update pre/post images by key identity, so the registration —
+    * not each query — declares them, keeping the TVF's signature
+    * Delta-shaped (`table_changes(name, from, to)`). */
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[String])]()
 
   private def norm(parts: Seq[String]): String =
     parts.map(_.toLowerCase(java.util.Locale.ROOT)).mkString(".")
 
-  /** Make `name` addressable as a DML target. Reads still go through
-    * `TxLog.snapshot()` (or a catalog view) — registration affects
-    * only DML statement routing. */
-  def register(name: String, t: TxLog): Unit =
-    tables.put(norm(name.split('.').toSeq), t.root)
+  /** Make `name` addressable in SQL — as a DML target, a SELECT /
+    * time-travel relation, and (when `keys` are declared) the subject
+    * of `table_changes(name, from, to)`. */
+  def register(name: String, t: TxLog, keys: Seq[String] = Nil): Unit =
+    tables.put(norm(name.split('.').toSeq), (t.root, keys))
 
   def unregister(name: String): Unit =
     tables.remove(norm(name.split('.').toSeq))
 
   private[sql] def lookup(parts: Seq[String]): Option[String] =
-    Option(tables.get(norm(parts)))
+    Option(tables.get(norm(parts))).map(_._1)
+
+  private[graft] def lookupMeta(name: String): Option[(String, Seq[String])] =
+    Option(tables.get(norm(name.split('.').toSeq)))
 
   private def fail(msg: String): Nothing =
     throw new AnalysisException(
@@ -123,6 +131,10 @@ object TxLogSql {
     r.getTimestamp(0).getTime
   }
 
+  private def analyzed(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+      .queryExecution.analyzed
+
   /** The snapshot plan a registered read reference resolves to,
     * aliased under the referenced name so qualified columns
     * (`t.c`) keep resolving. Built at analysis time — the snapshot's
@@ -139,9 +151,47 @@ object TxLogSql {
       case (_, Some(ts)) => t.snapshotAsOf(evalTsMillis(session, ts))
       case _ => t.snapshot()
     }
-    SubqueryAlias(name,
-      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
-        .queryExecution.analyzed)
+    SubqueryAlias(name, analyzed(df))
+  }
+
+  private def litString(e: Expression, fn: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+      v.toString
+    case _ => fail(s"$fn expects a literal table name, got '${e.sql}'")
+  }
+
+  private def litLong(e: Expression, fn: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) =>
+      v.longValue()
+    case _ => fail(s"$fn expects integer literal versions, got '${e.sql}'")
+  }
+
+  /** `SELECT * FROM table_changes('name', from, to)` — Delta's CDF
+    * table-valued function over a [[register]]ed TxLog table. Change
+    * keys come from the registration (table metadata), so the TVF
+    * signature matches Delta's exactly. Built on `SparkSession.active`
+    * — TVF builders receive only the argument expressions. */
+  def tableChangesPlan(exprs: Seq[Expression]): LogicalPlan = exprs match {
+    case Seq(n, f, t) =>
+      val name = litString(n, "table_changes")
+      val (root, keys) = lookupMeta(name).getOrElse(fail(
+        s"table_changes: '$name' is not a registered TxLog table"))
+      if (keys.isEmpty) fail(s"table_changes: '$name' was registered " +
+        "without key columns (TxLogSql.register(name, t, keys))")
+      analyzed(TxLog(SparkSession.active, root).changes(
+        litLong(f, "table_changes"), litLong(t, "table_changes"), keys))
+    case _ => fail("table_changes takes (name, fromVersion, toVersion)")
+  }
+
+  /** `SELECT * FROM txlog_history('name')` — DESCRIBE HISTORY as a
+    * TVF: one row per surviving version of the registered table. */
+  def historyPlan(exprs: Seq[Expression]): LogicalPlan = exprs match {
+    case Seq(n) =>
+      val name = litString(n, "txlog_history")
+      val (root, _) = lookupMeta(name).getOrElse(fail(
+        s"txlog_history: '$name' is not a registered TxLog table"))
+      analyzed(TxLog(SparkSession.active, root).history())
+    case _ => fail("txlog_history takes (name)")
   }
 
   /** The analyzer rule: DML statements whose target is a registered

@@ -171,6 +171,36 @@ class TxLogSqlSpec extends SparkTestBase {
       .head().getLong(0) === 3L)
   }
 
+  test("table_changes TVF serves the CDF with keys from the registration; txlog_history lists versions") {
+    val t = fresh("tvf")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))            // v0
+    t.merge(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"))     // v1
+    t.deleteWhere("id = 1")                                           // v2
+    TxLogSql.register("txsql_tvf_tgt", t, keys = Seq("id"))
+    val feed = spark.sql(
+      "SELECT _change_type, _commit_version, id FROM table_changes('txsql_tvf_tgt', 0, 2)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(feed === Set(
+      ("update_preimage", 1L, 2L), ("update_postimage", 1L, 2L),
+      ("insert", 1L, 3L), ("delete", 2L, 1L)))
+    // TVF composes like any relation (aggregate over it)
+    assert(spark.sql("""
+      SELECT count(*) FROM table_changes('txsql_tvf_tgt', 0, 1)""")
+      .head().getLong(0) === 3L)
+    val hist = spark.sql("SELECT version, operation FROM txlog_history('txsql_tvf_tgt')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist.map(_._1) === Seq(2L, 1L, 0L)) // newest first
+    assert(hist.map(_._2) === Seq("DELETE", "MERGE", "OVERWRITE"))
+    // a table registered WITHOUT keys refuses table_changes with a clear error
+    val t2 = fresh("tvf_nokeys")
+    t2.overwrite(Seq((1L, "x")).toDF("id", "v"))
+    TxLogSql.register("txsql_tvf_nokeys", t2)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('txsql_tvf_nokeys', 0, 0)").collect()
+    }
+    assert(e.getMessage.contains("without key columns"))
+  }
+
   test("a TxLog read can be the SOURCE of DML against another TxLog table") {
     val src = fresh("dmlsrc")
     src.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
