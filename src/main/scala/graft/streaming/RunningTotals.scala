@@ -68,11 +68,19 @@ object RunningTotals {
         .select(col("user_id"),
           (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
         .as[(Long, Long)]
-      // transformWithState requires the RocksDB state store provider
+      // transformWithState requires the RocksDB state store provider;
+      // changelog checkpointing uploads per-batch DELTAS instead of a
+      // full RocksDB snapshot per commit — the production setting for
+      // large state (restart-equivalence proven in
+      // TransformWithStateSpec's changelog variant)
       val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val clKey =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
       val prev = spark.conf.getOption(confKey)
+      val prevCl = spark.conf.getOption(clKey)
       spark.conf.set(confKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(clKey, "true")
       try SessionizeStream.withStatePartitions(spark, 8) {
         val out = stream.groupByKey(_._1)
           .transformWithState(new RunningTotalsProcessor,
@@ -89,7 +97,10 @@ object RunningTotals {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally q.stop()
-      } finally prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+      } finally {
+        prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+        prevCl.fold(spark.conf.unset(clKey))(spark.conf.set(clKey, _))
+      }
       cp
     })
 
