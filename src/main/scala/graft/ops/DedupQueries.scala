@@ -447,6 +447,78 @@ object DedupQueries {
       JOIN sig a ON a.doc_id = p.id_a
       JOIN sig b ON b.doc_id = p.id_b AND b.i = a.i
       GROUP BY 1, 2, 3""")),
+
+    // CROSS-DOC VERBATIM SUBSTRING dedup (the suffix-array technique
+    // of "Deduplicating Training Data Makes Language Models Better",
+    // Lee et al. 2022, re-expressed relationally): find every pair of
+    // documents sharing a verbatim token span >= 12 tokens. Seed = all
+    // positional 8-token grams; an equi-join on the gram TEXT yields
+    // aligned seed matches, and a shared span of L tokens appears as
+    // L-7 consecutive seed positions on one DIAGONAL (pos_a - pos_b
+    // constant) — a gaps-and-islands pass per (pair, diagonal) merges
+    // them and max(run)+7 recovers L exactly. Grams occurring in > 32
+    // docs are dropped first (boilerplate stop-grams — same df-cap
+    // role as the jaccard posting index; candidate cost then tracks
+    // true overlap, not hub grams). Windows only over per-(pair,
+    // diagonal) islands — bounded by the pair's matches, never the
+    // corpus. At 100 TB the seed join keys would be 64-bit gram hashes
+    // (same pairs modulo collisions); the oracle needs cross-engine
+    // string equality, so the declared query joins on the text.
+    Q("dedup_substring_spans", (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 8
+      val docs = load(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val grams = docs.select(col("doc_id"), explode(expr(
+          s"CASE WHEN size(t) >= $W THEN transform(sequence(0, size(t) - $W), " +
+            s"i -> struct(i AS pos, array_join(slice(t, i + 1, $W), ' ') AS g)) " +
+            "ELSE array() END")).as("x"))
+        .select(col("doc_id"), col("x.pos").as("pos"), col("x.g").as("g"))
+      val keep = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= 32).select(col("g"))
+      val capped = grams.join(keep, "g")
+      val m = capped.as("a").join(capped.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.pos").as("pa"), col("b.pos").as("pb"))
+        .distinct()
+      val isl = m.withColumn("diag", col("pa") - col("pb"))
+        .withColumn("island", col("pa") - row_number().over(
+          Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+            .orderBy(col("pa"))))
+      val runs = isl.groupBy(col("id_a"), col("id_b"), col("diag"), col("island"))
+        .agg(count(lit(1)).as("run"))
+      runs.groupBy(col("id_a"), col("id_b"))
+        .agg(max(col("run") + lit(W - 1).cast("long")).as("max_span_tokens"),
+          count(lit(1)).as("n_islands"))
+        .filter(col("max_span_tokens") >= 12)
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      g AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) r
+        WHERE len(t) >= 8),
+      keep AS (
+        SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) <= 32),
+      gg AS (SELECT g.* FROM g JOIN keep USING (gram)),
+      m AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.pos AS pa, b.pos AS pb
+        FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      isl AS (
+        SELECT id_a, id_b, pa - pb AS diag, pa,
+               pa - row_number() OVER (
+                 PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS island
+        FROM m),
+      runs AS (
+        SELECT id_a, id_b, diag, island, count(*) AS run
+        FROM isl GROUP BY 1, 2, 3, 4)
+      SELECT id_a, id_b, CAST(max(run) + 7 AS BIGINT) AS max_span_tokens,
+             CAST(count(*) AS BIGINT) AS n_islands
+      FROM runs GROUP BY 1, 2
+      HAVING max(run) + 7 >= 12""")),
   )
 
   /** Generated oracle fragment: the 60 sign-bit terms of the simhash

@@ -162,4 +162,28 @@ class DedupSpec extends SparkTestBase {
       assert(declared === r3)
     }
   }
+
+  test("substring spans: planted verbatim overlap recovered at exact token length") {
+    // docs 1/2 share a verbatim 15-token span (>= report threshold 12);
+    // docs 1/3 share only 10 tokens (seeds match but span < 12 → no
+    // report); doc 4 is disjoint filler.
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared15 = words("s", 15)
+    val shared10 = words("u", 10)
+    val rows = Seq(
+      (1L, s"${words("a", 5)} $shared15 ${words("b", 4)} $shared10"),
+      (2L, s"${words("c", 9)} $shared15 ${words("d", 2)}"),
+      (3L, s"$shared10 ${words("e", 12)}"),
+      (4L, words("z", 40)))
+    val dir = tmpDir("substr_docs")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("dedup_substring_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((1L, 2L) -> 15L),
+      s"expected exactly the 15-token pair, got $got")
+  }
 }
