@@ -2043,7 +2043,7 @@ final case class TxLog(spark: SparkSession, root: String,
   /** Garbage-collect data dirs unreferenced by any of the newest
     * `keepVersions` manifests, and drop older manifests (bounds time
     * travel; the production knob is retention time). */
-  def vacuum(keepVersions: Int = 3): Unit = {
+  def vacuum(keepVersions: Int = 3, tmpGraceMs: Long = 3600 * 1000L): Unit = {
     val cur = currentVersion()
     if (cur < 0) return
     val keep = (math.max(0, cur - keepVersions + 1) to cur)
@@ -2061,6 +2061,15 @@ final case class TxLog(spark: SparkSession, root: String,
       .filter(_.getName.endsWith(".json"))
       .filter(_.getName.stripSuffix(".json").toLong < keep.head)
       .foreach(p => fs.delete(p, true))
+    // a writer killed between staging its manifest and the atomic
+    // link/rename leaves a _tmp_ file no reader ever opens; GC it once
+    // it is old enough that no LIVE commit attempt can still own it
+    // (an in-flight writer's tmp is milliseconds old)
+    val cutoff = System.currentTimeMillis() - tmpGraceMs
+    fs.listStatus(new Path(logDir)).toSeq
+      .filter(s => s.getPath.getName.startsWith("_tmp_") &&
+        s.getModificationTime < cutoff)
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** RESTORE: roll the table back to `version`'s content by committing

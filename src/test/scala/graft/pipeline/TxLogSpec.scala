@@ -1397,4 +1397,37 @@ class TxLogSpec extends SparkTestBase {
     t.evolvePartitioning("v")
     assert(manifestText(1).linesIterator.exists(_ == "#format=2"))
   }
+
+  test("crashed-writer debris never surfaces and is vacuumed: orphan data dir + stale tmp manifest") {
+    val t = fresh("crash_debris")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // crash site 1: data dir fully written, manifest never committed
+    Seq((9L, "ghost")).toDF("id", "v").write
+      .parquet(s"${t.root}/data/orphan-uuid-never-committed")
+    // crash site 2: staged manifest, killed before the atomic link
+    val staleTmp = java.nio.file.Paths.get(s"${t.root}/_txlog/_tmp_crashed")
+    java.nio.file.Files.writeString(staleTmp, "#op=OVERWRITE\nnever-linked")
+    java.nio.file.Files.setLastModifiedTime(staleTmp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200 * 1000L))
+    // readers see neither: version unchanged, ghost row invisible
+    assert(t.currentVersion() === 0L)
+    assert(t.snapshot().collect().map(_.getLong(0)).sorted === Seq(1L, 2L))
+    // a LIVE commit races past the debris untouched
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.snapshot().count() === 3)
+    // vacuum clears both: the orphan dir (unreferenced) and the aged
+    // tmp; a fresh tmp (an in-flight writer) survives the grace window
+    val freshTmp = java.nio.file.Paths.get(s"${t.root}/_txlog/_tmp_inflight")
+    java.nio.file.Files.writeString(freshTmp, "staged")
+    t.vacuum(keepVersions = 3)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${t.root}/data/orphan-uuid-never-committed")))
+    assert(!java.nio.file.Files.exists(staleTmp))
+    assert(java.nio.file.Files.exists(freshTmp))
+    // grace 0 sweeps even the fresh one (shutdown cleanup mode)
+    t.vacuum(keepVersions = 3, tmpGraceMs = 0L)
+    assert(!java.nio.file.Files.exists(freshTmp))
+    assert(t.snapshot().count() === 3) // table intact throughout
+  }
 }
