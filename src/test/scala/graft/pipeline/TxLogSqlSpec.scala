@@ -201,6 +201,26 @@ class TxLogSqlSpec extends SparkTestBase {
     assert(e.getMessage.contains("without key columns"))
   }
 
+  test("a registered table resolves inside subquery EXPRESSIONS (IN / scalar)") {
+    val t = fresh("subq_read")
+    t.overwrite(Seq((1L, 5.0), (2L, 50.0), (3L, 500.0)).toDF("id", "x"))
+    TxLogSql.register("txsql_subq_read", t)
+    Seq((1L, "p"), (2L, "q"), (9L, "r")).toDF("id", "tag")
+      .createOrReplaceTempView("txsql_subq_probe")
+    // IN-subquery over the registered table
+    val in = spark.sql("""
+      SELECT tag FROM txsql_subq_probe
+      WHERE id IN (SELECT id FROM txsql_subq_read WHERE x >= 50)""")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(in === Seq("q"))
+    // scalar subquery over a time-traveled read
+    t.append(Seq((4L, 5000.0)).toDF("id", "x"))
+    val s = spark.sql("""
+      SELECT (SELECT sum(x) FROM txsql_subq_read VERSION AS OF 0) AS v0,
+             (SELECT sum(x) FROM txsql_subq_read) AS cur""").head()
+    assert(s.getDouble(0) === 555.0 && s.getDouble(1) === 5555.0)
+  }
+
   test("a TxLog read can be the SOURCE of DML against another TxLog table") {
     val src = fresh("dmlsrc")
     src.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
