@@ -213,6 +213,55 @@ object VectorQueries {
         WHERE q.vec_id < 20)
       SELECT query_id, neighbor_id, rank, score FROM probed WHERE rank <= 5""")),
 
+    // INCREMENTAL ANN INDEX MAINTENANCE from the transaction log: the
+    // coarse quantizer trains ONCE on the base corpus (the offline
+    // index build), then the vector table's commits stream through the
+    // graft-txlog source one version per trigger and each microbatch
+    // assigns only ITS vectors against the frozen broadcast centroids,
+    // merging postings into the index table with #txn exactly-once
+    // marks. Refresh cost tracks the commits' bytes, never the corpus
+    // — the production shape of keeping an IVF index fresh under
+    // continuous ingest (a retrain is a separate offline event). The
+    // oracle recomputes the same quantizer (trained on the filtered
+    // base, assignment over the full corpus) and must match per-cell
+    // counts and vec_id checksums exactly — proving the incremental
+    // postings equal a from-scratch index rebuild.
+    Q("txlog_stream_ivf_maintain", (spark, dir) => {
+      val tag = dir.hashCode.abs
+      val root = s"/root/repo/target/tmp/txlog_sivf_$tag"
+      val sinkRoot = s"/root/repo/target/tmp/txlog_sivf_idx_$tag"
+      val ckpt = s"/root/repo/target/tmp/txlog_sivf_ckpt_$tag"
+      Seq(root, sinkRoot, ckpt).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+      val e = load(spark, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 10 =!= 0)
+      val cents = ivfTrainedCents(spark, base) // frozen index quantizer
+      val t = graft.pipeline.TxLog(spark, root)
+      t.overwrite(base.select(col("vec_id"), col("embedding")))    // v0: base
+      t.append(e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), col("embedding")))                  // v1: ingest
+      t.append(e.filter(col("vec_id") % 20 === 10)
+        .select(col("vec_id"), col("embedding")))                  // v2: ingest
+      val index = graft.pipeline.TxLog(spark, sinkRoot)
+      val q = spark.readStream.format("graft-txlog").option("path", root)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          index.append(ivfAssign(spark, batch, cents)
+            .select(col("vec_id"), col("cent_id")),
+            txn = Some(("txlog_sivf", id)))
+          ()
+        }.start()
+      try q.awaitTermination() finally q.stop()
+      index.snapshot().groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n_vectors"), sum(col("vec_id")).as("vec_id_sum"))
+    }, oracle = Some(s"""
+      WITH ${ivfOracleCtes(1, "(SELECT * FROM embeddings WHERE vec_id % 10 <> 0)")}
+      SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
+      FROM a3 GROUP BY cent_id""")),
+
     // MARGIN-criterion pair mining (the bitext-mining scorer of
     // LASER/CCMatrix): raw cosine over-selects hub vectors whose
     // neighbourhood is globally dense, so each candidate (x, y) is
@@ -921,15 +970,21 @@ object VectorQueries {
 
   /** Oracle CTE chain replaying [[ivfTrainedAssignment]] exactly:
     * `cents0 → a1 → cents1 → a2 → cents2 → a3` (final assignment,
-    * top-`nProbeFinal` cells). */
-  private def ivfOracleCtes(nProbeFinal: Int = 1): String = {
-    def assignSql(cents: String, out: String, nProbe: Int = 1) = s"""
+    * top-`nProbeFinal` cells). `trainSrc` is the relation the
+    * quantizer TRAINS on (seeds + both Lloyd iterations); the final
+    * assignment always covers the full `embeddings` corpus — equal to
+    * `trainSrc` by default, a filtered base for the incremental
+    * index-maintenance query. */
+  private def ivfOracleCtes(nProbeFinal: Int = 1,
+                            trainSrc: String = "embeddings"): String = {
+    def assignSql(cents: String, out: String, nProbe: Int = 1,
+                  src: String = "embeddings") = s"""
       $out AS (
         SELECT vec_id, embedding, cent_id FROM (
           SELECT e.vec_id, e.embedding, c.cent_id,
                  row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${cosFrag("e.embedding", "c.cv")} DESC, c.cent_id) AS crk
-          FROM embeddings e CROSS JOIN $cents c) WHERE crk <= $nProbe)"""
+          FROM $src e CROSS JOIN $cents c) WHERE crk <= $nProbe)"""
     def retrainSql(assigned: String, out: String) = s"""
       $out AS (
         SELECT cent_id, list(CAST(m AS REAL) ORDER BY pos) AS cv FROM (
@@ -942,11 +997,11 @@ object VectorQueries {
           GROUP BY a.cent_id, u.pos)
         GROUP BY cent_id)"""
     s"""cents0 AS (
-        SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+        SELECT vec_id AS cent_id, embedding AS cv FROM $trainSrc tsrc
         WHERE vec_id % 25 = 0 AND vec_id < 1600),
-      ${assignSql("cents0", "a1")},
+      ${assignSql("cents0", "a1", src = trainSrc)},
       ${retrainSql("a1", "cents1")},
-      ${assignSql("cents1", "a2")},
+      ${assignSql("cents1", "a2", src = trainSrc)},
       ${retrainSql("a2", "cents2")},
       ${assignSql("cents2", "a3", nProbeFinal)}"""
   }
