@@ -73,6 +73,14 @@ final case class GoldCatalog(spark: SparkSession, warehouse: String) {
         s"CREATE TABLE $db.$table USING parquet LOCATION '${dirs.head}'")
     else
       spark.sql(s"CREATE VIEW $db.$table AS ${log.snapshotSql()}")
+    // SQL-DML face: `MERGE INTO gold.t` / UPDATE / DELETE / INSERT
+    // strings route through the transaction log (the catalog relation
+    // the analyzer resolves is traced back to its root by scan path),
+    // and each SQL-committed version re-points this registration so a
+    // subsequent SELECT through the catalog never reads a stale
+    // pre-DML snapshot.
+    graft.sql.TxLogSql.register(s"$db.$table", log)
+    graft.sql.TxLogSql.onCommit(s"$db.$table", () => register(db, table))
   }
 
   /** Drop whatever registration `db.table` currently has — DROP VIEW
@@ -98,6 +106,7 @@ final case class GoldCatalog(spark: SparkSession, warehouse: String) {
     * unregister and remove data + log. */
   def dropTable(db: String, table: String): Unit = {
     dropRegistration(db, table)
+    graft.sql.TxLogSql.unregister(s"$db.$table")
     val p = new Path(tablePath(db, table))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }

@@ -54,8 +54,11 @@ object TxLogSql {
   def register(name: String, t: TxLog, keys: Seq[String] = Nil): Unit =
     tables.put(norm(name.split('.').toSeq), (t.root, keys))
 
-  def unregister(name: String): Unit =
-    tables.remove(norm(name.split('.').toSeq))
+  def unregister(name: String): Unit = {
+    val k = norm(name.split('.').toSeq)
+    tables.remove(k)
+    commitHooks.remove(k)
+  }
 
   private[sql] def lookup(parts: Seq[String]): Option[String] =
     Option(tables.get(norm(parts))).map(_._1)
@@ -63,18 +66,87 @@ object TxLogSql {
   private[graft] def lookupMeta(name: String): Option[(String, Seq[String])] =
     Option(tables.get(norm(name.split('.').toSeq)))
 
+  /** A registered root owning `paths` — how a DML target that the
+    * analyzer ALREADY resolved to a catalog relation (a
+    * GoldCatalog-registered snapshot-LOCATION table) is traced back to
+    * its transaction log: every scanned path must live under one
+    * registered root. */
+  private[sql] def rootOwning(paths: Seq[String]): Option[String] = {
+    val roots = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(tables.values()).asScala.map(_._1).toSet
+    roots.find(r => paths.nonEmpty && paths.forall(_.startsWith(r + "/")))
+  }
+
+  /** Post-commit hooks, keyed like [[tables]]: a catalog layer whose
+    * SQL registration points at a SNAPSHOT location (GoldCatalog)
+    * re-points it here after a SQL DML commit, so `SELECT * FROM
+    * gold.t` never serves a stale pre-DML snapshot. */
+  private val commitHooks =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Unit]()
+
+  def onCommit(name: String, hook: () => Unit): Unit =
+    commitHooks.put(norm(name.split('.').toSeq), hook)
+
+  private[sql] def committed(root: String): Unit = {
+    val names = scala.jdk.CollectionConverters
+      .SetHasAsScala(tables.entrySet()).asScala
+      .filter(_.getValue._1 == root).map(_.getKey)
+    names.foreach(n => Option(commitHooks.get(n)).foreach(_.apply()))
+  }
+
   private def fail(msg: String): Nothing =
     throw new AnalysisException(
       errorClass = "INTERNAL_ERROR",
       messageParameters = Map("message" -> s"TxLog SQL DML: $msg"))
 
   /** The registered TxLog root a DML target resolves to, unwrapping
-    * the alias the parser adds for `MERGE INTO t AS tgt`. */
+    * the alias the parser adds for `MERGE INTO t AS tgt`. Matches the
+    * target both UNRESOLVED (a name only this registry knows) and
+    * already RESOLVED to a file relation (a catalog-registered
+    * snapshot-LOCATION table — the analyzer's relation resolution runs
+    * before this rule in each iteration, so a cataloged gold table
+    * arrives here as a `LogicalRelation` whose scan paths sit under
+    * the table's TxLog root). Without the path match, UPDATE/DELETE/
+    * MERGE on a cataloged table would fail analysis — and INSERT would
+    * silently write parquet INTO the live snapshot dir, bypassing the
+    * log entirely. */
   private def targetRoot(p: LogicalPlan): Option[String] = p match {
     case SubqueryAlias(_, child) => targetRoot(child)
     case u: UnresolvedRelation => lookup(u.multipartIdentifier)
+    case resolved =>
+      // LOCATION table → one LogicalRelation; a multi-dir snapshot
+      // registered as a VIEW → a Union of per-dir scans. Either way,
+      // every leaf scan path must live under one registered root.
+      val paths = resolved.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toUri.getPath)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      rootOwning(paths)
+  }
+
+  /** Bare column name of an attribute — unresolved (name-registered
+    * targets: the analyzer never touched the DML's expressions) or
+    * resolved (catalog-registered targets: attributes arrive bound to
+    * the catalog relation). */
+  private def colName(e: Expression): Option[String] = e match {
+    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      Some(a.name)
     case _ => None
   }
+
+  /** Expression SQL with catalog qualifiers stripped: a condition the
+    * analyzer resolved against `spark_catalog.gold.t` must re-apply to
+    * the bare-named snapshot frame inside the library call. */
+  private def unqualifiedSql(e: Expression): String =
+    e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        UnresolvedAttribute(Seq(a.name))
+    }.sql
 
   /** Merge keys from the ON condition: a conjunction of same-named
     * column equalities (`t.k = s.k`) — the SCD1 key shape the library
@@ -82,8 +154,8 @@ object TxLogSql {
     * spelled out. */
   private def keysOf(cond: Expression): Seq[String] = cond match {
     case And(l, r) => keysOf(l) ++ keysOf(r)
-    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-        if a.nameParts.last == b.nameParts.last => Seq(a.nameParts.last)
+    case EqualTo(a, b) if colName(a).isDefined && colName(a) == colName(b) =>
+      Seq(colName(a).get)
     case other => fail(
       s"unsupported MERGE condition '${other.sql}' — supported: a " +
         "conjunction of same-named key equalities (t.k = s.k AND ...)")
@@ -102,11 +174,11 @@ object TxLogSql {
   }
 
   private[sql] def planUpdate(u: UpdateTable, root: String): LogicalPlan = {
-    val sets = u.assignments.map {
-      case Assignment(k: UnresolvedAttribute, v) => (k.nameParts.last, v.sql)
-      case a => fail(s"unsupported UPDATE assignment '${a.sql}'")
+    val sets = u.assignments.map { a =>
+      colName(a.key).map(_ -> unqualifiedSql(a.value))
+        .getOrElse(fail(s"unsupported UPDATE assignment '${a.sql}'"))
     }
-    TxLogUpdateCommand(root, sets, u.condition.map(_.sql))
+    TxLogUpdateCommand(root, sets, u.condition.map(unqualifiedSql))
   }
 
   private[sql] def planInsert(i: InsertIntoStatement, root: String): LogicalPlan = {
@@ -211,7 +283,7 @@ object TxLogSql {
           targetRoot(u.table).map(planUpdate(u, _)).getOrElse(plan)
         case d: DeleteFromTable =>
           targetRoot(d.table)
-            .map(TxLogDeleteCommand(_, d.condition.sql): LogicalPlan)
+            .map(TxLogDeleteCommand(_, unqualifiedSql(d.condition)): LogicalPlan)
             .getOrElse(plan)
         case i: InsertIntoStatement =>
           targetRoot(i.table).map(planInsert(i, _)).getOrElse(plan)
@@ -247,7 +319,9 @@ case class TxLogMergeCommand(root: String, source: LogicalPlan,
     AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graft.GraftSqlBridge.ofRows(session, source)
-    Seq(Row(TxLog(session, root).merge(src, keys, evolve = evolve)))
+    val v = TxLog(session, root).merge(src, keys, evolve = evolve)
+    TxLogSql.committed(root)
+    Seq(Row(v))
   }
 }
 
@@ -258,8 +332,11 @@ case class TxLogUpdateCommand(root: String, sets: Seq[(String, String)],
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
-  override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(TxLog(session, root).updateWhere(sets, predicate)))
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = TxLog(session, root).updateWhere(sets, predicate)
+    TxLogSql.committed(root)
+    Seq(Row(v))
+  }
 }
 
 /** `DELETE FROM <txlog> WHERE p` → [[TxLog.deleteWhere]]
@@ -268,8 +345,11 @@ case class TxLogDeleteCommand(root: String, predicate: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
-  override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(TxLog(session, root).deleteWhere(predicate)))
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = TxLog(session, root).deleteWhere(predicate)
+    TxLogSql.committed(root)
+    Seq(Row(v))
+  }
 }
 
 /** `INSERT INTO <txlog> <query>` → [[TxLog.append]];
@@ -303,6 +383,8 @@ case class TxLogInsertCommand(root: String, source: LogicalPlan,
         src0.select(src0.columns.toSeq.zip(schema).map { case (c, f) =>
           col(s"`$c`").cast(f.dataType).as(f.name) }: _*)
       }
-    Seq(Row(if (overwrite) t.overwrite(aligned) else t.append(aligned)))
+    val v = if (overwrite) t.overwrite(aligned) else t.append(aligned)
+    TxLogSql.committed(root)
+    Seq(Row(v))
   }
 }

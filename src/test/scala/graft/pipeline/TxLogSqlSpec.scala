@@ -201,6 +201,38 @@ class TxLogSqlSpec extends SparkTestBase {
     assert(e.getMessage.contains("without key columns"))
   }
 
+  test("SQL DML works against a CATALOG-registered gold table and re-points its registration") {
+    val cat = GoldCatalog(spark, tmpDir("txsql_gold_wh"))
+    cat.ensureDatabases()
+    cat.saveAsTable(Seq((1L, "alpha", 10.0), (2L, "beta", 20.0))
+      .toDF("id", "name", "bal"), "gold", "dim_txsql")
+    // the analyzer resolves gold.dim_txsql to the catalog LOCATION
+    // table; the DML rule traces the scan path back to the TxLog root
+    Seq((2L, "BETA", 99.0), (3L, "gamma", 30.0)).toDF("id", "name", "bal")
+      .createOrReplaceTempView("txsql_gold_src")
+    spark.sql("""
+      MERGE INTO gold.dim_txsql t USING txsql_gold_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // SELECT through the CATALOG (not the rule) sees the merged state:
+    // the commit hook re-pointed the registration at the new snapshot
+    val afterMerge = spark.table("gold.dim_txsql").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(afterMerge === Map(1L -> "alpha", 2L -> "BETA", 3L -> "gamma"))
+    spark.sql("UPDATE gold.dim_txsql SET bal = bal + 1 WHERE id = 1")
+    spark.sql("INSERT INTO gold.dim_txsql VALUES (4, 'delta', 40.0)")
+    spark.sql("DELETE FROM gold.dim_txsql WHERE id = 2")
+    val t = cat.txlog("gold", "dim_txsql")
+    assert(t.currentVersion() === 4L) // overwrite + merge + update + insert + delete
+    val end = spark.sql("SELECT id, bal FROM gold.dim_txsql ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(end === Seq((1L, 11.0), (3L, 30.0), (4L, 40.0)))
+    // INSERT routed through the LOG, not into the snapshot dir: the
+    // pre-insert version must NOT contain the inserted row
+    assert(t.snapshot(2).collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    cat.dropTable("gold", "dim_txsql")
+  }
+
   test("a registered table resolves inside subquery EXPRESSIONS (IN / scalar)") {
     val t = fresh("subq_read")
     t.overwrite(Seq((1L, 5.0), (2L, 50.0), (3L, 500.0)).toDF("id", "x"))
