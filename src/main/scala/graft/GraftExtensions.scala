@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // with VERSION AS OF / TIMESTAMP AS OF time travel — the SQL face
     // of the transaction log
     e.injectResolutionRule(session => graft.sql.TxLogSql.TxLogDmlRule(session))
+    // time travel on registered names must substitute BEFORE the
+    // built-in resolver rejects session-catalog tables
+    e.injectHintResolutionRule(session =>
+      graft.sql.TxLogSql.TxLogTimeTravelRule(session))
     // Delta-shaped CDF + history table-valued functions over registered
     // TxLog tables: table_changes('t', from, to) / txlog_history('t')
     e.injectTableFunction((

@@ -266,6 +266,27 @@ object TxLogSql {
     case _ => fail("txlog_history takes (name)")
   }
 
+  /** Time-travel rule, injected into the HINTS batch — i.e. BEFORE
+    * relation resolution: `gold.t VERSION AS OF n` on a
+    * catalog-registered name would otherwise hit the built-in
+    * resolver first, which throws UNSUPPORTED_FEATURE.TIME_TRAVEL for
+    * session-catalog tables. Substituting here is precedence-safe:
+    * time travel cannot address temp views, so no shadowing rule is
+    * bypassed. Plain (non-time-traveled) reads stay in the Resolution
+    * batch, where catalog and temp-view precedence applies first. */
+  case class TxLogTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperatorsUp {
+        case tt: RelationTimeTravel => tt.relation match {
+          case u: UnresolvedRelation =>
+            lookup(u.multipartIdentifier).map(root =>
+              readPlan(session, u.multipartIdentifier.last, root,
+                tt.version, tt.timestamp)).getOrElse(tt)
+          case _ => tt
+        }
+      }
+  }
+
   /** The analyzer rule: DML statements whose target is a registered
     * TxLog table become runnable commands (DML nodes are always plan
     * roots, so a root match suffices), and read references to

@@ -230,6 +230,10 @@ class TxLogSqlSpec extends SparkTestBase {
     // INSERT routed through the LOG, not into the snapshot dir: the
     // pre-insert version must NOT contain the inserted row
     assert(t.snapshot(2).collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // time travel through the CATALOG name (the hint-batch rule must
+    // substitute before the built-in resolver rejects v1 tables)
+    assert(spark.sql("SELECT count(*) FROM gold.dim_txsql VERSION AS OF 0")
+      .head().getLong(0) === 2L)
     cat.dropTable("gold", "dim_txsql")
   }
 
