@@ -465,32 +465,9 @@ object DedupQueries {
     // (same pairs modulo collisions); the oracle needs cross-engine
     // string equality, so the declared query joins on the text.
     Q("dedup_substring_spans", (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val W = 8
-      val docs = load(spark, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-      val grams = docs.select(col("doc_id"), explode(expr(
-          s"CASE WHEN size(t) >= $W THEN transform(sequence(0, size(t) - $W), " +
-            s"i -> struct(i AS pos, array_join(slice(t, i + 1, $W), ' ') AS g)) " +
-            "ELSE array() END")).as("x"))
-        .select(col("doc_id"), col("x.pos").as("pos"), col("x.g").as("g"))
-      val keep = grams.groupBy(col("g"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") <= 32).select(col("g"))
-      val capped = grams.join(keep, "g")
-      val m = capped.as("a").join(capped.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.pos").as("pa"), col("b.pos").as("pb"))
-        .distinct()
-      val isl = m.withColumn("diag", col("pa") - col("pb"))
-        .withColumn("island", col("pa") - row_number().over(
-          Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
-            .orderBy(col("pa"))))
-      val runs = isl.groupBy(col("id_a"), col("id_b"), col("diag"), col("island"))
-        .agg(count(lit(1)).as("run"))
-      runs.groupBy(col("id_a"), col("id_b"))
-        .agg(max(col("run") + lit(W - 1).cast("long")).as("max_span_tokens"),
+      substringRuns(spark, dir)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(max(col("run") + lit(7L)).as("max_span_tokens"),
           count(lit(1)).as("n_islands"))
         .filter(col("max_span_tokens") >= 12)
     }, oracle = Some("""
@@ -519,7 +496,123 @@ object DedupQueries {
              CAST(count(*) AS BIGINT) AS n_islands
       FROM runs GROUP BY 1, 2
       HAVING max(run) + 7 >= 12""")),
+
+    // ACT on the detected spans (the dedup step of Lee et al. 2022:
+    // remove one copy of every long verbatim substring): for each doc
+    // that is the LATER (higher-id) side of a >= 12-token shared span,
+    // cut its single BEST span — longest, ties broken by earliest
+    // position then smallest partner id, so the choice is total-order
+    // deterministic — and emit the surgery receipt: cut offset/length,
+    // surviving token count, and the md5 of the rewritten text. The
+    // oracle replays the identical tokenization, island merge, pick,
+    // and list surgery; matching md5 proves both engines rebuilt the
+    // same post-dedup document byte-for-byte.
+    Q("dedup_substring_removal", (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val best = substringRuns(spark, dir)
+        .withColumn("cut_len", col("run") + lit(7L))
+        .withColumn("cut_pos", (col("pa0") - col("diag")).cast("long"))
+        .filter(col("cut_len") >= 12)
+        .groupBy(col("id_b").as("doc_id"))
+        .agg(max(struct(col("cut_len"), (-col("cut_pos")).as("np"),
+          (-col("id_a")).as("ni"), col("cut_pos"))).as("m"))
+        .select(col("doc_id"), col("m.cut_len").as("cut_len"),
+          col("m.cut_pos").as("cut_pos"))
+      best.join(docs, "doc_id")
+        .withColumn("remaining", expr(
+          "concat(slice(t, 1, cut_pos), " +
+            "slice(t, cut_pos + cut_len + 1, size(t)))"))
+        .select(col("doc_id"), col("cut_pos"), col("cut_len"),
+          size(col("remaining")).cast("long").as("n_tokens_after"),
+          md5(array_join(col("remaining"), " ")).as("new_md5"))
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      g AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) r
+        WHERE len(t) >= 8),
+      keep AS (
+        SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) <= 32),
+      gg AS (SELECT g.* FROM g JOIN keep USING (gram)),
+      m AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.pos AS pa, b.pos AS pb
+        FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      isl AS (
+        SELECT id_a, id_b, pa - pb AS diag, pa,
+               pa - row_number() OVER (
+                 PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS island
+        FROM m),
+      runs AS (
+        SELECT id_a, id_b, diag, island, count(*) AS run, min(pa) AS pa0
+        FROM isl GROUP BY 1, 2, 3, 4),
+      cand AS (
+        SELECT id_b AS doc_id, id_a, run + 7 AS cut_len, pa0 - diag AS cut_pos
+        FROM runs WHERE run + 7 >= 12),
+      best AS (
+        SELECT doc_id, cut_len, cut_pos FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY cut_len DESC, cut_pos ASC, id_a ASC) AS rn
+          FROM cand) WHERE rn = 1),
+      surgery AS (
+        SELECT b.doc_id, b.cut_pos, b.cut_len,
+               t.t[1:CAST(b.cut_pos AS BIGINT)] ||
+                 t.t[CAST(b.cut_pos + b.cut_len + 1 AS BIGINT):len(t.t)] AS remaining
+        FROM best b JOIN toks t ON t.doc_id = b.doc_id)
+      SELECT doc_id, CAST(cut_pos AS BIGINT) AS cut_pos,
+             CAST(cut_len AS BIGINT) AS cut_len,
+             CAST(len(remaining) AS BIGINT) AS n_tokens_after,
+             md5(COALESCE(array_to_string(remaining, ' '), '')) AS new_md5
+      FROM surgery""")),
   )
+
+  /** Shared core of the cross-doc substring queries: positional
+    * 8-token-gram seeds, df-capped stop-grams, gram equi-join, and the
+    * gaps-and-islands merge — one row per (pair, diagonal, island)
+    * with the run length and its first seed position in the lower doc.
+    * A shared run of L tokens has run = L − 7 and starts at
+    * `pa0` / `pa0 − diag` in the lower/higher doc respectively. */
+  private val runsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.DataFrame]()
+
+  /** Session-cached: the spans report and the removal step both read
+    * the same islands — one gram join pays for both (the checkpointed
+    * frame is islands-sized, tiny next to the corpus). */
+  private def substringRuns(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame =
+    runsCache.computeIfAbsent(
+      (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
+        dir), _ => substringRuns0(spark, dir).localCheckpoint(true))
+
+  private def substringRuns0(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 8
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val grams = docs.select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(t) >= $W THEN transform(sequence(0, size(t) - $W), " +
+          s"i -> struct(i AS pos, array_join(slice(t, i + 1, $W), ' ') AS g)) " +
+          "ELSE array() END")).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.g").as("g"))
+    val keep = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= 32).select(col("g"))
+    val capped = grams.join(keep, "g")
+    val m = capped.as("a").join(capped.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .distinct()
+    m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("island", col("pa") - row_number().over(
+        Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+          .orderBy(col("pa"))))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("run"), min(col("pa")).as("pa0"))
+  }
 
   /** Generated oracle fragment: the 60 sign-bit terms of the simhash
     * signature, each a ±1 vote sum over the group's token hashes. */

@@ -185,5 +185,17 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got === Map((1L, 2L) -> 15L),
       s"expected exactly the 15-token pair, got $got")
+    // the removal step cuts the span from the HIGHER doc only: doc 2
+    // loses exactly the 15 shared tokens at its offset 9, rebuilding
+    // c0..c8 d0 d1; docs 1/3/4 are untouched (no >= 12-token span)
+    val surgery = graft.SparkEntry.queries("dedup_substring_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val expectedText = (words("c", 9) + " " + words("d", 2))
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectedText.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(surgery === Map(2L -> (9L, 15L, 11L, expectedMd5)),
+      s"unexpected surgery receipts: $surgery")
   }
 }
