@@ -215,17 +215,22 @@ object VectorQueries {
 
     // INCREMENTAL ANN INDEX MAINTENANCE from the transaction log: the
     // coarse quantizer trains ONCE on the base corpus (the offline
-    // index build), then the vector table's commits stream through the
-    // graft-txlog source one version per trigger and each microbatch
-    // assigns only ITS vectors against the frozen broadcast centroids,
-    // merging postings into the index table with #txn exactly-once
-    // marks. Refresh cost tracks the commits' bytes, never the corpus
+    // index build), then the vector table's CHANGE FEED streams
+    // through the graft-txlog source one version per trigger — inserts
+    // assign only THEIR vectors against the frozen broadcast centroids
+    // and deletes recompute their cell from the pre-image (assignment
+    // is deterministic, so the cell is functionally dependent on the
+    // key — the partitioned-CDC precondition) — folding I/D ops into a
+    // cent_id-PARTITIONED index table with #txn exactly-once marks.
+    // Only the touched cells' partitions are read and rewritten per
+    // batch; refresh cost tracks the commits' bytes, never the corpus
     // — the production shape of keeping an IVF index fresh under
-    // continuous ingest (a retrain is a separate offline event). The
-    // oracle recomputes the same quantizer (trained on the filtered
-    // base, assignment over the full corpus) and must match per-cell
-    // counts and vec_id checksums exactly — proving the incremental
-    // postings equal a from-scratch index rebuild.
+    // continuous ingest + GDPR deletes (retraining is a separate
+    // offline event). The oracle recomputes the same quantizer
+    // (trained on the filtered base, assignment over the surviving
+    // corpus) and must match per-cell counts and vec_id checksums
+    // exactly — proving the incrementally-maintained postings equal a
+    // from-scratch index rebuild after all inserts AND deletes.
     Q("txlog_stream_ivf_maintain", (spark, dir) => {
       val tag = dir.hashCode.abs
       val root = s"/root/repo/target/tmp/txlog_sivf_$tag"
@@ -242,14 +247,33 @@ object VectorQueries {
         .select(col("vec_id"), col("embedding")))                  // v1: ingest
       t.append(e.filter(col("vec_id") % 20 === 10)
         .select(col("vec_id"), col("embedding")))                  // v2: ingest
+      t.deleteWhere("vec_id % 15 = 0")                             // v3: GDPR
+      // offline index BUILD over the base snapshot (v0); the stream
+      // then maintains it from v0's change feed onward (CDF batches
+      // are version DIFFS — the snapshot itself is the build input)
       val index = graft.pipeline.TxLog(spark, sinkRoot)
+      index.overwritePartitioned(
+        ivfAssign(spark, base, cents).select(col("vec_id"), col("cent_id")),
+        "cent_id")
       val q = spark.readStream.format("graft-txlog").option("path", root)
+        .option("readChangeFeed", "true").option("keys", "vec_id")
+        // startingVersion anchors the pace: one version-diff per
+        // microbatch from the build point, so an insert and a later
+        // delete of the same key land in SEPARATE CDC applies
+        .option("startingVersion", "0")
         .option("maxVersionsPerTrigger", "1").load()
         .writeStream.option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-          index.append(ivfAssign(spark, batch, cents)
-            .select(col("vec_id"), col("cent_id")),
+          val rel = batch
+            .filter(col("_change_type").isin("insert", "delete"))
+            .select(col("vec_id"), col("embedding"), col("_change_type"))
+          val ops = ivfAssign(spark, rel, cents)
+            .join(rel.select(col("vec_id"), col("_change_type")), "vec_id")
+            .select(col("vec_id"), col("cent_id"),
+              when(col("_change_type") === "delete", lit("D"))
+                .otherwise(lit("I")).as("op"))
+          index.applyChangesPartitioned(ops, Seq("vec_id"), "cent_id",
             txn = Some(("txlog_sivf", id)))
           ()
         }.start()
@@ -260,7 +284,7 @@ object VectorQueries {
       WITH ${ivfOracleCtes(1, "(SELECT * FROM embeddings WHERE vec_id % 10 <> 0)")}
       SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vectors,
              CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
-      FROM a3 GROUP BY cent_id""")),
+      FROM a3 WHERE NOT (vec_id % 15 = 0) GROUP BY cent_id""")),
 
     // MARGIN-criterion pair mining (the bitext-mining scorer of
     // LASER/CCMatrix): raw cosine over-selects hub vectors whose
