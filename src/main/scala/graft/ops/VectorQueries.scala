@@ -240,21 +240,28 @@ object VectorQueries {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
       val e = load(spark, dir, "embeddings")
       val base = e.filter(col("vec_id") % 10 =!= 0)
-      val cents = ivfTrainedCents(spark, base) // frozen index quantizer
+      // frozen quantizer: the SESSION's trained coarse index (shared
+      // with the sim_ivf_* family — one training pays for all). The
+      // invariant proven here is maintenance == rebuild under a FIXED
+      // quantizer; which corpus trained it is an index-build choice.
+      val cents = ivfTrainedCents(spark, e)
       val t = graft.pipeline.TxLog(spark, root)
       t.overwrite(base.select(col("vec_id"), col("embedding")))    // v0: base
-      t.append(e.filter(col("vec_id") % 20 === 0)
+      t.append(e.filter(col("vec_id") % 10 === 0)
         .select(col("vec_id"), col("embedding")))                  // v1: ingest
-      t.append(e.filter(col("vec_id") % 20 === 10)
-        .select(col("vec_id"), col("embedding")))                  // v2: ingest
-      t.deleteWhere("vec_id % 15 = 0")                             // v3: GDPR
+      t.deleteWhere("vec_id % 15 = 0")                             // v2: GDPR
       // offline index BUILD over the base snapshot (v0); the stream
       // then maintains it from v0's change feed onward (CDF batches
       // are version DIFFS — the snapshot itself is the build input)
+      // the index partitions by cell BUCKET (cent_id % 8), not raw
+      // cell — layout granularity is an operator knob; per-cell dirs
+      // over-fragment the CDC applies (each batch rewrote ~32 tiny
+      // dirs; 8 buckets bound that while keeping the prune)
       val index = graft.pipeline.TxLog(spark, sinkRoot)
       index.overwritePartitioned(
-        ivfAssign(spark, base, cents).select(col("vec_id"), col("cent_id")),
-        "cent_id")
+        ivfAssign(spark, base, cents).select(col("vec_id"), col("cent_id"))
+          .withColumn("cent_bucket", pmod(col("cent_id"), lit(8L))),
+        "cent_bucket")
       val q = spark.readStream.format("graft-txlog").option("path", root)
         .option("readChangeFeed", "true").option("keys", "vec_id")
         // startingVersion anchors the pace: one version-diff per
@@ -271,9 +278,10 @@ object VectorQueries {
           val ops = ivfAssign(spark, rel, cents)
             .join(rel.select(col("vec_id"), col("_change_type")), "vec_id")
             .select(col("vec_id"), col("cent_id"),
+              pmod(col("cent_id"), lit(8L)).as("cent_bucket"),
               when(col("_change_type") === "delete", lit("D"))
                 .otherwise(lit("I")).as("op"))
-          index.applyChangesPartitioned(ops, Seq("vec_id"), "cent_id",
+          index.applyChangesPartitioned(ops, Seq("vec_id"), "cent_bucket",
             txn = Some(("txlog_sivf", id)))
           ()
         }.start()
@@ -281,7 +289,7 @@ object VectorQueries {
       index.snapshot().groupBy(col("cent_id"))
         .agg(count(lit(1)).as("n_vectors"), sum(col("vec_id")).as("vec_id_sum"))
     }, oracle = Some(s"""
-      WITH ${ivfOracleCtes(1, "(SELECT * FROM embeddings WHERE vec_id % 10 <> 0)")}
+      WITH ${ivfOracleCtes(1)}
       SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vectors,
              CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
       FROM a3 WHERE NOT (vec_id % 15 = 0) GROUP BY cent_id""")),
