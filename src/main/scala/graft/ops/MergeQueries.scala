@@ -909,6 +909,25 @@ object MergeQueries {
              count(*) AS n, CAST(sum(o_totalprice) AS DOUBLE) AS tp
       FROM feed GROUP BY 1, 2""")),
 
+    // DESCRIBE HISTORY through SQL: the txlog_history TVF over the
+    // shared CDF history, projected to its deterministic columns
+    // (commit instants are wall-clock; version + operation are the
+    // durable audit trail). The oracle is the known commit sequence —
+    // trivial relationally, but it walks the whole TVF surface
+    // (extension registration, literal-arg plan building, manifest op
+    // records) through the driver's hash gate.
+    Q("txlog_sql_history", (spark, dir) => {
+      val t = graft.pipeline.TxLog(spark, cdfScenarioRoot(spark, dir))
+      graft.sql.TxLogSql.register("txlog_cdf_hist", t)
+      spark.sql("""
+        SELECT version, operation FROM txlog_history('txlog_cdf_hist')
+        ORDER BY version""")
+    }, oracle = Some("""
+      SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'OVERWRITE'),
+                            (CAST(1 AS BIGINT), 'MERGE'),
+                            (CAST(2 AS BIGINT), 'DELETE')) AS t(version, operation)
+      ORDER BY version""")),
+
     // Incremental materialized-view maintenance: the gold aggregate is
     // NOT recomputed after each commit — the change feed folds into it
     // with signed deltas (insert/postimage +1, delete/preimage −1), so
