@@ -147,15 +147,22 @@ object VectorQueries {
       val assigned = ivfTrainedAssignment(spark, e)
       val queries = assigned.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"))
-      val wRank = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("neighbor_id"))
+      // ranking via the bounded pair heap, not a per-query window: a
+      // probed cell holds ~N/nlist candidates (nlist is an index
+      // constant), so row_number().over(partitionBy(query_id)) was a
+      // corpus-proportional single-task sort per query — the exact
+      // shape r7 eliminated from the brute-force baseline. The heap
+      // keeps O(k) state per query and pushes partials map-side.
       queries.join(assigned.select(col("vec_id").as("neighbor_id"),
           col("embedding"), col("cent_id")), Seq("cent_id"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("score", VectorExpressions.cosine_sim(spark, col("qv"), col("embedding")))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.expressions.TopKPairAgg
+          .topk_pair_agg(spark, col("score"), col("neighbor_id"), 5).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"), col("col.score").as("score"))
     }, oracle = Some(s"""
       WITH ${ivfOracleCtes()},
       probed AS (
@@ -186,15 +193,22 @@ object VectorQueries {
       val probes = ivfTrainedAssignment(spark, e, nProbe = 3) // queries: 3 cells
         .filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"))
-      val wRank = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("neighbor_id"))
+      // the corpus keeps single-cell assignment, so a (query, neighbor)
+      // pair matches through at most ONE of the query's 3 probed cells
+      // — the union of posting lists is duplicate-free and the heap
+      // ranks it exactly as the oracle's window does (3× the candidate
+      // volume of single-probe, still ~3N/nlist per query, never
+      // sorted in one task).
       probes.join(assigned.select(col("vec_id").as("neighbor_id"),
           col("embedding"), col("cent_id")), Seq("cent_id"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("score", VectorExpressions.cosine_sim(spark, col("qv"), col("embedding")))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.expressions.TopKPairAgg
+          .topk_pair_agg(spark, col("score"), col("neighbor_id"), 5).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"), col("col.score").as("score"))
     }, oracle = Some(s"""
       WITH ${ivfOracleCtes()},
       a3p AS (
@@ -575,18 +589,25 @@ object VectorQueries {
         .join(broadcast(cents), Seq("s"))
         .withColumn("qd", VectorExpressions.l2_sq(spark, col("sv"), col("cv")))
         .select(col("vec_id").as("query_id"), col("s"), col("cent_id"), col("qd"))
-      val wRank = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc_dist").asc, col("neighbor_id"))
       val ds = (0 until pqM).map(s0 => max(when(col("s") === s0, col("qd"))).as(s"d$s0"))
+      // distance ranking (ASC) through the bounded pair heap: negate
+      // into the heap's (score DESC, id ASC) order, re-negate on the
+      // way out — IEEE negation is exact both ways (and −(−0.0) = 0.0),
+      // so the emitted distance is bit-identical to the window form.
+      // The candidate set per query is the whole coded corpus, which is
+      // exactly why it must never pass through a per-query sort.
       codes.join(broadcast(qd), Seq("s", "cent_id"))
         .filter(col("query_id") =!= col("vec_id"))
         .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
         .agg(ds.head, ds.tail: _*)
         .withColumn("adc_dist",
           (0 until pqM).map(s0 => col(s"d$s0")).reduce(_ + _))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_dist"))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.expressions.TopKPairAgg
+          .topk_pair_agg(spark, -col("adc_dist"), col("neighbor_id"), 5).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"), (-col("col.score")).as("adc_dist"))
     }, oracle = Some(s"""
       WITH ${pqOracleCtes()},
       qd AS (
@@ -637,22 +658,33 @@ object VectorQueries {
       val intDot = aggregate(
         zip_with(col("qc"), col("code"), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x)
-      val wCand = Window.partitionBy(col("query_id"))
-        .orderBy(col("approx").desc, col("neighbor_id"))
-      val wFinal = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("neighbor_id"))
-      codes
-        .select(col("vec_id").as("neighbor_id"), col("embedding"),
-          col("code"), col("scale"))
-        .join(queries, col("query_id") =!= col("neighbor_id"))
+      // both cuts ride the bounded pair heap: the 15-candidate pool is
+      // selected over the FULL corpus per query (the compressed scan —
+      // the very set a per-query window would single-task-sort), then
+      // only the pool re-joins the corpus for exact floats (a
+      // broadcast of Q×15 ids) and the final top-5 ranks ≤15 rows per
+      // query. The approx score is one double multiply of two exact
+      // values, so heap order == the oracle window's order bit-for-bit.
+      val pool = codes
+        .select(col("vec_id").as("neighbor_id"), col("code"), col("scale"))
+        .join(queries.drop("qv"), col("query_id") =!= col("neighbor_id"))
         .withColumn("approx", col("scale") * intDot.cast("double"))
-        .withColumn("crk", row_number().over(wCand))
-        .filter(col("crk") <= 15)
+        .groupBy(col("query_id"))
+        .agg(graft.functions.expressions.TopKPairAgg
+          .topk_pair_agg(spark, col("approx"), col("neighbor_id"), 15).as("top"))
+        .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
+      broadcast(pool)
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          Seq("neighbor_id"))
+        .join(queries.select(col("query_id"), col("qv")), Seq("query_id"))
         .withColumn("score",
           VectorExpressions.cosine_sim(spark, col("qv"), col("embedding")))
-        .withColumn("rank", row_number().over(wFinal))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.expressions.TopKPairAgg
+          .topk_pair_agg(spark, col("score"), col("neighbor_id"), 5).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"), col("col.score").as("score"))
     }, oracle = Some(s"""
       WITH sc AS (
         SELECT vec_id, embedding,
@@ -730,18 +762,22 @@ object VectorQueries {
       val qd = qsubs.join(broadcast(books), Seq("s"))
         .withColumn("qd", VectorExpressions.l2_sq(spark, col("sv"), col("cv")))
         .select(col("query_id"), col("cell"), col("s"), col("cent_id"), col("qd"))
-      val wRank = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc_dist").asc, col("neighbor_id"))
       val ds = (0 until pqM).map(s0 => max(when(col("s") === s0, col("qd"))).as(s"d$s0"))
+      // same negate-into-the-heap distance ranking as sim_pq_adc: the
+      // probed cells' posting lists grow ~nProbe·N/nlist per query, so
+      // the per-query window sort was corpus-proportional.
       codesWithCell.join(broadcast(qd), Seq("cell", "s", "cent_id"))
         .filter(col("query_id") =!= col("vec_id"))
         .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
         .agg(ds.head, ds.tail: _*)
         .withColumn("adc_dist",
           (0 until pqM).map(s0 => col(s"d$s0")).reduce(_ + _))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_dist"))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.expressions.TopKPairAgg
+          .topk_pair_agg(spark, -col("adc_dist"), col("neighbor_id"), 5).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"), (-col("col.score")).as("adc_dist"))
     }, oracle = Some(s"""
       WITH ${ivfOracleCtes(1)},
       resid AS (
@@ -932,20 +968,31 @@ object VectorQueries {
     * broadcast centroid frame, ties to the lowest cent_id. nProbe = 1
     * is k-means assignment; nProbe > 1 is multi-probe (each vector
     * lives in its nProbe nearest cells — the standard recall lever for
-    * cell-blocked search/dedup). */
+    * cell-blocked search/dedup).
+    *
+    * Ranks through the bounded pair heap
+    * ([[graft.functions.expressions.TopKPairAgg]]), not a
+    * `row_number().over(partitionBy(vec_id))` window: the candidate
+    * expansion is N·nlist rows and the crossJoin keeps each vector's
+    * nlist candidates physically adjacent, so the map-side partial
+    * heap finishes every group before the shuffle — the exchange
+    * carries ≤ nProbe (cent, score) pairs per VECTOR instead of nlist
+    * rows, and no per-vector sort runs anywhere. Ties break to the
+    * lowest cent_id — the heap's (score DESC, id ASC) total order,
+    * identical to the oracle's replayed window. */
   private def ivfAssign(spark: org.apache.spark.sql.SparkSession,
                         e: org.apache.spark.sql.DataFrame,
                         cents: org.apache.spark.sql.DataFrame,
-                        nProbe: Int = 1): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("cent_id"))
+                        nProbe: Int = 1): org.apache.spark.sql.DataFrame =
     e.crossJoin(broadcast(cents))
       .withColumn("cscore",
         VectorExpressions.cosine_sim(spark, col("embedding"), col("cv")))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") <= nProbe)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.expressions.TopKPairAgg
+          .topk_pair_agg(spark, col("cscore"), col("cent_id"), nProbe).as("top"),
+        min(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        explode(col("top.id")).as("cent_id"))
 
   /** Lloyd step: new centroid = per-dimension quantized exact mean of
     * its assigned vectors (floor(v·2²⁰) summed as longs — every step

@@ -453,6 +453,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("IVF/PQ family ranks through the bounded heap — no WindowExec anywhere in the plans") {
+    // r7 verdict: the probed-cell candidate sets grow ~N/nlist (nlist
+    // is an index constant), so row_number().over(partitionBy(query_id))
+    // was a corpus-proportional single-task sort per query. The whole
+    // family — including the nearest-centroid ASSIGNMENT itself (N·nlist
+    // candidate rows, previously a per-vector window) — must rank via
+    // TopKPairAgg. sim_sq8_rerank's 15-candidate pool cut runs over the
+    // full corpus per query and is pinned with the family.
+    Seq("sim_ivf_probe", "sim_ivf_multiprobe", "sim_pq_adc", "sim_ivfpq_adc",
+        "sim_sq8_rerank", "dedup_semantic_ivf").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q still ranks through a window:\n" + p.take(1500))
+      assert(p.contains("topk_pair_agg"),
+        s"$q: bounded-heap aggregate missing:\n" + p.take(1500))
+    }
+  }
+
   test("heap-ranked brute-force top-k rows equal the window formulation bit-for-bit") {
     import graft.functions.expressions.VectorExpressions
     val e = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
