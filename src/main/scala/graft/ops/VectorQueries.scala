@@ -1040,6 +1040,47 @@ object VectorQueries {
     })
   }
 
+  /** Persisted-served-index cache: root path per (session, corpus). */
+  private val servedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  /** Build (once per session+corpus) the PERSISTED serving form of the
+    * IVF index: a TxLog pair under one root —
+    *
+    *   - `quantizer/`: the trained centroids (cent_id, cv). nlist is a
+    *     STORED index parameter (the table's row count), not a code
+    *     constant a probe must know.
+    *   - `postings/`: (vec_id, embedding, cent_id) written CLUSTERED
+    *     by cent_id ([[graft.pipeline.TxLog.overwriteClustered]]) —
+    *     one data subdir per cell with per-subdir min/max stats, so a
+    *     probe's point reads open ONLY its probed cells' files.
+    *
+    * The build (training + one assignment pass + the clustered write)
+    * is the index's OFFLINE cost, billed to
+    * [[graft.ops.Scale.layoutNanos]] like the bucketed-table layouts —
+    * serving queries measure SERVING. Incremental freshness of exactly
+    * this layout is what `txlog_stream_ivf_maintain` proves. */
+  private[graft] def servedIvfRoot(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String,
+                                   e: org.apache.spark.sql.DataFrame): String = {
+    val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
+      e.queryExecution.analyzed.semanticHash())
+    servedCache.computeIfAbsent(key, _ => {
+      val root = s"/root/repo/target/tmp/ivf_served_${dir.hashCode.abs}_${key._2.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t0 = System.nanoTime()
+      val cents = ivfTrainedCents(spark, e)
+      graft.pipeline.TxLog(spark, s"$root/quantizer").overwrite(cents)
+      graft.pipeline.TxLog(spark, s"$root/postings", statsCols = Seq("cent_id"))
+        .overwriteClustered(
+          ivfAssign(spark, e, cents)
+            .select(col("vec_id"), col("embedding"), col("cent_id")),
+          "cent_id")
+      Scale.layoutNanos.addAndGet(System.nanoTime() - t0)
+      root
+    })
+  }
+
   /** Full trained coarse quantizer: [[ivfTrainedCents]] plus a final
     * `nProbe`-cell assignment → (vec_id, embedding, cent_id). */
   private def ivfTrainedAssignment(spark: org.apache.spark.sql.SparkSession,

@@ -1456,6 +1456,93 @@ final case class TxLog(spark: SparkSession, root: String,
       s"TxLog overwritePartitioned lost $MaxRaceRetries optimistic races at $root")
   }
 
+  /** CLUSTERED overwrite — the SERVING layout: one data SUBDIR per
+    * partition value (`<uuid>/__cluster=<v>/`), each registered as its
+    * own manifest entry with per-subdir min/max stats, so point reads
+    * ([[snapshotPoint]]/[[pointDirs]]) open ONLY the matching value's
+    * files. [[overwritePartitioned]] tags ONE dir with every partition
+    * (manifest-level pruning for later partitioned commits, but a point
+    * read still scans the whole dir); this writes the physical layout
+    * an index-serving table needs — at 100 TB a probe touches
+    * `nProbe/nlist` of the bytes, not all of them.
+    *
+    * One shuffle clusters rows by the partition value (every value's
+    * rows land in one task → one file per subdir — Delta's optimized
+    * write per partition), and per-subdir stats come from ONE grouped
+    * aggregation over the written frame, not a scan per subdir. The
+    * partition column itself stays in the data files (the hive-layout
+    * key is a `__cluster` DUPLICATE), so subdir reads and row-level
+    * tag filters see it like any column. */
+  def overwriteClustered(df0: DataFrame, partCol: String,
+                         txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val df = withGenerated(df0)
+    val uuid = java.util.UUID.randomUUID().toString
+    val tagKey = "__cluster"
+    df.withColumn(tagKey, col(partCol).cast("string"))
+      .repartition(col(partCol))
+      .write.partitionBy(tagKey).mode("overwrite").parquet(s"$dataDir/$uuid")
+    // enumerate written cluster values from the filesystem (the ground
+    // truth of what the hive write produced); dir names are
+    // hive-escaped, tags carry the unescaped value
+    val subs = fs.listStatus(new Path(s"$dataDir/$uuid")).map(_.getPath.getName)
+      .filter(_.startsWith(s"$tagKey=")).sorted.toSeq
+    val parts = subs.map { n =>
+      val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(n.stripPrefix(s"$tagKey="))
+      requireTagSafe(v, partCol)
+      (s"$uuid/$n", v)
+    }
+    // per-subdir stats in ONE grouped agg (keyed by the cluster value)
+    val back = spark.read.parquet(s"$dataDir/$uuid")
+    val usable = statsCols.flatMap(c => back.schema.find(_.name == c)
+      .filter(f => StatsSafeTypes(f.dataType.sql)).map(f => (c, f.dataType.sql)))
+    val ranges: Map[(String, String), (String, String)] =
+      if (usable.isEmpty) Map.empty
+      else {
+        val aggs = usable.flatMap { case (c, _) =>
+          Seq(min(col(c)).cast("string"), max(col(c)).cast("string")) }
+        val dirOf = parts.map(_.swap).toMap
+        // key the agg on the ORIGINAL column's string form (the value
+        // the tags carry) — the discovered __cluster column's type is
+        // inference-dependent and could re-canonicalize (e.g. "05"→5)
+        back.groupBy(col(partCol).cast("string")).agg(aggs.head, aggs.drop(1): _*)
+          .collect().flatMap { r =>
+            dirOf.get(r.getString(0)).toSeq.flatMap { d =>
+              usable.zipWithIndex.flatMap { case ((c, _), i) =>
+                if (r.isNullAt(2 * i + 1) || r.isNullAt(2 * i + 2)) None
+                else {
+                  val (mn, mx) = (r.getString(2 * i + 1), r.getString(2 * i + 2))
+                  if ((mn + mx).exists(ch => ch == '\t' || ch == '\n' || ch == '\r')) None
+                  else Some((d, c) -> (mn, mx))
+                }
+              }
+            }
+          }.toMap
+      }
+    val entries =
+      if (parts.isEmpty) Seq((uuid, Option.empty[String]))
+      else parts.map { case (d, v) => (d, Some(v)) }
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val cur = currentVersion()
+      val prev =
+        if (cur >= 0) {
+          val p = readManifestFull(cur)
+          if (alreadyCommitted(p, txn)) return cur
+          p
+        } else Manifest(None, Seq.empty, Seq.empty, Map.empty)
+      val checks = mergedChecks(prev.checks)
+      enforceChecksOnDirs(entries.map(_._1).distinct, checks)
+      val lines = manifestLines(Manifest(Some(partCol), usable, entries, ranges,
+        txnsAfter(prev.txns, txn), Map.empty, checks))
+      if (tryCommitManifest(cur + 1, lines, "OVERWRITE")) return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog overwriteClustered lost $MaxRaceRetries optimistic races at $root")
+  }
+
   private def snapshotOfDir(uuid: String): DataFrame =
     spark.read.parquet(dirPath(uuid))
 
@@ -2052,7 +2139,10 @@ final case class TxLog(spark: SparkSession, root: String,
     val live = keep.flatMap { v =>
       val m = readManifestFull(v)
       m.dirs ++ m.tombstones.values.flatten
-    }.toSet
+    }
+      // clustered entries name SUBDIRS (uuid/__cluster=v) — the GC unit
+      // under data/ is the top-level uuid, live if ANY subdir is live
+      .map(_.split('/').head).toSet
     val dd = new Path(dataDir)
     if (fs.exists(dd)) fs.listStatus(dd).map(_.getPath)
       .filter(p => !live.contains(p.getName))
