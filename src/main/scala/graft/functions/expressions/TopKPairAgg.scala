@@ -117,9 +117,17 @@ object TopKPairAgg {
     var size = 0
 
     /** a is WEAKER than b under the ranking order (lower score, or
-      * equal score and higher id). */
-    private def weaker(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-      sa < sb || (sa == sb && ia > ib)
+      * equal score and higher id). Scores compare under Spark's SQL
+      * total order ([[org.apache.spark.sql.catalyst.util.SQLOrderingUtil]]:
+      * NaN greatest, -0.0 = 0.0) — raw `<`/`==` would never admit a
+      * NaN once the heap fills (and could corrupt heap order while
+      * filling), silently diverging from the `row_number().over(
+      * orderBy(desc))` window semantics this aggregate replaces, where
+      * a NaN cosine (zero-norm embedding) ranks FIRST. */
+    private def weaker(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+      val c = org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(sa, sb)
+      c < 0 || (c == 0 && ia > ib)
+    }
 
     def offer(s: Double, i: Long): Unit =
       if (size < k) { scores(size) = s; ids(size) = i; size += 1; siftUp(size - 1) }
@@ -152,10 +160,13 @@ object TopKPairAgg {
       val ti = ids(i); ids(i) = ids(j); ids(j) = ti
     }
 
-    /** Pairs sorted by (score DESC, id ASC) — the ranking order. */
+    /** Pairs sorted by (score DESC, id ASC) — the ranking order, under
+      * the same SQL total order as [[weaker]] (NaN first). */
     def sortedDesc: (Array[Double], Array[Long]) = {
       val idx = (0 until size).sortWith { (a, b) =>
-        scores(a) > scores(b) || (scores(a) == scores(b) && ids(a) < ids(b))
+        val c = org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+          .compareDoubles(scores(a), scores(b))
+        c > 0 || (c == 0 && ids(a) < ids(b))
       }
       (idx.map(scores).toArray, idx.map(ids).toArray)
     }

@@ -579,12 +579,22 @@ object DedupQueries {
 
   /** Session-cached: the spans report and the removal step both read
     * the same islands — one gram join pays for both (the checkpointed
-    * frame is islands-sized, tiny next to the corpus). */
+    * frame is islands-sized, tiny next to the corpus). BOUNDED: the
+    * cache holds at most [[RunsCacheMax]] (session, dir) entries —
+    * beyond that the whole map clears before inserting, dropping the
+    * references so the checkpointed blocks become ContextCleaner-
+    * collectable instead of pinning block-manager memory for the
+    * session's lifetime. (The documents table under a test-data `dir`
+    * is immutable; a deployment caching over mutable inputs would key
+    * by table VERSION, as the TxLog-backed caches do.) */
+  private final val RunsCacheMax = 4
   private def substringRuns(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): org.apache.spark.sql.DataFrame =
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    if (runsCache.size() >= RunsCacheMax) runsCache.clear()
     runsCache.computeIfAbsent(
       (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
         dir), _ => substringRuns0(spark, dir).localCheckpoint(true))
+  }
 
   private def substringRuns0(spark: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame = {

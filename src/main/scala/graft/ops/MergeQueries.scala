@@ -383,8 +383,23 @@ object MergeQueries {
         .createOrReplaceTempView("txlog_tt_inserts")
       // v1: SQL INSERT appends the odds — table now holds all suppliers
       spark.sql("INSERT INTO txlog_tt SELECT * FROM txlog_tt_inserts")
-      val tsAfterInsert = System.currentTimeMillis()
-      Thread.sleep(50) // v2's manifest mtime must exceed the captured instant
+      // The probe instant is v1's commit time AS THE RESOLVER SEES IT —
+      // the manifest's recorded mtime (served by history()), not a wall
+      // clock racing it: under coarse filesystem mtime granularity a
+      // System.currentTimeMillis() capture can precede v1's rounded
+      // mtime (v1 invisible at the probe) or tie v2's (v2 leaking in).
+      val tsAfterInsert = t.history().filter(col("version") === 1)
+        .select(col("timestamp")).head().getTimestamp(0).getTime
+      // ...then hold the DELETE until a fresh file on the SAME
+      // filesystem stamps strictly later, so v2's manifest mtime can
+      // never collapse onto the captured instant
+      def fsNow(): Long = {
+        val p = java.nio.file.Paths.get(root, ".ts_probe")
+        java.nio.file.Files.write(p, Array[Byte](0))
+        try java.nio.file.Files.getLastModifiedTime(p).toMillis
+        finally java.nio.file.Files.delete(p)
+      }
+      while (fsNow() <= tsAfterInsert) Thread.sleep(5)
       spark.sql("DELETE FROM txlog_tt WHERE s_suppkey % 7 = 0") // v2: MoR delete
       spark.sql(s"""
         SELECT 0 AS v, count(*) AS n_rows,

@@ -1090,13 +1090,12 @@ object VectorQueries {
 
   /** Oracle CTE chain replaying [[ivfTrainedAssignment]] exactly:
     * `cents0 → a1 → cents1 → a2 → cents2 → a3` (final assignment,
-    * top-`nProbeFinal` cells). `trainSrc` is the relation the
-    * quantizer TRAINS on (seeds + both Lloyd iterations); the final
-    * assignment always covers the full `embeddings` corpus — equal to
-    * `trainSrc` by default, a filtered base for the incremental
-    * index-maintenance query. */
-  private def ivfOracleCtes(nProbeFinal: Int = 1,
-                            trainSrc: String = "embeddings"): String = {
+    * top-`nProbeFinal` cells) — quantizer trained on, and final
+    * assignment covering, the full `embeddings` corpus. (The
+    * incremental index-maintenance query trains on a FILTERED base and
+    * carries its own CTE chain — see `txlog_stream_ivf_maintain`'s
+    * oracle.) */
+  private def ivfOracleCtes(nProbeFinal: Int = 1): String = {
     def assignSql(cents: String, out: String, nProbe: Int = 1,
                   src: String = "embeddings") = s"""
       $out AS (
@@ -1117,11 +1116,11 @@ object VectorQueries {
           GROUP BY a.cent_id, u.pos)
         GROUP BY cent_id)"""
     s"""cents0 AS (
-        SELECT vec_id AS cent_id, embedding AS cv FROM $trainSrc tsrc
+        SELECT vec_id AS cent_id, embedding AS cv FROM embeddings tsrc
         WHERE vec_id % 25 = 0 AND vec_id < 1600),
-      ${assignSql("cents0", "a1", src = trainSrc)},
+      ${assignSql("cents0", "a1")},
       ${retrainSql("a1", "cents1")},
-      ${assignSql("cents1", "a2", src = trainSrc)},
+      ${assignSql("cents1", "a2")},
       ${retrainSql("a2", "cents2")},
       ${assignSql("cents2", "a3", nProbeFinal)}"""
   }

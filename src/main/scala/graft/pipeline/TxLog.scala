@@ -1487,6 +1487,32 @@ final case class TxLog(spark: SparkSession, root: String,
     // hive-escaped, tags carry the unescaped value
     val subs = fs.listStatus(new Path(s"$dataDir/$uuid")).map(_.getPath.getName)
       .filter(_.startsWith(s"$tagKey=")).sorted.toSeq
+    // NULL cluster values fail AT COMMIT (the requireTagSafe contract):
+    // the hive write files them under the default-partition dir, whose
+    // literal name the row-level tag filter would then compare against
+    // col(partCol) — never equal to NULL, silently dropping the rows
+    // from every snapshot read. (A genuine string value spelling the
+    // hive default marker is indistinguishable here and equally
+    // unsupported as a cluster key.)
+    val hiveDefault = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .DEFAULT_PARTITION_NAME
+    if (subs.contains(s"$tagKey=$hiveDefault")) {
+      fs.delete(new Path(s"$dataDir/$uuid"), true)
+      throw new IllegalArgumentException(
+        s"overwriteClustered: cluster column '$partCol' contains NULL " +
+          s"(or the literal hive default-partition marker) — cluster keys " +
+          "must be non-null; filter or coalesce them before the write")
+    }
+    if (subs.isEmpty) {
+      // zero rows: the partitioned write emitted no data files, so the
+      // uuid dir is unreadable as parquet — rewrite the empty frame
+      // unpartitioned (one schema-bearing empty file) and commit an
+      // empty snapshot, the same contract as overwrite()
+      df.repartition(1).write.mode("overwrite").parquet(s"$dataDir/$uuid")
+      val (hdr0, _) = statsFor(uuid)
+      return commitClustered(uuid, partCol, Seq((uuid, None)), hdr0,
+        Map.empty, txn)
+    }
     val parts = subs.map { n =>
       val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(n.stripPrefix(s"$tagKey="))
@@ -1520,9 +1546,18 @@ final case class TxLog(spark: SparkSession, root: String,
             }
           }.toMap
       }
-    val entries =
-      if (parts.isEmpty) Seq((uuid, Option.empty[String]))
-      else parts.map { case (d, v) => (d, Some(v)) }
+    commitClustered(uuid, partCol, parts.map { case (d, v) => (d, Some(v)) },
+      usable, ranges, txn)
+  }
+
+  /** The optimistic manifest-commit tail shared by both
+    * [[overwriteClustered]] branches (clustered subdir entries and the
+    * empty-snapshot short circuit). */
+  private def commitClustered(uuid: String, partCol: String,
+                              entries: Seq[(String, Option[String])],
+                              header: Seq[(String, String)],
+                              ranges: Map[(String, String), (String, String)],
+                              txn: Option[(String, Long)]): Long = {
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val cur = currentVersion()
@@ -1534,7 +1569,7 @@ final case class TxLog(spark: SparkSession, root: String,
         } else Manifest(None, Seq.empty, Seq.empty, Map.empty)
       val checks = mergedChecks(prev.checks)
       enforceChecksOnDirs(entries.map(_._1).distinct, checks)
-      val lines = manifestLines(Manifest(Some(partCol), usable, entries, ranges,
+      val lines = manifestLines(Manifest(Some(partCol), header, entries, ranges,
         txnsAfter(prev.txns, txn), Map.empty, checks))
       if (tryCommitManifest(cur + 1, lines, "OVERWRITE")) return cur + 1
       attempt += 1

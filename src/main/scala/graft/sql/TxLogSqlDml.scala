@@ -387,11 +387,15 @@ case class TxLogInsertCommand(root: String, source: LogicalPlan,
     AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.GraftSqlBridge.ansiCast
     val src0 = org.apache.spark.sql.graft.GraftSqlBridge.ofRows(session, source)
     val t = TxLog(session, root)
     val schema = t.snapshot().schema
+    // store-assignment coercion is ANSI regardless of session mode: a
+    // source value the table type cannot hold must FAIL the INSERT,
+    // never silently commit NULL (legacy cast) or a wrapped numeric
     val aligned =
-      if (byName) src0.select(schema.map(f => col(f.name).cast(f.dataType)
+      if (byName) src0.select(schema.map(f => ansiCast(col(f.name), f.dataType)
         .as(f.name)).toSeq: _*)
       else {
         if (src0.schema.length != schema.length)
@@ -402,7 +406,7 @@ case class TxLogInsertCommand(root: String, source: LogicalPlan,
                 s"columns, table has ${schema.length} — match the width " +
                 "or use INSERT ... BY NAME")))
         src0.select(src0.columns.toSeq.zip(schema).map { case (c, f) =>
-          col(s"`$c`").cast(f.dataType).as(f.name) }: _*)
+          ansiCast(col(s"`$c`"), f.dataType).as(f.name) }: _*)
       }
     val v = if (overwrite) t.overwrite(aligned) else t.append(aligned)
     TxLogSql.committed(root)

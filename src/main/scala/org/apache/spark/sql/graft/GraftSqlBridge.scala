@@ -13,6 +13,18 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** ANSI-mode cast regardless of the session's `spark.sql.ansi.enabled`
+    * — SQL INSERT's store-assignment coercion must FAIL on a value the
+    * target type cannot represent ('abc' → INT, numeric overflow), not
+    * commit NULL or a wrapped value silently, and the session default
+    * (legacy) would do exactly that. */
+  def ansiCast(c: org.apache.spark.sql.Column,
+               dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    classic.ExpressionUtils.column(
+      Cast(classic.ExpressionUtils.expression(c), dt, None, EvalMode.ANSI))
+  }
+
   /** Catalyst's size estimate for the frame (optimizer plan
     * statistics, bytes of the IN-MEMORY representation) — the input to
     * write right-sizing without executing anything. */

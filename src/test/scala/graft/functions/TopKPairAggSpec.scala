@@ -49,6 +49,39 @@ class TopKPairAggSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 1, 0.9, 11L), (1L, 2, 0.5, 3L), (1L, 3, 0.5, 10L)))
   }
 
+  test("NaN scores rank greatest, matching the window's DESC NaN placement") {
+    // cosine_sim of a zero-norm embedding yields NaN; Spark's double
+    // ordering puts NaN ABOVE every value in DESC order, so the heap
+    // must admit and rank it first — raw </== comparison would never
+    // admit a NaN once the heap fills
+    val rows = Seq((1L, Double.NaN, 100L), (1L, Double.NaN, 99L)) ++
+      Seq.tabulate(500)(i => (1L, i / 100.0, i.toLong))
+    val df = rows.toDF("g", "s", "i").repartition(7)
+    val got = topOf(df, 4)
+    val ref = windowRef(df, 4)
+    // NaN != NaN under tuple equality — compare scores by bit pattern
+    def bits(xs: Array[(Long, Int, Double, Long)]) =
+      xs.map(t => (t._1, t._2, java.lang.Double.doubleToLongBits(t._3), t._4)).sorted
+    assert(bits(got) === bits(ref))
+    // the two NaN pairs lead, tie-broken by id ascending
+    val byRank = got.sortBy(_._2)
+    assert(byRank(0)._4 === 99L && byRank(0)._3.isNaN)
+    assert(byRank(1)._4 === 100L && byRank(1)._3.isNaN)
+    assert(byRank(2)._3 === 4.99)
+  }
+
+  test("NaN offered while filling keeps the heap ordered (weakest still evicted first)") {
+    // NaN arrives FIRST (heap not yet full): under the broken raw-<
+    // comparator this corrupted sift order; under the SQL total order
+    // it sits at the top and the true weakest pair is evicted on the
+    // k+1th offer
+    val df = (Seq((1L, Double.NaN, 50L)) ++
+      Seq((1L, 0.1, 1L), (1L, 0.9, 2L), (1L, 0.5, 3L), (1L, 0.7, 4L)))
+      .toDF("g", "s", "i").coalesce(1)
+    val got = topOf(df, 3).sortBy(_._2)
+    assert(got.map(_._4).toSeq === Seq(50L, 2L, 4L))
+  }
+
   test("SQL surface + analysis-time validation") {
     TopKPairAgg.register(spark)
     Seq.tabulate(20)(i => (i % 2, i / 7.0, i.toLong)).toDF("g", "s", "i")

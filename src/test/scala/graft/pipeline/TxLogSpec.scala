@@ -1430,4 +1430,107 @@ class TxLogSpec extends SparkTestBase {
     assert(!java.nio.file.Files.exists(freshTmp))
     assert(t.snapshot().count() === 3) // table intact throughout
   }
+
+  // ---- clustered overwrite: the index-SERVING layout ----------------
+
+  private def clusteredFresh(name: String) =
+    TxLog(spark, tmpDir(s"txlog_$name"), statsCols = Seq("k", "x"))
+
+  private def clusteredRows = Seq(
+    (0L, 10L, "a"), (0L, 11L, "b"), (1L, 20L, "c"),
+    (1L, 21L, "d"), (2L, 30L, "e")).toDF("k", "x", "v")
+
+  test("overwriteClustered: snapshot round-trip, one subdir per value, per-subdir stats prune point reads") {
+    val t = clusteredFresh("clustered_rt")
+    val v = t.overwriteClustered(clusteredRows, "k")
+    assert(v === 0L)
+    assert(t.snapshot().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2))).sorted ===
+      clusteredRows.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).sorted)
+    // physical layout: one __cluster subdir per distinct value
+    val subdirs = new java.io.File(s"${t.root}/data").listFiles().head
+      .listFiles().map(_.getName).filter(_.startsWith("__cluster=")).sorted
+    assert(subdirs.toSeq === Seq("__cluster=0", "__cluster=1", "__cluster=2"))
+    // a point read opens ONLY the probed value's subdir — the
+    // nProbe/nlist byte-cost claim is structural, not incidental
+    val dirs = t.pointDirs("k", "1")
+    assert(dirs.size === 1 && dirs.head.endsWith("/__cluster=1"))
+    assert(t.snapshotPoint("k", "1").collect().map(_.getString(2)).sorted ===
+      Seq("c", "d"))
+    // the SECOND stats column prunes too: x ranges are disjoint per
+    // cluster, so a point read on x=30 opens only cluster 2's subdir
+    val xDirs = t.pointDirs("x", "30")
+    assert(xDirs.size === 1 && xDirs.head.endsWith("/__cluster=2"))
+  }
+
+  test("overwriteClustered: vacuum's GC unit is the top-level uuid — live while any subdir is cited, gone after supersession") {
+    val t = clusteredFresh("clustered_vac")
+    t.overwriteClustered(clusteredRows, "k")
+    val dataDir = new java.io.File(s"${t.root}/data")
+    val clusteredUuid = dataDir.listFiles().head.getName
+    // two plain overwrites on top; keepVersions=3 keeps v0 live
+    t.overwrite(Seq((9L, 9L, "z")).toDF("k", "x", "v"))
+    t.overwrite(Seq((8L, 8L, "y")).toDF("k", "x", "v"))
+    t.vacuum(keepVersions = 3)
+    assert(new java.io.File(dataDir, clusteredUuid).exists())
+    assert(t.snapshot(0).count() === 5) // clustered snapshot still reads
+    // shrink retention: the clustered uuid (all its subdirs) is GC'd
+    t.vacuum(keepVersions = 1)
+    assert(!new java.io.File(dataDir, clusteredUuid).exists())
+    assert(t.snapshot().collect().map(_.getString(2)).toSeq === Seq("y"))
+  }
+
+  test("overwriteClustered: NULL cluster values are refused at commit; nothing becomes visible") {
+    val t = clusteredFresh("clustered_null")
+    val withNull = Seq((Some(0L), 1L, "a"), (None, 2L, "b"))
+      .toDF("k", "x", "v")
+    val e = intercept[IllegalArgumentException](t.overwriteClustered(withNull, "k"))
+    assert(e.getMessage.contains("NULL"))
+    assert(t.currentVersion() === -1L) // no manifest committed
+    // a clean write afterwards works normally
+    t.overwriteClustered(clusteredRows, "k")
+    assert(t.snapshot().count() === 5)
+  }
+
+  test("overwriteClustered: zero-row frame commits an empty snapshot (the overwrite contract)") {
+    val t = clusteredFresh("clustered_empty")
+    t.overwriteClustered(clusteredRows, "k")
+    val v = t.overwriteClustered(clusteredRows.filter(lit(false)), "k")
+    assert(v === 1L)
+    assert(t.snapshot().count() === 0L)
+    assert(t.snapshot().columns.toSeq === Seq("k", "x", "v")) // schema kept
+    assert(t.snapshot(0).count() === 5) // time travel intact
+    // the table keeps working after the empty commit
+    t.append(Seq((5L, 50L, "f")).toDF("k", "x", "v"))
+    assert(t.snapshot().count() === 1L)
+  }
+
+  test("overwriteClustered: CHECK constraints gate the clustered commit atomically") {
+    val root = tmpDir("txlog_clustered_check")
+    val t = TxLog(spark, root, statsCols = Seq("k"),
+      checkConstraints = Seq(("x_pos", "x > 0")))
+    t.overwriteClustered(clusteredRows, "k") // persists the constraint
+    val bad = Seq((0L, -1L, "neg")).toDF("k", "x", "v")
+    intercept[Exception](t.overwriteClustered(bad, "k"))
+    assert(t.currentVersion() === 0L) // violation refused, v0 intact
+    assert(t.snapshot().count() === 5)
+  }
+
+  test("overwriteClustered: optimistic race retries; #txn redelivery returns the recorded version") {
+    val t = clusteredFresh("clustered_race")
+    t.overwriteClustered(clusteredRows, "k", txn = Some(("app1", 1L)))
+    // simulate a concurrent winner stealing the next version number
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${t.root}/_txlog/00000000.json"),
+      java.nio.file.Paths.get(s"${t.root}/_txlog/00000001.json"))
+    val v = t.overwriteClustered(clusteredRows.filter($"k" < 2), "k",
+      txn = Some(("app1", 2L)))
+    assert(v === 2L) // first attempt collided at 1, retried to 2
+    assert(t.snapshot().count() === 4)
+    // redelivered batch (id <= recorded high-water mark): no new commit
+    val again = t.overwriteClustered(clusteredRows, "k", txn = Some(("app1", 2L)))
+    assert(again === 2L && t.currentVersion() === 2L)
+    assert(t.snapshot().count() === 4)
+  }
 }

@@ -171,6 +171,24 @@ class TxLogSqlSpec extends SparkTestBase {
       .head().getLong(0) === 3L)
   }
 
+  test("INSERT store-assignment is ANSI: an unrepresentable value fails the commit, never lands as NULL") {
+    val t = fresh("insert_ansi")
+    t.overwrite(Seq((1L, 10L)).toDF("id", "n"))
+    TxLogSql.register("txsql_ins_ansi", t)
+    // 'oops' cannot cast to BIGINT — legacy cast would commit NULL
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO txsql_ins_ansi VALUES (2, 'oops')")
+    }
+    assert(e.getMessage.toLowerCase.contains("cast") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("cast")))
+    assert(t.currentVersion() === 0L) // nothing committed
+    assert(t.snapshot().count() === 1L)
+    // a representable string still coerces (ANSI allows valid casts)
+    spark.sql("INSERT INTO txsql_ins_ansi VALUES (3, '30')")
+    assert(t.snapshot().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq === Seq((1L, 10L), (3L, 30L)))
+  }
+
   test("table_changes TVF serves the CDF with keys from the registration; txlog_history lists versions") {
     val t = fresh("tvf")
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))            // v0
