@@ -227,6 +227,58 @@ object VectorQueries {
         WHERE q.vec_id < 20)
       SELECT query_id, neighbor_id, rank, score FROM probed WHERE rank <= 5""")),
 
+    // SERVED IVF probe — the same ANN search as `sim_ivf_probe`, but
+    // answered from the PERSISTED index ([[servedIvfRoot]]: a TxLog
+    // pair of quantizer + cent_id-CLUSTERED postings) instead of a
+    // session-recomputed assignment. The serving path knows only the
+    // index ROOT: nlist is the stored quantizer's row count (no code
+    // constant), each query assigns against the broadcast stored
+    // centroids (map-side, 20×nlist), and its cell's posting list is a
+    // POINT READ ([[graft.pipeline.TxLog.snapshotPoint]]) that opens
+    // ONLY that cell's subdir files — at 100 TB a probe touches
+    // nProbe/nlist of the index bytes, the structural claim PlanSpec
+    // pins on this query's scan paths. The ≤20 probed cell ids are the
+    // one driver round-trip (partition metadata, same sanction as
+    // partValues). Results hash-match `sim_ivf_probe`'s oracle because
+    // the stored postings ARE the trained assignment and parquet
+    // round-trips floats exactly; the offline build (train + assign +
+    // clustered write) bills to layoutNanos like every index layout.
+    Q("sim_ivf_served", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      val root = servedIvfRoot(spark, dir, e)
+      val quantizer = graft.pipeline.TxLog(spark, s"$root/quantizer").snapshot()
+      val postings = graft.pipeline.TxLog(spark, s"$root/postings",
+        statsCols = Seq("cent_id"))
+      val queries = ivfAssign(spark, e.filter(col("vec_id") < 20), quantizer)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("cent_id"))
+      val cells = queries.select(col("cent_id")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val candidates = cells.map(c =>
+          postings.snapshotPoint("cent_id", c.toString))
+        .reduce(_.unionByName(_))
+      queries.join(candidates.select(col("vec_id").as("neighbor_id"),
+          col("embedding"), col("cent_id")), Seq("cent_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("score", VectorExpressions.cosine_sim(spark, col("qv"), col("embedding")))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.expressions.TopKPairAgg
+          .topk_pair_agg(spark, col("score"), col("neighbor_id"), 5).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"), col("col.score").as("score"))
+    }, oracle = Some(s"""
+      WITH ${ivfOracleCtes()},
+      probed AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ${cosFrag("q.embedding", "n.embedding")} AS score,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosFrag("q.embedding", "n.embedding")} DESC, n.vec_id) AS INT) AS rank
+        FROM a3 q JOIN a3 n
+          ON q.cent_id = n.cent_id AND q.vec_id <> n.vec_id
+        WHERE q.vec_id < 20)
+      SELECT query_id, neighbor_id, rank, score FROM probed WHERE rank <= 5""")),
+
     // INCREMENTAL ANN INDEX MAINTENANCE from the transaction log: the
     // coarse quantizer trains ONCE on the base corpus (the offline
     // index build), then the vector table's CHANGE FEED streams

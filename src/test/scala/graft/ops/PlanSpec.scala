@@ -461,13 +461,46 @@ class PlanSpec extends SparkTestBase {
     // candidate rows, previously a per-vector window) — must rank via
     // TopKPairAgg. sim_sq8_rerank's 15-candidate pool cut runs over the
     // full corpus per query and is pinned with the family.
-    Seq("sim_ivf_probe", "sim_ivf_multiprobe", "sim_pq_adc", "sim_ivfpq_adc",
-        "sim_sq8_rerank", "dedup_semantic_ivf").foreach { q =>
+    Seq("sim_ivf_probe", "sim_ivf_multiprobe", "sim_ivf_served", "sim_pq_adc",
+        "sim_ivfpq_adc", "sim_sq8_rerank", "dedup_semantic_ivf").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("Window"), s"$q still ranks through a window:\n" + p.take(1500))
       assert(p.contains("topk_pair_agg"),
         s"$q: bounded-heap aggregate missing:\n" + p.take(1500))
     }
+  }
+
+  test("served IVF probe reads ONLY the probed cells' subdirs — partition pruning is structural") {
+    // The serving claim: a probe touches nProbe/nlist of the index
+    // bytes. Assert it on the PLAN — every parquet scan location in
+    // sim_ivf_served's postings reads is either a probed
+    // `__cluster=<cell>` subdir (candidates) or the quantizer table;
+    // no scan opens the postings dir root (which would read all cells).
+    val df = graft.SparkEntry.queries("sim_ivf_served")(spark, sf("0.001"))
+    val postingsLocs = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten.filter(p => p.contains("ivf_served") && p.contains("/postings/"))
+    assert(postingsLocs.nonEmpty, "no postings scan found in the plan")
+    postingsLocs.foreach(l =>
+      assert(l.contains("__cluster="),
+        s"postings scan not subdir-pruned: $l"))
+    // and the probed-cell count is bounded by the query count (≤20
+    // distinct cells), far under nlist=64 — the read-set is pruned
+    assert(postingsLocs.flatMap(l => "__cluster=[0-9]+".r.findFirstIn(l))
+      .distinct.size <= 20)
+    // correctness of the served path itself is the oracle gate's job;
+    // here pin the ranked rows equal the session-computed probe's
+    val servedRows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
+    val sessionRows = graft.SparkEntry.queries("sim_ivf_probe")(spark, sf("0.001"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
+    assert(servedRows === sessionRows)
   }
 
   test("heap-ranked brute-force top-k rows equal the window formulation bit-for-bit") {
