@@ -825,10 +825,13 @@ object MergeQueries {
     // v1, a merge-on-read delete at v2 — then `changes(0, 2, key)`
     // reconstructs the classified row-level delta from the SNAPSHOTS
     // alone (storage-free, dir-granular diff: untouched dirs are never
-    // opened). The oracle re-derives the same feed relationally from
-    // the raw table, so the hash proves classification (insert /
-    // update_pre+postimage / delete), per-commit attribution, and the
-    // exclusion of rows the rewrite copied verbatim.
+    // opened). The window is INCLUSIVE of the starting version —
+    // Delta's table_changes semantics — so from=0 serves the v0 seed
+    // as inserts at commit 0. The oracle re-derives the same feed
+    // relationally from the raw table, so the hash proves
+    // classification (insert / update_pre+postimage / delete),
+    // per-commit attribution including the seed, and the exclusion of
+    // rows the rewrite copied verbatim.
     Q("txlog_cdf", (spark, dir) => {
       val t = graft.pipeline.TxLog(spark, cdfScenarioRoot(spark, dir))
       t.changes(0, 2, Seq("o_orderkey"))
@@ -862,9 +865,11 @@ object MergeQueries {
         FROM t0 t LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
         UNION ALL SELECT * FROM ins),
       feed AS (
-        SELECT k AS o_orderkey, pre_ck AS o_custkey, pre_st AS o_orderstatus,
-               pre_tp AS o_totalprice, 'update_preimage' AS _change_type,
-               1 AS _commit_version FROM hits
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               'insert' AS _change_type, 0 AS _commit_version
+        FROM t0
+        UNION ALL
+        SELECT k, pre_ck, pre_st, pre_tp, 'update_preimage', 1 FROM hits
         UNION ALL
         SELECT k, post_ck, post_st, post_tp, 'update_postimage', 1 FROM hits
         UNION ALL
@@ -914,8 +919,9 @@ object MergeQueries {
         FROM t0 t LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
         UNION ALL SELECT o_orderkey, o_totalprice FROM ins),
       feed AS (
-        SELECT 'update_preimage' AS _change_type, 1 AS _commit_version,
-               pre_tp AS o_totalprice FROM hits
+        SELECT 'insert' AS _change_type, 0 AS _commit_version,
+               o_totalprice FROM t0
+        UNION ALL SELECT 'update_preimage', 1, pre_tp FROM hits
         UNION ALL SELECT 'update_postimage', 1, post_tp FROM hits
         UNION ALL SELECT 'insert', 1, o_totalprice FROM ins
         UNION ALL SELECT 'delete', 2, o_totalprice
@@ -959,8 +965,11 @@ object MergeQueries {
       val t = graft.pipeline.TxLog(spark, cdfScenarioRoot(spark, dir))
       val g = Seq("o_orderstatus"); val s = Seq("o_totalprice")
       val mv0 = graft.pipeline.IncrementalMV.recompute(t.snapshot(0), g, s)
+      // the MV is seeded from v0's snapshot, so the delta to fold is
+      // commits 1..2 (changes() is from-INCLUSIVE; from=0 would
+      // double-count the seed as inserts)
       val inc = graft.pipeline.IncrementalMV.applyDelta(
-        mv0, t.changes(0, 2, Seq("o_orderkey")), g, s)
+        mv0, t.changes(1, 2, Seq("o_orderkey")), g, s)
       inc.select(col("o_orderstatus"),
         col("o_totalprice").cast("double").as("o_totalprice"), col("cnt"))
     }, oracle = Some("""

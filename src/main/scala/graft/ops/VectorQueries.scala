@@ -330,10 +330,12 @@ object VectorQueries {
         "cent_bucket")
       val q = spark.readStream.format("graft-txlog").option("path", root)
         .option("readChangeFeed", "true").option("keys", "vec_id")
-        // startingVersion anchors the pace: one version-diff per
-        // microbatch from the build point, so an insert and a later
-        // delete of the same key land in SEPARATE CDC applies
-        .option("startingVersion", "0")
+        // startingVersion=1 (inclusive, Delta semantics): v0 is the
+        // offline build's input, so the stream starts at the first
+        // post-build commit; pacing one version-diff per microbatch
+        // keeps an insert and a later delete of the same key in
+        // SEPARATE CDC applies
+        .option("startingVersion", "1")
         .option("maxVersionsPerTrigger", "1").load()
         .writeStream.option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -422,10 +422,17 @@ final case class TxLog(spark: SparkSession, root: String,
   }
 
   /** CHANGE DATA FEED: the row-level changes committed by versions in
-    * `(fromVersion, toVersion]`, classified against primary `keys` as
-    * Delta CDF does — `_change_type` ∈ {insert, delete,
-    * update_preimage, update_postimage} plus `_commit_version` (the
-    * version that committed the change). Reference parity-plus: the
+    * `[fromVersion, toVersion]` — INCLUSIVE of `fromVersion`, exactly
+    * Delta's `table_changes(t, starting_version, ending_version)`
+    * window — classified against primary `keys` as Delta CDF does:
+    * `_change_type` ∈ {insert, delete, update_preimage,
+    * update_postimage} plus `_commit_version` (the version that
+    * committed the change). Version 0's commit diffs against the EMPTY
+    * pre-state, so `fromVersion = 0` serves the seed snapshot as
+    * inserts at commit 0 (Delta's starting-version semantics; a query
+    * ported from Delta must not silently lose the seed).
+    * `fromVersion = toVersion + 1` is the legal EMPTY window (a
+    * streaming consumer already caught up). Reference parity-plus: the
     * reference's watermark loop re-reads source deltas
     * (`silver_sales.ipynb` incremental branch); CDF lets DOWNSTREAM
     * consumers do the same against any TxLog table.
@@ -450,11 +457,26 @@ final case class TxLog(spark: SparkSession, root: String,
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "changes() classifies rows by key identity")
     val to = if (toVersion >= 0) toVersion else currentVersion()
-    require(fromVersion >= 0 && fromVersion <= to,
-      s"changes($fromVersion, $to): need 0 <= from <= to <= ${currentVersion()}")
-    (fromVersion to to).foreach(v => require(fs.exists(manifestPath(v)),
-      s"changes($fromVersion, $to): manifest v$v was vacuumed — feed unavailable"))
-    val steps = (fromVersion until to).map(v => changeStep(v, v + 1, keys))
+    require(to >= 0, s"changes(): TxLog table at $root has no commits")
+    require(fromVersion >= 0 && fromVersion <= to + 1,
+      s"changes($fromVersion, $to): need 0 <= from <= to+1 (to <= ${currentVersion()})")
+    (math.max(0L, fromVersion - 1) to to).foreach(v =>
+      require(fs.exists(manifestPath(v)),
+        s"changes($fromVersion, $to): manifest v$v was vacuumed — feed unavailable"))
+    // v0's changes = the seed snapshot as inserts (diff from empty),
+    // keys-first column order like every changeStep frame
+    val seed =
+      if (fromVersion == 0L && to >= 0L) {
+        val s0 = snapshot(0)
+        keys.foreach(k => require(s0.columns.contains(k),
+          s"change key '$k' must exist in the seed version's schema"))
+        Seq(s0.select((keys ++ s0.columns.filterNot(keys.contains))
+            .map(col).toSeq: _*)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(0L)))
+      } else Seq.empty
+    val steps = seed ++
+      (math.max(1L, fromVersion) to to).map(v => changeStep(v - 1, v, keys))
     steps.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(snapshot(to).filter(lit(false))
         .withColumn("_change_type", lit(""))

@@ -241,8 +241,11 @@ object TxLogSql {
   /** `SELECT * FROM table_changes('name', from, to)` — Delta's CDF
     * table-valued function over a [[register]]ed TxLog table. Change
     * keys come from the registration (table metadata), so the TVF
-    * signature matches Delta's exactly. Built on `SparkSession.active`
-    * — TVF builders receive only the argument expressions. */
+    * signature matches Delta's exactly — including the INCLUSIVE
+    * starting version: `table_changes('t', 0, n)` serves commit 0's
+    * seed rows as inserts, like Delta's `starting_version`. Built on
+    * `SparkSession.active` — TVF builders receive only the argument
+    * expressions. */
   def tableChangesPlan(exprs: Seq[Expression]): LogicalPlan = exprs match {
     case Seq(n, f, t) =>
       val name = litString(n, "table_changes")

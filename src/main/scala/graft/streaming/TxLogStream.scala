@@ -35,9 +35,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *  - `skipChangeCommits` (default false): in append mode, silently
   *    skip rewriting commits instead of failing the stream (Delta's
   *    option of the same name).
-  *  - `startingVersion`: first commit to stream. Append mode default:
-  *    batch 0 is the full snapshot at the stream's start offset, then
-  *    pure tailing (Delta's default). CDF mode default: 0.
+  *  - `startingVersion`: first commit to stream, INCLUSIVE (Delta's
+  *    semantics). Append mode default: batch 0 is the full snapshot at
+  *    the stream's start offset, then pure tailing (Delta's default).
+  *    CDF mode default: 1 — v0 is the table seed; `startingVersion=0`
+  *    streams it too, as inserts at commit 0.
   *  - `maxVersionsPerTrigger`: cap each microbatch at N commits
   *    (Delta's `maxFilesPerTrigger` analogue); with `startingVersion`
   *    it paces the backfill too.
@@ -158,7 +160,14 @@ class TxLogSource(spark: SparkSession, root: String, readChangeFeed: Boolean,
     val endV = ver(end)
     val batch =
       if (readChangeFeed)
-        t.changes(start.map(ver).getOrElse(startingVersion.getOrElse(0L)),
+        // offsets mean "committed THROUGH version N", so the resumed
+        // window opens at start+1; a fresh stream opens at
+        // startingVersion itself — INCLUSIVE, Delta's semantics (the
+        // changes() window is [from, to]; from = end+1 is the legal
+        // empty already-caught-up batch). Default startingVersion = 1:
+        // v0 is the table seed, streamed only on explicit request
+        // (startingVersion=0 serves it as inserts at commit 0).
+        t.changes(start.map(ver(_) + 1).getOrElse(startingVersion.getOrElse(1L)),
           endV, keys)
       else (start.map(ver), startingVersion) match {
         case (Some(s), _) => appendRows(s + 1, endV)

@@ -23,28 +23,42 @@ class TxLogCdfSpec extends SparkTestBase {
     t.merge(Seq((2, "b2", 21), (4, "d", 40), (1, "a", 10))
       .toDF("k", "s", "v"), Seq("k"))                        // v1
     t.deleteWhere("k = 3")                                   // v2
+    // from=0 is INCLUSIVE (Delta's starting_version): the v0 seed
+    // serves as inserts at commit 0
     val feed = t.changes(0, 2, Seq("k"))
       .select("k", "s", "v", "_change_type", "_commit_version")
       .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2),
         r.getString(3), r.getLong(4))).toSet
     assert(feed === Set(
+      (1, "a", 10, "insert", 0L),
+      (2, "b", 20, "insert", 0L),
+      (3, "c", 30, "insert", 0L),
       (2, "b", 20, "update_preimage", 1L),
       (2, "b2", 21, "update_postimage", 1L),
       (4, "d", 40, "insert", 1L),
       (3, "c", 30, "delete", 2L)))
+    // from=1 starts after the seed — the pre-r9 window
+    assert(t.changes(1, 2, Seq("k")).count() === 4L)
   }
 
   test("a merge-src row equal to the target row produces no change rows") {
     val t = table("cdf_noop")
     t.overwrite(Seq((1, 10), (2, 20)).toDF("k", "v"))
     t.merge(Seq((1, 10)).toDF("k", "v"), Seq("k")) // values identical
-    assert(t.changes(0, 1, Seq("k")).count() === 0L)
+    assert(t.changes(1, 1, Seq("k")).count() === 0L)
   }
 
-  test("from == to yields an empty, correctly-shaped feed") {
+  test("from == 0 serves the seed as inserts; from == to+1 is the empty caught-up window") {
     val t = table("cdf_empty")
     t.overwrite(Seq((1, 10)).toDF("k", "v"))
-    val f = t.changes(0, 0, Seq("k"))
+    // inclusive starting version: commit 0's changes are its snapshot
+    // diffed against the empty pre-state
+    val seed = t.changes(0, 0, Seq("k"))
+      .select("k", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(seed.toSeq === Seq((1, 10, "insert", 0L)))
+    // a caught-up consumer's window (from = to+1) is legal and empty
+    val f = t.changes(1, 0, Seq("k"))
     assert(f.count() === 0L)
     assert(f.columns.toSet === Set("k", "v", "_change_type", "_commit_version"))
   }
@@ -62,7 +76,7 @@ class TxLogCdfSpec extends SparkTestBase {
     assert(ch0.map(_._2) === Seq(Some("p1")) &&
       ch1.map(_._2) === Seq(Some("p1")),
       s"expected exactly the p1 entry on each side, got $ch0 / $ch1")
-    val feed = t.changes(0, 1, Seq("k"))
+    val feed = t.changes(1, 1, Seq("k"))
       .select("k", "v", "_change_type").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
     assert(feed === Set((5, 50, "update_preimage"), (5, 999, "update_postimage")))
@@ -73,7 +87,7 @@ class TxLogCdfSpec extends SparkTestBase {
     t.overwrite(Seq((1, 10), (2, 20)).toDF("k", "v"))
     t.merge(Seq((1, 11, "x")).toDF("k", "v", "w"), Seq("k"),
       evolve = true)
-    val feed = t.changes(0, 1, Seq("k"))
+    val feed = t.changes(1, 1, Seq("k"))
     val post = feed.filter($"_change_type" === "update_postimage")
       .select("k", "v", "w").collect()
     assert(post.toSeq === Seq(Row(1, 11, "x")))
@@ -105,8 +119,10 @@ class TxLogCdfSpec extends SparkTestBase {
     val back = spark.read.parquet(dest)
     val n = back.count()
     assert(n === t.changes(0, 2, Seq("k")).count())
+    // inclusive window: the seed materializes as its own
+    // _commit_version=0 partition
     assert(back.select("_commit_version").distinct().as[Long]
-      .collect().toSet === Set(1L, 2L))
+      .collect().toSet === Set(0L, 1L, 2L))
     // idempotent re-materialization of the same range
     t.materializeChanges(0, 2, Seq("k"), dest)
     assert(spark.read.parquet(dest).count() === n)
@@ -151,7 +167,7 @@ class TxLogCdfSpec extends SparkTestBase {
     t.deleteWhere("x > 100")                                 // v2
     val mv0 = IncrementalMV.recompute(t.snapshot(0), Seq("g"), Seq("x"))
     val inc = IncrementalMV.applyDelta(
-      mv0, t.changes(0, 2, Seq("k")), Seq("g"), Seq("x"))
+      mv0, t.changes(1, 2, Seq("k")), Seq("g"), Seq("x"))
     val full = IncrementalMV.recompute(t.snapshot(), Seq("g"), Seq("x"))
     assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
   }

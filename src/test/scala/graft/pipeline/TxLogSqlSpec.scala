@@ -195,15 +195,19 @@ class TxLogSqlSpec extends SparkTestBase {
     t.merge(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"))     // v1
     t.deleteWhere("id = 1")                                           // v2
     TxLogSql.register("txsql_tvf_tgt", t, keys = Seq("id"))
+    // starting version INCLUSIVE, exactly Delta's table_changes: the
+    // v0 seed serves as inserts at commit 0
     val feed = spark.sql(
       "SELECT _change_type, _commit_version, id FROM table_changes('txsql_tvf_tgt', 0, 2)")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(feed === Set(
+      ("insert", 0L, 1L), ("insert", 0L, 2L),
       ("update_preimage", 1L, 2L), ("update_postimage", 1L, 2L),
       ("insert", 1L, 3L), ("delete", 2L, 1L)))
-    // TVF composes like any relation (aggregate over it)
+    // TVF composes like any relation (aggregate over it); from=1
+    // starts after the seed
     assert(spark.sql("""
-      SELECT count(*) FROM table_changes('txsql_tvf_tgt', 0, 1)""")
+      SELECT count(*) FROM table_changes('txsql_tvf_tgt', 1, 1)""")
       .head().getLong(0) === 3L)
     val hist = spark.sql("SELECT version, operation FROM txlog_history('txsql_tvf_tgt')")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq

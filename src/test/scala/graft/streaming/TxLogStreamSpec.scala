@@ -109,12 +109,39 @@ class TxLogStreamSpec extends SparkTestBase {
       .start()
     try q.awaitTermination() finally q.stop()
     val streamed = got.foldLeft(Set.empty[Any])(_ ++ _)
-    val expect = t.changes(0, 2, Seq("k"))
+    // default CDF start is version 1 (v0 = table seed): the stream
+    // equals the batch feed over commits [1, 2]
+    val expect = t.changes(1, 2, Seq("k"))
       .select("k", "s", "v", "_change_type", "_commit_version")
       .collect().map(r => r: Any).toSet
     // same rows (stream conforms column order to keys-first = batch's)
     assert(streamed === expect)
     assert(streamed.nonEmpty)
+  }
+
+  test("CDF stream with startingVersion=0 serves the seed as inserts at commit 0") {
+    val t = table("stream_cdf_seed")
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "s"))      // v0
+    t.deleteWhere("k = 1")                                   // v1
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[(Int, String, Long)]]
+    val q = spark.readStream.format("graft-txlog")
+      .option("path", t.root)
+      .option("readChangeFeed", "true").option("keys", "k")
+      .option("startingVersion", "0")
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("stream_cdf_seed_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.select("k", "_change_type", "_commit_version")
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+        got.synchronized { got += rows }
+        ()
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    assert(got.foldLeft(Set.empty[(Int, String, Long)])(_ ++ _) === Set(
+      (1, "insert", 0L), (2, "insert", 0L), (1, "delete", 1L)))
   }
 
   test("maxVersionsPerTrigger paces an AvailableNow drain one commit " +
