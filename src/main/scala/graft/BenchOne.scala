@@ -17,12 +17,19 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same contention-band probe as Bench (warmed once, then timed
+    // first/last) so targeted readings can be calibrated against the
+    // committed reference map like full-run readings
+    Bench.calibrate(spark)
+    val calibFirst = Bench.calibrate(spark)
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
+    val calibLast = Bench.calibrate(spark)
+    println(f"__calib__ first=$calibFirst%.3f last=$calibLast%.3f")
     spark.stop()
   }
 }

@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.VectorHofRewrite)
+    // TxLog DDL statements (CREATE TABLE … USING graft, DESCRIBE
+    // HISTORY, VACUUM, OPTIMIZE [ZORDER BY]) — the DeltaSqlParser
+    // pattern: scoped statement forms intercepted, everything else
+    // delegated to Spark's parser untouched
+    e.injectParser((_, parser) => new graft.sql.GraftSqlParser(parser))
     // MERGE INTO / UPDATE / DELETE / INSERT strings against registered
     // TxLog tables (graft.sql.TxLogSql.register), plus SELECT over them
     // with VERSION AS OF / TIMESTAMP AS OF time travel — the SQL face
