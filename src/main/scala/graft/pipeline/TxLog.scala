@@ -1116,43 +1116,23 @@ final case class TxLog(spark: SparkSession, root: String,
         .cast("string") === value)
   }
 
-  /** Attempt to commit `lines` as EXACTLY `version`'s manifest.
-    * The atomic primitive is create-if-absent of the version file:
-    *
-    *   - local FS: hard-link publish via `Files.createLink` — link(2)
-    *     fails with EEXIST when the destination exists, with no
-    *     check-then-act window. (Hadoop's `RawLocalFileSystem.rename`
-    *     maps to rename(2), which silently REPLACES an existing
-    *     destination, so the classic exists+rename pair is a TOCTOU
-    *     race on local FS — a losing writer could overwrite the
-    *     winner's manifest.)
-    *   - HDFS: plain rename — HDFS rename is atomic and fails when the
-    *     destination exists.
-    *   - object stores: neither holds; production uses a DynamoDB-style
-    *     lock (same contract as delta-on-S3).
-    *
+  /** The atomic publish primitive, chosen per storage scheme
+    * ([[ManifestStore.forScheme]]): link/rename where the filesystem
+    * has create-if-absent (local, HDFS), coordinated-put where it does
+    * not (object stores — the reference's `abfss://` home), both
+    * overridable via `spark.graft.txlog.manifestStore.<scheme>.impl`. */
+  private lazy val manifestStore: ManifestStore =
+    ManifestStore.forScheme(k => spark.conf.getOption(k), fs.getUri.getScheme)
+
+  /** Attempt to commit `lines` as EXACTLY `version`'s manifest — a
+    * put-if-absent of the version file through [[manifestStore]].
     * Returns whether THIS writer won `version`. */
   private def tryCommitManifest(version: Long, lines: Seq[String],
                                 op: String = ""): Boolean = {
-    val tmp = new Path(s"$logDir/_tmp_${java.util.UUID.randomUUID()}")
     fs.mkdirs(new Path(logDir))
-    val out = fs.create(tmp, false)
     val withOp = if (op.isEmpty) lines else s"#op=$op" +: lines
-    try out.write(withOp.mkString("\n").getBytes("UTF-8")) finally out.close()
-    val dst = manifestPath(version)
-    val won =
-      if (fs.getUri.getScheme == "file")
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      else !fs.exists(dst) && fs.rename(tmp, dst)
-    fs.delete(tmp, true)
-    won
+    manifestStore.putIfAbsent(fs, new Path(logDir), manifestPath(version),
+      withOp.mkString("\n").getBytes("UTF-8"))
   }
 
   private val MaxRaceRetries = 5
