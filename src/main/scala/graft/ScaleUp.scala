@@ -28,10 +28,18 @@ import org.apache.spark.sql.functions._
   * like (dup RATE stays, cluster count grows). So each copy applies an
   * injective per-copy transform that preserves structure WITHIN the
   * copy exactly and destroys similarity ACROSS copies:
-  *   - documents: every token gets a per-copy tag (`w` → `w~c3`) —
-  *     within-copy shingle sets are isomorphic to copy 0's (exact-dup
-  *     and Jaccard structure identical), cross-copy shingle overlap is
-  *     zero;
+  *   - documents: a per-copy CHARACTER substitution (`translate` of
+  *     every printable-ASCII char into a copy-disjoint Unicode block)
+  *     — a per-char bijection, so within-copy token equality, token
+  *     lengths, and shingle structure are isomorphic to copy 0's,
+  *     cross-copy token overlap is zero (disjoint alphabets), and —
+  *     unlike the first cut's `w` → `w~c3` token tags, which grew
+  *     total characters ~15× at 10 copies and inflated every
+  *     char-bound query's ratio past the true data slope — the CHAR
+  *     count is preserved exactly: 10 copies = exactly 10× chars.
+  *     (Substituted chars are 3-byte UTF-8, so parquet bytes grow
+  *     faster than chars; the text queries are JVM-char-bound, which
+  *     is the axis the scaling ratios measure.)
   *   - embeddings: dimensions cyclically rotated by the copy index — a
   *     permutation is orthogonal, so within-copy norms/distances are
   *     bit-preserved while cross-copy cosines collapse to background
@@ -122,10 +130,16 @@ object ScaleUp {
 
     val documents = read("documents")
     val docOff = offsetOf(documents, "doc_id")
+    // fixed-width injective transform: every printable ASCII char maps
+    // 1:1 into a per-copy block of the CJK range (space untouched, so
+    // tokenization is unchanged). n_chars recomputed defensively; it
+    // is provably identical (per-char substitution preserves length).
+    val fromChars = (0x21 to 0x7E).map(_.toChar).mkString
+    def toChars(c: Int): String = fromChars.indices
+      .map(i => (0x4E00 + (c - 1) * fromChars.length + i).toChar).mkString
     write(scaled(documents, Seq("doc_id" -> docOff)) { (d, c) =>
       if (c == 0) d
-      else d.withColumn("text",
-          regexp_replace(col("text"), "(\\S+)", s"$$1~c$c"))
+      else d.withColumn("text", translate(col("text"), fromChars, toChars(c)))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
 
