@@ -1045,6 +1045,51 @@ object MergeQueries {
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
       FROM orders""")),
 
+    // NATIVE STREAMING SINK: the same tail-and-land loop as
+    // `txlog_stream_source`, but the landing side is
+    // `writeStream.format("graft-txlog").start()` — no foreachBatch,
+    // no hand-written txn plumbing. Each microbatch commits with a
+    // #txn (checkpointLocation, batchId) mark inside the sink, so the
+    // checkpoint-resumed second drain appends exactly the two new
+    // commits and a crash-redelivered batch would be a version-level
+    // no-op (the restart/redelivery contracts are pinned in
+    // TxLogStreamSpec). Source and sink are both the transaction log:
+    // the symmetric streaming story, Delta's readStream→writeStream
+    // loop. The oracle is the whole orders relation — a dup or a
+    // dropped microbatch both break the hash.
+    Q("txlog_stream_sink", (spark, dir) => {
+      val tag = dir.hashCode.abs
+      val root = s"/root/repo/target/tmp/txlog_nsink_src_$tag"
+      val sinkRoot = s"/root/repo/target/tmp/txlog_nsink_dst_$tag"
+      val ckpt = s"/root/repo/target/tmp/txlog_nsink_ckpt_$tag"
+      Seq(root, sinkRoot, ckpt).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+      val base = load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      val t = graft.pipeline.TxLog(spark, root)
+      t.overwrite(base.filter(col("o_orderkey") % 3 === 1))          // v0
+      t.append(base.filter(col("o_orderkey") % 3 === 2))             // v1
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft-txlog").option("path", root)
+          .load()
+          .writeStream.format("graft-txlog").option("path", sinkRoot)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      drain()                                  // snapshot batch through v1
+      t.append(base.filter(col("o_orderkey") % 6 === 0))             // v2
+      t.append(base.filter(col("o_orderkey") % 6 === 3))             // v3
+      drain()                                  // resume: exactly v2 + v3
+      graft.pipeline.TxLog(spark, sinkRoot).snapshot()
+        .withColumn("o_totalprice", col("o_totalprice").cast("double"))
+    }, oracle = Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+      FROM orders""")),
+
     // STREAMING CHANGE FEED: the same overwrite → merge → delete
     // commit history as `txlog_cdf`, but consumed through
     // `readChangeFeed=true` on the graft-txlog source — each

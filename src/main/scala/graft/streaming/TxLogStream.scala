@@ -50,8 +50,54 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * exactly-once composes with a `foreachBatch` sink committing
   * `TxLog.append(df, txn = Some((app, batchId)))`.
   */
-class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class TxLogStreamProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-txlog"
+
+  /** Native streaming SINK — `df.writeStream.format("graft-txlog")
+    * .option("path", root).start()`, completing the symmetric
+    * streaming story (Delta writes to its own log the same way).
+    * Output modes:
+    *   - Append → [[TxLog.append]]
+    *   - Update → [[TxLog.merge]] on the REQUIRED `keys` option (each
+    *     microbatch upserts its changed keys — the aggregation-stream
+    *     shape)
+    *   - Complete → refused (each trigger would rewrite the whole
+    *     result; materialize via foreachBatch + overwrite if that is
+    *     really wanted)
+    *
+    * EXACTLY-ONCE: every batch commits with a `#txn` (appId, batchId)
+    * mark, appId = the query's checkpoint location (stable across
+    * restarts, unique per sink — Delta's txnAppId convention), so a
+    * redelivered microbatch after crash-recovery is a version-level
+    * no-op. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-txlog sink requires option 'path' (the TxLog table root)"))
+    val keys = parameters.get("keys")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-txlog sink requires a checkpointLocation (or explicit " +
+          "txnAppId) — it is the exactly-once transaction identity"))
+    import org.apache.spark.sql.streaming.OutputMode
+    outputMode match {
+      case m if m == OutputMode.Append() =>
+        new TxLogSink(sqlContext.sparkSession, root, appId, None)
+      case m if m == OutputMode.Update() =>
+        require(keys.nonEmpty, "graft-txlog sink in Update mode requires " +
+          "option 'keys' (comma-separated merge keys)")
+        new TxLogSink(sqlContext.sparkSession, root, appId, Some(keys))
+      case _ => throw new IllegalArgumentException(
+        "graft-txlog sink supports Append and Update(keys) output modes; " +
+          "Complete would rewrite the table every trigger — use foreachBatch")
+    }
+  }
 
   private def build(sqlContext: SQLContext,
                     parameters: Map[String, String]): TxLogSource = {
@@ -209,4 +255,36 @@ object TxLogSource {
     * engine treats ReadLimit opaquely and hands it back to
     * [[TxLogSource.latestOffset]]. */
   private[streaming] case class MaxVersions(n: Int) extends ReadLimit
+}
+
+/** v1 streaming Sink over a [[TxLog]] table. Each microbatch commits
+  * once: append (or keyed merge in Update mode) with a `#txn`
+  * (appId, batchId) mark — a redelivered batch after crash recovery
+  * returns the recorded version and writes nothing, the same
+  * exactly-once contract the foreachBatch pattern spells by hand.
+  * `addBatch`'s incoming frame is STREAMING-tagged; it re-roots as a
+  * batch plan ([[GraftSqlBridge.batchFrame]] — the Delta sink
+  * technique), so the write is the microbatch's own distributed plan,
+  * never a driver materialization. */
+class TxLogSink(spark: SparkSession, root: String, appId: String,
+                mergeKeys: Option[Seq[String]])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+                       data: org.apache.spark.sql.DataFrame): Unit = {
+    val t = TxLog(spark, root)
+    val batch = GraftSqlBridge.batchFrame(spark, data)
+    val txn = Some((appId, batchId))
+    mergeKeys match {
+      case Some(keys) =>
+        // Update mode re-emits CHANGED keys per trigger; first batch
+        // on a fresh table seeds it (merge needs an existing snapshot)
+        if (t.exists()) t.merge(batch, keys, txn = txn)
+        else t.append(batch, txn = txn)
+      case None => t.append(batch, txn = txn)
+    }
+    ()
+  }
+
+  override def toString: String = s"TxLogSink[$root]"
 }

@@ -44,4 +44,17 @@ object GraftSqlBridge {
     cs.internalCreateDataFrame(cdf.queryExecution.toRdd, df.schema,
       isStreaming = true)
   }
+
+  /** The inverse of [[streamingFrame]]: re-root a microbatch's
+    * STREAMING frame as a batch one so a `Sink.addBatch` body can
+    * drive normal batch writers (`DataFrameWriter` refuses streaming
+    * plans). Same technique as Delta's sink — the physical plan is
+    * taken as-is, fully distributed, no materialization on the
+    * driver. */
+  def batchFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val cdf = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    cs.internalCreateDataFrame(cdf.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
 }

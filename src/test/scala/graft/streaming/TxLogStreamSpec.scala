@@ -171,6 +171,86 @@ class TxLogStreamSpec extends SparkTestBase {
     assert(batches.map(_._2).toSeq === Seq(Set(0), Set(1), Set(2), Set(3)))
   }
 
+  test("native sink: append mode lands every commit once; a redelivered batch is a no-op") {
+    val src = table("nsink_src")
+    val dst = tmpDir("nsink_dst")
+    val ckpt = tmpDir("nsink_ckpt")
+    src.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "s"))    // v0
+    src.append(Seq((3, "c")).toDF("k", "s"))                 // v1
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-txlog").option("path", src.root)
+        .load()
+        .writeStream.format("graft-txlog").option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain()
+    val sink = TxLog(spark, dst)
+    assert(sink.snapshot().count() === 3)
+    // checkpoint-resumed drain with nothing new: no commit, no dup
+    val vBefore = sink.currentVersion()
+    drain()
+    assert(sink.currentVersion() === vBefore && sink.snapshot().count() === 3)
+    // new commit, resumed drain: exactly the new rows land
+    src.append(Seq((4, "d")).toDF("k", "s"))                 // v2
+    drain()
+    assert(sink.snapshot().select("k").as[Int].collect().sorted ===
+      Array(1, 2, 3, 4))
+    // crash redelivery: re-running an ALREADY-COMMITTED batch id under
+    // the same txn identity (the checkpoint location) writes nothing
+    val lastBatch = new java.io.File(s"$ckpt/commits").listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).max
+    val v2 = sink.currentVersion()
+    new TxLogSink(spark, dst, ckpt, None)
+      .addBatch(lastBatch, Seq((4, "d")).toDF("k", "s"))
+    assert(sink.currentVersion() === v2 && sink.snapshot().count() === 4)
+  }
+
+  test("native sink: update mode merges changed aggregates on the keys option") {
+    val src = table("nsink_upd_src")
+    val dst = tmpDir("nsink_upd_dst")
+    val ckpt = tmpDir("nsink_upd_ckpt")
+    src.overwrite(Seq((1, "g1"), (2, "g1"), (3, "g2")).toDF("id", "g")) // v0
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-txlog").option("path", src.root)
+        .load()
+        .groupBy($"g").agg(count(lit(1)).as("n"))
+        .writeStream.format("graft-txlog").option("path", dst)
+        .option("keys", "g")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain()
+    def counts() = TxLog(spark, dst).snapshot()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts() === Map("g1" -> 2L, "g2" -> 1L))
+    // more rows: the changed groups re-emit and MERGE over their keys
+    src.append(Seq((4, "g1"), (5, "g3")).toDF("id", "g"))    // v1
+    drain()
+    assert(counts() === Map("g1" -> 3L, "g2" -> 1L, "g3" -> 1L))
+  }
+
+  test("native sink: Complete mode and a missing checkpoint are refused with clear errors") {
+    val src = table("nsink_err_src")
+    src.overwrite(Seq((1, "a")).toDF("k", "s"))
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-txlog").option("path", src.root).load()
+        .groupBy($"s").count()
+        .writeStream.format("graft-txlog")
+        .option("path", tmpDir("nsink_err_dst"))
+        .option("checkpointLocation", tmpDir("nsink_err_ckpt"))
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    assert(e.getMessage.contains("foreachBatch"))
+  }
+
   test("source schema: append mode = snapshot; CDF mode adds feed columns") {
     val t = table("stream_schema")
     t.overwrite(Seq((1, "a")).toDF("k", "s"))
