@@ -254,9 +254,10 @@ object VectorQueries {
           col("cent_id"))
       val cells = queries.select(col("cent_id")).distinct()
         .collect().map(_.getLong(0)).sorted
-      val candidates = cells.map(c =>
-          postings.snapshotPoint("cent_id", c.toString))
-        .reduce(_.unionByName(_))
+      // ONE multi-point read: the union of the probed cells' subdirs
+      // batches into a single pruned scan (clustered entries are
+      // self-evident), not a scan per cell
+      val candidates = postings.snapshotPoints("cent_id", cells.map(_.toString))
       queries.join(candidates.select(col("vec_id").as("neighbor_id"),
           col("embedding"), col("cent_id")), Seq("cent_id"))
         .filter(col("query_id") =!= col("neighbor_id"))

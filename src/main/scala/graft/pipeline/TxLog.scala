@@ -907,6 +907,19 @@ final case class TxLog(spark: SparkSession, root: String,
         .filter(org.apache.spark.sql.functions.lit(false)))
     val dirty = chosen.map(_._1).distinct
       .filter(d => m.tombstones.get(d).exists(_.nonEmpty)).toSet
+    // a CLUSTERED subdir entry is SELF-EVIDENT: the dir name itself
+    // encodes its one tag value and overwriteClustered physically
+    // placed only that value's rows there, so no row-level visibility
+    // filter is needed — such entries batch into the one multi-dir
+    // read (a 20-cell multi-point probe is ONE scan, not 20)
+    def selfEvident(d: String, tag: Option[String]): Boolean =
+      tag.exists(t => splitTag(t)._1.isEmpty && d.endsWith("/__cluster=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(t)))
+    def effectiveFilter(d: String, es: Seq[(String, Option[String])])
+        : Option[org.apache.spark.sql.Column] =
+      if (es.forall(e => selfEvident(d, e._2))) None
+      else tagFilter(m.partCol, es.map(_._2))
     // mergeSchema / allowMissingColumns: SCHEMA EVOLUTION — an append
     // that adds a column widens the snapshot; older dirs read the new
     // column as null (Delta's additive evolution semantics)
@@ -916,20 +929,20 @@ final case class TxLog(spark: SparkSession, root: String,
     // — see tagFilter); dirs with no restriction batch into one read
     val cleanDf: Option[DataFrame] =
       if (clean.isEmpty) None
-      else if (cleanByDir.forall { case (_, es) =>
-        tagFilter(m.partCol, es.map(_._2)).isEmpty })
+      else if (cleanByDir.forall { case (d, es) =>
+        effectiveFilter(d, es).isEmpty })
         Some(spark.read.option("mergeSchema", "true")
           .parquet(cleanByDir.map(e => dirPath(e._1)).distinct: _*))
       else Some(cleanByDir.map { case (d, es) =>
         val df = spark.read.parquet(dirPath(d))
-        tagFilter(m.partCol, es.map(_._2)).fold(df)(df.filter)
+        effectiveFilter(d, es).fold(df)(df.filter)
       }.reduce(_.unionByName(_, allowMissingColumns = true)))
     // tombstoned dirs read per-dir: row addresses are per-file, so the
     // anti join never crosses dirs; tag filters layer on the survivors
     val dirtyDfs = chosen.filter(e => dirty(e._1))
       .groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
         val df = dirVisibleRows(m.tombstones, d)
-        tagFilter(m.partCol, es.map(_._2)).fold(df)(df.filter)
+        effectiveFilter(d, es).fold(df)(df.filter)
       }
     toLogical(m.colMap, (cleanDf.toSeq ++ dirtyDfs)
       .reduce(_.unionByName(_, allowMissingColumns = true)))
@@ -1114,6 +1127,24 @@ final case class TxLog(spark: SparkSession, root: String,
     readEntries(m, pointDirs(column, value, v).toSet)
       .filter(org.apache.spark.sql.functions.col(column)
         .cast("string") === value)
+  }
+
+  /** MULTI-point lookup: `column IN (values)` over the snapshot,
+    * opening the UNION of every value's [[pointDirs]] in ONE
+    * distributed read (clustered subdir entries are self-evident, so
+    * the union batches into a single multi-dir scan) — an ANN probe
+    * over 20 cells costs one plan, not 20. An empty `values` is the
+    * empty relation with the snapshot's schema. */
+  def snapshotPoints(column: String, values: Seq[String],
+                     version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = if (version >= 0) version else currentVersion()
+    require(v >= 0, s"TxLog table at $root has no commits")
+    val m = readManifestFull(v)
+    if (values.isEmpty) return snapshot(v).filter(lit(false))
+    val dirs = values.flatMap(pointDirs(column, _, v)).toSet
+    readEntries(m, dirs).filter(col(column).cast("string")
+      .isin(values.distinct: _*))
   }
 
   /** The atomic publish primitive, chosen per storage scheme

@@ -1464,6 +1464,28 @@ class TxLogSpec extends SparkTestBase {
     assert(xDirs.size === 1 && xDirs.head.endsWith("/__cluster=2"))
   }
 
+  test("snapshotPoints: a multi-value probe batches the probed subdirs into ONE scan") {
+    val t = clusteredFresh("clustered_multi")
+    t.overwriteClustered(clusteredRows, "k")
+    val df = t.snapshotPoints("k", Seq("0", "2"))
+    assert(df.collect().map(_.getString(2)).sorted === Seq("a", "b", "e"))
+    // plan shape: ONE relation scanning exactly the two probed subdirs
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }
+    assert(scans.size === 1, s"expected one batched scan, got ${scans.size}")
+    assert(scans.head.size === 2 &&
+      scans.head.forall(p => p.endsWith("__cluster=0") || p.endsWith("__cluster=2")))
+    // empty value list: empty relation, schema preserved
+    val empty = t.snapshotPoints("k", Seq.empty)
+    assert(empty.count() === 0L && empty.columns.toSeq === Seq("k", "x", "v"))
+  }
+
   test("overwriteClustered: vacuum's GC unit is the top-level uuid — live while any subdir is cited, gone after supersession") {
     val t = clusteredFresh("clustered_vac")
     t.overwriteClustered(clusteredRows, "k")
