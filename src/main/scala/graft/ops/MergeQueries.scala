@@ -1244,9 +1244,12 @@ object MergeQueries {
           col("p_retailprice").cast("decimal(18,2)").as("retail"))
         .createOrReplaceTempView(s"${name}_src")
       spark.sql(s"INSERT INTO $name SELECT * FROM ${name}_src")   // v1
-      spark.sql(s"DELETE FROM $name WHERE p_partkey % 5 = 0")     // v2 (MoR)
-      spark.sql(s"OPTIMIZE $name")                                // v3
-      spark.sql(s"VACUUM $name RETAIN 1 VERSIONS")                // only v3 left
+      // metadata-only constraint commit: existing data validated, no
+      // bytes rewritten — and it binds the statements that follow
+      spark.sql(s"ALTER TABLE $name ADD CONSTRAINT retail_pos CHECK (retail >= 0)") // v2
+      spark.sql(s"DELETE FROM $name WHERE p_partkey % 5 = 0")     // v3 (MoR)
+      spark.sql(s"OPTIMIZE $name")                                // v4
+      spark.sql(s"VACUUM $name RETAIN 1 VERSIONS")                // only v4 left
       val hist = spark.sql(s"DESCRIBE HISTORY $name")
         .select(col("version"), col("operation")).collect()
         .map(r => (s"v${r.getLong(0)}:${r.getString(1)}", r.getLong(0).toDouble))
@@ -1263,6 +1266,6 @@ object MergeQueries {
       UNION ALL
       SELECT 'retail_sum', CAST(sum(retail) AS DOUBLE) FROM live
       UNION ALL
-      SELECT 'v3:OPTIMIZE', CAST(3 AS DOUBLE)""")),
+      SELECT 'v4:OPTIMIZE', CAST(4 AS DOUBLE)""")),
   )
 }

@@ -1271,6 +1271,65 @@ final case class TxLog(spark: SparkSession, root: String,
     enforceChecks(entryTagSets(m.entries, m.partCol), m.partCol, checks,
       m.tombstones, m.colMap)
 
+  /** ALTER TABLE ADD CONSTRAINT (Delta parity): validate EXISTING
+    * visible data against the predicate, then commit a METADATA-ONLY
+    * manifest recording it — binding every later writer without
+    * rewriting a byte. Re-adding an identical (name, predicate) is
+    * idempotent; a different predicate under an existing name is
+    * refused (drop it first). */
+  def addConstraint(name: String, sql: String): Long = {
+    require(name.nonEmpty && !name.exists("\t\n\r".contains(_)),
+      s"constraint name '$name' must be non-empty and tab/newline-free")
+    require(sql.nonEmpty && !sql.exists("\t\n\r".contains(_)),
+      s"constraint '$name' SQL must be non-empty and tab/newline-free")
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val cur = currentVersion()
+      require(cur >= 0, s"TxLog table at $root has no commits")
+      val prev = readManifestFull(cur)
+      prev.checks.find(_._1 == name) match {
+        case Some((_, existing)) =>
+          require(existing == sql, s"constraint '$name' already exists " +
+            s"with a different predicate ($existing) — drop it first")
+          return cur
+        case None =>
+      }
+      // Delta's ADD CONSTRAINT scan: existing rows must already satisfy
+      // the predicate, else the constraint would lie about the table
+      enforceChecksOnEntries(prev, Seq((name, sql)))
+      val lines = manifestLines(prev.copy(checks = prev.checks :+ (name -> sql)))
+      if (tryCommitManifest(cur + 1, lines, s"ADD CONSTRAINT $name"))
+        return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog addConstraint lost $MaxRaceRetries optimistic races at $root")
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT — metadata-only removal. Derived
+    * generated-column checks (`__gen_*`) are structural and cannot be
+    * dropped; a missing name is refused (say what you meant). */
+  def dropConstraint(name: String): Long = {
+    require(!name.startsWith("__gen_"),
+      s"'$name' is a generated-column validation check — drop the column, " +
+        "not the check")
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val cur = currentVersion()
+      require(cur >= 0, s"TxLog table at $root has no commits")
+      val prev = readManifestFull(cur)
+      require(prev.checks.exists(_._1 == name),
+        s"no CHECK constraint named '$name' on the table at $root")
+      val lines = manifestLines(prev.copy(
+        checks = prev.checks.filterNot(_._1 == name)))
+      if (tryCommitManifest(cur + 1, lines, s"DROP CONSTRAINT $name"))
+        return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog dropConstraint lost $MaxRaceRetries optimistic races at $root")
+  }
+
   /** Group (dir, tag) manifest lines into per-dir live-tag sets; a dir
     * with any untagged line (or an untagged table) validates in full. */
   private def entryTagSets(entries: Seq[(String, Option[String])],

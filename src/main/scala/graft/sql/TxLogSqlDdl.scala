@@ -29,6 +29,12 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   *   - `OPTIMIZE name [ZORDER BY (c1, c2, ...)]` —
   *      [[TxLog.compactSmallFiles]] (bin-packing, Delta's OPTIMIZE) or
   *      [[TxLog.compactZOrder]].
+  *   - `ALTER TABLE name ADD CONSTRAINT n CHECK (p)` /
+  *      `ALTER TABLE name DROP CONSTRAINT n` —
+  *      [[TxLog.addConstraint]] (existing data validated, then a
+  *      metadata-only commit) / [[TxLog.dropConstraint]]. Intercepted
+  *      ONLY for registered names: ALTER TABLE is real Spark grammar
+  *      and must keep working for catalog tables.
   *
   * Only statements whose shape matches exactly are intercepted —
   * `VACUUM`/`OPTIMIZE`/`DESCRIBE HISTORY` are not ANSI SQL and do not
@@ -54,6 +60,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         LocationRe.findFirstMatchIn(tail).map(_.group(1)),
         propList(tail, "keys"), propList(tail, "statsCols"),
         ifNotExists = ifNot != null)
+    // ALTER TABLE exists in Spark's own grammar, so these two forms
+    // intercept ONLY for names this registry knows — everything else
+    // (including ALTER on catalog tables) parses through the delegate
+    case AlterAddCheckRe(name, cname, predicate)
+        if TxLogSql.lookupMeta(name).isDefined =>
+      TxLogAddConstraintCommand(name, cname, predicate.trim)
+    case AlterDropCheckRe(name, cname)
+        if TxLogSql.lookupMeta(name).isDefined =>
+      TxLogDropConstraintCommand(name, cname)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -90,6 +105,11 @@ object GraftSqlParser {
   private[sql] val CreateRe =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$Id\\s*(?:\\((.*)\\))?\\s*USING\\s+graft\\b(.*)""".r
   private[sql] val LocationRe = """(?is)LOCATION\s+'([^']+)'""".r
+  // greedy (.*) takes the predicate to the LAST closing paren
+  private[sql] val AlterAddCheckRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Id\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.*)\\)\\s*;?\\s*""".r
+  private[sql] val AlterDropCheckRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Id\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*""".r
 
   /** Comma-split value of `'key'='v1,v2'` inside the statement tail's
     * TBLPROPERTIES/OPTIONS clause (either quoting style). */
@@ -149,6 +169,29 @@ case class TxLogCreateTableCommand(name: String, colsDdl: Option[String],
     TxLogSql.register(name, t, keys)
     Seq.empty
   }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT n CHECK (p)` →
+  * [[TxLog.addConstraint]]: existing data validated, then a
+  * metadata-only commit binds every later writer. */
+case class TxLogAddConstraintCommand(name: String, constraint: String,
+                                     predicate: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(TxLog(session, TxLogDdl.rootOf(name))
+      .addConstraint(constraint, predicate)))
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT n` → [[TxLog.dropConstraint]]. */
+case class TxLogDropConstraintCommand(name: String, constraint: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(TxLog(session, TxLogDdl.rootOf(name))
+      .dropConstraint(constraint)))
 }
 
 /** `DESCRIBE HISTORY t` → [[TxLog.history]] rows, newest first. */

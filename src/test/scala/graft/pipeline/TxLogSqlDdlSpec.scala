@@ -115,6 +115,45 @@ class TxLogSqlDdlSpec extends SparkTestBase {
     TxLogSql.unregister(name)
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT: validates existing data, binds later writers, metadata-only") {
+    val loc = tmpDir("sqlddl_constraint")
+    spark.sql(s"CREATE TABLE sqlddl_chk (id BIGINT, bal DECIMAL(18,2)) USING graft LOCATION '$loc'")
+    spark.sql("INSERT INTO sqlddl_chk VALUES (1, 10.00), (2, 20.00)")
+    val v = spark.sql(
+      "ALTER TABLE sqlddl_chk ADD CONSTRAINT bal_pos CHECK (bal >= 0)")
+      .head().getLong(0)
+    assert(v === 2L) // metadata-only commit
+    assert(spark.sql("SELECT count(*) FROM sqlddl_chk").head().getLong(0) === 2L)
+    // the constraint binds every later writer — violating INSERT refused
+    intercept[Exception](spark.sql("INSERT INTO sqlddl_chk VALUES (3, -1.00)"))
+    assert(spark.sql("SELECT count(*) FROM sqlddl_chk").head().getLong(0) === 2L)
+    // idempotent re-add; different predicate under the same name refused
+    assert(spark.sql(
+      "ALTER TABLE sqlddl_chk ADD CONSTRAINT bal_pos CHECK (bal >= 0)")
+      .head().getLong(0) === 2L)
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE sqlddl_chk ADD CONSTRAINT bal_pos CHECK (bal > 5)"))
+    assert(e.getMessage.contains("different predicate"))
+    // a constraint EXISTING data violates is refused, nothing committed
+    intercept[Exception](spark.sql(
+      "ALTER TABLE sqlddl_chk ADD CONSTRAINT bal_big CHECK (bal > 15)"))
+    assert(TxLog(spark, loc).currentVersion() === 2L)
+    // DROP releases it: the same insert now commits
+    spark.sql("ALTER TABLE sqlddl_chk DROP CONSTRAINT bal_pos")
+    spark.sql("INSERT INTO sqlddl_chk VALUES (3, -1.00)")
+    assert(spark.sql("SELECT count(*) FROM sqlddl_chk").head().getLong(0) === 3L)
+    // dropping a missing name is refused loudly
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE sqlddl_chk DROP CONSTRAINT no_such"))
+    assert(e2.getMessage.contains("no CHECK constraint"))
+    // the audit trail records both metadata commits
+    val ops = spark.sql("DESCRIBE HISTORY sqlddl_chk")
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.contains("ADD CONSTRAINT bal_pos") &&
+      ops.contains("DROP CONSTRAINT bal_pos"))
+    TxLogSql.unregister("sqlddl_chk")
+  }
+
   test("non-graft statements and unregistered names pass through to Spark untouched") {
     // ordinary SQL still parses through the delegate
     assert(spark.sql("SELECT 1 + 1").head().getInt(0) === 2)
