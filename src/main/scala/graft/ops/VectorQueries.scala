@@ -280,6 +280,54 @@ object VectorQueries {
         WHERE q.vec_id < 20)
       SELECT query_id, neighbor_id, rank, score FROM probed WHERE rank <= 5""")),
 
+    // SERVED MULTI-PROBE — the recall lever exercised against the
+    // PERSISTED index: each query assigns its 3 nearest cells from the
+    // stored quantizer, and ONE multi-point read opens the union of
+    // the probed cells' subdirs. The corpus-side index is untouched:
+    // turning recall up costs probe-side reads only, never a retrain
+    // or a rewrite — why nProbe is the knob a deployment turns first.
+    // Hash-matches the session multiprobe's oracle.
+    Q("sim_ivf_served_multiprobe", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      val root = servedIvfRoot(spark, dir, e)
+      val quantizer = graft.pipeline.TxLog(spark, s"$root/quantizer").snapshot()
+      val postings = graft.pipeline.TxLog(spark, s"$root/postings",
+        statsCols = Seq("cent_id"))
+      val probes = ivfAssign(spark, e.filter(col("vec_id") < 20), quantizer,
+          nProbe = 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("cent_id"))
+      val cells = probes.select(col("cent_id")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val candidates = postings.snapshotPoints("cent_id", cells.map(_.toString))
+      probes.join(candidates.select(col("vec_id").as("neighbor_id"),
+          col("embedding"), col("cent_id")), Seq("cent_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("score", VectorExpressions.cosine_sim(spark, col("qv"), col("embedding")))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.expressions.TopKPairAgg
+          .topk_pair_agg(spark, col("score"), col("neighbor_id"), 5).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"), col("col.score").as("score"))
+    }, oracle = Some(s"""
+      WITH ${ivfOracleCtes()},
+      a3p AS (
+        SELECT vec_id, embedding, cent_id FROM (
+          SELECT e.vec_id, e.embedding, c.cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosFrag("e.embedding", "c.cv")} DESC, c.cent_id) AS crk
+          FROM embeddings e CROSS JOIN cents2 c) WHERE crk <= 3),
+      probed AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ${cosFrag("q.embedding", "n.embedding")} AS score,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosFrag("q.embedding", "n.embedding")} DESC, n.vec_id) AS INT) AS rank
+        FROM a3p q JOIN a3 n
+          ON q.cent_id = n.cent_id AND q.vec_id <> n.vec_id
+        WHERE q.vec_id < 20)
+      SELECT query_id, neighbor_id, rank, score FROM probed WHERE rank <= 5""")),
+
     // INCREMENTAL ANN INDEX MAINTENANCE from the transaction log: the
     // coarse quantizer trains ONCE on the base corpus (the offline
     // index build), then the vector table's CHANGE FEED streams

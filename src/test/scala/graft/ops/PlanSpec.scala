@@ -461,7 +461,8 @@ class PlanSpec extends SparkTestBase {
     // candidate rows, previously a per-vector window) — must rank via
     // TopKPairAgg. sim_sq8_rerank's 15-candidate pool cut runs over the
     // full corpus per query and is pinned with the family.
-    Seq("sim_ivf_probe", "sim_ivf_multiprobe", "sim_ivf_served", "sim_pq_adc",
+    Seq("sim_ivf_probe", "sim_ivf_multiprobe", "sim_ivf_served",
+        "sim_ivf_served_multiprobe", "sim_pq_adc",
         "sim_ivfpq_adc", "sim_sq8_rerank", "dedup_semantic_ivf").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("Window"), s"$q still ranks through a window:\n" + p.take(1500))
