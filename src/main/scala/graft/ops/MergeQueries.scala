@@ -1267,5 +1267,105 @@ object MergeQueries {
       SELECT 'retail_sum', CAST(sum(retail) AS DOUBLE) FROM live
       UNION ALL
       SELECT 'v4:OPTIMIZE', CAST(4 AS DOUBLE)""")),
+
+    // SQL DDL face, part two — the EVOLUTION statements under the hash
+    // gate: CTAS (schema from the query), ALTER TABLE ADD COLUMNS
+    // (additive evolution — old rows read null), column mapping RENAME/
+    // DROP COLUMN (metadata-only, zero bytes rewritten), RESTORE TABLE
+    // (rollback-as-commit — the dropped column comes back because the
+    // MAPPING rolls back, not the data), and SHALLOW CLONE (zero-copy,
+    // pinned at the clone instant while the source diverges). The
+    // result folds both tables' aggregates with the post-restore
+    // schema and the restore's history row, so the hash proves each
+    // statement really did what its contract says. Reference:
+    // `db_notebook.ipynb:39,78,101` (SQL-managed lakehouse tables).
+    Q("txlog_sql_evolution", (spark, dir) => {
+      import spark.implicits._
+      val tag = dir.hashCode.abs
+      val root = s"/root/repo/target/tmp/txlog_evo_$tag"
+      val cloneRoot = s"/root/repo/target/tmp/txlog_evo_clone_$tag"
+      val name = s"txlog_evo_$tag"
+      val cname = s"txlog_evo_cl_$tag"
+      Seq(root, cloneRoot).foreach(r =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r)))
+      Seq(name, cname).foreach(graft.sql.TxLogSql.unregister)
+      load(spark, dir, "nation").createOrReplaceTempView(s"${name}_src")
+      spark.sql(s"""
+        CREATE TABLE $name USING graft TBLPROPERTIES ('keys'='k')
+        LOCATION '$root'
+        AS SELECT n_nationkey AS k, n_name AS name FROM ${name}_src""") // v0
+      spark.sql(s"ALTER TABLE $name ADD COLUMNS (pop BIGINT)")          // v1
+      spark.sql(s"""INSERT INTO $name
+        SELECT n_nationkey + 100, upper(n_name), n_regionkey
+        FROM ${name}_src""")                                            // v2
+      spark.sql(s"ALTER TABLE $name RENAME COLUMN pop TO population")   // v3
+      spark.sql(s"ALTER TABLE $name DROP COLUMN name")                  // v4
+      spark.sql(s"RESTORE TABLE $name TO VERSION AS OF 3")              // v5
+      spark.sql(s"CREATE TABLE $cname SHALLOW CLONE $name LOCATION '$cloneRoot'")
+      // post-clone divergence: the pinned clone must not see these
+      spark.sql(s"""INSERT INTO $name
+        SELECT n_nationkey + 200, n_name, CAST(NULL AS BIGINT)
+        FROM ${name}_src WHERE n_nationkey < 5""")                      // v6
+      val cols = spark.sql(s"SELECT * FROM $name").columns.mkString(",")
+      val restoreRow = spark.sql(s"DESCRIBE HISTORY $name")
+        .select(col("version"), col("operation")).collect()
+        .filter(_.getString(1).startsWith("RESTORE"))
+        .map(r => (s"v${r.getLong(0)}:${r.getString(1)}", r.getLong(0).toDouble))
+      spark.sql(s"""
+          SELECT 'rows_table' AS metric, CAST(count(*) AS DOUBLE) AS val FROM $name
+          UNION ALL
+          SELECT 'rows_clone', CAST(count(*) AS DOUBLE) FROM $cname
+          UNION ALL
+          SELECT 'population_sum', CAST(sum(population) AS DOUBLE) FROM $name""")
+        .unionByName(Seq((s"cols:$cols", 0.0)).toDF("metric", "val"))
+        .unionByName(restoreRow.toSeq.toDF("metric", "val"))
+    }, oracle = Some("""
+      SELECT 'rows_table' AS metric, CAST(2 * count(*) + 5 AS DOUBLE) AS val FROM nation
+      UNION ALL
+      SELECT 'rows_clone', CAST(2 * count(*) AS DOUBLE) FROM nation
+      UNION ALL
+      SELECT 'population_sum', CAST(sum(n_regionkey) AS DOUBLE) FROM nation
+      UNION ALL
+      SELECT 'cols:k,name,population', CAST(0 AS DOUBLE)
+      UNION ALL
+      SELECT 'v5:RESTORE v3', CAST(5 AS DOUBLE)""")),
+
+    // CONVERT TO GRAFT under the hash gate — the 100 TB onboarding
+    // story: an EXISTING hive-partitioned parquet lake becomes a
+    // transactional table IN PLACE (v0 references the source leaves by
+    // absolute path; zero bytes rewritten, however large the lake),
+    // and from version 0 every op works: the partition column — absent
+    // from the files, materialized by discovery — groups correctly
+    // across all leaves in one batched read, and a row-level DELETE
+    // lays merge-on-read tombstones OVER the converted dirs without
+    // touching them. The result is the per-partition aggregate after
+    // the delete, so the hash proves both the import and the
+    // transactional overlay. Reference: the reference's medallion
+    // tables start from plain parquet dumps (`silver_notebook.ipynb`);
+    // CONVERT is how such a lake adopts the log without a rewrite.
+    Q("txlog_convert_inplace", (spark, dir) => {
+      val tag = dir.hashCode.abs
+      val src = s"/root/repo/target/tmp/txlog_conv_$tag"
+      val name = s"txlog_conv_$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+      graft.sql.TxLogSql.unregister(name)
+      load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_returnflag"))
+        .write.partitionBy("l_returnflag").mode("overwrite").parquet(src)
+      spark.sql(s"CONVERT TO GRAFT parquet.`$src` PARTITIONED BY (l_returnflag STRING)")
+      spark.sql(s"CREATE TABLE $name USING graft LOCATION '$src'")
+      spark.sql(s"DELETE FROM $name WHERE l_returnflag = 'N' AND l_orderkey % 7 = 0")
+      spark.sql(s"""
+        SELECT l_returnflag, count(*) AS cnt,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM $name GROUP BY l_returnflag""")
+    }, oracle = Some("""
+      WITH live AS (
+        SELECT * FROM lineitem
+        WHERE NOT (l_returnflag = 'N' AND l_orderkey % 7 = 0))
+      SELECT l_returnflag, count(*) AS cnt,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM live GROUP BY l_returnflag""")),
   )
 }

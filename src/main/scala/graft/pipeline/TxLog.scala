@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Minimal transaction-log table format — the engine's stand-in for the
   * reference's Delta tables (`gold_dim_branch.ipynb:88162-88175` writes
@@ -378,6 +379,44 @@ final case class TxLog(spark: SparkSession, root: String,
     require(v >= 0, s"TxLog table at $root has no commits")
     val m = readManifestFull(v)
     readEntries(m, m.dirs.toSet)
+  }
+
+  /** The current snapshot's partition/cluster column, if any — table
+    * METADATA (DESCRIBE's partitioning section reads it). */
+  def partitionColumn(): Option[String] = {
+    val v = currentVersion()
+    if (v < 0) None else readManifestFull(v).partCol
+  }
+
+  /** The current snapshot's CHECK constraints, `(name, predicate)` in
+    * declaration order — table METADATA (SHOW CREATE TABLE renders
+    * them; [[addConstraint]]/[[dropConstraint]] maintain them). */
+  def constraints(): Seq[(String, String)] = {
+    val v = currentVersion()
+    if (v < 0) Seq.empty else readManifestFull(v).checks
+  }
+
+  /** ALTER TABLE ADD COLUMNS — additive schema evolution as an
+    * EXPLICIT statement rather than a side effect of the next evolved
+    * append. Mechanism: commit one footer-only parquet dir carrying
+    * the extended schema (zero rows — the single-partition write emits
+    * exactly one file whose footer declares the new columns), so the
+    * snapshot's mergeSchema union surfaces the columns as null for
+    * every pre-existing row, exactly like Delta's metadata-only ADD
+    * COLUMNS. Existing columns are refused; new columns append at the
+    * end (first-appearance order). */
+  def addColumns(newCols: StructType): Long = {
+    require(newCols.nonEmpty, s"ADD COLUMNS on $root: empty column list")
+    val cur = snapshot().schema
+    val clash = newCols.fieldNames.filter(n =>
+      cur.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(clash.isEmpty,
+      s"ADD COLUMNS on $root: column(s) ${clash.mkString(", ")} already exist")
+    val extended = StructType(cur ++ newCols)
+    append(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], extended)
+      .repartition(1),
+      op = s"ADD COLUMNS (${newCols.fieldNames.mkString(", ")})")
   }
 
   /** TIMESTAMP AS OF resolution (Delta's time travel by time): the
@@ -898,12 +937,29 @@ final case class TxLog(spark: SparkSession, root: String,
   private def readChosen(m: Manifest,
                          chosen: Seq[(String, Option[String])]): DataFrame = {
     require(chosen.nonEmpty || m.entries.nonEmpty, s"empty manifest at $root")
+    // multi-dir batch read honoring converted hive leaves: plain dirs
+    // batch into one mergeSchema scan; hive leaves (whose files LACK
+    // the partition column) group by parent into one basePath-
+    // discovery scan each — still O(groups) scans, not O(dirs)
+    def batchRead(dirs: Seq[String]): DataFrame = {
+      val (hive, plain) = dirs.distinct.partition(d => hiveLeafParent(d).isDefined)
+      val plainDf =
+        if (plain.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true")
+          .parquet(plain.map(dirPath): _*))
+      val hiveDfs = hive.groupBy(d => hiveLeafParent(d).get).toSeq.sortBy(_._1)
+        .map { case (parent, leaves) =>
+          spark.read.option("basePath", parent)
+            .option("mergeSchema", "true").parquet(leaves.map(dirPath): _*)
+        }
+      (plainDf.toSeq ++ hiveDfs)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
     if (chosen.isEmpty) // everything skipped: empty frame, FULL schema —
       // merged across all dirs, so a schema-evolved table still exposes
       // columns a later append introduced (a residual filter on such a
       // column must resolve, not throw)
-      return toLogical(m.colMap, spark.read.option("mergeSchema", "true")
-        .parquet(m.dirs.map(dirPath): _*)
+      return toLogical(m.colMap, batchRead(m.dirs)
         .filter(org.apache.spark.sql.functions.lit(false)))
     val dirty = chosen.map(_._1).distinct
       .filter(d => m.tombstones.get(d).exists(_.nonEmpty)).toSet
@@ -911,11 +967,17 @@ final case class TxLog(spark: SparkSession, root: String,
     // encodes its one tag value and overwriteClustered physically
     // placed only that value's rows there, so no row-level visibility
     // filter is needed — such entries batch into the one multi-dir
-    // read (a 20-cell multi-point probe is ONE scan, not 20)
+    // read (a 20-cell multi-point probe is ONE scan, not 20). A
+    // CONVERTED hive leaf is self-evident the same way: the hive
+    // layout physically placed only the dir-encoded value's rows there.
     def selfEvident(d: String, tag: Option[String]): Boolean =
-      tag.exists(t => splitTag(t)._1.isEmpty && d.endsWith("/__cluster=" +
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(t)))
+      tag.exists { t =>
+        val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(t)
+        splitTag(t)._1.isEmpty && (d.endsWith("/__cluster=" + esc) ||
+          m.partCol.exists(pc => d.endsWith(s"/$pc=$esc") &&
+            hiveLeafParent(d).isDefined))
+      }
     def effectiveFilter(d: String, es: Seq[(String, Option[String])])
         : Option[org.apache.spark.sql.Column] =
       if (es.forall(e => selfEvident(d, e._2))) None
@@ -931,10 +993,9 @@ final case class TxLog(spark: SparkSession, root: String,
       if (clean.isEmpty) None
       else if (cleanByDir.forall { case (d, es) =>
         effectiveFilter(d, es).isEmpty })
-        Some(spark.read.option("mergeSchema", "true")
-          .parquet(cleanByDir.map(e => dirPath(e._1)).distinct: _*))
+        Some(batchRead(cleanByDir.map(_._1)))
       else Some(cleanByDir.map { case (d, es) =>
-        val df = spark.read.parquet(dirPath(d))
+        val df = snapshotOfDir(d)
         effectiveFilter(d, es).fold(df)(df.filter)
       }.reduce(_.unionByName(_, allowMissingColumns = true)))
     // tombstoned dirs read per-dir: row addresses are per-file, so the
@@ -1393,7 +1454,8 @@ final case class TxLog(spark: SparkSession, root: String,
     * loser that recommitted its pre-race view would silently drop the
     * winner's data (lost update); re-reading makes concurrent appends
     * serialize losslessly (pinned by the TxLogSpec race test). */
-  def append(df0: DataFrame, txn: Option[(String, Long)] = None): Long = {
+  def append(df0: DataFrame, txn: Option[(String, Long)] = None,
+             op: String = "APPEND"): Long = {
     val df = withGenerated(df0)
     // carrying commit on a mapped table: the new dir must store
     // PHYSICAL names (carried dirs do), and evolution columns mint
@@ -1439,7 +1501,7 @@ final case class TxLog(spark: SparkSession, root: String,
         checks,
         prev.tombstones, // carried dirs keep their deletion vectors
         colMap = fullMap, retired = prev.retired)
-      if (tryCommitManifest(cur + 1, manifestLines(m), "APPEND")) return cur + 1
+      if (tryCommitManifest(cur + 1, manifestLines(m), op)) return cur + 1
       attempt += 1
     }
     throw new java.io.IOException(
@@ -1670,8 +1732,109 @@ final case class TxLog(spark: SparkSession, root: String,
       s"TxLog overwriteClustered lost $MaxRaceRetries optimistic races at $root")
   }
 
+  /** CONVERT TO GRAFT (Delta's `CONVERT TO DELTA`): impose the
+    * transaction log IN PLACE on an existing plain-parquet directory —
+    * zero bytes rewritten, however large the dataset. The v0 manifest
+    * references the existing data by ABSOLUTE path (the shallow-clone
+    * entry convention):
+    *
+    *   - flat layout (`partitionedBy = None`): the directory itself
+    *     becomes the one entry;
+    *   - hive layout (`col=value/` leaves): each leaf becomes an entry
+    *     tagged with its value, with a `(v, v)` range stat — partition
+    *     pruning, point lookups, and pruned merges work immediately
+    *     and STRUCTURALLY ([[pointDirs]] opens only matching leaves).
+    *
+    * The partition column lives in the DIR NAMES, not the files
+    * (standard hive layout), so conversion requires the declared
+    * `(column, type)` — Delta's `PARTITIONED BY` clause exists for the
+    * same reason — and the declared type must equal what Spark's
+    * partition discovery infers (validated here, loudly): every later
+    * read path materializes the column via basePath discovery
+    * ([[snapshotOfDir]]/[[readChosen]]) and must see one consistent
+    * type. Converted dirs live OUTSIDE `data/`, so [[vacuum]] never
+    * reclaims them — rewrites supersede them in the manifest instead
+    * (OPTIMIZE/compact materializes the table under `data/` and frees
+    * the table from the source layout, the clone contract). Declared
+    * [[statsCols]] get per-entry min/max ranges — one column-pruned
+    * scan per leaf, the one-time convert cost. */
+  def convertFrom(partitionedBy: Option[(String, String)] = None): Long = {
+    require(root.startsWith("/"),
+      s"CONVERT requires an absolute path, got $root")
+    require(currentVersion() < 0,
+      s"$root already has TxLog commits — CONVERT only imports fresh directories")
+    val m = partitionedBy match {
+      case None =>
+        val (hdr, ranges) = statsFor(root)
+        Manifest(None, hdr, Seq((root, None)), ranges)
+      case Some((pc, typDdl)) =>
+        val typ = org.apache.spark.sql.types.DataType.fromDDL(typDdl).sql
+        val hiveDefault = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        val subs = fs.listStatus(new Path(root)).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith(s"$pc=")).sorted.toSeq
+        require(subs.nonEmpty,
+          s"CONVERT: no '$pc=…' partition dirs under $root")
+        require(!subs.contains(s"$pc=$hiveDefault"),
+          s"CONVERT: $root contains a null-partition dir ($pc=$hiveDefault) " +
+            "— null partition values are unsupported; backfill or drop it first")
+        val parts = subs.map { n =>
+          val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(n.stripPrefix(s"$pc="))
+          requireTagSafe(v, pc)
+          (s"$root/$n", v)
+        }
+        // declared type must equal discovery's inference — the read
+        // paths materialize the column by discovery, so a divergent
+        // declaration would silently change the snapshot's type
+        val inferred = spark.read.option("basePath", root)
+          .parquet(parts.map(_._1): _*).schema.find(_.name == pc)
+          .map(_.dataType.sql)
+          .getOrElse(throw new IllegalArgumentException(
+            s"CONVERT: partition discovery found no column '$pc' under $root"))
+        require(inferred.equalsIgnoreCase(typ),
+          s"CONVERT: declared type $typ for '$pc' does not match partition " +
+            s"discovery's $inferred — declare the discovered type")
+        // per-leaf stats: the leaf scan sees pc via discovery, so a pc
+        // in statsCols would duplicate the hand-built (v, v) entries —
+        // fold them out of the scanned header
+        val leafStats = parts.map { case (d, _) => statsFor(d) }
+        val scannedHdr = leafStats.flatMap(_._1).distinct.filterNot(_._1 == pc)
+        val scannedRanges = leafStats.flatMap(_._2)
+          .filterNot { case ((_, c), _) => c == pc }.toMap
+        val pcRanges = parts.map { case (d, v) => (d, pc) -> (v, v) }.toMap
+        Manifest(Some(pc), (pc, typ) +: scannedHdr,
+          parts.map { case (d, v) => (d, Some(v)) },
+          pcRanges ++ scannedRanges)
+    }
+    require(tryCommitManifest(0L, manifestLines(m), "CONVERT"),
+      s"CONVERT at $root was committed concurrently")
+    0L
+  }
+
+  /** The parent dir of a CONVERTED hive leaf entry (`…/col=value`,
+    * absolute — written by [[convertFrom]] over an existing
+    * hive-partitioned dataset), or None for ordinary entries. Our own
+    * clustered subdirs use the `__cluster=` scheme and are excluded;
+    * uuid entries are relative and never contain `=`. */
+  private def hiveLeafParent(d: String): Option[String] = {
+    val slash = d.lastIndexOf('/')
+    val name = d.substring(slash + 1)
+    if (d.startsWith("/") && slash > 0 && name.contains("=") &&
+        !name.startsWith("__cluster=")) Some(d.substring(0, slash))
+    else None
+  }
+
   private def snapshotOfDir(uuid: String): DataFrame =
-    spark.read.parquet(dirPath(uuid))
+    // a converted hive leaf's files LACK the partition column (it
+    // lives in the dir name) — basePath discovery materializes it;
+    // convertFrom validated that discovery's type equals the declared
+    // one, so every read path sees one consistent type
+    hiveLeafParent(uuid) match {
+      case Some(parent) =>
+        spark.read.option("basePath", parent).parquet(dirPath(uuid))
+      case None => spark.read.parquet(dirPath(uuid))
+    }
 
   /** Partition-pruned SCD1 MERGE commit — the 100 TB shape of [[merge]]
     * for time-partitioned tables: only the partitions present in `src`

@@ -35,6 +35,22 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   *      metadata-only commit) / [[TxLog.dropConstraint]]. Intercepted
   *      ONLY for registered names: ALTER TABLE is real Spark grammar
   *      and must keep working for catalog tables.
+  *   - `CREATE [OR REPLACE] TABLE … USING graft AS SELECT …` — CTAS;
+  *      OR REPLACE overwrites THROUGH the log (history preserved).
+  *   - `RESTORE [TABLE] name TO VERSION AS OF n | TO TIMESTAMP AS OF
+  *      'ts'` — [[TxLog.restoreTo]] (metadata-only rollback-as-commit).
+  *   - `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]
+  *      [LOCATION '…']` — [[TxLog.shallowCloneTo]] (zero-copy).
+  *   - `ALTER TABLE name ADD COLUMNS (…)` / `RENAME COLUMN a TO b` /
+  *      `DROP COLUMN c` — [[TxLog.addColumns]] (additive evolution) /
+  *      column mapping ([[TxLog.renameColumn]]/[[TxLog.dropColumn]],
+  *      zero data rewritten). Registered names only, like the
+  *      constraint forms.
+  *   - `SHOW CREATE TABLE name` — the re-runnable DDL with keys,
+  *      cluster column, and CHECK constraints as TBLPROPERTIES.
+  *   - `CONVERT TO GRAFT parquet.`/path` [PARTITIONED BY (col TYPE)]`
+  *      — [[TxLog.convertFrom]]: zero-rewrite in-place import of an
+  *      existing parquet directory (flat or hive-partitioned).
   *
   * Only statements whose shape matches exactly are intercepted —
   * `VACUUM`/`OPTIMIZE`/`DESCRIBE HISTORY` are not ANSI SQL and do not
@@ -55,12 +71,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case OptimizeRe(name, zcols) =>
       TxLogOptimizeCommand(name, Option(zcols).toSeq.flatMap(
         _.split(',').map(_.trim).filter(_.nonEmpty)))
-    case CreateRe(ifNot, name, cols, tail) =>
+    // RESTORE and SHALLOW CLONE are Delta-only grammar (no built-in
+    // statement to collide with) — intercepted unconditionally;
+    // an unregistered name fails with this face's error message
+    case RestoreRe(name, v) => TxLogRestoreCommand(name, Left(v.toLong))
+    case RestoreTsRe(name, ts) => TxLogRestoreCommand(name, Right(ts))
+    case ConvertRe(bt, q, pc, typ) =>
+      TxLogConvertCommand(Option(bt).getOrElse(q),
+        Option(pc).map(p => (p, typ.trim)))
+    case CloneRe(ifNot, dst, src, ver, tail) =>
+      TxLogCloneCommand(dst, src, Option(ver).map(_.toLong),
+        LocationRe.findFirstMatchIn(Option(tail).getOrElse("")).map(_.group(1)),
+        ifNotExists = ifNot != null)
+    case CreateRe(orRepl, ifNot, name, cols, tail) =>
       TxLogCreateTableCommand(name, Option(cols),
         LocationRe.findFirstMatchIn(tail).map(_.group(1)),
         propList(tail, "keys"), propList(tail, "statsCols"),
-        ifNotExists = ifNot != null)
-    // ALTER TABLE exists in Spark's own grammar, so these two forms
+        ifNotExists = ifNot != null, orReplace = orRepl != null,
+        asSelect = AsSelectRe.findFirstMatchIn(tail).map(_.group(1).trim))
+    // ALTER TABLE exists in Spark's own grammar, so these forms
     // intercept ONLY for names this registry knows — everything else
     // (including ALTER on catalog tables) parses through the delegate
     case AlterAddCheckRe(name, cname, predicate)
@@ -69,6 +98,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case AlterDropCheckRe(name, cname)
         if TxLogSql.lookupMeta(name).isDefined =>
       TxLogDropConstraintCommand(name, cname)
+    case AlterAddColsRe(name, cols)
+        if TxLogSql.lookupMeta(name).isDefined =>
+      TxLogAddColumnsCommand(name, cols)
+    case AlterRenameColRe(name, from, to)
+        if TxLogSql.lookupMeta(name).isDefined =>
+      TxLogRenameColumnCommand(name, from, to)
+    case AlterDropColRe(name, cname)
+        if TxLogSql.lookupMeta(name).isDefined =>
+      TxLogDropColumnCommand(name, cname)
+    // DROP TABLE / DESCRIBE TABLE / SHOW CREATE TABLE are real Spark
+    // grammar too — intercepted only for registered names
+    case DropTableRe(_, name) if TxLogSql.lookupMeta(name).isDefined =>
+      TxLogDropTableCommand(name)
+    case ShowCreateRe(name) if TxLogSql.lookupMeta(name).isDefined =>
+      TxLogShowCreateCommand(name)
+    case DescribeRe(name) if TxLogSql.lookupMeta(name).isDefined =>
+      TxLogDescribeCommand(name)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -103,13 +149,39 @@ object GraftSqlParser {
   // greedy (.*) captures the full column list including nested parens
   // (DECIMAL(18,2)) because USING graft always follows the LAST paren
   private[sql] val CreateRe =
-    s"""(?is)\\s*CREATE\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$Id\\s*(?:\\((.*)\\))?\\s*USING\\s+graft\\b(.*)""".r
+    s"""(?is)\\s*CREATE\\s+(?:(OR\\s+REPLACE)\\s+)?TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$Id\\s*(?:\\((.*)\\))?\\s*USING\\s+graft\\b(.*)""".r
   private[sql] val LocationRe = """(?is)LOCATION\s+'([^']+)'""".r
+  // CTAS query text inside the CREATE tail: everything after the first
+  // AS followed by a query-starting keyword (alias ASes can only occur
+  // later, inside the query itself)
+  private[sql] val AsSelectRe =
+    """(?is)\bAS\s+((?:(?:SELECT|WITH|VALUES|FROM|TABLE)\b|\().*)$""".r
+  private[sql] val RestoreRe =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Id\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+  private[sql] val RestoreTsRe =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Id\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""".r
+  private[sql] val CloneRe =
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$Id\\s+SHALLOW\\s+CLONE\\s+$Id(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?(.*)""".r
+  private[sql] val AlterAddColsRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Id\\s+ADD\\s+COLUMNS?\\s*\\((.*)\\)\\s*;?\\s*""".r
+  private[sql] val AlterRenameColRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Id\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*""".r
+  private[sql] val AlterDropColRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Id\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*""".r
+  private[sql] val ShowCreateRe =
+    s"""(?is)\\s*SHOW\\s+CREATE\\s+TABLE\\s+$Id\\s*;?\\s*""".r
+  // path as Delta's parquet.`/path` or a plain quoted '/path'
+  private[sql] val ConvertRe =
+    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+(?:parquet\s*\.\s*`([^`]+)`|'([^']+)')(?:\s+PARTITIONED\s+BY\s*\((\w+)\s+([^)]+)\))?\s*;?\s*""".r
   // greedy (.*) takes the predicate to the LAST closing paren
   private[sql] val AlterAddCheckRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Id\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.*)\\)\\s*;?\\s*""".r
   private[sql] val AlterDropCheckRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Id\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*""".r
+  private[sql] val DropTableRe =
+    s"""(?is)\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?$Id\\s*;?\\s*""".r
+  private[sql] val DescribeRe =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?$Id\\s*;?\\s*""".r
 
   /** Comma-split value of `'key'='v1,v2'` inside the statement tail's
     * TBLPROPERTIES/OPTIONS clause (either quoting style). */
@@ -127,47 +199,254 @@ private object TxLogDdl {
   def rootOf(name: String): String =
     TxLogSql.lookupMeta(name).map(_._1).getOrElse(fail(
       s"'$name' is not a registered TxLog table"))
+
+  /** Managed-table root under the session warehouse — where a CREATE
+    * without LOCATION puts the log (CTAS, clone, and plain create all
+    * share it). */
+  def defaultRoot(session: SparkSession, name: String): String = {
+    val wh = session.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").stripSuffix("/")
+    s"$wh/graft/${name.toLowerCase(java.util.Locale.ROOT).replace('.', '/')}"
+  }
+
+  /** Timestamp literal → epoch millis, the two Delta-accepted shapes:
+    * `yyyy-MM-dd HH:mm:ss[.f]` and a bare `yyyy-MM-dd` (midnight). */
+  def tsMillis(lit: String): Long =
+    if (lit.trim.length <= 10)
+      java.sql.Date.valueOf(lit.trim).getTime
+    else java.sql.Timestamp.valueOf(lit.trim).getTime
 }
 
-/** `CREATE TABLE … USING graft`: create-or-attach + register. The
-  * schema (when given) parses at run time with the session's own
-  * parser, so every Spark column type works. */
+/** `CREATE [OR REPLACE] TABLE … USING graft [AS SELECT …]`:
+  * create-or-attach(-or-replace) + register. The schema (when given)
+  * parses at run time with the session's own parser, so every Spark
+  * column type works; a CTAS query runs through the session's full
+  * SQL pipeline. OR REPLACE on an existing table overwrites THROUGH
+  * the log — the replaced versions stay time-travelable (Delta's
+  * CREATE OR REPLACE keeps table history). */
 case class TxLogCreateTableCommand(name: String, colsDdl: Option[String],
                                    location: Option[String],
                                    keys: Seq[String], statsCols: Seq[String],
-                                   ifNotExists: Boolean)
+                                   ifNotExists: Boolean,
+                                   orReplace: Boolean = false,
+                                   asSelect: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
   override def run(session: SparkSession): Seq[Row] = {
-    val root = location.getOrElse {
-      val wh = session.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:").stripSuffix("/")
-      s"$wh/graft/${name.toLowerCase(java.util.Locale.ROOT).replace('.', '/')}"
-    }
+    if (colsDdl.nonEmpty && asSelect.nonEmpty)
+      TxLogDdl.fail("a column list and AS SELECT are mutually exclusive — " +
+        "CTAS takes its schema from the query")
+    val root = location.getOrElse(TxLogDdl.defaultRoot(session, name))
     val t = TxLog(session, root, statsCols = statsCols)
+    def queryDf = asSelect.map(q => session.sql(q))
     if (t.exists()) {
-      // attach semantics (Delta's external create over existing data):
-      // a bare name attaches; a DECLARED schema over an existing table
-      // needs IF NOT EXISTS and must match the stored one
-      if (!ifNotExists && colsDdl.nonEmpty)
-        TxLogDdl.fail(s"table at $root already exists — attach with CREATE " +
-          "TABLE IF NOT EXISTS, or omit the column list")
-      colsDdl.map(session.sessionState.sqlParser.parseTableSchema).foreach { s =>
-        val stored = t.snapshot().schema
-        if (s.map(f => (f.name, f.dataType)) !=
-            stored.map(f => (f.name, f.dataType)))
-          TxLogDdl.fail(s"declared schema ${s.simpleString} does not match " +
-            s"the stored schema ${stored.simpleString} at $root")
+      if (orReplace) {
+        // replace = overwrite through the log; schema comes from the
+        // query (CTAS) or the declared column list
+        val df = queryDf.orElse(
+          colsDdl.map(c => session.createDataFrame(
+            session.sparkContext.emptyRDD[Row],
+            session.sessionState.sqlParser.parseTableSchema(c))))
+          .getOrElse(TxLogDdl.fail(
+            "CREATE OR REPLACE needs a column list or AS SELECT"))
+        t.overwrite(df)
+      } else if (asSelect.nonEmpty) {
+        // CTAS on an existing table: IF NOT EXISTS makes it a no-op
+        // (ANSI), otherwise it is an error
+        if (!ifNotExists)
+          TxLogDdl.fail(s"table at $root already exists — CTAS needs " +
+            "OR REPLACE (or IF NOT EXISTS for a no-op)")
+      } else {
+        // attach semantics (Delta's external create over existing
+        // data): a bare name attaches; a DECLARED schema over an
+        // existing table needs IF NOT EXISTS and must match the stored
+        if (!ifNotExists && colsDdl.nonEmpty)
+          TxLogDdl.fail(s"table at $root already exists — attach with CREATE " +
+            "TABLE IF NOT EXISTS, or omit the column list")
+        colsDdl.map(session.sessionState.sqlParser.parseTableSchema).foreach { s =>
+          val stored = t.snapshot().schema
+          if (s.map(f => (f.name, f.dataType)) !=
+              stored.map(f => (f.name, f.dataType)))
+            TxLogDdl.fail(s"declared schema ${s.simpleString} does not match " +
+              s"the stored schema ${stored.simpleString} at $root")
+        }
       }
     } else {
-      val schema = colsDdl.map(session.sessionState.sqlParser.parseTableSchema)
+      val df = queryDf.orElse(
+        colsDdl.map(c => session.createDataFrame(
+          session.sparkContext.emptyRDD[Row],
+          session.sessionState.sqlParser.parseTableSchema(c))))
         .getOrElse(TxLogDdl.fail(
-          s"no TxLog table at $root — creating one requires a column list"))
-      t.overwrite(session.createDataFrame(
-        session.sparkContext.emptyRDD[Row], schema))
+          s"no TxLog table at $root — creating one requires a column list or AS SELECT"))
+      t.overwrite(df)
     }
     TxLogSql.register(name, t, keys)
+    TxLogSql.committed(root)
     Seq.empty
+  }
+}
+
+/** `RESTORE [TABLE] t TO VERSION AS OF n` / `TO TIMESTAMP AS OF 'ts'`
+  * → [[TxLog.restoreTo]]: the target snapshot's manifest re-commits as
+  * a NEW version — metadata-only, history preserved, writer txn marks
+  * carried (Delta RESTORE). Returns (new_version, restored_version). */
+case class TxLogRestoreCommand(name: String, target: Either[Long, String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("restored_version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = TxLogDdl.rootOf(name)
+    val t = TxLog(session, root)
+    val tv = target match {
+      case Left(v)   => v
+      case Right(ts) => t.versionAsOf(TxLogDdl.tsMillis(ts))
+    }
+    val nv = t.restoreTo(tv)
+    TxLogSql.committed(root)
+    Seq(Row(nv, tv))
+  }
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]
+  * [LOCATION '…']` → [[TxLog.shallowCloneTo]]: a zero-copy table whose
+  * v0 references the source's data dirs by absolute path, then evolves
+  * independently. The source's declared key columns carry to the clone
+  * (same logical table shape). */
+case class TxLogCloneCommand(dst: String, src: String, version: Option[Long],
+                             location: Option[String], ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(session: SparkSession): Seq[Row] = {
+    val (srcRoot, srcKeys) = TxLogSql.lookupMeta(src).getOrElse(TxLogDdl.fail(
+      s"'$src' is not a registered TxLog table"))
+    val dstRoot = location.getOrElse(TxLogDdl.defaultRoot(session, dst))
+    val dstT = TxLog(session, dstRoot)
+    if (dstT.exists()) {
+      if (!ifNotExists)
+        TxLogDdl.fail(s"clone destination $dstRoot already exists")
+    } else {
+      TxLog(session, srcRoot).shallowCloneTo(dstRoot, version.getOrElse(-1L))
+    }
+    TxLogSql.register(dst, dstT, srcKeys)
+    Seq.empty
+  }
+}
+
+/** `CONVERT TO GRAFT parquet.`/path` [PARTITIONED BY (col TYPE)]` →
+  * [[TxLog.convertFrom]]: in-place zero-rewrite import of an existing
+  * parquet directory (Delta's CONVERT TO DELTA). The converted table
+  * is addressed afterwards by attaching it:
+  * `CREATE TABLE name USING graft LOCATION '/path'`. */
+case class TxLogConvertCommand(path: String,
+                               partitionedBy: Option[(String, String)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(path, TxLog(session, path).convertFrom(partitionedBy)))
+}
+
+/** `ALTER TABLE t ADD COLUMNS (c1 T1, …)` → [[TxLog.addColumns]]:
+  * additive schema evolution as an explicit statement (a footer-only
+  * commit; existing rows read the new columns as null). */
+case class TxLogAddColumnsCommand(name: String, colsDdl: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = TxLogDdl.rootOf(name)
+    val v = TxLog(session, root).addColumns(
+      session.sessionState.sqlParser.parseTableSchema(colsDdl))
+    TxLogSql.committed(root)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` → [[TxLog.renameColumn]]
+  * (column mapping — metadata-only, zero data rewritten). */
+case class TxLogRenameColumnCommand(name: String, from: String, to: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = TxLogDdl.rootOf(name)
+    val v = TxLog(session, root).renameColumn(from, to)
+    TxLogSql.committed(root)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t DROP COLUMN c` → [[TxLog.dropColumn]] (column
+  * mapping — the entry disappears; bytes stay until a rewrite). */
+case class TxLogDropColumnCommand(name: String, col: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = TxLogDdl.rootOf(name)
+    val v = TxLog(session, root).dropColumn(col)
+    TxLogSql.committed(root)
+    Seq(Row(v))
+  }
+}
+
+/** `SHOW CREATE TABLE t`: the re-runnable DDL — current schema,
+  * `USING graft`, LOCATION, and TBLPROPERTIES carrying the declared
+  * key columns, the cluster column, and every live CHECK constraint
+  * (the Delta convention of surfacing constraints as properties). */
+case class TxLogShowCreateCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (root, keys) = TxLogSql.lookupMeta(name).get
+    val t = TxLog(session, root)
+    val cols = t.snapshot().schema
+      .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+    val props =
+      (if (keys.nonEmpty) Seq(s"'keys' = '${keys.mkString(",")}'") else Nil) ++
+      t.partitionColumn().map(pc => s"'clustered_by' = '$pc'").toSeq ++
+      t.constraints().map { case (n, p) => s"'constraint.$n' = '$p'" }
+    val propsClause =
+      if (props.isEmpty) "" else props.mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")")
+    Seq(Row(
+      s"CREATE TABLE $name (\n$cols)\nUSING graft\nLOCATION '$root'$propsClause"))
+  }
+}
+
+/** `DROP TABLE t` on a registered TxLog name: removes the SQL
+  * registration; the transaction log and data stay on disk (external
+  * -table semantics — Delta keeps data for unmanaged tables too; the
+  * storage-reclaim path is VACUUM + filesystem removal). A name that
+  * ALSO exists in the session catalog (a GoldCatalog-registered
+  * LOCATION table) forwards the drop to Spark after unregistering —
+  * the re-parsed statement delegates now, so the catalog entry goes
+  * too instead of being shadowed. */
+case class TxLogDropTableCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(session: SparkSession): Seq[Row] = {
+    TxLogSql.unregister(name)
+    if (session.catalog.tableExists(name))
+      session.sql(s"DROP TABLE $name")
+    Seq.empty
+  }
+}
+
+/** `DESCRIBE [TABLE] t` on a registered TxLog name: the current
+  * snapshot's columns plus the table's partition/cluster column as a
+  * `# Partitioning` section — the v2 DESCRIBE shape. */
+case class TxLogDescribeCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("data_type", StringType, nullable = false)(),
+    AttributeReference("comment", StringType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = TxLog(session, TxLogDdl.rootOf(name))
+    val cols = t.snapshot().schema.map(f =>
+      Row(f.name, f.dataType.simpleString, null))
+    cols ++ t.partitionColumn().toSeq.flatMap(pc => Seq(
+      Row("# Partitioning", "", null), Row("part_0", pc, null)))
   }
 }
 

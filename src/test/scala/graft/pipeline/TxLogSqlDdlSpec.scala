@@ -154,6 +154,185 @@ class TxLogSqlDdlSpec extends SparkTestBase {
     TxLogSql.unregister("sqlddl_chk")
   }
 
+  test("DESCRIBE TABLE lists the snapshot's columns + partitioning; DROP TABLE unregisters, data survives") {
+    val loc = tmpDir("sqlddl_descdrop")
+    spark.sql(s"CREATE TABLE sqlddl_dd (id BIGINT, v STRING) USING graft LOCATION '$loc'")
+    spark.sql("INSERT INTO sqlddl_dd VALUES (1, 'a')")
+    val desc = spark.sql("DESCRIBE TABLE sqlddl_dd").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(desc.toSeq === Seq(("id", "bigint"), ("v", "string")))
+    // a clustered table reports its partitioning section
+    val loc2 = tmpDir("sqlddl_descdrop2")
+    TxLog(spark, loc2).overwriteClustered(
+      Seq((0L, "x"), (1L, "y")).toDF("k", "s"), "k")
+    spark.sql(s"CREATE TABLE sqlddl_dd2 USING graft LOCATION '$loc2'")
+    val desc2 = spark.sql("DESC sqlddl_dd2").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(desc2.contains(("# Partitioning", "")) && desc2.contains(("part_0", "k")))
+    // DROP TABLE: the SQL name dies, the transaction log survives
+    spark.sql("DROP TABLE sqlddl_dd")
+    intercept[Exception](spark.sql("SELECT * FROM sqlddl_dd").collect())
+    assert(TxLog(spark, loc).snapshot().count() === 1L) // data intact
+    // and the location re-attaches
+    spark.sql(s"CREATE TABLE sqlddl_dd3 USING graft LOCATION '$loc'")
+    assert(spark.sql("SELECT count(*) FROM sqlddl_dd3").head().getLong(0) === 1L)
+    Seq("sqlddl_dd2", "sqlddl_dd3").foreach(TxLogSql.unregister)
+  }
+
+  test("CTAS + CREATE OR REPLACE: schema from the query, replace keeps history") {
+    val loc = tmpDir("sqlddl_ctas")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "v", "x").createOrReplaceTempView("sqlddl_ctas_src")
+    spark.sql(s"""
+      CREATE TABLE sqlddl_ctas USING graft TBLPROPERTIES ('keys'='id')
+      LOCATION '$loc'
+      AS SELECT id, v FROM sqlddl_ctas_src WHERE id < 3""")
+    assert(spark.sql("SELECT * FROM sqlddl_ctas").columns.toSeq === Seq("id", "v"))
+    assert(spark.sql("SELECT count(*) FROM sqlddl_ctas").head().getLong(0) === 2L)
+    // plain CTAS over an existing table is refused; IF NOT EXISTS no-ops
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE sqlddl_ctas USING graft LOCATION '$loc' AS SELECT 1 AS one"))
+    assert(e.getMessage.contains("already exists"))
+    spark.sql(s"CREATE TABLE IF NOT EXISTS sqlddl_ctas USING graft LOCATION '$loc' AS SELECT 1 AS one")
+    assert(spark.sql("SELECT count(*) FROM sqlddl_ctas").head().getLong(0) === 2L)
+    // OR REPLACE overwrites THROUGH the log: new schema, history intact
+    spark.sql(s"""
+      CREATE OR REPLACE TABLE sqlddl_ctas USING graft LOCATION '$loc'
+      AS SELECT id, x FROM sqlddl_ctas_src""")
+    assert(spark.sql("SELECT * FROM sqlddl_ctas").columns.toSeq === Seq("id", "x"))
+    assert(spark.sql("SELECT count(*) FROM sqlddl_ctas").head().getLong(0) === 3L)
+    // the pre-replace snapshot is still time-travelable
+    assert(spark.sql("SELECT count(*) FROM sqlddl_ctas VERSION AS OF 0")
+      .head().getLong(0) === 2L)
+    // a column list AND a query together are refused
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE OR REPLACE TABLE sqlddl_ctas (id BIGINT) USING graft LOCATION '$loc' AS SELECT 1 AS one"))
+    assert(e2.getMessage.contains("mutually exclusive"))
+    TxLogSql.unregister("sqlddl_ctas")
+  }
+
+  test("ALTER TABLE ADD/RENAME/DROP COLUMN: evolution + mapping, zero data rewritten") {
+    val loc = tmpDir("sqlddl_cols")
+    spark.sql(s"CREATE TABLE sqlddl_cols (id BIGINT, v STRING) USING graft LOCATION '$loc'")
+    spark.sql("INSERT INTO sqlddl_cols VALUES (1, 'a'), (2, 'b')")
+    // ADD COLUMNS: existing rows read the new column as null
+    val v = spark.sql("ALTER TABLE sqlddl_cols ADD COLUMNS (score DOUBLE)")
+      .head().getLong(0)
+    assert(v === 2L)
+    assert(spark.sql("SELECT * FROM sqlddl_cols").columns.toSeq ===
+      Seq("id", "v", "score"))
+    assert(spark.sql("SELECT count(*) FROM sqlddl_cols WHERE score IS NULL")
+      .head().getLong(0) === 2L)
+    spark.sql("INSERT INTO sqlddl_cols VALUES (3, 'c', 0.5)")
+    // re-adding an existing column is refused
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE sqlddl_cols ADD COLUMNS (v STRING)"))
+    assert(e.getMessage.contains("already exist"))
+    // RENAME COLUMN: metadata-only; the data files are untouched
+    val dataFiles = new java.io.File(s"$loc/data").listFiles().length
+    spark.sql("ALTER TABLE sqlddl_cols RENAME COLUMN score TO quality")
+    assert(new java.io.File(s"$loc/data").listFiles().length === dataFiles)
+    assert(spark.sql("SELECT * FROM sqlddl_cols").columns.toSeq ===
+      Seq("id", "v", "quality"))
+    assert(spark.sql(
+      "SELECT quality FROM sqlddl_cols WHERE id = 3").head().getDouble(0) === 0.5)
+    // DROP COLUMN: disappears from the snapshot, bytes stay on disk
+    spark.sql("ALTER TABLE sqlddl_cols DROP COLUMN quality")
+    assert(spark.sql("SELECT * FROM sqlddl_cols").columns.toSeq === Seq("id", "v"))
+    assert(new java.io.File(s"$loc/data").listFiles().length === dataFiles)
+    // time travel still reads each version under its own names
+    assert(spark.sql("SELECT * FROM sqlddl_cols VERSION AS OF 4").columns.toSeq
+      === Seq("id", "v", "quality"))
+    // an ALTER ADD COLUMNS on a non-graft catalog table passes through
+    spark.sql("CREATE TABLE IF NOT EXISTS sqlddl_pq_cols (k INT) USING parquet")
+    spark.sql("ALTER TABLE sqlddl_pq_cols ADD COLUMNS (extra INT)")
+    assert(spark.table("sqlddl_pq_cols").columns.toSeq === Seq("k", "extra"))
+    spark.sql("DROP TABLE IF EXISTS sqlddl_pq_cols")
+    TxLogSql.unregister("sqlddl_cols")
+  }
+
+  test("RESTORE TABLE: metadata-only rollback-as-commit, history preserved") {
+    val loc = tmpDir("sqlddl_restore")
+    spark.sql(s"CREATE TABLE sqlddl_rst (id BIGINT, v STRING) USING graft LOCATION '$loc'")
+    spark.sql("INSERT INTO sqlddl_rst VALUES (1, 'a')")          // v1
+    spark.sql("INSERT INTO sqlddl_rst VALUES (2, 'b')")          // v2
+    spark.sql("DELETE FROM sqlddl_rst WHERE id = 1")             // v3
+    assert(spark.sql("SELECT count(*) FROM sqlddl_rst").head().getLong(0) === 1L)
+    val r = spark.sql("RESTORE TABLE sqlddl_rst TO VERSION AS OF 2").head()
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 2L)))
+    assert(spark.sql("SELECT count(*) FROM sqlddl_rst").head().getLong(0) === 2L)
+    // the rolled-back version is still readable (history, not erasure)
+    assert(spark.sql("SELECT count(*) FROM sqlddl_rst VERSION AS OF 3")
+      .head().getLong(0) === 1L)
+    val ops = spark.sql("DESCRIBE HISTORY sqlddl_rst")
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.head === "RESTORE v2")
+    // TIMESTAMP AS OF form: a future instant resolves to the head
+    val future = java.time.LocalDateTime.now().plusHours(1)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val r2 = spark.sql(
+      s"RESTORE TABLE sqlddl_rst TO TIMESTAMP AS OF '$future'").head()
+    assert(r2.getLong(1) === 4L) // restored-to = current head → no-op
+    TxLogSql.unregister("sqlddl_rst")
+  }
+
+  test("SHALLOW CLONE via SQL: zero-copy, version-pinned, independent evolution") {
+    val loc = tmpDir("sqlddl_clone_src")
+    val dstLoc = tmpDir("sqlddl_clone_dst")
+    spark.sql(s"CREATE TABLE sqlddl_cl_src (id BIGINT, v STRING) USING graft TBLPROPERTIES ('keys'='id') LOCATION '$loc'")
+    spark.sql("INSERT INTO sqlddl_cl_src VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql("INSERT INTO sqlddl_cl_src VALUES (3, 'c')")           // v2
+    // clone pinned to v1: sees 2 rows however the source moves on
+    spark.sql(s"CREATE TABLE sqlddl_cl_dst SHALLOW CLONE sqlddl_cl_src VERSION AS OF 1 LOCATION '$dstLoc'")
+    assert(spark.sql("SELECT count(*) FROM sqlddl_cl_dst").head().getLong(0) === 2L)
+    // zero bytes copied: the clone's data dir holds no parquet of its own
+    assert(!new java.io.File(s"$dstLoc/data").exists() ||
+      new java.io.File(s"$dstLoc/data").listFiles().isEmpty)
+    // independent evolution: writes to the clone don't touch the source
+    spark.sql("INSERT INTO sqlddl_cl_dst VALUES (9, 'z')")
+    assert(spark.sql("SELECT count(*) FROM sqlddl_cl_dst").head().getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM sqlddl_cl_src").head().getLong(0) === 3L)
+    // the clone carried the source's declared keys: table_changes works
+    assert(spark.sql(
+      "SELECT count(*) FROM table_changes('sqlddl_cl_dst', 1, 1)")
+      .head().getLong(0) === 1L)
+    // an existing destination is refused without IF NOT EXISTS
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE sqlddl_cl_dst2 SHALLOW CLONE sqlddl_cl_src LOCATION '$dstLoc'"))
+    assert(e.getMessage.contains("already exists"))
+    spark.sql(s"CREATE TABLE IF NOT EXISTS sqlddl_cl_dst3 SHALLOW CLONE sqlddl_cl_src LOCATION '$dstLoc'")
+    assert(spark.sql("SELECT count(*) FROM sqlddl_cl_dst3").head().getLong(0) === 3L)
+    Seq("sqlddl_cl_src", "sqlddl_cl_dst", "sqlddl_cl_dst3")
+      .foreach(TxLogSql.unregister)
+  }
+
+  test("SHOW CREATE TABLE renders re-runnable DDL with keys, cluster column, constraints") {
+    val loc = tmpDir("sqlddl_showcreate")
+    spark.sql(s"CREATE TABLE sqlddl_sc (id BIGINT, bal DECIMAL(18,2)) USING graft TBLPROPERTIES ('keys'='id') LOCATION '$loc'")
+    spark.sql("INSERT INTO sqlddl_sc VALUES (1, 10.00)")
+    spark.sql("ALTER TABLE sqlddl_sc ADD CONSTRAINT bal_pos CHECK (bal >= 0)")
+    val ddl = spark.sql("SHOW CREATE TABLE sqlddl_sc").head().getString(0)
+    assert(ddl.contains("CREATE TABLE sqlddl_sc"))
+    assert(ddl.contains("id BIGINT") && ddl.contains("bal DECIMAL(18,2)"))
+    assert(ddl.contains("USING graft") && ddl.contains(s"LOCATION '$loc'"))
+    assert(ddl.contains("'keys' = 'id'"))
+    assert(ddl.contains("'constraint.bal_pos' = 'bal >= 0'"))
+    // the rendered DDL re-attaches the table under a new name
+    TxLogSql.unregister("sqlddl_sc")
+    spark.sql(ddl.replace("CREATE TABLE sqlddl_sc (",
+      "CREATE TABLE IF NOT EXISTS sqlddl_sc2 ("))
+    assert(spark.sql("SELECT count(*) FROM sqlddl_sc2").head().getLong(0) === 1L)
+    // a clustered table surfaces its layout column
+    val loc2 = tmpDir("sqlddl_showcreate2")
+    TxLog(spark, loc2).overwriteClustered(
+      Seq((0L, "x"), (1L, "y")).toDF("k", "s"), "k")
+    spark.sql(s"CREATE TABLE sqlddl_sc3 USING graft LOCATION '$loc2'")
+    assert(spark.sql("SHOW CREATE TABLE sqlddl_sc3").head().getString(0)
+      .contains("'clustered_by' = 'k'"))
+    Seq("sqlddl_sc2", "sqlddl_sc3").foreach(TxLogSql.unregister)
+  }
+
   test("non-graft statements and unregistered names pass through to Spark untouched") {
     // ordinary SQL still parses through the delegate
     assert(spark.sql("SELECT 1 + 1").head().getInt(0) === 2)
