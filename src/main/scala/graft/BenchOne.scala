@@ -24,9 +24,17 @@ object BenchOne {
     val calibFirst = Bench.calibrate(spark)
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
+      // same billing as [[Bench]]: one-time layout writes (bucketed
+      // tables, persisted ANN indexes) bill to layout, not the query —
+      // a BenchOne reading is then directly comparable to the map's
+      val l0 = ops.Scale.layoutNanos.get()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      val elapsed = System.nanoTime() - t0
+      val layout = ops.Scale.layoutNanos.get() - l0
+      val billed = (elapsed - layout).max(0L) / 1e9
+      val note = if (layout > 0) f"  (+${layout / 1e9}%.2f s layout)" else ""
+      println(f"$name%-28s $billed%8.2f s  ($n rows)$note")
     }
     val calibLast = Bench.calibrate(spark)
     println(f"__calib__ first=$calibFirst%.3f last=$calibLast%.3f")
