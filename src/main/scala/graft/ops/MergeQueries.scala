@@ -1367,5 +1367,105 @@ object MergeQueries {
       SELECT l_returnflag, count(*) AS cnt,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
       FROM live GROUP BY l_returnflag""")),
+
+    // The FULL conditional MERGE under the hash gate — Delta's
+    // complete clause surface in one statement: a conditional matched
+    // DELETE ahead of an expression-assignment UPDATE (first passing
+    // clause wins), a conditional column-list INSERT (unlisted column
+    // → NULL), and a NOT MATCHED BY SOURCE DELETE (full-sync). The
+    // commit rewrites only dirs holding modified rows and carries the
+    // rest (TxLogMergeIntoSpec pins that); the oracle reproduces each
+    // clause with plain joins. Reference: `gold_dim_branch.ipynb:88166`
+    // is the unconditional upsert subset of this statement.
+    Q("txlog_sql_merge_full", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_mergefull_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val sup = load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("decimal(18,2)").as("s_acctbal"))
+      val t = graft.pipeline.TxLog(spark, root)
+      t.overwrite(sup.filter(col("s_suppkey") % 7 =!= 0))
+      sup.filter(col("s_suppkey") % 3 === 0)
+        .createOrReplaceTempView("txlog_mergefull_src")
+      graft.sql.TxLogSql.register("txlog_mergefull_tgt", t)
+      spark.sql("""
+        MERGE INTO txlog_mergefull_tgt AS t
+        USING txlog_mergefull_src AS s
+        ON t.s_suppkey = s.s_suppkey
+        WHEN MATCHED AND s.s_acctbal < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET
+          s_name = concat(t.s_name, ' *'), s_acctbal = s.s_acctbal + 5
+        WHEN NOT MATCHED AND s.s_acctbal >= 0 THEN
+          INSERT (s_suppkey, s_name) VALUES (s.s_suppkey + 2000000, s.s_name)
+        WHEN NOT MATCHED BY SOURCE AND t.s_suppkey % 11 = 0 THEN DELETE""")
+      t.snapshot().select(col("s_suppkey"), col("s_name"),
+        col("s_acctbal").cast("double").as("s_acctbal"))
+    }, oracle = Some("""
+      WITH sup AS (
+        SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+        FROM supplier),
+      target AS (SELECT * FROM sup WHERE s_suppkey % 7 <> 0),
+      src AS (SELECT * FROM sup WHERE s_suppkey % 3 = 0)
+      SELECT t.s_suppkey, t.s_name || ' *' AS s_name,
+             CAST(CAST(s.s_acctbal + 5 AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
+      FROM target t JOIN src s ON t.s_suppkey = s.s_suppkey
+      WHERE NOT (s.s_acctbal < 0)
+      UNION ALL
+      SELECT t.s_suppkey, t.s_name, CAST(t.s_acctbal AS DOUBLE)
+      FROM target t LEFT JOIN src s ON t.s_suppkey = s.s_suppkey
+      WHERE s.s_suppkey IS NULL AND NOT (t.s_suppkey % 11 = 0)
+      UNION ALL
+      SELECT s.s_suppkey + 2000000, s.s_name, CAST(NULL AS DOUBLE)
+      FROM src s LEFT JOIN target t ON s.s_suppkey = t.s_suppkey
+      WHERE t.s_suppkey IS NULL AND s.s_acctbal >= 0""")),
+
+    // COPY INTO under the hash gate — the 100 TB landing-zone story:
+    // files arrive in a staging directory over time; each COPY loads
+    // exactly the files the manifest-committed registry has not seen
+    // (first run all 3, idempotent rerun 0, two late files 2), and the
+    // final table holds every staged row exactly once. The hash folds
+    // the per-run file counts AND the final aggregate, so it proves
+    // the exactly-once file tracking, not just the end state.
+    // Reference: the ADF-triggered landing-zone ingestion the
+    // reference describes in prose (`README.md:8-10`) — COPY INTO is
+    // its transactional, rerunnable form.
+    Q("txlog_copy_into", (spark, dir) => {
+      import spark.implicits._
+      val tag = dir.hashCode.abs
+      val stage = s"/root/repo/target/tmp/copyinto_stage_$tag"
+      val root = s"/root/repo/target/tmp/copyinto_tbl_$tag"
+      Seq(stage, root, s"${stage}_late").foreach(r =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r)))
+      val sup = load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("decimal(18,2)").as("s_acctbal"))
+      sup.filter(col("s_suppkey") % 2 === 0).repartition(3)
+        .write.parquet(stage)
+      val t = graft.pipeline.TxLog(spark, root)
+      val (_, n1) = t.copyInto(stage)
+      val (_, n2) = t.copyInto(stage) // idempotent rerun
+      // two late files land in the same staging dir
+      val late = s"${stage}_late"
+      sup.filter(col("s_suppkey") % 2 === 1).repartition(2)
+        .write.parquet(late)
+      new java.io.File(late).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$stage/late_$i.parquet")) }
+      val (_, n3) = t.copyInto(stage)
+      Seq(("files_first", n1.toDouble), ("files_rerun", n2.toDouble),
+        ("files_late", n3.toDouble)).toDF("metric", "val")
+        .unionByName(t.snapshot().agg(
+            count(lit(1)).cast("double").as("rows"),
+            sum(col("s_acctbal")).cast("double").as("bal"))
+          .selectExpr("stack(2, 'rows', rows, 'bal_sum', bal) AS (metric, val)"))
+    }, oracle = Some("""
+      SELECT 'files_first' AS metric, CAST(3 AS DOUBLE) AS val
+      UNION ALL SELECT 'files_rerun', 0
+      UNION ALL SELECT 'files_late', 2
+      UNION ALL SELECT 'rows', CAST(count(*) AS DOUBLE) FROM supplier
+      UNION ALL SELECT 'bal_sum',
+        CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) FROM supplier""")),
   )
 }

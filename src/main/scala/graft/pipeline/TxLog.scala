@@ -136,7 +136,8 @@ final case class TxLog(spark: SparkSession, root: String,
                               checks: Seq[(String, String)] = Nil,
                               tombstones: Map[String, Seq[String]] = Map.empty,
                               colMap: Seq[(String, String)] = Nil,
-                              retired: Seq[String] = Nil) {
+                              retired: Seq[String] = Nil,
+                              copied: Seq[String] = Nil) {
     def dirs: Seq[String] = entries.map(_._1).distinct
   }
 
@@ -204,6 +205,8 @@ final case class TxLog(spark: SparkSession, root: String,
     }
     val retired = lines.filter(_.startsWith("#colretired\t"))
       .map(_.stripPrefix("#colretired\t"))
+    val copied = lines.filter(_.startsWith("#copied\t"))
+      .map(_.stripPrefix("#copied\t"))
     val entries = lines.filterNot(_.startsWith("#")).map { l =>
       l.split('\t') match {
         case Array(d) => (d, None)
@@ -216,7 +219,7 @@ final case class TxLog(spark: SparkSession, root: String,
       }
     }
     Manifest(partCol, stats, entries, ranges, txns, blooms, checks, tombstones,
-      colMap, retired)
+      colMap, retired, copied)
   }
 
   /** Scheme-qualified FOREIGN tag — a partition tag recorded under a
@@ -288,6 +291,7 @@ final case class TxLog(spark: SparkSession, root: String,
         ts.map(t => s"#tombstone\t$d\t$t") } ++
       m.colMap.map { case (lg, ph) => s"#colmap\t$lg\t$ph" } ++
       m.retired.map(ph => s"#colretired\t$ph") ++
+      m.copied.map(u => s"#copied\t$u") ++
       m.entries.map { case (d, t) =>
         t.map(splitTag) match {
           case Some((Some(c), v)) => s"$d\t$v\t$c"
@@ -895,6 +899,39 @@ final case class TxLog(spark: SparkSession, root: String,
   // a metadata-sized sidecar write instead of a dir rewrite.
   private final val DvFile = "__dv_file"
   private final val DvRow = "__dv_row"
+  private final val DvDir = "__dv_dir"
+
+  /** Every visible row of manifest `m` in the VISIBLE schema plus the
+    * physical row address ([[DvFile]], [[DvRow]]) and the owning dir
+    * ([[DvDir]]) — the input relation for row-addressed mutations:
+    * [[deleteWhere]] tombstones by address, [[mergeInto]] rewrites the
+    * addressed dirs and carries the rest. Pre-evolution dirs null-fill
+    * columns they lack (mergeSchema union of dir footers), so a
+    * predicate over any visible column resolves everywhere. */
+  private def addressedVisibleRows(m: Manifest): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val full = spark.read.option("mergeSchema", "true")
+      .parquet(m.dirs.map(dirPath): _*).schema
+    m.entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
+      val base = withRowIds(snapshotOfDir(d))
+      val minus = m.tombstones.get(d).filter(_.nonEmpty)
+        .fold(base)(ts => dropTombstoned(base, ts))
+      val vis = tagFilter(m.partCol, es.map(_._2)).fold(minus)(minus.filter)
+      val widened = full.fields.filterNot(f => vis.columns.contains(f.name))
+        .foldLeft(vis)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
+      // mutations speak the VISIBLE schema: project physical → logical
+      // (keeping the row-address columns) before evaluating anything
+      val visNamed =
+        if (m.colMap.isEmpty) widened
+        else {
+          val have = widened.columns.toSet
+          widened.select(m.colMap.collect {
+            case (lg, ph) if have(ph) => col(ph).as(lg) } ++
+            Seq(col(DvFile), col(DvRow)): _*)
+        }
+      visNamed.withColumn(DvDir, lit(d))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** `df` widened with the two physical row-address columns. */
   private def withRowIds(df: DataFrame): DataFrame = {
@@ -1441,7 +1478,7 @@ final case class TxLog(spark: SparkSession, root: String,
       val checks = mergedChecks(prev.checks)
       enforceChecksOnDirs(Seq(uuid), checks)
       val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
-        prev.txns, blooms, checks))
+        prev.txns, blooms, checks, copied = prev.copied))
       if (tryCommitManifest(cur + 1, lines, "OVERWRITE")) return cur + 1
       attempt += 1
     }
@@ -1500,12 +1537,122 @@ final case class TxLog(spark: SparkSession, root: String,
         prev.blooms ++ newBlooms,
         checks,
         prev.tombstones, // carried dirs keep their deletion vectors
-        colMap = fullMap, retired = prev.retired)
+        colMap = fullMap, retired = prev.retired, copied = prev.copied)
       if (tryCommitManifest(cur + 1, manifestLines(m), op)) return cur + 1
       attempt += 1
     }
     throw new java.io.IOException(
       s"TxLog append lost $MaxRaceRetries optimistic races at $root")
+  }
+
+  /** COPY INTO — file-granular idempotent bulk ingestion (Databricks'
+    * statement of the same name): load the files under `srcDir`
+    * matching `pattern` that have NOT been loaded before, in ONE
+    * atomic commit appending both the rows and the loaded-file
+    * registry entries. Re-running after new files land loads only the
+    * new files; re-running with nothing new is a no-op; `force`
+    * ignores the registry (Databricks `COPY_OPTIONS('force'='true')`).
+    * Returns (committed version, files loaded).
+    *
+    * The registry rides the manifest: each COPY writes its
+    * loaded-file list as a parquet sidecar dir referenced by a
+    * `#copied` line — the deletion-vector sidecar pattern — so data
+    * and ingestion record commit atomically (no crash window where a
+    * file is half-tracked), registry reads scale as a parquet
+    * anti-join (never a driver-side set), [[vacuum]] keeps live
+    * sidecars, and [[restoreTo]] rolls the registry back with the
+    * data (a file loaded after the restore point is loadable again).
+    *
+    * 100 TB shape: the driver pays one directory listing — the cost
+    * any external scan pays — and collects only the NEW files' paths
+    * (needed to open them); the loaded-set subtraction is a
+    * distributed anti-join against the registry sidecars; the read
+    * touches only new files. Rows align to the table's visible schema
+    * by name under ANSI casts (INSERT's store-assignment contract);
+    * files carrying extra columns or lacking table columns are
+    * refused loudly. A virgin table adopts the first batch's schema. */
+  def copyInto(srcDir: String, format: String = "parquet",
+               pattern: String = "*",
+               options: Map[String, String] = Map.empty,
+               force: Boolean = false): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val statuses = fs.globStatus(new Path(srcDir, pattern))
+    val candidates = Option(statuses).getOrElse(Array.empty).toSeq
+      .filter(_.isFile).map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .map(p => (p.toUri.getPath, fs.getFileStatus(p).getLen,
+        fs.getFileStatus(p).getModificationTime))
+      .sortBy(_._1)
+    require(candidates.nonEmpty,
+      s"COPY INTO $root: no files matching '$pattern' under $srcDir")
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val cur = currentVersion()
+      val prev =
+        if (cur >= 0) readManifestFull(cur)
+        else Manifest(None, Seq.empty, Seq.empty, Map.empty)
+      val candDf = spark.createDataFrame(candidates)
+        .toDF("path", "size", "mtime")
+      val newFiles =
+        (if (force || prev.copied.isEmpty) candDf
+         else candDf.join(
+           spark.read.parquet(prev.copied.map(dirPath): _*).select("path"),
+           Seq("path"), "left_anti"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSeq.sortBy(_._1)
+      if (newFiles.isEmpty) return (cur, 0L) // everything already loaded
+      val raw = spark.read.format(format).options(options)
+        .option("mergeSchema", "true").load(newFiles.map(_._1): _*)
+      val aligned =
+        if (cur < 0 || prev.entries.isEmpty) raw
+        else {
+          val tgt = snapshot(cur).schema
+          val extra = raw.columns.filterNot(c =>
+            tgt.fieldNames.exists(_.equalsIgnoreCase(c)))
+          require(extra.isEmpty, s"COPY INTO $root: files carry columns " +
+            s"not on the table: ${extra.mkString(", ")}")
+          val missing = tgt.fieldNames.filterNot(c =>
+            raw.columns.exists(_.equalsIgnoreCase(c)))
+          require(missing.isEmpty, s"COPY INTO $root: files lack table " +
+            s"column(s): ${missing.mkString(", ")}")
+          raw.select(tgt.fields.toSeq.map(f =>
+            col(raw.columns.find(_.equalsIgnoreCase(f.name)).get)
+              .cast(f.dataType).as(f.name)): _*)
+        }
+      val df = withGenerated(aligned)
+      val (phys, fullMap) = toPhysical(prev.colMap, prev.retired, df)
+      val uuid = writeDataDir(phys)
+      val regUuid = writeDataDir(spark.createDataFrame(newFiles)
+        .toDF("path", "size", "mtime").repartition(1), sized = false)
+      val (hdr, newRanges) = statsFor(uuid, fullMap)
+      val newBlooms = bloomsFor(uuid, fullMap)
+      val header = carriedHeader(prev.stats, hdr)
+      val headerCols = header.map(_._1).toSet
+      val checks = mergedChecks(prev.checks)
+      enforceChecksOnDirs(Seq(uuid), checks, colMap = fullMap)
+      val m = Manifest(prev.partCol, header,
+        prev.entries :+ ((uuid, None)),
+        prev.ranges.filter { case ((_, c), _) => headerCols(c) } ++ newRanges,
+        prev.txns, prev.blooms ++ newBlooms, checks, prev.tombstones,
+        colMap = fullMap, retired = prev.retired,
+        copied = prev.copied :+ regUuid)
+      if (tryCommitManifest(cur + 1, manifestLines(m), "COPY INTO"))
+        return (cur + 1, newFiles.size.toLong)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog copyInto lost $MaxRaceRetries optimistic races at $root")
+  }
+
+  /** The loaded-file registry [[copyInto]] maintains — (path, size,
+    * mtime) per ingested file at the current version. */
+  def copiedFiles(): DataFrame = {
+    val cur = currentVersion()
+    val copied = if (cur < 0) Nil else readManifestFull(cur).copied
+    if (copied.isEmpty)
+      spark.createDataFrame(Seq.empty[(String, Long, Long)])
+        .toDF("path", "size", "mtime")
+    else spark.read.parquet(copied.map(dirPath): _*)
   }
 
   /** IDENTITY-column append (Delta's `GENERATED ALWAYS AS IDENTITY`):
@@ -1602,7 +1749,8 @@ final case class TxLog(spark: SparkSession, root: String,
       val checks = mergedChecks(prev.checks)
       enforceChecksOnDirs(Seq(uuid), checks)
       val lines = manifestLines(Manifest(Some(partCol), hdr, entries, ranges,
-        txnsAfter(prev.txns, txn), blooms, checks))
+        txnsAfter(prev.txns, txn), blooms, checks,
+        copied = prev.copied))
       if (tryCommitManifest(cur + 1, lines, "OVERWRITE")) return cur + 1
       attempt += 1
     }
@@ -1724,7 +1872,8 @@ final case class TxLog(spark: SparkSession, root: String,
       val checks = mergedChecks(prev.checks)
       enforceChecksOnDirs(entries.map(_._1).distinct, checks)
       val lines = manifestLines(Manifest(Some(partCol), header, entries, ranges,
-        txnsAfter(prev.txns, txn), Map.empty, checks))
+        txnsAfter(prev.txns, txn), Map.empty, checks,
+        copied = prev.copied))
       if (tryCommitManifest(cur + 1, lines, "OVERWRITE")) return cur + 1
       attempt += 1
     }
@@ -1974,7 +2123,7 @@ final case class TxLog(spark: SparkSession, root: String,
         carry ++ newEntries,
         carriedRanges ++ newRanges, txnsAfter(prev.txns, txn),
         carriedBlooms ++ newBlooms, checks, carriedTombs,
-        colMap = fullMap, retired = prev.retired))
+        colMap = fullMap, retired = prev.retired, copied = prev.copied))
       onCommitAttempt()
       if (tryCommitManifest(base + 1, lines, op.toUpperCase)) return base + 1
       attempt += 1
@@ -2031,7 +2180,7 @@ final case class TxLog(spark: SparkSession, root: String,
               carry2 ++ newEntries2,
               carriedRanges2 ++ newRanges, txnsAfter(np.txns, txn),
               carriedBlooms2 ++ newBlooms, checks2, carriedTombs2,
-              colMap = fullMap, retired = np.retired))
+              colMap = fullMap, retired = np.retired, copied = np.copied))
             if (tryCommitManifest(nb + 1, lines2, op.toUpperCase)) return nb + 1
             attempt += 1
           }
@@ -2080,12 +2229,194 @@ final case class TxLog(spark: SparkSession, root: String,
       val checks = mergedChecks(prev.checks)
       enforceChecksOnDirs(Seq(uuid), checks)
       val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
-        txnsAfter(prev.txns, txn), bloomsFor(uuid), checks))
+        txnsAfter(prev.txns, txn), bloomsFor(uuid), checks,
+        copied = prev.copied))
       if (tryCommitManifest(base + 1, lines, "MERGE")) return base + 1
       attempt += 1
     }
     throw new java.io.IOException(
       s"TxLog merge lost $MaxRaceRetries optimistic races at $root")
+  }
+
+  /** Full conditional MERGE — Delta's complete clause surface (see
+    * [[MergeInto]] for the model): matched rows update or delete under
+    * per-clause conditions, unmatched source rows insert, unmatched
+    * TARGET rows (`WHEN NOT MATCHED BY SOURCE`) update or delete.
+    * Clause conditions and assignment RHSes are SQL expressions over
+    * `targetAlias`/`sourceAlias`-qualified columns; assigned values
+    * cast to the target column's type under the session's ANSI mode
+    * (unrepresentable values fail the commit, mirroring INSERT).
+    *
+    * 100 TB shape — the commit rewrites ONLY the dirs holding modified
+    * rows and carries everything else structurally:
+    *   1. join target (with physical row addresses) to source once;
+    *      only rows where some clause FIRES materialize
+    *      (`localCheckpoint` ∝ touched + inserted rows, never ∝ table);
+    *   2. the fired addresses name the affected dirs (driver sees one
+    *      string per dir — metadata-scale); unaffected dirs' manifest
+    *      lines, stats, blooms and tombstones carry unchanged;
+    *   3. affected dirs rewrite as survivors (address anti-join — the
+    *      fired side is delete-volume-sized, so AQE broadcasts it)
+    *      plus the fired updates plus the inserts, in one fresh dir.
+    *
+    * SQL MERGE contract details: clauses fire in declaration order,
+    * first passing condition wins; a non-final clause must carry a
+    * condition; two source rows modifying the same target row is a
+    * cardinality violation and fails the whole commit (Delta's
+    * behavior); a MERGE where no clause fires anywhere is a no-op
+    * (current version stands, no churn). `UPDATE SET *` / `INSERT *`
+    * require every target column on the source by name. Optimistic
+    * TRANSACTION like [[merge]]; `txn` gives streaming exactly-once.
+    * Schema evolution is [[merge]]'s `evolve` flag — the conditional
+    * path keeps the target schema fixed. */
+  def mergeInto(src: DataFrame, condition: String,
+                matched: Seq[MergeInto.When] = Nil,
+                notMatched: Seq[MergeInto.When] = Nil,
+                notMatchedBySource: Seq[MergeInto.When] = Nil,
+                targetAlias: String = "t", sourceAlias: String = "s",
+                txn: Option[(String, Long)] = None): Long = {
+    import MergeInto._
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "MERGE requires at least one WHEN clause")
+    def checkClauses(ws: Seq[When], who: String)(ok: Action => Boolean): Unit = {
+      ws.foreach(w => require(ok(w.action),
+        s"unsupported action ${w.action} in a $who clause"))
+      ws.dropRight(1).foreach(w => require(w.cond.nonEmpty,
+        s"only the last $who clause may omit its AND condition"))
+    }
+    checkClauses(matched, "WHEN MATCHED") {
+      case Update(_) | UpdateAll | Delete => true; case _ => false }
+    checkClauses(notMatched, "WHEN NOT MATCHED") {
+      case Insert(_) | InsertAll => true; case _ => false }
+    checkClauses(notMatchedBySource, "WHEN NOT MATCHED BY SOURCE") {
+      case Update(_) | Delete => true; case _ => false }
+    val SrcMark = "__merge_src"
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val base = currentVersion()
+      require(base >= 0, s"TxLog table at $root has no commits to merge into")
+      val prev = readManifestFull(base)
+      if (alreadyCommitted(prev, txn)) return base
+      val tgtSchema = snapshot(base).schema
+      def tgtField(n: String) = tgtSchema.fields
+        .find(_.name.equalsIgnoreCase(n))
+        .getOrElse(throw new IllegalArgumentException(
+          s"MERGE assigns unknown target column '$n'"))
+      (matched ++ notMatched ++ notMatchedBySource).foreach(_.action match {
+        case Update(sets)   => sets.foreach(s => tgtField(s._1))
+        case Insert(values) => values.foreach(v => tgtField(v._1))
+        case UpdateAll | InsertAll =>
+          val missing = tgtSchema.fieldNames.filterNot(c =>
+            src.columns.exists(_.equalsIgnoreCase(c)))
+          require(missing.isEmpty, "UPDATE SET * / INSERT * requires every " +
+            s"target column on the source; missing: ${missing.mkString(", ")}")
+        case Delete =>
+      })
+      val addressed = addressedVisibleRows(prev)
+      val tAliased = addressed.alias(targetAlias)
+      val sAliased = src.withColumn(SrcMark, lit(true)).alias(sourceAlias)
+      // full outer only when target-only rows can fire a clause —
+      // otherwise they carry structurally and never enter the join
+      val joinType =
+        if (notMatchedBySource.nonEmpty) "full_outer" else "right_outer"
+      val tgtPresent = col(s"$targetAlias.$DvFile").isNotNull
+      val srcPresent = col(s"$sourceAlias.$SrcMark").isNotNull
+      def condOf(w: When) = w.cond.map(expr).getOrElse(lit(true))
+      val mActs = matched.zipWithIndex.map { case (w, i) => (s"m$i", w) }
+      val iActs = notMatched.zipWithIndex.map { case (w, i) => (s"i$i", w) }
+      val nActs = notMatchedBySource.zipWithIndex.map {
+        case (w, i) => (s"n$i", w) }
+      // one when-chain: groups are guard-disjoint, order matters only
+      // within a group — first passing condition wins
+      val ActCol = "__merge_act"
+      val actChain =
+        (mActs.map { case (g, w) => (tgtPresent && srcPresent && condOf(w), g) } ++
+         iActs.map { case (g, w) => (!tgtPresent && srcPresent && condOf(w), g) } ++
+         nActs.map { case (g, w) => (tgtPresent && !srcPresent && condOf(w), g) })
+          .foldRight(lit(null).cast("string")) { case ((p, g), acc) =>
+            when(p, lit(g)).otherwise(acc) }
+      // the fired row's NEW value for column f, per firing clause —
+      // resolved against the live aliases, then flattened so the
+      // checkpoint below needs no qualifier resolution
+      def valueOf(f: org.apache.spark.sql.types.StructField,
+                  w: When): org.apache.spark.sql.Column = w.action match {
+        case Update(sets) => sets.find(_._1.equalsIgnoreCase(f.name))
+          .map(kv => expr(kv._2).cast(f.dataType))
+          .getOrElse(col(s"$targetAlias.${f.name}"))
+        case UpdateAll | InsertAll =>
+          col(s"$sourceAlias.${f.name}").cast(f.dataType)
+        case Insert(values) => values.find(_._1.equalsIgnoreCase(f.name))
+          .map(kv => expr(kv._2).cast(f.dataType))
+          .getOrElse(lit(null).cast(f.dataType))
+        case Delete => lit(null).cast(f.dataType) // row is dropped anyway
+      }
+      def valueChain(f: org.apache.spark.sql.types.StructField) =
+        (mActs ++ iActs ++ nActs).foldRight(
+          lit(null).cast(f.dataType)) { case ((g, w), acc) =>
+          when(col(ActCol) === lit(g), valueOf(f, w)).otherwise(acc) }
+      val fired = tAliased.join(sAliased, expr(condition), joinType)
+        .withColumn(ActCol, actChain).filter(col(ActCol).isNotNull)
+        .select(Seq(col(s"$targetAlias.$DvDir").as(DvDir),
+            col(s"$targetAlias.$DvFile").as(DvFile),
+            col(s"$targetAlias.$DvRow").as(DvRow), col(ActCol)) ++
+          tgtSchema.fields.toSeq.map(f => valueChain(f).as(f.name)): _*)
+        .localCheckpoint(true) // ∝ touched + inserted rows, not table
+      if (fired.isEmpty) return base // nothing fired anywhere: no-op
+      // SQL MERGE cardinality contract: a target row modified by two
+      // source matches fails the statement, not last-writer-wins
+      if (mActs.nonEmpty &&
+          fired.filter(col(ActCol).isin(mActs.map(_._1): _*))
+            .groupBy(col(DvDir), col(DvFile), col(DvRow)).count()
+            .filter(col("count") > 1).limit(1).count() > 0)
+        throw new IllegalStateException("MERGE cardinality violation: " +
+          "multiple source rows matched and attempted to modify the same " +
+          s"target row at $root — deduplicate the source on the merge keys")
+      val deleteActs = (mActs ++ nActs).collect {
+        case (g, When(_, Delete)) => g }
+      // affected dirs: bounded metadata (≤ table dir count) — the
+      // sanctioned driver round-trip
+      val affected = fired.filter(col(DvDir).isNotNull).select(col(DvDir))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      val outCols = tgtSchema.fields.toSeq.map(f => col(f.name))
+      val survivors = addressed.filter(col(DvDir).isin(affected: _*))
+        .join(fired.select(col(DvDir), col(DvFile), col(DvRow)),
+          Seq(DvDir, DvFile, DvRow), "left_anti")
+      val newData = survivors.select(outCols: _*).unionByName(
+        fired.filter(if (deleteActs.isEmpty) lit(true)
+          else !col(ActCol).isin(deleteActs: _*)).select(outCols: _*))
+      val (physNew, fullMap) = toPhysical(prev.colMap, prev.retired, newData)
+      val uuid = writeDataDir(physNew)
+      val (hdr, newRanges) = statsFor(uuid, fullMap)
+      val newBlooms = bloomsFor(uuid, fullMap)
+      val header = carriedHeader(prev.stats, hdr)
+      val headerCols = header.map(_._1).toSet
+      val carry = prev.entries.filterNot(e => affected.contains(e._1))
+      val carriedRanges = prev.ranges.filter { case ((d, c), _) =>
+        headerCols(c) && carry.exists(_._1 == d) }
+      val carriedBlooms = prev.blooms.filter { case ((d, _), _) =>
+        carry.exists(_._1 == d) }
+      val carriedTombs = prev.tombstones.filter { case (d, _) =>
+        carry.exists(_._1 == d) }
+      val newEntries = prev.partCol match {
+        case Some(pc) =>
+          val ps = partValues(newData, pc)
+          if (ps.isEmpty && carry.isEmpty) Seq((uuid, Option.empty[String]))
+          else ps.map(p => (uuid, Option(p)))
+        case None => Seq((uuid, Option.empty[String]))
+      }
+      val checks = mergedChecks(prev.checks)
+      enforceChecksOnDirs(Seq(uuid), checks, colMap = fullMap)
+      val lines = manifestLines(Manifest(prev.partCol, header,
+        carry ++ newEntries, carriedRanges ++ newRanges,
+        txnsAfter(prev.txns, txn), carriedBlooms ++ newBlooms, checks,
+        carriedTombs, colMap = fullMap, retired = prev.retired,
+        copied = prev.copied))
+      if (tryCommitManifest(base + 1, lines, "MERGE")) return base + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog mergeInto lost $MaxRaceRetries optimistic races at $root")
   }
 
   /** Copy-on-write `UPDATE ... SET ... [WHERE ...]` commit: every
@@ -2122,7 +2453,8 @@ final case class TxLog(spark: SparkSession, root: String,
       val checks = mergedChecks(prev.checks)
       enforceChecksOnDirs(Seq(uuid), checks)
       val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
-        txnsAfter(prev.txns, None), bloomsFor(uuid), checks))
+        txnsAfter(prev.txns, None), bloomsFor(uuid), checks,
+        copied = prev.copied))
       if (tryCommitManifest(base + 1, lines, "UPDATE")) return base + 1
       attempt += 1
     }
@@ -2147,37 +2479,15 @@ final case class TxLog(spark: SparkSession, root: String,
     * Optimistic TRANSACTION like [[merge]]: the hit set depends on the
     * snapshot read, so a lost race recomputes it. */
   def deleteWhere(predicate: String): Long = {
-    import org.apache.spark.sql.functions.{col, expr, lit}
+    import org.apache.spark.sql.functions.{col, expr}
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val cur = currentVersion()
       require(cur >= 0, s"TxLog table at $root has no commits to delete from")
       val m = readManifestFull(cur)
-      // evolved full schema: null-fill columns a pre-evolution dir
-      // lacks so the predicate resolves everywhere
-      val full = spark.read.option("mergeSchema", "true")
-        .parquet(m.dirs.map(dirPath): _*).schema
-      val hits = m.entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
-        val base = withRowIds(snapshotOfDir(d))
-        val minus = m.tombstones.get(d).filter(_.nonEmpty)
-          .fold(base)(ts => dropTombstoned(base, ts))
-        val vis = tagFilter(m.partCol, es.map(_._2)).fold(minus)(minus.filter)
-        val widened = full.fields.filterNot(f => vis.columns.contains(f.name))
-          .foldLeft(vis)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
-        // the predicate speaks the VISIBLE schema: project physical →
-        // logical (keeping the row-address columns) before evaluating
-        val visNamed =
-          if (m.colMap.isEmpty) widened
-          else {
-            val have = widened.columns.toSet
-            widened.select(m.colMap.collect {
-              case (lg, ph) if have(ph) => col(ph).as(lg) } ++
-              Seq(col(DvFile), col(DvRow)): _*)
-          }
-        visNamed.filter(expr(predicate))
-          .select(col(DvFile).as("file"), col(DvRow).as("row"),
-            lit(d).as("__dir"))
-      }.reduce(_.unionByName(_)).localCheckpoint(true)
+      val hits = addressedVisibleRows(m).filter(expr(predicate))
+        .select(col(DvFile).as("file"), col(DvRow).as("row"),
+          col(DvDir).as("__dir")).localCheckpoint(true)
       // affected-dir list: bounded metadata (≤ table dir count) — the
       // sanctioned driver round-trip
       val affected = hits.select(col("__dir")).distinct()
@@ -2428,7 +2738,7 @@ final case class TxLog(spark: SparkSession, root: String,
     // the data dirs they subtract from
     val live = keep.flatMap { v =>
       val m = readManifestFull(v)
-      m.dirs ++ m.tombstones.values.flatten
+      m.dirs ++ m.tombstones.values.flatten ++ m.copied
     }
       // clustered entries name SUBDIRS (uuid/__cluster=v) — the GC unit
       // under data/ is the top-level uuid, live if ANY subdir is live
@@ -2464,7 +2774,8 @@ final case class TxLog(spark: SparkSession, root: String,
     * snapshot references. */
   def restoreTo(version: Long): Long = {
     val m = readManifestFull(version) // throws if the manifest is gone
-    (m.dirs ++ m.tombstones.values.flatten.toSeq.distinct).foreach { d =>
+    (m.dirs ++ m.tombstones.values.flatten.toSeq.distinct ++ m.copied)
+      .foreach { d =>
       require(fs.exists(new Path(dirPath(d))),
         s"cannot restore $root to v$version: data dir $d was vacuumed")
     }
@@ -2504,7 +2815,8 @@ final case class TxLog(spark: SparkSession, root: String,
     val v = if (version >= 0) version else currentVersion()
     require(v >= 0, s"TxLog table at $root has no commits to clone")
     val m = readManifestFull(v)
-    (m.dirs ++ m.tombstones.values.flatten.toSeq.distinct).foreach { d =>
+    (m.dirs ++ m.tombstones.values.flatten.toSeq.distinct ++ m.copied)
+      .foreach { d =>
       require(fs.exists(new Path(dirPath(d))),
         s"cannot clone $root@v$v: data dir $d was vacuumed")
     }

@@ -79,6 +79,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ConvertRe(bt, q, pc, typ) =>
       TxLogConvertCommand(Option(bt).getOrElse(q),
         Option(pc).map(p => (p, typ.trim)))
+    case CopyIntoRe(name, path, fmt, tail) =>
+      val t = Option(tail).getOrElse("")
+      TxLogCopyIntoCommand(name, path, fmt.toLowerCase(java.util.Locale.ROOT),
+        PatternRe.findFirstMatchIn(t).map(_.group(1)),
+        quotedOpts(t, "FORMAT_OPTIONS"),
+        quotedOpts(t, "COPY_OPTIONS").get("force").contains("true"))
     case CloneRe(ifNot, dst, src, ver, tail) =>
       TxLogCloneCommand(dst, src, Option(ver).map(_.toLong),
         LocationRe.findFirstMatchIn(Option(tail).getOrElse("")).map(_.group(1)),
@@ -170,6 +176,18 @@ object GraftSqlParser {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Id\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*""".r
   private[sql] val ShowCreateRe =
     s"""(?is)\\s*SHOW\\s+CREATE\\s+TABLE\\s+$Id\\s*;?\\s*""".r
+  private[sql] val CopyIntoRe =
+    s"""(?is)\\s*COPY\\s+INTO\\s+$Id\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(\\w+)(.*)""".r
+  private[sql] val PatternRe = """(?is)\bPATTERN\s*=\s*'([^']+)'""".r
+
+  /** `KEY_OPTIONS ('k' = 'v', ...)` quoted-pair lists (Databricks'
+    * COPY INTO option syntax). */
+  private[sql] def quotedOpts(tail: String, key: String): Map[String, String] =
+    s"""(?is)\\b$key\\s*\\(([^)]*)\\)""".r.findFirstMatchIn(tail)
+      .map(m => """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(m.group(1))
+        .map(p => p.group(1) -> p.group(2)).toMap)
+      .getOrElse(Map.empty)
+
   // path as Delta's parquet.`/path` or a plain quoted '/path'
   private[sql] val ConvertRe =
     """(?is)\s*CONVERT\s+TO\s+GRAFT\s+(?:parquet\s*\.\s*`([^`]+)`|'([^']+)')(?:\s+PARTITIONED\s+BY\s*\((\w+)\s+([^)]+)\))?\s*;?\s*""".r
@@ -346,6 +364,27 @@ case class TxLogConvertCommand(path: String,
     AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(path, TxLog(session, path).convertFrom(partitionedBy)))
+}
+
+/** `COPY INTO t FROM '/path' FILEFORMAT = PARQUET|CSV|JSON
+  * [PATTERN = 'glob'] [FORMAT_OPTIONS ('k'='v', …)]
+  * [COPY_OPTIONS ('force'='true')]` → [[TxLog.copyInto]]: idempotent
+  * file-granular ingestion; returns the committed version and the
+  * number of files loaded (0 on an already-covered rerun). */
+case class TxLogCopyIntoCommand(name: String, path: String, format: String,
+                                pattern: Option[String],
+                                options: Map[String, String], force: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_loaded", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = TxLogDdl.rootOf(name)
+    val (v, n) = TxLog(session, root).copyInto(path, format,
+      pattern.getOrElse("*"), options, force)
+    TxLogSql.committed(root)
+    Seq(Row(v, n))
+  }
 }
 
 /** `ALTER TABLE t ADD COLUMNS (c1 T1, …)` → [[TxLog.addColumns]]:

@@ -161,15 +161,71 @@ object TxLogSql {
         "conjunction of same-named key equalities (t.k = s.k AND ...)")
   }
 
+  /** The name a plan's columns are addressed by inside the statement
+    * (`t` in `MERGE INTO gold.t`, `s` in `USING src AS s`): an
+    * explicit alias wins, else the relation's last name part — the
+    * same rule Spark's own resolution applies. */
+  private def aliasOf(p: LogicalPlan): Option[String] = p match {
+    case SubqueryAlias(id, _)  => Some(id.name)
+    case u: UnresolvedRelation => Some(u.multipartIdentifier.last)
+    case _                     => None
+  }
+
+  /** Expression SQL re-rendered in the two-alias namespace the library
+    * merge evaluates in: qualifiers truncate to their last part
+    * (`catalog.db.t.c` → `t.c` — matching [[aliasOf]]'s last-part
+    * rule), resolved attributes re-render with their own alias. */
+  private def aliasedSql(e: Expression): String = e.transform {
+    case ua: UnresolvedAttribute if ua.nameParts.length > 2 =>
+      UnresolvedAttribute(ua.nameParts.takeRight(2))
+    case a: AttributeReference =>
+      UnresolvedAttribute(a.qualifier.lastOption.toSeq :+ a.name)
+  }.sql
+
+  /** One parsed `WHEN ...` action → the library clause model. */
+  private def clauseOf(a: MergeAction): graft.pipeline.MergeInto.When = {
+    import graft.pipeline.MergeInto._
+    def sets(as: Seq[Assignment]) = as.map(x =>
+      colName(x.key).getOrElse(fail(
+        s"unsupported MERGE assignment target '${x.key.sql}'")) ->
+        aliasedSql(x.value))
+    a match {
+      case UpdateAction(c, as, _) => When(c.map(aliasedSql), Update(sets(as)))
+      case UpdateStarAction(c)   => When(c.map(aliasedSql), UpdateAll)
+      case DeleteAction(c)       => When(c.map(aliasedSql), Delete)
+      case InsertAction(c, as)   => When(c.map(aliasedSql), Insert(sets(as)))
+      case InsertStarAction(c)   => When(c.map(aliasedSql), InsertAll)
+      case other => fail(s"unsupported MERGE action '${other.sql}'")
+    }
+  }
+
   private[sql] def planMerge(m: MergeIntoTable, root: String): LogicalPlan = {
-    val keys = keysOf(m.mergeCondition).distinct
+    // a conjunction of same-named key equalities, or None — the shape
+    // gate between the SCD1 fast path and the general merge
+    def equiKeys(cond: Expression): Option[Seq[String]] =
+      scala.util.Try(keysOf(cond).distinct).toOption
     (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
-      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) =>
-        TxLogMergeCommand(root, m.sourceTable, keys, m.withSchemaEvolution)
-      case _ => fail(
-        "unsupported MERGE shape — supported: WHEN MATCHED THEN UPDATE SET * " +
-          "WHEN NOT MATCHED THEN INSERT * (the SCD1 upsert); for row-level " +
-          "deletes use DELETE FROM, for CDC folds use TxLog.applyChanges")
+      // the SCD1 upsert keeps its dedicated partition-carrying path
+      // (and is the only shape schema evolution applies to)
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq())
+          if equiKeys(m.mergeCondition).isDefined =>
+        TxLogMergeCommand(root, m.sourceTable,
+          equiKeys(m.mergeCondition).get, m.withSchemaEvolution)
+      // everything else — conditional clauses, DELETE actions, column
+      // assignments, NOT MATCHED BY SOURCE — runs the full merge
+      case _ =>
+        if (m.withSchemaEvolution) fail(
+          "WITH SCHEMA EVOLUTION is supported only on the " +
+            "UPDATE SET * / INSERT * merge shape")
+        val ta = aliasOf(m.targetTable).getOrElse(fail(
+          "MERGE target must be a named table (optionally aliased)"))
+        val sa = aliasOf(m.sourceTable).getOrElse(fail(
+          "MERGE source must be a named relation or an aliased subquery"))
+        TxLogMergeIntoCommand(root, m.sourceTable,
+          aliasedSql(m.mergeCondition),
+          m.matchedActions.map(clauseOf),
+          m.notMatchedActions.map(clauseOf),
+          m.notMatchedBySourceActions.map(clauseOf), ta, sa)
     }
   }
 
@@ -344,6 +400,31 @@ case class TxLogMergeCommand(root: String, source: LogicalPlan,
   override def run(session: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graft.GraftSqlBridge.ofRows(session, source)
     val v = TxLog(session, root).merge(src, keys, evolve = evolve)
+    TxLogSql.committed(root)
+    Seq(Row(v))
+  }
+}
+
+/** The full conditional `MERGE INTO` (per-clause conditions, DELETE
+  * actions, column assignments, `WHEN NOT MATCHED BY SOURCE`) →
+  * [[TxLog.mergeInto]]. Clause conditions and assignment RHSes travel
+  * as alias-qualified SQL strings; the library call re-evaluates them
+  * against the joined aliased frames, so the SQL and library faces
+  * share one evaluation path. */
+case class TxLogMergeIntoCommand(root: String, source: LogicalPlan,
+    condition: String,
+    matched: Seq[graft.pipeline.MergeInto.When],
+    notMatched: Seq[graft.pipeline.MergeInto.When],
+    notMatchedBySource: Seq[graft.pipeline.MergeInto.When],
+    targetAlias: String, sourceAlias: String)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graft.GraftSqlBridge.ofRows(session, source)
+    val v = TxLog(session, root).mergeInto(src, condition, matched,
+      notMatched, notMatchedBySource, targetAlias, sourceAlias)
     TxLogSql.committed(root)
     Seq(Row(v))
   }

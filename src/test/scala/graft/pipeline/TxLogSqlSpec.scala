@@ -78,24 +78,54 @@ class TxLogSqlSpec extends SparkTestBase {
     assert(t.snapshot(0).count() === 3)
   }
 
-  test("unsupported MERGE shapes fail analysis with the supported surface spelled out") {
-    val t = fresh("merge_bad")
+  test("conditional MERGE: AND conditions, DELETE, assignments, NOT MATCHED BY SOURCE") {
+    val t = fresh("merge_full")
+    t.overwrite(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("id", "v", "amt"))
+    Seq((1L, "upd", 100L), (2L, "del", 5L), (9L, "new", 99L))
+      .toDF("id", "v", "amt").createOrReplaceTempView("txsql_full_src")
+    TxLogSql.register("txsql_full_tgt", t)
+    spark.sql("""
+      MERGE INTO txsql_full_tgt t USING txsql_full_src s ON t.id = s.id
+      WHEN MATCHED AND s.amt >= 100 THEN UPDATE SET v = s.v, amt = t.amt + s.amt
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED AND s.amt > 50 THEN INSERT (id, v) VALUES (s.id, upper(s.v))
+      WHEN NOT MATCHED BY SOURCE AND t.amt > 35 THEN DELETE""")
+    val rows = t.snapshot().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // 1 updated (10+100), 2 deleted, 3 untouched, 4 NMBS-deleted,
+    // 9 inserted with NULL amt
+    assert(rows === Seq(
+      (1L, "upd", 110L), (3L, "c", 30L), (9L, "NEW", -1L)))
+  }
+
+  test("non-equi merge conditions route through the general merge") {
+    val t = fresh("merge_range")
+    t.overwrite(Seq((1L, 5L), (2L, 15L), (3L, 25L)).toDF("id", "x"))
+    Seq((10L, 20L)).toDF("lo", "hi").createOrReplaceTempView("txsql_range_src")
+    TxLogSql.register("txsql_range_tgt", t)
+    // range-predicate ON: every target row inside [lo, hi) deletes
+    spark.sql("""
+      MERGE INTO txsql_range_tgt t USING txsql_range_src s
+      ON t.x >= s.lo AND t.x < s.hi
+      WHEN MATCHED THEN DELETE""")
+    assert(t.snapshot().orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 3L))
+  }
+
+  test("MERGE cardinality violation fails the statement") {
+    val t = fresh("merge_card")
     t.overwrite(Seq((1L, "a")).toDF("id", "v"))
-    Seq((1L, "b")).toDF("id", "v").createOrReplaceTempView("txsql_bad_src")
-    TxLogSql.register("txsql_bad_tgt", t)
-    val e1 = intercept[Exception] {
+    Seq((1L, "x"), (1L, "y")).toDF("id", "v")
+      .createOrReplaceTempView("txsql_card_src")
+    TxLogSql.register("txsql_card_tgt", t)
+    val e = intercept[Exception] {
       spark.sql("""
-        MERGE INTO txsql_bad_tgt t USING txsql_bad_src s ON t.id = s.id
-        WHEN MATCHED THEN DELETE""")
+        MERGE INTO txsql_card_tgt t USING txsql_card_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v""")
     }
-    assert(e1.getMessage.contains("unsupported MERGE shape"))
-    val e2 = intercept[Exception] {
-      spark.sql("""
-        MERGE INTO txsql_bad_tgt t USING txsql_bad_src s ON t.id < s.id
-        WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED THEN INSERT *""")
-    }
-    assert(e2.getMessage.contains("unsupported MERGE condition"))
+    assert(e.getMessage.contains("cardinality violation"))
   }
 
   test("DML against an unregistered name falls through to Spark's own resolution error") {
