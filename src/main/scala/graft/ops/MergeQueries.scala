@@ -1467,5 +1467,47 @@ object MergeQueries {
       UNION ALL SELECT 'rows', CAST(count(*) AS DOUBLE) FROM supplier
       UNION ALL SELECT 'bal_sum',
         CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) FROM supplier""")),
+
+    // Dynamic partition overwrite under the hash gate — the
+    // recompute-one-partition story at 100 TB: `INSERT OVERWRITE …
+    // PARTITION (l_returnflag = 'N')` replaces EXACTLY that
+    // partition's rows with a recomputed batch; the other partitions'
+    // manifest lines carry untouched (TxLogReplacePartitionsSpec pins
+    // the structural carry; this query hash-pins the semantics). The
+    // oracle rebuilds the same final state with plain set ops.
+    Q("txlog_sql_replace_partition", (spark, dir) => {
+      val tag = dir.hashCode.abs
+      val root = s"/root/repo/target/tmp/txlog_replpart_$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      graft.sql.TxLogSql.unregister("txlog_replpart_tgt")
+      val li = load(spark, dir, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"),
+          col("l_returnflag"))
+      val t = graft.pipeline.TxLog(spark, root)
+      t.overwritePartitioned(li, "l_returnflag")
+      li.createOrReplaceTempView("txlog_replpart_src")
+      graft.sql.TxLogSql.register("txlog_replpart_tgt", t)
+      spark.sql("""
+        INSERT OVERWRITE txlog_replpart_tgt PARTITION (l_returnflag = 'N')
+        SELECT l_orderkey, CAST(qty * 2 AS DECIMAL(18,2))
+        FROM txlog_replpart_src
+        WHERE l_returnflag = 'N' AND l_orderkey % 3 = 0""")
+      spark.sql("""
+        SELECT l_returnflag, count(*) AS cnt,
+               CAST(sum(qty) AS DOUBLE) AS qty_sum
+        FROM txlog_replpart_tgt GROUP BY l_returnflag""")
+    }, oracle = Some("""
+      WITH li AS (
+        SELECT l_orderkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+               l_returnflag
+        FROM lineitem),
+      final AS (
+        SELECT * FROM li WHERE l_returnflag <> 'N'
+        UNION ALL
+        SELECT l_orderkey, CAST(qty * 2 AS DECIMAL(18,2)), l_returnflag
+        FROM li WHERE l_returnflag = 'N' AND l_orderkey % 3 = 0)
+      SELECT l_returnflag, count(*) AS cnt, CAST(sum(qty) AS DOUBLE) AS qty_sum
+      FROM final GROUP BY l_returnflag""")),
   )
 }

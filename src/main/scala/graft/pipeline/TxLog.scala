@@ -1490,10 +1490,15 @@ final case class TxLog(spark: SparkSession, root: String,
     * The carried-over dir list is re-read INSIDE the retry loop — a
     * loser that recommitted its pre-race view would silently drop the
     * winner's data (lost update); re-reading makes concurrent appends
-    * serialize losslessly (pinned by the TxLogSpec race test). */
+    * serialize losslessly (pinned by the TxLogSpec race test).
+    * `tagBy`: tag the new dir's manifest entries with its partition
+    * values (one entry per value) — an `INSERT INTO … PARTITION` on a
+    * tagged table must not break the all-entries-tagged invariant the
+    * pruned-merge path requires. */
   def append(df0: DataFrame, txn: Option[(String, Long)] = None,
-             op: String = "APPEND"): Long = {
+             op: String = "APPEND", tagBy: Option[String] = None): Long = {
     val df = withGenerated(df0)
+    val newTags = tagBy.map(pc => partValues(df, pc))
     // carrying commit on a mapped table: the new dir must store
     // PHYSICAL names (carried dirs do), and evolution columns mint
     // mapping entries. The map is read once up front — a concurrent
@@ -1531,7 +1536,8 @@ final case class TxLog(spark: SparkSession, root: String,
       enforceChecksOnEntries(prev, addedChecks(prev.checks))
       val m = Manifest(prev.partCol,
         header,
-        prev.entries :+ ((uuid, None)),
+        prev.entries ++ newTags.fold(Seq((uuid, Option.empty[String])))(
+          _.map(v => (uuid, Option(v)))),
         prev.ranges.filter { case ((_, c), _) => headerCols(c) } ++ newRanges,
         txnsAfter(prev.txns, txn),
         prev.blooms ++ newBlooms,
@@ -2003,6 +2009,38 @@ final case class TxLog(spark: SparkSession, root: String,
     * `partCol` must be functionally dependent on the merge keys, so a
     * key can never move between partitions — otherwise the pruned
     * merge would miss the key's old row and duplicate it. */
+  /** Dynamic partition overwrite (Hive's `INSERT OVERWRITE …
+    * PARTITION` dynamic mode; Delta's partition-scoped replaceWhere):
+    * replace EXACTLY the partitions present in `src` and carry every
+    * other partition's manifest lines, stats, blooms and tombstones
+    * untouched — the 100 TB shape of "recompute one day of a
+    * five-year table": cost ∝ the replaced partitions, never ∝ the
+    * table. Partitions in `src` that do not exist yet simply appear;
+    * an empty `src` is a no-op (no partitions present → nothing to
+    * replace). On an untagged table this degrades to a full rewrite
+    * preserving rows outside the replaced partition values; NULL
+    * partition values (addressable by no dynamic overwrite) fail the
+    * commit loudly like every partitioned path ([[partValues]]'s tag
+    * check) rather than silently dropping rows. Same optimistic
+    * transaction + rebase-on-race protocol as [[mergePartitioned]]. */
+  def replacePartitions(src: DataFrame, partCol: String,
+                        txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    partitionedFoldCommit(src, partCol, txn, "replacePartitions",
+      // the fold's output partitions are exactly src's (the pruned
+      // target contributes nothing — it is being replaced)
+      resultPartsAreAffected = true)(target => {
+      val affected = partValues(src, partCol)
+      // foreign-scheme dirs merge in whole: their rows OUTSIDE the
+      // replaced partitions must survive the fold (on the pruned path
+      // the target holds only affected-partition rows and this filter
+      // keeps nothing)
+      target.filter(col(partCol).isNull ||
+          !col(partCol).cast("string").isin(affected: _*))
+        .unionByName(src)
+    })
+  }
+
   def mergePartitioned(src: DataFrame, keys: Seq[String],
                        partCol: String, txn: Option[(String, Long)] = None,
                        evolve: Boolean = false): Long =

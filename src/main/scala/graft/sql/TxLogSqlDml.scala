@@ -238,12 +238,19 @@ object TxLogSql {
   }
 
   private[sql] def planInsert(i: InsertIntoStatement, root: String): LogicalPlan = {
-    if (i.partitionSpec.nonEmpty || i.ifPartitionNotExists ||
-        i.userSpecifiedCols.nonEmpty)
+    if (i.ifPartitionNotExists || i.userSpecifiedCols.nonEmpty)
       fail("unsupported INSERT shape — supported: INSERT INTO | INSERT " +
-        "OVERWRITE <txlog table> <query>, positional or BY NAME (no " +
-        "PARTITION spec, no column list)")
-    TxLogInsertCommand(root, i.query, i.overwrite, i.byName)
+        "OVERWRITE <txlog table> [PARTITION (p [= v])] <query>, positional " +
+        "or BY NAME (no IF NOT EXISTS, no column list)")
+    if (i.partitionSpec.isEmpty)
+      TxLogInsertCommand(root, i.query, i.overwrite, i.byName)
+    else {
+      if (i.partitionSpec.size != 1)
+        fail("unsupported INSERT PARTITION spec — TxLog tables partition " +
+          "on ONE column")
+      val (pc, v) = i.partitionSpec.head
+      TxLogInsertPartitionCommand(root, i.query, i.overwrite, pc, v)
+    }
   }
 
   /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis: the
@@ -427,6 +434,60 @@ case class TxLogMergeIntoCommand(root: String, source: LogicalPlan,
       notMatched, notMatchedBySource, targetAlias, sourceAlias)
     TxLogSql.committed(root)
     Seq(Row(v))
+  }
+}
+
+/** `INSERT INTO | OVERWRITE <txlog> PARTITION (p = v | p) <query>` —
+  * the partition-addressed insert forms. OVERWRITE is the dynamic
+  * partition overwrite ([[TxLog.replacePartitions]]): only the
+  * addressed (static `p = v`) or present (dynamic `p`) partitions
+  * replace; every other partition's manifest lines carry untouched.
+  * INTO appends. Static form: the query supplies every table column
+  * EXCEPT `p` (table order); the literal fills `p`. Dynamic form: the
+  * query supplies ALL table columns in table order. ANSI
+  * store-assignment casts like plain INSERT. */
+case class TxLogInsertPartitionCommand(root: String, source: LogicalPlan,
+                                       overwrite: Boolean, partCol: String,
+                                       staticValue: Option[String])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.graft.GraftSqlBridge.ansiCast
+    val src0 = org.apache.spark.sql.graft.GraftSqlBridge.ofRows(session, source)
+    val t = TxLog(session, root)
+    val schema = t.snapshot().schema
+    val pf = schema.fields.find(_.name.equalsIgnoreCase(partCol)).getOrElse(
+      throw new AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"TxLog SQL DML: PARTITION column '$partCol' is not on the table")))
+    val expect = staticValue.fold(schema.fields.toSeq)(_ =>
+      schema.fields.toSeq.filterNot(_.name.equalsIgnoreCase(pf.name)))
+    if (src0.schema.length != expect.length)
+      throw new AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          (s"TxLog SQL DML: INSERT ... PARTITION query has " +
+            s"${src0.schema.length} columns, expected ${expect.length} " +
+            s"(every table column${staticValue.fold("")(_ =>
+              s" except '${pf.name}'")}, in table order)")))
+    val positional = src0.select(src0.columns.toSeq.zip(expect).map {
+      case (c, f) => ansiCast(col(s"`$c`"), f.dataType).as(f.name) }: _*)
+    val aligned = staticValue.fold(positional)(v =>
+      positional.withColumn(pf.name, ansiCast(lit(v), pf.dataType))
+        .select(schema.fields.toSeq.map(f => col(f.name)): _*))
+    val ver =
+      if (overwrite) t.replacePartitions(aligned, pf.name)
+      // tag the appended dir only under the table's OWN partition
+      // scheme — a bare tag resolves against the current partCol, so
+      // tagging under any other column would hide rows
+      else t.append(aligned,
+        tagBy = Some(pf.name).filter(t.partitionColumn().contains(_)))
+    TxLogSql.committed(root)
+    Seq(Row(ver))
   }
 }
 
