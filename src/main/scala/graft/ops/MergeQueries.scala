@@ -1509,5 +1509,68 @@ object MergeQueries {
         FROM li WHERE l_returnflag = 'N' AND l_orderkey % 3 = 0)
       SELECT l_returnflag, count(*) AS cnt, CAST(sum(qty) AS DOUBLE) AS qty_sum
       FROM final GROUP BY l_returnflag""")),
+
+    // MERGE WITH SCHEMA EVOLUTION on the conditional clause path —
+    // Delta's documented evolution contract: the source-only `tier`
+    // column joins the target schema additively; `UPDATE SET *` keeps
+    // the target-only `c_name` and `INSERT *` leaves it NULL; every
+    // row the merge does not touch reads NULL for `tier` (carried dirs
+    // NULL-fill the missing physical). The hash folds the per-tier
+    // counts, the non-NULL-name counts AND the exact balance sums, so
+    // it pins all four row provenances at once.
+    Q("txlog_sql_merge_evolve", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_mergeevo_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      graft.sql.TxLogSql.unregister("txlog_mergeevo_tgt")
+      val cust = load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"))
+      val t = graft.pipeline.TxLog(spark, root)
+      t.overwrite(cust.filter(col("c_custkey") % 5 =!= 0))
+      load(spark, dir, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"),
+          (col("c_acctbal").cast("decimal(18,2)") + lit(10))
+            .cast("decimal(18,2)").as("c_acctbal"),
+          substring(col("c_mktsegment"), 1, 3).as("tier"))
+        .createOrReplaceTempView("txlog_mergeevo_src")
+      graft.sql.TxLogSql.register("txlog_mergeevo_tgt", t)
+      spark.sql("""
+        MERGE WITH SCHEMA EVOLUTION INTO txlog_mergeevo_tgt AS t
+        USING txlog_mergeevo_src AS s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED AND s.c_acctbal > 0 THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      spark.sql("""
+        SELECT tier, count(*) AS cnt, count(c_name) AS named,
+               CAST(sum(c_acctbal) AS DOUBLE) AS bal_sum
+        FROM txlog_mergeevo_tgt GROUP BY tier""")
+    }, oracle = Some("""
+      WITH cust AS (
+        SELECT c_custkey, c_name,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal,
+               substr(c_mktsegment, 1, 3) AS tier3
+        FROM customer),
+      tgt AS (SELECT c_custkey, c_name, c_acctbal FROM cust
+              WHERE c_custkey % 5 <> 0),
+      src AS (SELECT c_custkey,
+                     CAST(c_acctbal + 10 AS DECIMAL(18,2)) AS c_acctbal,
+                     tier3 AS tier
+              FROM cust WHERE c_custkey % 2 = 0),
+      final AS (
+        SELECT t.c_custkey, t.c_name, s.c_acctbal, s.tier
+        FROM tgt t JOIN src s ON t.c_custkey = s.c_custkey
+        WHERE s.c_acctbal > 0
+        UNION ALL
+        SELECT t.c_custkey, t.c_name, t.c_acctbal, NULL
+        FROM tgt t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+        WHERE s.c_custkey IS NULL OR NOT (s.c_acctbal > 0)
+        UNION ALL
+        SELECT s.c_custkey, NULL, s.c_acctbal, s.tier
+        FROM src s LEFT JOIN tgt t ON s.c_custkey = t.c_custkey
+        WHERE t.c_custkey IS NULL)
+      SELECT tier, count(*) AS cnt, count(c_name) AS named,
+             CAST(sum(c_acctbal) AS DOUBLE) AS bal_sum
+      FROM final GROUP BY tier""")),
   )
 }

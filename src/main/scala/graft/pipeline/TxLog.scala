@@ -2305,14 +2305,22 @@ final case class TxLog(spark: SparkSession, root: String,
     * (current version stands, no churn). `UPDATE SET *` / `INSERT *`
     * require every target column on the source by name. Optimistic
     * TRANSACTION like [[merge]]; `txn` gives streaming exactly-once.
-    * Schema evolution is [[merge]]'s `evolve` flag — the conditional
-    * path keeps the target schema fixed. */
+    * `evolve` is Delta's `WITH SCHEMA EVOLUTION` on this path:
+    * source-only columns join the target schema additively (nullable;
+    * rows the merge does not touch read NULL for them, including every
+    * carried dir's rows — the snapshot NULL-fills missing physicals).
+    * Under evolution `UPDATE SET *` keeps a target-only column's value
+    * and `INSERT *` leaves it NULL (the documented Delta contract);
+    * explicit `UPDATE SET`/`INSERT (cols)` may assign the new columns
+    * directly. The schema evolves only when the merge commits — a
+    * nothing-fired MERGE stays a full no-op. */
   def mergeInto(src: DataFrame, condition: String,
                 matched: Seq[MergeInto.When] = Nil,
                 notMatched: Seq[MergeInto.When] = Nil,
                 notMatchedBySource: Seq[MergeInto.When] = Nil,
                 targetAlias: String = "t", sourceAlias: String = "s",
-                txn: Option[(String, Long)] = None): Long = {
+                txn: Option[(String, Long)] = None,
+                evolve: Boolean = false): Long = {
     import MergeInto._
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     require(matched.nonEmpty || notMatched.nonEmpty ||
@@ -2337,7 +2345,17 @@ final case class TxLog(spark: SparkSession, root: String,
       val prev = readManifestFull(base)
       if (alreadyCommitted(prev, txn)) return base
       val tgtSchema = snapshot(base).schema
-      def tgtField(n: String) = tgtSchema.fields
+      def srcHas(n: String) = src.columns.exists(_.equalsIgnoreCase(n))
+      // additive evolution: source-only columns extend the commit's
+      // output schema; internal marker names can never collide (the
+      // __-prefix is reserved at the write boundary)
+      val srcOnly: Seq[org.apache.spark.sql.types.StructField] =
+        if (!evolve) Nil
+        else src.schema.fields.toSeq.filterNot(f =>
+          tgtSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      val outSchema = org.apache.spark.sql.types.StructType(
+        tgtSchema.fields.toSeq ++ srcOnly.map(_.copy(nullable = true)))
+      def tgtField(n: String) = outSchema.fields
         .find(_.name.equalsIgnoreCase(n))
         .getOrElse(throw new IllegalArgumentException(
           s"MERGE assigns unknown target column '$n'"))
@@ -2345,13 +2363,17 @@ final case class TxLog(spark: SparkSession, root: String,
         case Update(sets)   => sets.foreach(s => tgtField(s._1))
         case Insert(values) => values.foreach(v => tgtField(v._1))
         case UpdateAll | InsertAll =>
-          val missing = tgtSchema.fieldNames.filterNot(c =>
-            src.columns.exists(_.equalsIgnoreCase(c)))
-          require(missing.isEmpty, "UPDATE SET * / INSERT * requires every " +
-            s"target column on the source; missing: ${missing.mkString(", ")}")
+          val missing = tgtSchema.fieldNames.filterNot(srcHas)
+          require(evolve || missing.isEmpty,
+            "UPDATE SET * / INSERT * requires every " +
+            s"target column on the source; missing: ${missing.mkString(", ")}" +
+            " (or MERGE WITH SCHEMA EVOLUTION)")
         case Delete =>
       })
-      val addressed = addressedVisibleRows(prev)
+      // the target side exposes the evolved columns as typed NULLs so
+      // alias-qualified references resolve uniformly below
+      val addressed = srcOnly.foldLeft(addressedVisibleRows(prev))(
+        (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
       val tAliased = addressed.alias(targetAlias)
       val sAliased = src.withColumn(SrcMark, lit(true)).alias(sourceAlias)
       // full outer only when target-only rows can fire a clause —
@@ -2382,8 +2404,14 @@ final case class TxLog(spark: SparkSession, root: String,
         case Update(sets) => sets.find(_._1.equalsIgnoreCase(f.name))
           .map(kv => expr(kv._2).cast(f.dataType))
           .getOrElse(col(s"$targetAlias.${f.name}"))
-        case UpdateAll | InsertAll =>
-          col(s"$sourceAlias.${f.name}").cast(f.dataType)
+        case UpdateAll =>
+          // evolve only: a target-only column keeps its pre-merge value
+          if (srcHas(f.name)) col(s"$sourceAlias.${f.name}").cast(f.dataType)
+          else col(s"$targetAlias.${f.name}")
+        case InsertAll =>
+          // evolve only: a target-only column inserts as NULL
+          if (srcHas(f.name)) col(s"$sourceAlias.${f.name}").cast(f.dataType)
+          else lit(null).cast(f.dataType)
         case Insert(values) => values.find(_._1.equalsIgnoreCase(f.name))
           .map(kv => expr(kv._2).cast(f.dataType))
           .getOrElse(lit(null).cast(f.dataType))
@@ -2398,7 +2426,7 @@ final case class TxLog(spark: SparkSession, root: String,
         .select(Seq(col(s"$targetAlias.$DvDir").as(DvDir),
             col(s"$targetAlias.$DvFile").as(DvFile),
             col(s"$targetAlias.$DvRow").as(DvRow), col(ActCol)) ++
-          tgtSchema.fields.toSeq.map(f => valueChain(f).as(f.name)): _*)
+          outSchema.fields.toSeq.map(f => valueChain(f).as(f.name)): _*)
         .localCheckpoint(true) // ∝ touched + inserted rows, not table
       if (fired.isEmpty) return base // nothing fired anywhere: no-op
       // SQL MERGE cardinality contract: a target row modified by two
@@ -2416,7 +2444,7 @@ final case class TxLog(spark: SparkSession, root: String,
       // sanctioned driver round-trip
       val affected = fired.filter(col(DvDir).isNotNull).select(col(DvDir))
         .distinct().collect().map(_.getString(0)).toSeq.sorted
-      val outCols = tgtSchema.fields.toSeq.map(f => col(f.name))
+      val outCols = outSchema.fields.toSeq.map(f => col(f.name))
       val survivors = addressed.filter(col(DvDir).isin(affected: _*))
         .join(fired.select(col(DvDir), col(DvFile), col(DvRow)),
           Seq(DvDir, DvFile, DvRow), "left_anti")

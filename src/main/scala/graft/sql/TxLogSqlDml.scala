@@ -212,11 +212,9 @@ object TxLogSql {
         TxLogMergeCommand(root, m.sourceTable,
           equiKeys(m.mergeCondition).get, m.withSchemaEvolution)
       // everything else — conditional clauses, DELETE actions, column
-      // assignments, NOT MATCHED BY SOURCE — runs the full merge
+      // assignments, NOT MATCHED BY SOURCE — runs the full merge;
+      // WITH SCHEMA EVOLUTION carries through as the additive contract
       case _ =>
-        if (m.withSchemaEvolution) fail(
-          "WITH SCHEMA EVOLUTION is supported only on the " +
-            "UPDATE SET * / INSERT * merge shape")
         val ta = aliasOf(m.targetTable).getOrElse(fail(
           "MERGE target must be a named table (optionally aliased)"))
         val sa = aliasOf(m.sourceTable).getOrElse(fail(
@@ -225,7 +223,8 @@ object TxLogSql {
           aliasedSql(m.mergeCondition),
           m.matchedActions.map(clauseOf),
           m.notMatchedActions.map(clauseOf),
-          m.notMatchedBySourceActions.map(clauseOf), ta, sa)
+          m.notMatchedBySourceActions.map(clauseOf), ta, sa,
+          m.withSchemaEvolution)
     }
   }
 
@@ -423,7 +422,7 @@ case class TxLogMergeIntoCommand(root: String, source: LogicalPlan,
     matched: Seq[graft.pipeline.MergeInto.When],
     notMatched: Seq[graft.pipeline.MergeInto.When],
     notMatchedBySource: Seq[graft.pipeline.MergeInto.When],
-    targetAlias: String, sourceAlias: String)
+    targetAlias: String, sourceAlias: String, evolve: Boolean = false)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override val output: Seq[Attribute] = Seq(
@@ -431,7 +430,8 @@ case class TxLogMergeIntoCommand(root: String, source: LogicalPlan,
   override def run(session: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graft.GraftSqlBridge.ofRows(session, source)
     val v = TxLog(session, root).mergeInto(src, condition, matched,
-      notMatched, notMatchedBySource, targetAlias, sourceAlias)
+      notMatched, notMatchedBySource, targetAlias, sourceAlias,
+      evolve = evolve)
     TxLogSql.committed(root)
     Seq(Row(v))
   }

@@ -138,6 +138,72 @@ class TxLogMergeIntoSpec extends SparkTestBase {
       t.mergeInto(src, "t.k = s.k", notMatched = Seq(M.When(None, M.Delete))))
   }
 
+  test("schema evolution: source-only columns join additively, Delta star contract") {
+    val t = freshTable("mi_evolve")
+    // source carries a NEW column `score` and LACKS target column `amt`
+    val src = Seq((1L, "up", 0.5), (9L, "new", 0.9)).toDF("k", "v", "score")
+    // without evolve the star shapes refuse (amt missing on the source)
+    assertThrows[IllegalArgumentException](
+      t.mergeInto(src, "t.k = s.k",
+        matched = Seq(M.When(Some("s.score > 0"), M.UpdateAll)),
+        notMatched = Seq(M.When(None, M.InsertAll))))
+    t.mergeInto(src, "t.k = s.k",
+      matched = Seq(M.When(Some("s.score > 0"), M.UpdateAll)),
+      notMatched = Seq(M.When(None, M.InsertAll)), evolve = true)
+    val out = t.snapshot().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSeq
+    assert(out === Seq(
+      (1L, "up", 10L, 0.5),   // UPDATE *: target-only amt KEPT, score set
+      (2L, "b", 20L, -1.0),   // untouched rows read NULL for the new column
+      (3L, "c", 30L, -1.0),
+      (4L, "d", 40L, -1.0),
+      (9L, "new", -1L, 0.9))) // INSERT *: target-only amt NULL, score set
+    // time travel still reads the pre-evolution schema's data
+    assert(t.snapshot(0L).columns.toSeq === Seq("k", "v", "amt"))
+  }
+
+  test("schema evolution: explicit assignment to a new column; carry dirs NULL-fill") {
+    val root = tmpDir("mi_evolve_carry")
+    val t = TxLog(spark, root, statsCols = Seq("k"))
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.append(Seq((10L, "x")).toDF("k", "v"))
+    val dirsBefore = t.snapshotDataDirs().toSet
+    // touch only row 10; assign the evolved column explicitly
+    t.mergeInto(Seq((10L, 7L)).toDF("k", "flag"), "t.k = s.k",
+      matched = Seq(M.When(None, M.Update(Seq("flag" -> "s.flag * 2")))),
+      evolve = true)
+    // the untouched dir carried physically — its rows NULL-fill `flag`
+    assert(dirsBefore.intersect(t.snapshotDataDirs().toSet).size === 1)
+    val out = t.snapshot().orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(out === Seq((1L, -1L), (2L, -1L), (10L, 14L)))
+    // without evolve the same assignment refuses as an unknown column
+    assertThrows[IllegalArgumentException](
+      t.mergeInto(Seq((1L, 1L)).toDF("k", "zzz"), "t.k = s.k",
+        matched = Seq(M.When(None, M.Update(Seq("zzz" -> "s.zzz"))))))
+  }
+
+  test("SQL: MERGE WITH SCHEMA EVOLUTION on the conditional clause path") {
+    val root = tmpDir("mi_evolve_sql")
+    val t = TxLog(spark, root)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    graft.sql.TxLogSql.register("mi_evolve_sql_t", t)
+    Seq((2L, "B", "eu"), (3L, "C", "us")).toDF("k", "v", "region")
+      .createOrReplaceTempView("mi_evolve_sql_s")
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO mi_evolve_sql_t t
+      USING mi_evolve_sql_s s ON t.k = s.k
+      WHEN MATCHED AND s.region = 'eu' THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val out = spark.table("mi_evolve_sql_t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) "-" else r.getString(2))).toSeq
+    assert(out === Seq((1L, "a", "-"), (2L, "B", "eu"), (3L, "C", "us")))
+    graft.sql.TxLogSql.unregister("mi_evolve_sql_t")
+  }
+
   test("merge over a tombstoned dir sees only visible rows") {
     val t = freshTable("mi_tombs")
     t.deleteWhere("k = 2") // MoR tombstone, no rewrite
