@@ -711,28 +711,48 @@ object VectorQueries {
         .select(col("query_id"), posexplode(col("top")))
         .select(col("query_id"), col("col.id").as("neighbor_id"),
           (col("pos") + 1).cast("int").as("rank"), (-col("col.score")).as("adc_dist"))
-    }, oracle = Some(s"""
-      WITH ${pqOracleCtes()},
-      qd AS (
-        SELECT q.vec_id AS query_id, c.s, c.cent_id,
-               ${l2Frag("q.sv", "c.cv")} AS qd
-        FROM subs q JOIN pc2 c ON q.s = c.s
-        WHERE q.vec_id < 20),
-      adc AS (
-        SELECT qd.query_id, a.vec_id AS neighbor_id,
-               ${(0 until pqM).map(s0 =>
-                  s"max(CASE WHEN a.s = $s0 THEN qd.qd END) AS d$s0")
-                 .mkString(",\n               ")}
-        FROM pa3 a JOIN qd ON a.s = qd.s AND a.cent_id = qd.cent_id
-        WHERE a.vec_id <> qd.query_id
-        GROUP BY 1, 2),
-      ranked AS (
-        SELECT query_id, neighbor_id, $pqAdcSumSql AS adc_dist,
-               CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY $pqAdcSumSql ASC, neighbor_id) AS INT) AS rank
-        FROM adc)
-      SELECT query_id, neighbor_id, rank, adc_dist
-      FROM ranked WHERE rank <= 5""")),
+    }, oracle = Some(pqAdcOracle)),
+
+    // SERVED PQ-ADC — the same ADC ranking answered from the PERSISTED
+    // compressed index ([[servedPqRoot]]: a TxLog pair of per-subspace
+    // codebooks + one-row-per-vector packed codes). The serving scan
+    // reads ONLY the codes table — pqM small ints per vector, the
+    // layout that makes a 100 TB float corpus a ~3 TB index — and the
+    // codebooks are a broadcast-size metadata read; raw embeddings are
+    // touched solely for the 20 query vectors' distance tables. The
+    // codes unpack row-locally (posexplode of the stored array — no
+    // shuffle), so the served plan is the session plan with the
+    // training subtree replaced by a table scan. Results hash-match
+    // `sim_pq_adc`'s oracle because the stored codes ARE the trained
+    // encoding (BIGINT round-trips exactly) and partial distances
+    // recombine in the same fixed subspace order. The offline build
+    // (training + encoding + both table writes) bills to layoutNanos
+    // like every index layout.
+    Q("sim_pq_served", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      val root = servedPqRoot(spark, dir, e)
+      val books = graft.pipeline.TxLog(spark, s"$root/codebooks").snapshot()
+      val stored = graft.pipeline.TxLog(spark, s"$root/codes").snapshot()
+      val codes = stored.select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").as("s"), col("col").as("cent_id"))
+      val qd = pqSubvectors(e).filter(col("vec_id") < 20)
+        .join(broadcast(books), Seq("s"))
+        .withColumn("qd", VectorExpressions.l2_sq(spark, col("sv"), col("cv")))
+        .select(col("vec_id").as("query_id"), col("s"), col("cent_id"), col("qd"))
+      val ds = (0 until pqM).map(s0 => max(when(col("s") === s0, col("qd"))).as(s"d$s0"))
+      codes.join(broadcast(qd), Seq("s", "cent_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(ds.head, ds.tail: _*)
+        .withColumn("adc_dist",
+          (0 until pqM).map(s0 => col(s"d$s0")).reduce(_ + _))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.expressions.TopKPairAgg
+          .topk_pair_agg(spark, -col("adc_dist"), col("neighbor_id"), 5).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"), (-col("col.score")).as("adc_dist"))
+    }, oracle = Some(pqAdcOracle)),
 
     // SQ8 + EXACT RE-RANK — the memory-compressed retrieval shape
     // (FAISS SQ8 / Lucene int8 HNSW storage): symmetric int8 codes
@@ -1184,6 +1204,50 @@ object VectorQueries {
     })
   }
 
+  /** Build (once per session+corpus) the PERSISTED serving form of the
+    * PQ index: a TxLog pair under one root —
+    *
+    *   - `codebooks/`: the per-subspace trained centroids
+    *     (s, cent_id, cv) — K·pqM small vectors, a broadcast-size
+    *     metadata table every query joins for its distance table.
+    *   - `codes/`: ONE ROW PER VECTOR, the pqM codes packed into an
+    *     array in subspace order (vec_id, codes) — the compressed
+    *     index itself. pqM BIGINTs per vector is the whole per-vector
+    *     footprint; the raw embeddings never appear in this table, so
+    *     a serving scan CANNOT read them — the PQ memory trade made
+    *     structural by the storage schema rather than by column
+    *     pruning.
+    *
+    * The build (training + encoding + both writes) is the index's
+    * OFFLINE cost, billed to [[graft.ops.Scale.layoutNanos]] like the
+    * other index layouts — serving queries measure SERVING. */
+  private[graft] def servedPqRoot(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String,
+                                  e: org.apache.spark.sql.DataFrame): String = {
+    val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
+      e.queryExecution.analyzed.semanticHash())
+    servedPqCache.computeIfAbsent(key, _ => {
+      val root = s"/root/repo/target/tmp/pq_served_${dir.hashCode.abs}_${key._2.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t0 = System.nanoTime()
+      val (codes, cents) = pqTrainedCodes(spark, e)
+      graft.pipeline.TxLog(spark, s"$root/codebooks").overwrite(cents)
+      // pack (vec_id, s, cent_id) → (vec_id, codes[]): array_sort on
+      // (s, cent_id) structs orders by s, so position == subspace —
+      // the unpack on read is posexplode, a row-local inverse
+      graft.pipeline.TxLog(spark, s"$root/codes").overwrite(
+        codes.groupBy(col("vec_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("s"), col("cent_id")))),
+            x => x.getField("cent_id")).as("codes")))
+      Scale.layoutNanos.addAndGet(System.nanoTime() - t0)
+      root
+    })
+  }
+
+  private val servedPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
   /** Full trained coarse quantizer: [[ivfTrainedCents]] plus a final
     * `nProbe`-cell assignment → (vec_id, embedding, cent_id). */
   private def ivfTrainedAssignment(spark: org.apache.spark.sql.SparkSession,
@@ -1245,6 +1309,32 @@ object VectorQueries {
   // EAGERLY while `all` initializes, above these declarations)
   private final val pqM = 8
   private final val pqSubDim = 8
+
+  /** The PQ-ADC oracle — shared verbatim by `sim_pq_adc` (session
+    * index) and `sim_pq_served` (persisted index): the stored codes
+    * ARE the trained encoding, so one ground truth gates both. */
+  private def pqAdcOracle: String = s"""
+      WITH ${pqOracleCtes()},
+      qd AS (
+        SELECT q.vec_id AS query_id, c.s, c.cent_id,
+               ${l2Frag("q.sv", "c.cv")} AS qd
+        FROM subs q JOIN pc2 c ON q.s = c.s
+        WHERE q.vec_id < 20),
+      adc AS (
+        SELECT qd.query_id, a.vec_id AS neighbor_id,
+               ${(0 until pqM).map(s0 =>
+                  s"max(CASE WHEN a.s = $s0 THEN qd.qd END) AS d$s0")
+                 .mkString(",\n               ")}
+        FROM pa3 a JOIN qd ON a.s = qd.s AND a.cent_id = qd.cent_id
+        WHERE a.vec_id <> qd.query_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, $pqAdcSumSql AS adc_dist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY $pqAdcSumSql ASC, neighbor_id) AS INT) AS rank
+        FROM adc)
+      SELECT query_id, neighbor_id, rank, adc_dist
+      FROM ranked WHERE rank <= 5"""
 
   private def pqAdcSumSql: String =
     (0 until pqM).map(s0 => s"d$s0").mkString(" + ")

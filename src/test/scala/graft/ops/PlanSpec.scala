@@ -462,7 +462,7 @@ class PlanSpec extends SparkTestBase {
     // TopKPairAgg. sim_sq8_rerank's 15-candidate pool cut runs over the
     // full corpus per query and is pinned with the family.
     Seq("sim_ivf_probe", "sim_ivf_multiprobe", "sim_ivf_served",
-        "sim_ivf_served_multiprobe", "sim_pq_adc",
+        "sim_ivf_served_multiprobe", "sim_pq_adc", "sim_pq_served",
         "sim_ivfpq_adc", "sim_sq8_rerank", "dedup_semantic_ivf").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("Window"), s"$q still ranks through a window:\n" + p.take(1500))
@@ -499,6 +499,39 @@ class PlanSpec extends SparkTestBase {
     val servedRows = df.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
     val sessionRows = graft.SparkEntry.queries("sim_ivf_probe")(spark, sf("0.001"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
+    assert(servedRows === sessionRows)
+  }
+
+  test("served PQ-ADC's corpus scan reads the compressed codes table, never an embedding") {
+    // The PQ serving claim: the per-vector read is pqM small codes —
+    // the stored codes table physically lacks the embedding column, so
+    // no corpus-sized scan in the served plan CAN read floats. Assert
+    // it on the plan: every scan under the served-PQ root reads a
+    // schema without `embedding`, and the only embedding reads left
+    // come from the source table (the 20 query vectors' distance
+    // tables).
+    val df = graft.SparkEntry.queries("sim_pq_served")(spark, sf("0.001"))
+    val servedReads = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+              if h.location.rootPaths.exists(_.toString.contains("pq_served")) =>
+            Seq(h.dataSchema.fieldNames.toSeq)
+          case _ => Nil
+        }
+    }.flatten
+    assert(servedReads.nonEmpty, "no served-index scan found in the plan")
+    servedReads.foreach(cols =>
+      assert(!cols.contains("embedding"),
+        s"served-index scan carries raw vectors: $cols"))
+    assert(servedReads.exists(_.contains("codes")), "no codes-table scan found")
+    // served rows equal the session-computed ADC's (oracle gates both,
+    // but pin the equivalence directly too)
+    val servedRows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
+    val sessionRows = graft.SparkEntry.queries("sim_pq_adc")(spark, sf("0.001"))
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
     assert(servedRows === sessionRows)
