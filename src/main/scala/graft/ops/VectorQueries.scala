@@ -861,8 +861,7 @@ object VectorQueries {
     Q("sim_ivfpq_adc", (spark, dir) => {
       val e = load(spark, dir, "embeddings")
       val cents = ivfTrainedCents(spark, e)
-      val residCol = zip_with(col("embedding"), col("cv"),
-        (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+      val residCol = ivfResidCol
       val resid = ivfAssign(spark, e, cents)
         .join(broadcast(cents), Seq("cent_id"))
         .select(col("vec_id"), col("cent_id").as("cell"),
@@ -901,54 +900,62 @@ object VectorQueries {
         .select(col("query_id"), posexplode(col("top")))
         .select(col("query_id"), col("col.id").as("neighbor_id"),
           (col("pos") + 1).cast("int").as("rank"), (-col("col.score")).as("adc_dist"))
-    }, oracle = Some(s"""
-      WITH ${ivfOracleCtes(1)},
-      resid AS (
-        SELECT a.vec_id, a.cent_id AS cell,
-               list_transform(list_zip(a.embedding, c.cv),
-                 p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS REAL))
-                 AS embedding
-        FROM a3 a JOIN cents2 c ON c.cent_id = a.cent_id),
-      ${pqOracleCtes(src = "resid")},
-      qprobe AS (
-        SELECT vec_id AS query_id, cent_id AS cell FROM (
-          SELECT e.vec_id, c.cent_id,
-                 row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${cosFrag("e.embedding", "c.cv")} DESC, c.cent_id) AS crk
-          FROM embeddings e CROSS JOIN cents2 c
-          WHERE e.vec_id < 20) WHERE crk <= 2),
-      qresid AS (
-        SELECT q.query_id, q.cell,
-               list_transform(list_zip(e.embedding, c.cv),
-                 p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS REAL)) AS rq
-        FROM qprobe q
-        JOIN embeddings e ON e.vec_id = q.query_id
-        JOIN cents2 c ON c.cent_id = q.cell),
-      qsubs AS (
-        SELECT query_id, cell, u.s,
-               rq[u.s*$pqSubDim+1 : u.s*$pqSubDim+$pqSubDim] AS sv
-        FROM qresid, LATERAL (SELECT unnest(range(0, $pqM)) AS s) u),
-      qd AS (
-        SELECT qs.query_id, qs.cell, qs.s, c.cent_id,
-               ${l2Frag("qs.sv", "c.cv")} AS qd
-        FROM qsubs qs JOIN pc2 c ON c.s = qs.s),
-      adc AS (
-        SELECT qd.query_id, n.vec_id AS neighbor_id,
-               ${(0 until pqM).map(s0 =>
-                  s"max(CASE WHEN n.s = $s0 THEN qd.qd END) AS d$s0")
-                 .mkString(",\n               ")}
-        FROM pa3 n
-        JOIN resid r ON r.vec_id = n.vec_id
-        JOIN qd ON qd.cell = r.cell AND qd.s = n.s AND qd.cent_id = n.cent_id
-        WHERE n.vec_id <> qd.query_id
-        GROUP BY 1, 2),
-      ranked AS (
-        SELECT query_id, neighbor_id, $pqAdcSumSql AS adc_dist,
-               CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY $pqAdcSumSql ASC, neighbor_id) AS INT) AS rank
-        FROM adc)
-      SELECT query_id, neighbor_id, rank, adc_dist
-      FROM ranked WHERE rank <= 5""")),
+    }, oracle = Some(ivfPqAdcOracle)),
+
+    // SERVED IVF-PQ — the production ANN serving shape (FAISS IVFPQ on
+    // disk), combining BOTH persisted-index stories: the probe opens
+    // ONLY its probed cells' subdir files (cell-CLUSTERED layout,
+    // `snapshotPoints`) AND those files hold ONLY packed PQ codes —
+    // pqM BIGINTs per vector, no floats anywhere in the corpus-side
+    // read. A query therefore touches ~nProbe/nlist of a few-TB
+    // compressed index instead of a 100 TB float corpus; recall is the
+    // probe-side knob, compression the storage-side knob, and the two
+    // compose because the residual codes are stored per cell. The
+    // stored quantizer + residual codebooks are broadcast-size
+    // metadata reads; raw embeddings appear only for the 20 query
+    // vectors' residual distance tables. Hash-matches the
+    // session-computed `sim_ivfpq_adc`'s oracle (stored codes ARE the
+    // trained encoding; fixed-order recombination). Offline build
+    // bills to layoutNanos.
+    Q("sim_ivfpq_served", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      val root = servedIvfPqRoot(spark, dir, e)
+      val cents = graft.pipeline.TxLog(spark, s"$root/quantizer").snapshot()
+      val books = graft.pipeline.TxLog(spark, s"$root/codebooks").snapshot()
+      val codesT = graft.pipeline.TxLog(spark, s"$root/codes",
+        statsCols = Seq("cell"))
+      val qresid = ivfAssign(spark, e.filter(col("vec_id") < 20), cents, nProbe = 2)
+        .withColumnRenamed("cent_id", "cell")
+        .join(broadcast(cents.withColumnRenamed("cent_id", "cell")), Seq("cell"))
+        .select(col("vec_id").as("query_id"), col("cell"), ivfResidCol.as("rq"))
+      val qsubs = qresid.select(col("query_id"), col("cell"),
+          posexplode(transform(sequence(lit(0), lit(pqM - 1)),
+            s => slice(col("rq"), s * pqSubDim + 1, lit(pqSubDim)))))
+        .select(col("query_id"), col("cell"), col("pos").as("s"), col("col").as("sv"))
+      val qd = qsubs.join(broadcast(books), Seq("s"))
+        .withColumn("qd", VectorExpressions.l2_sq(spark, col("sv"), col("cv")))
+        .select(col("query_id"), col("cell"), col("s"), col("cent_id"), col("qd"))
+      // the probed cell ids are the one driver round-trip (partition
+      // metadata — same sanction as the served-IVF probe)
+      val cells = qresid.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val unpacked = codesT.snapshotPoints("cell", cells.map(_.toString))
+        .select(col("vec_id"), col("cell"), posexplode(col("codes")))
+        .select(col("vec_id"), col("cell"), col("pos").as("s"), col("col").as("cent_id"))
+      val ds = (0 until pqM).map(s0 => max(when(col("s") === s0, col("qd"))).as(s"d$s0"))
+      unpacked.join(broadcast(qd), Seq("cell", "s", "cent_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(ds.head, ds.tail: _*)
+        .withColumn("adc_dist",
+          (0 until pqM).map(s0 => col(s"d$s0")).reduce(_ + _))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.expressions.TopKPairAgg
+          .topk_pair_agg(spark, -col("adc_dist"), col("neighbor_id"), 5).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"), (-col("col.score")).as("adc_dist"))
+    }, oracle = Some(ivfPqAdcOracle)),
 
     // k-NN MAJORITY-VOTE CLASSIFICATION — the label-propagation use of
     // the similarity stack (weak-label bootstrapping / embedding QA):
@@ -1248,6 +1255,57 @@ object VectorQueries {
   private val servedPqCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
+  /** Build (once per session+corpus) the PERSISTED serving form of the
+    * IVF-PQ index — the production composition of both layouts under
+    * one root:
+    *
+    *   - `quantizer/`: the trained coarse centroids (cent_id, cv).
+    *   - `codebooks/`: per-subspace codebooks trained on the RESIDUALS
+    *     (s, cent_id, cv) — broadcast-size.
+    *   - `codes/`: cell-CLUSTERED ([[graft.pipeline.TxLog.overwriteClustered]])
+    *     packed residual codes (vec_id, cell, codes) — one subdir per
+    *     cell, each holding pqM BIGINTs per vector and no floats. A
+    *     probe's point read opens only its cells' files, and those
+    *     files are PQ-compressed: the nProbe/nlist byte fraction and
+    *     the ~32× float→code compression MULTIPLY.
+    *
+    * Build = coarse train + assignment + residual PQ train + encode +
+    * three writes; billed to [[graft.ops.Scale.layoutNanos]]. */
+  private[graft] def servedIvfPqRoot(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String,
+                                     e: org.apache.spark.sql.DataFrame): String = {
+    val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
+      e.queryExecution.analyzed.semanticHash())
+    servedIvfPqCache.computeIfAbsent(key, _ => {
+      val root = s"/root/repo/target/tmp/ivfpq_served_${dir.hashCode.abs}_${key._2.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t0 = System.nanoTime()
+      val cents = ivfTrainedCents(spark, e)
+      val resid = ivfAssign(spark, e, cents)
+        .join(broadcast(cents), Seq("cent_id"))
+        .select(col("vec_id"), col("cent_id").as("cell"),
+          ivfResidCol.as("embedding"))
+        .localCheckpoint(true)
+      val (codes, books) = pqTrainedCodes(spark,
+        resid.select(col("vec_id"), col("embedding")))
+      graft.pipeline.TxLog(spark, s"$root/quantizer").overwrite(cents)
+      graft.pipeline.TxLog(spark, s"$root/codebooks").overwrite(books)
+      graft.pipeline.TxLog(spark, s"$root/codes", statsCols = Seq("cell"))
+        .overwriteClustered(
+          codes.join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+            .groupBy(col("vec_id"), col("cell"))
+            .agg(transform(
+              array_sort(collect_list(struct(col("s"), col("cent_id")))),
+              x => x.getField("cent_id")).as("codes")),
+          "cell")
+      Scale.layoutNanos.addAndGet(System.nanoTime() - t0)
+      root
+    })
+  }
+
+  private val servedIvfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
   /** Full trained coarse quantizer: [[ivfTrainedCents]] plus a final
     * `nProbe`-cell assignment → (vec_id, embedding, cent_id). */
   private def ivfTrainedAssignment(spark: org.apache.spark.sql.SparkSession,
@@ -1309,6 +1367,65 @@ object VectorQueries {
   // EAGERLY while `all` initializes, above these declarations)
   private final val pqM = 8
   private final val pqSubDim = 8
+
+  /** Residual against the joined coarse centroid: embedding − cv,
+    * computed in double, stored as float — identical expression on the
+    * corpus side (encoding) and the query side (distance tables). */
+  private def ivfResidCol: org.apache.spark.sql.Column =
+    zip_with(col("embedding"), col("cv"),
+      (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+
+  /** The IVF-PQ ADC oracle — shared verbatim by `sim_ivfpq_adc`
+    * (session index) and `sim_ivfpq_served` (persisted clustered
+    * codes): one ground truth gates both. */
+  private def ivfPqAdcOracle: String = s"""
+      WITH ${ivfOracleCtes(1)},
+      resid AS (
+        SELECT a.vec_id, a.cent_id AS cell,
+               list_transform(list_zip(a.embedding, c.cv),
+                 p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS REAL))
+                 AS embedding
+        FROM a3 a JOIN cents2 c ON c.cent_id = a.cent_id),
+      ${pqOracleCtes(src = "resid")},
+      qprobe AS (
+        SELECT vec_id AS query_id, cent_id AS cell FROM (
+          SELECT e.vec_id, c.cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosFrag("e.embedding", "c.cv")} DESC, c.cent_id) AS crk
+          FROM embeddings e CROSS JOIN cents2 c
+          WHERE e.vec_id < 20) WHERE crk <= 2),
+      qresid AS (
+        SELECT q.query_id, q.cell,
+               list_transform(list_zip(e.embedding, c.cv),
+                 p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS REAL)) AS rq
+        FROM qprobe q
+        JOIN embeddings e ON e.vec_id = q.query_id
+        JOIN cents2 c ON c.cent_id = q.cell),
+      qsubs AS (
+        SELECT query_id, cell, u.s,
+               rq[u.s*$pqSubDim+1 : u.s*$pqSubDim+$pqSubDim] AS sv
+        FROM qresid, LATERAL (SELECT unnest(range(0, $pqM)) AS s) u),
+      qd AS (
+        SELECT qs.query_id, qs.cell, qs.s, c.cent_id,
+               ${l2Frag("qs.sv", "c.cv")} AS qd
+        FROM qsubs qs JOIN pc2 c ON c.s = qs.s),
+      adc AS (
+        SELECT qd.query_id, n.vec_id AS neighbor_id,
+               ${(0 until pqM).map(s0 =>
+                  s"max(CASE WHEN n.s = $s0 THEN qd.qd END) AS d$s0")
+                 .mkString(",\n               ")}
+        FROM pa3 n
+        JOIN resid r ON r.vec_id = n.vec_id
+        JOIN qd ON qd.cell = r.cell AND qd.s = n.s AND qd.cent_id = n.cent_id
+        WHERE n.vec_id <> qd.query_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, $pqAdcSumSql AS adc_dist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY $pqAdcSumSql ASC, neighbor_id) AS INT) AS rank
+        FROM adc)
+      SELECT query_id, neighbor_id, rank, adc_dist
+      FROM ranked WHERE rank <= 5"""
 
   /** The PQ-ADC oracle — shared verbatim by `sim_pq_adc` (session
     * index) and `sim_pq_served` (persisted index): the stored codes

@@ -463,7 +463,8 @@ class PlanSpec extends SparkTestBase {
     // full corpus per query and is pinned with the family.
     Seq("sim_ivf_probe", "sim_ivf_multiprobe", "sim_ivf_served",
         "sim_ivf_served_multiprobe", "sim_pq_adc", "sim_pq_served",
-        "sim_ivfpq_adc", "sim_sq8_rerank", "dedup_semantic_ivf").foreach { q =>
+        "sim_ivfpq_adc", "sim_ivfpq_served", "sim_sq8_rerank",
+        "dedup_semantic_ivf").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("Window"), s"$q still ranks through a window:\n" + p.take(1500))
       assert(p.contains("topk_pair_agg"),
@@ -532,6 +533,39 @@ class PlanSpec extends SparkTestBase {
     val servedRows = df.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
     val sessionRows = graft.SparkEntry.queries("sim_pq_adc")(spark, sf("0.001"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
+    assert(servedRows === sessionRows)
+  }
+
+  test("served IVF-PQ composes both claims: probed-cell pruning AND a float-free corpus read") {
+    // The production serving shape: every corpus-side scan under the
+    // ivfpq_served root must (a) be a probed __cluster subdir — the
+    // nProbe/nlist byte fraction — and (b) read a schema without
+    // `embedding` — the PQ compression. The quantizer/codebooks reads
+    // are broadcast-size metadata (cv columns), exempt from (a).
+    val df = graft.SparkEntry.queries("sim_ivfpq_served")(spark, sf("0.001"))
+    val servedScans = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+              if h.location.rootPaths.exists(_.toString.contains("ivfpq_served")) =>
+            Seq((h.location.rootPaths.map(_.toString), h.dataSchema.fieldNames.toSeq))
+          case _ => Nil
+        }
+    }.flatten
+    assert(servedScans.nonEmpty, "no served-index scan found in the plan")
+    servedScans.foreach { case (paths, cols) =>
+      assert(!cols.contains("embedding"),
+        s"served-index scan carries raw vectors: $cols ($paths)")
+      if (cols.contains("codes"))
+        paths.filter(_.contains("/codes/")).foreach(p =>
+          assert(p.contains("__cluster="), s"codes scan not subdir-pruned: $p"))
+    }
+    assert(servedScans.exists(_._2.contains("codes")), "no codes-table scan found")
+    val servedRows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
+    val sessionRows = graft.SparkEntry.queries("sim_ivfpq_adc")(spark, sf("0.001"))
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
     assert(servedRows === sessionRows)
