@@ -81,8 +81,31 @@ final case class TxLog(spark: SparkSession, root: String,
   private def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Highest committed version, or -1 for an empty/absent table. */
-  def currentVersion(): Long = {
+  /** Highest committed version, or -1 for an empty/absent table.
+    *
+    * Resolution is hint-first (the Delta `_last_checkpoint` analog):
+    * read the advisory `_txlog/_latest` pointer, verify its manifest
+    * exists, then ROLL FORWARD past it with existence probes — a
+    * handful of O(1) requests instead of LISTing the whole log, which
+    * on an object store costs one request per 1000 keys and grows with
+    * table age. The hint is best-effort metadata, never trusted
+    * blindly: a missing, corrupt, stale (concurrent writers committed
+    * past it), vacuumed-away, or ahead-of-reality hint all degrade to
+    * the full listing or are repaired by the forward probes —
+    * correctness never depends on the hint, only request count does.
+    * Staleness is bounded by the concurrent-commit window because
+    * every successful commit rewrites the pointer. */
+  def currentVersion(): Long = readLatestHint() match {
+    case Some(h) if h >= 0 && fs.exists(manifestPath(h)) =>
+      var v = h
+      while (fs.exists(manifestPath(v + 1))) v += 1
+      v
+    case _ => listedVersion()
+  }
+
+  /** The full-LIST resolution — the fallback when no usable hint
+    * exists, and the ground truth the hint must agree with. */
+  private def listedVersion(): Long = {
     val p = new Path(logDir)
     if (!fs.exists(p)) -1L
     else fs.listStatus(p).map(_.getPath.getName)
@@ -94,6 +117,34 @@ final case class TxLog(spark: SparkSession, root: String,
   def exists(): Boolean = currentVersion() >= 0
 
   private def manifestPath(v: Long) = new Path(f"$logDir/$v%08d.json")
+
+  private def latestHintPath = new Path(logDir, "_latest")
+
+  /** Best-effort advisory write of the latest-version pointer. An
+    * unconditional overwrite put (no atomicity needed — readers verify
+    * and roll forward); failures are swallowed because the hint is an
+    * optimization, never a correctness input. Concurrent commits may
+    * write hints out of order — a reader starting from an older hint
+    * just pays extra forward probes. */
+  private def writeLatestHint(v: Long): Unit =
+    try {
+      val out = fs.create(latestHintPath, true)
+      out.write(v.toString.getBytes("UTF-8"))
+      out.close()
+    } catch { case _: Exception => () }
+
+  private def readLatestHint(): Option[Long] =
+    try {
+      if (!fs.exists(latestHintPath)) None
+      else {
+        val in = fs.open(latestHintPath)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          if (n <= 0) None else Some(new String(buf, 0, n, "UTF-8").trim.toLong)
+        } finally in.close()
+      }
+    } catch { case _: Exception => None }
 
   /** Parsed manifest. Line format (versioned trivial format; a real
     * log would be JSON actions — the commit protocol is the point
@@ -1260,8 +1311,12 @@ final case class TxLog(spark: SparkSession, root: String,
                                 op: String = ""): Boolean = {
     fs.mkdirs(new Path(logDir))
     val withOp = if (op.isEmpty) lines else s"#op=$op" +: lines
-    manifestStore.putIfAbsent(fs, new Path(logDir), manifestPath(version),
+    val won = manifestStore.putIfAbsent(fs, new Path(logDir), manifestPath(version),
       withOp.mkString("\n").getBytes("UTF-8"))
+    // every winning commit refreshes the advisory latest-version
+    // pointer, bounding reader roll-forward to the concurrent window
+    if (won) writeLatestHint(version)
+    won
   }
 
   private val MaxRaceRetries = 5

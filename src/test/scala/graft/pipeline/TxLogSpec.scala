@@ -48,6 +48,35 @@ class TxLogSpec extends SparkTestBase {
     assert(t.snapshot().count() === 2)
   }
 
+  test("latest-version hint: commits write it; stale, corrupt, ahead, missing, or vacuumed hints never change resolution") {
+    val t = fresh("hint")
+    (0 until 3).foreach(i => t.overwrite(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val hint = new java.io.File(s"${t.root}/_txlog/_latest")
+    assert(hint.exists(), "commit did not write the _latest pointer")
+    assert(java.nio.file.Files.readString(hint.toPath).trim === "2")
+    // stale hint (concurrent writers committed past it): forward
+    // probes repair it without a listing
+    java.nio.file.Files.writeString(hint.toPath, "0")
+    assert(t.currentVersion() === 2L)
+    // corrupt hint: falls back to the full listing
+    java.nio.file.Files.writeString(hint.toPath, "not-a-number")
+    assert(t.currentVersion() === 2L)
+    // hint ahead of reality (no such manifest): falls back
+    java.nio.file.Files.writeString(hint.toPath, "99")
+    assert(t.currentVersion() === 2L)
+    // missing hint: falls back
+    assert(hint.delete())
+    assert(t.currentVersion() === 2L)
+    // the next commit rewrites the pointer
+    t.append(Seq((9L, "z")).toDF("id", "v"))
+    assert(java.nio.file.Files.readString(hint.toPath).trim === "3")
+    // hint pointing at a vacuumed-away version: falls back, resolves
+    t.vacuum(keepVersions = 1)
+    java.nio.file.Files.writeString(hint.toPath, "0")
+    assert(t.currentVersion() === 3L)
+    assert(t.snapshot().count() === 2) // v2's overwrite row + the append
+  }
+
   test("vacuum drops unreferenced data dirs and old manifests; recent versions still read") {
     val t = fresh("vacuum")
     (0 until 5).foreach(i => t.overwrite(Seq((i.toLong, s"v$i")).toDF("id", "v")))
