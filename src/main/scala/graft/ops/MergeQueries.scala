@@ -273,6 +273,48 @@ object MergeQueries {
       SELECT p_partkey, p_name, CAST(p_retailprice AS DOUBLE) AS p_retailprice
       FROM part WHERE p_partkey BETWEEN 1 AND 100""")),
 
+    // PARTITION-SCOPED OPTIMIZE (Delta's `OPTIMIZE … WHERE`): the
+    // 100 TB maintenance shape — yesterday's ingest left small-file
+    // debt in a handful of partitions; the pass packs ONLY those,
+    // leaving every other partition's layout (and its manifest lines,
+    // stats, blooms) byte-identical. Here both brand partitions take
+    // per-batch appends, the scoped pass packs one of them, and the
+    // requires pin the structural claims: the unscoped partition's
+    // dirs survive untouched, a re-run is a version-preserving no-op,
+    // and content is invariant (the oracle's job). Driven through the
+    // SQL face (`OPTIMIZE t WHERE p = 'v'`) to keep the statement form
+    // under the oracle gate too.
+    Q("txlog_optimize_where", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_optw_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t = graft.pipeline.TxLog(spark, root)
+      val part = load(spark, dir, "part")
+        .filter(col("p_brand").isin("Brand#11", "Brand#12"))
+        .select(col("p_brand"), col("p_partkey"), col("p_name"))
+      t.overwritePartitioned(part.filter(col("p_partkey") % 10 =!= 0), "p_brand")
+      (0 until 4).foreach(b => // per-batch debt lands in BOTH partitions
+        t.append(part.filter(col("p_partkey") % 10 === 0 &&
+            (col("p_partkey") / 10) % 4 === b),
+          tagBy = Some("p_brand")))
+      val dirsBefore = new java.io.File(s"$root/data").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      graft.sql.TxLogSql.register("txlog_optw", t)
+      val v = spark.sql(
+        "OPTIMIZE txlog_optw WHERE p_brand = 'Brand#11'").head().getLong(0)
+      require(v == t.currentVersion(), "OPTIMIZE must commit a version")
+      val dirsAfter = new java.io.File(s"$root/data").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      require(dirsBefore.subsetOf(dirsAfter) && (dirsAfter -- dirsBefore).size == 1,
+        "scoped OPTIMIZE must add exactly one packed dir and touch nothing else")
+      require(spark.sql(
+          "OPTIMIZE txlog_optw WHERE p_brand = 'Brand#11'").head().getLong(0) == v,
+        "re-running the scoped pass with no new debt must be a no-op")
+      graft.sql.TxLogSql.unregister("txlog_optw")
+      t.snapshot().select(col("p_brand"), col("p_partkey"), col("p_name"))
+    }, oracle = Some("""
+      SELECT p_brand, p_partkey, p_name FROM part
+      WHERE p_brand IN ('Brand#11', 'Brand#12')""")),
+
     // SQL-form MERGE (r6 verdict item 2): the IDENTICAL upsert as
     // o1_scd1_merge, but driven by the user-facing string
     // `MERGE INTO ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED

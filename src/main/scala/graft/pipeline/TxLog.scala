@@ -2664,8 +2664,20 @@ final case class TxLog(spark: SparkSession, root: String,
     * live for a subset of its partitions contributes only its visible
     * rows), re-clustered on the partition column (tagged tables) or
     * the first stats column (so range skipping stays tight), and
-    * re-tagged from the data. */
-  def compactSmallFiles(targetBytes: Long): Long = {
+    * re-tagged from the data.
+    *
+    * `parts` (Delta's `OPTIMIZE … WHERE partition predicate`) scopes
+    * the pass to the named partition values of a TAGGED table — the
+    * maintenance shape at 100 TB, where yesterday's ingest touched a
+    * handful of partitions and compacting the other ten thousand is
+    * pure write amplification. Scoping works at the ENTRY level: a dir
+    * live for both scoped and unscoped partitions keeps its unscoped
+    * entries (and their tombstones/stats) pointing at the old dir
+    * while its scoped rows move — no row is ever duplicated or lost
+    * because reads resolve per entry. A scoped pass does NOT purge
+    * such a split dir's deletion vectors (the dir survives for its
+    * carried entries); a table-wide pass does. */
+  def compactSmallFiles(targetBytes: Long, parts: Seq[String] = Nil): Long = {
     require(exists(), s"TxLog table at $root has no commits to compact")
     require(targetBytes > 0, s"targetBytes must be positive (got $targetBytes)")
     import org.apache.spark.sql.functions.{col, spark_partition_id}
@@ -2673,26 +2685,34 @@ final case class TxLog(spark: SparkSession, root: String,
     while (attempt < MaxRaceRetries) {
       val cur = currentVersion()
       val prev = readManifestFull(cur)
+      require(parts.isEmpty || prev.partCol.nonEmpty,
+        "partition-scoped OPTIMIZE requires a partition-tagged table")
+      val scope: Option[Set[String]] = if (parts.isEmpty) None else Some(parts.toSet)
+      // under a scope, a None-tagged entry (dir covers the whole
+      // table) never packs — it spans partitions outside the scope
+      def inScope(tag: Option[String]): Boolean =
+        scope.forall(s => tag.exists(s))
       val sizes = prev.dirs.map(d => d -> dirSize(d)).toMap
       // deletion-vector debt counts as packing debt: rewriting a
       // tombstoned dir MATERIALIZES its deletes (survivors only, lines
       // dropped) — Delta's OPTIMIZE-purges-DVs behavior
       val dvDirs = prev.dirs.filter(d =>
         prev.tombstones.get(d).exists(_.nonEmpty)).toSet
-      val smallDirs = prev.dirs.filter(d => sizes(d) < targetBytes || dvDirs(d))
+      val packable = prev.entries.filter { case (d, t) =>
+        (sizes(d) < targetBytes || dvDirs(d)) && inScope(t) }
+      val packDirs = packable.map(_._1).distinct
       // no size debt (≤1 small dir cannot pack better) and no deletion
       // debt — no version churn
-      if (smallDirs.size <= 1 && smallDirs.forall(!dvDirs(_))) return cur
-      val small = smallDirs.toSet
-      val carry = prev.entries.filterNot { case (d, _) => small(d) }
+      if (packDirs.size <= 1 && packDirs.forall(!dvDirs(_))) return cur
+      val carry = prev.entries.filterNot(packable.contains)
       // allowMissingColumns: small dirs may span a SCHEMA EVOLUTION —
       // the same additive-widening semantics every read path uses
-      val rows = prev.entries.filter { case (d, _) => small(d) }
+      val rows = packable
         .groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
           val base = dirVisibleRows(prev.tombstones, d)
           tagFilter(prev.partCol, es.map(_._2)).fold(base)(base.filter)
         }.reduce(_.unionByName(_, allowMissingColumns = true))
-      val k = math.max(1L, smallDirs.map(sizes).sum / targetBytes).toInt
+      val k = math.max(1L, packDirs.map(sizes).sum / targetBytes).toInt
       // `rows` is physical-named (raw dir reads) — resolve the writer's
       // logical cluster column through the map; partCol is physical
       val clusterCol = prev.partCol.orElse(

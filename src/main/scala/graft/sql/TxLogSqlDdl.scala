@@ -68,9 +68,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case HistoryRe(name) => TxLogHistoryCommand(name)
     case VacuumRe(name, retain) =>
       TxLogVacuumCommand(name, Option(retain).map(_.toInt).getOrElse(3))
-    case OptimizeRe(name, zcols) =>
+    case OptimizeRe(name, where, zcols) =>
       TxLogOptimizeCommand(name, Option(zcols).toSeq.flatMap(
-        _.split(',').map(_.trim).filter(_.nonEmpty)))
+        _.split(',').map(_.trim).filter(_.nonEmpty)),
+        Option(where).map(_.trim).filter(_.nonEmpty))
     // RESTORE and SHALLOW CLONE are Delta-only grammar (no built-in
     // statement to collide with) — intercepted unconditionally;
     // an unregistered name fails with this face's error message
@@ -151,7 +152,10 @@ object GraftSqlParser {
   private[sql] val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$Id(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*""".r
   private[sql] val OptimizeRe =
-    s"""(?is)\\s*OPTIMIZE\\s+$Id(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+$Id(?:\\s+WHERE\\s+(.*?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""".r
+  // the two partition-predicate shapes OPTIMIZE WHERE accepts
+  private[sql] val WhereEqRe = """(?is)\s*([\w.]+)\s*=\s*'([^']*)'\s*""".r
+  private[sql] val WhereInRe = """(?is)\s*([\w.]+)\s+IN\s*\(([^)]*)\)\s*""".r
   // greedy (.*) captures the full column list including nested parens
   // (DECIMAL(18,2)) because USING graft always follows the LAST paren
   private[sql] val CreateRe =
@@ -536,20 +540,42 @@ case class TxLogVacuumCommand(name: String, keepVersions: Int)
   }
 }
 
-/** `OPTIMIZE t [ZORDER BY (…)]` → bin-packing compaction
-  * ([[TxLog.compactSmallFiles]], Delta's OPTIMIZE) or a z-order
-  * rewrite; returns the committed version. */
-case class TxLogOptimizeCommand(name: String, zorderCols: Seq[String])
+/** `OPTIMIZE t [WHERE partcol = 'v' | partcol IN ('v', …)] [ZORDER BY
+  * (…)]` → bin-packing compaction ([[TxLog.compactSmallFiles]],
+  * Delta's OPTIMIZE — WHERE scopes the pass to the named partitions,
+  * Delta's partition-predicate form) or a z-order rewrite; returns the
+  * committed version. WHERE accepts only the table's partition column
+  * (Delta refuses non-partition predicates the same way) and cannot
+  * combine with ZORDER BY (z-order is a table-wide re-clustering —
+  * the graft layout supports one physical clustering per table). */
+case class TxLogOptimizeCommand(name: String, zorderCols: Seq[String],
+                                where: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val root = TxLogDdl.rootOf(name)
+    require(where.isEmpty || zorderCols.isEmpty,
+      "OPTIMIZE WHERE cannot combine with ZORDER BY: z-order re-clusters the whole table")
+    val parts: Seq[String] = where.toSeq.flatMap { w =>
+      val (c, vs) = w match {
+        case GraftSqlParser.WhereEqRe(c0, v0) => (c0, Seq(v0))
+        case GraftSqlParser.WhereInRe(c0, list) =>
+          (c0, list.split(',').map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
+        case other => throw new IllegalArgumentException(
+          s"OPTIMIZE WHERE supports only <partcol> = 'v' or <partcol> IN ('v', ...): got '$other'")
+      }
+      val pc = TxLog(session, root).partitionColumn()
+      require(pc.contains(c),
+        s"OPTIMIZE WHERE must reference the table's partition column " +
+          s"(${pc.getOrElse("none — table is not partitioned")}), got '$c'")
+      vs
+    }
     val v =
       if (zorderCols.nonEmpty)
         TxLog(session, root, statsCols = zorderCols)
           .compactZOrder(zorderCols, nBuckets = 32)
-      else TxLog(session, root).compactSmallFiles(128L << 20)
+      else TxLog(session, root).compactSmallFiles(128L << 20, parts)
     TxLogSql.committed(root)
     Seq(Row(v))
   }

@@ -140,6 +140,44 @@ class TxLogSpec extends SparkTestBase {
     assert(t.snapshot(0).count() === 4)
   }
 
+  test("partition-scoped OPTIMIZE packs only the scoped partitions' entries, splitting shared dirs") {
+    val t = fresh("optwhere")
+    val base = Seq(("a", 1L, "x1"), ("b", 2L, "x2"), ("c", 3L, "x3"))
+      .toDF("day", "id", "v")
+    t.overwritePartitioned(base, "day") // v0: ONE dir, entries a, b, c
+    val v0dir = t.snapshotDataDirs(0).head
+    // small-file debt on a and b: three single-row dirs each
+    (4L to 9L).foreach { i =>
+      val d = if (i % 2 == 0) "a" else "b"
+      t.append(Seq((d, i, s"x$i")).toDF("day", "id", "v"), tagBy = Some("day"))
+    }
+    val beforeDirs = t.snapshotDataDirs(t.currentVersion())
+    assert(beforeDirs.length === 7)
+    val v = t.compactSmallFiles(1L << 20, Seq("a"))
+    // content is untouched — OPTIMIZE is layout-only
+    val rows = t.snapshot().collect()
+      .map(r => r.getLong(1) -> (r.getString(0), r.getString(2))).toMap
+    assert(rows === Map(1L -> ("a", "x1"), 2L -> ("b", "x2"), 3L -> ("c", "x3"),
+      4L -> ("a", "x4"), 5L -> ("b", "x5"), 6L -> ("a", "x6"),
+      7L -> ("b", "x7"), 8L -> ("a", "x8"), 9L -> ("b", "x9")))
+    val afterDirs = t.snapshotDataDirs(v)
+    // the shared v0 dir SPLITS: it stays referenced for its b and c
+    // entries while its day=a rows moved to the packed dir
+    assert(afterDirs.contains(v0dir))
+    // b's debt dirs are untouched — scoped write amplification only
+    val bDirs = beforeDirs.filterNot(_ == v0dir).filter(d =>
+      spark.read.parquet(d).filter(col("day") === "b").count() > 0)
+    assert(bDirs.length === 3 && bDirs.forall(afterDirs.contains))
+    // a's four entries (v0 share + 3 appends) folded into ONE new dir
+    assert(afterDirs.length === 5) // v0dir + 3 b dirs + 1 packed a dir
+    // a second scoped pass has no debt left → version-preserving no-op
+    assert(t.compactSmallFiles(1L << 20, Seq("a")) === v)
+    // scoping a non-partitioned table is refused
+    val u = fresh("optwhere_untagged")
+    u.overwrite(Seq((1L, "x")).toDF("id", "v"))
+    intercept[IllegalArgumentException](u.compactSmallFiles(1L << 20, Seq("a")))
+  }
+
   test("partitioned merge on an untagged table re-tags once, then prunes") {
     val t = fresh("retag")
     t.overwrite(Seq(("a", 1L, "x1"), ("b", 2L, "x2")).toDF("day", "id", "v"))

@@ -102,6 +102,41 @@ class TxLogSqlDdlSpec extends SparkTestBase {
     TxLogSql.unregister("sqlddl_z")
   }
 
+  test("OPTIMIZE … WHERE scopes the pass to the named partitions; predicates are validated") {
+    val loc = tmpDir("sqlddl_optwhere")
+    val t = TxLog(spark, loc)
+    t.overwritePartitioned(Seq(("a", 1L, "x1"), ("b", 2L, "x2"))
+      .toDF("day", "id", "v"), "day")
+    (3L to 8L).foreach { i =>
+      val d = if (i % 2 == 0) "a" else "b"
+      t.append(Seq((d, i, s"x$i")).toDF("day", "id", "v"), tagBy = Some("day"))
+    }
+    TxLogSql.register("sqlddl_ow", t)
+    val dirsBefore = new java.io.File(s"$loc/data").listFiles().count(_.isDirectory)
+    val v = spark.sql("OPTIMIZE sqlddl_ow WHERE day = 'a'").head().getLong(0)
+    assert(v === t.currentVersion())
+    assert(spark.sql("SELECT count(*) FROM sqlddl_ow").head().getLong(0) === 8L)
+    // only day=a's debt packed; b's dirs untouched on disk
+    assert(new java.io.File(s"$loc/data").listFiles().count(_.isDirectory)
+      === dirsBefore + 1) // one packed dir added; vacuum reclaims the rest
+    // IN-list form parses and is a no-op now for a (already packed)
+    val v2 = spark.sql("OPTIMIZE sqlddl_ow WHERE day IN ('a')").head().getLong(0)
+    assert(v2 === v)
+    // non-partition column refused
+    val e1 = intercept[Exception](
+      spark.sql("OPTIMIZE sqlddl_ow WHERE id = '1'").collect())
+    assert(e1.getMessage.contains("partition column"))
+    // WHERE + ZORDER refused
+    val e2 = intercept[Exception](
+      spark.sql("OPTIMIZE sqlddl_ow WHERE day = 'a' ZORDER BY (id)").collect())
+    assert(e2.getMessage.contains("cannot combine"))
+    // unsupported predicate shape refused
+    val e3 = intercept[Exception](
+      spark.sql("OPTIMIZE sqlddl_ow WHERE day > 'a'").collect())
+    assert(e3.getMessage.contains("supports only"))
+    TxLogSql.unregister("sqlddl_ow")
+  }
+
   test("managed location: CREATE TABLE without LOCATION lands under the warehouse dir") {
     val name = "sqlddl_managed"
     val wh = spark.conf.get("spark.sql.warehouse.dir")
