@@ -443,6 +443,37 @@ final case class TxLog(spark: SparkSession, root: String,
     if (v < 0) None else readManifestFull(v).partCol
   }
 
+  /** Distinct partition values of the current snapshot (SHOW
+    * PARTITIONS), sorted. Tagged entries answer from the MANIFEST
+    * alone; an untagged entry in a tagged table (a dir covering the
+    * whole table, e.g. the empty-snapshot guard) falls back to a
+    * metadata-scale distinct over just that dir's rows. Empty for
+    * untagged tables. */
+  def partitionValues(): Seq[String] = {
+    val v = currentVersion()
+    if (v < 0) return Seq.empty
+    val m = readManifestFull(v)
+    m.partCol.toSeq.flatMap { pc =>
+      val tagged = m.entries.flatMap(_._2)
+      val scanned = m.entries.filter(_._2.isEmpty).map(_._1).distinct
+        .flatMap(d => partValues(dirVisibleRows(m.tombstones, d), pc))
+      (tagged ++ scanned).distinct.sorted
+    }
+  }
+
+  /** DESCRIBE DETAIL's physical metadata for the current snapshot:
+    * (numFiles, sizeInBytes) across its live data dirs — a driver-side
+    * listing, no data read. */
+  def detailStats(): (Long, Long) = {
+    val dirs = snapshotDataDirs()
+    val files = dirs.flatMap { d =>
+      val p = new Path(d)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.isFile)
+    }
+    (files.size.toLong, files.map(_.getLen).sum)
+  }
+
   /** The current snapshot's CHECK constraints, `(name, predicate)` in
     * declaration order — table METADATA (SHOW CREATE TABLE renders
     * them; [[addConstraint]]/[[dropConstraint]] maintain them). */
@@ -2871,6 +2902,31 @@ final case class TxLog(spark: SparkSession, root: String,
   /** Garbage-collect data dirs unreferenced by any of the newest
     * `keepVersions` manifests, and drop older manifests (bounds time
     * travel; the production knob is retention time). */
+  /** The paths [[vacuum]] with the same retention would delete right
+    * now — Delta's `VACUUM … DRY RUN`: unreferenced data dirs plus
+    * manifests older than the retention window. A pure metadata
+    * listing; nothing is touched. (Crashed-writer `_tmp_` debris is
+    * excluded — its eligibility depends on the grace clock at delete
+    * time, not on retention.) */
+  def vacuumPlan(keepVersions: Int = 3): Seq[String] = {
+    val cur = currentVersion()
+    if (cur < 0) return Nil
+    val keep = (math.max(0, cur - keepVersions + 1) to cur)
+    val live = keep.flatMap { v =>
+      val m = readManifestFull(v)
+      m.dirs ++ m.tombstones.values.flatten ++ m.copied
+    }.map(_.split('/').head).toSet
+    val dd = new Path(dataDir)
+    val doomedData =
+      if (!fs.exists(dd)) Seq.empty
+      else fs.listStatus(dd).map(_.getPath).toSeq
+        .filter(p => !live.contains(p.getName))
+    val doomedManifests = fs.listStatus(new Path(logDir)).map(_.getPath).toSeq
+      .filter(_.getName.endsWith(".json"))
+      .filter(_.getName.stripSuffix(".json").toLong < keep.head)
+    (doomedData ++ doomedManifests).map(_.toString).sorted
+  }
+
   def vacuum(keepVersions: Int = 3, tmpGraceMs: Long = 3600 * 1000L): Unit = {
     val cur = currentVersion()
     if (cur < 0) return

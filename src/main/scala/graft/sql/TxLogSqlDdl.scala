@@ -66,8 +66,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case HistoryRe(name) => TxLogHistoryCommand(name)
-    case VacuumRe(name, retain) =>
-      TxLogVacuumCommand(name, Option(retain).map(_.toInt).getOrElse(3))
+    case VacuumRe(name, retain, dry) =>
+      TxLogVacuumCommand(name, Option(retain).map(_.toInt).getOrElse(3),
+        dryRun = dry != null)
     case OptimizeRe(name, where, zcols) =>
       TxLogOptimizeCommand(name, Option(zcols).toSeq.flatMap(
         _.split(',').map(_.trim).filter(_.nonEmpty)),
@@ -122,6 +123,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       TxLogShowCreateCommand(name)
     case DescribeRe(name) if TxLogSql.lookupMeta(name).isDefined =>
       TxLogDescribeCommand(name)
+    // SHOW PARTITIONS is real Spark grammar; DESCRIBE DETAIL is
+    // Delta-only — both intercepted only for registered names
+    case ShowPartitionsRe(name) if TxLogSql.lookupMeta(name).isDefined =>
+      TxLogShowPartitionsCommand(name)
+    case DescribeDetailRe(name) if TxLogSql.lookupMeta(name).isDefined =>
+      TxLogDescribeDetailCommand(name)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -150,7 +157,11 @@ object GraftSqlParser {
   private[sql] val HistoryRe =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Id\\s*;?\\s*""".r
   private[sql] val VacuumRe =
-    s"""(?is)\\s*VACUUM\\s+$Id(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*""".r
+    s"""(?is)\\s*VACUUM\\s+$Id(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
+  private[sql] val ShowPartitionsRe =
+    s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Id\\s*;?\\s*""".r
+  private[sql] val DescribeDetailRe =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Id\\s*;?\\s*""".r
   private[sql] val OptimizeRe =
     s"""(?is)\\s*OPTIMIZE\\s+$Id(?:\\s+WHERE\\s+(.*?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""".r
   // the two partition-predicate shapes OPTIMIZE WHERE accepts
@@ -527,16 +538,61 @@ case class TxLogHistoryCommand(name: String) extends LeafRunnableCommand {
     TxLog(session, TxLogDdl.rootOf(name)).history().collect().toSeq
 }
 
-/** `VACUUM t [RETAIN n VERSIONS]` → [[TxLog.vacuum]]; returns the
-  * table path like Delta's VACUUM. */
-case class TxLogVacuumCommand(name: String, keepVersions: Int)
+/** `VACUUM t [RETAIN n VERSIONS] [DRY RUN]` → [[TxLog.vacuum]] /
+  * [[TxLog.vacuumPlan]]; the real pass returns the table path like
+  * Delta's VACUUM, DRY RUN returns one row per path that would be
+  * deleted and touches nothing. */
+case class TxLogVacuumCommand(name: String, keepVersions: Int,
+                              dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val root = TxLogDdl.rootOf(name)
-    TxLog(session, root).vacuum(keepVersions = keepVersions)
-    Seq(Row(root))
+    if (dryRun) TxLog(session, root).vacuumPlan(keepVersions).map(Row(_))
+    else {
+      TxLog(session, root).vacuum(keepVersions = keepVersions)
+      Seq(Row(root))
+    }
+  }
+}
+
+/** `SHOW PARTITIONS t` → the tagged table's distinct partition values
+  * as Spark-style `col=value` rows, answered from the manifest. */
+case class TxLogShowPartitionsCommand(name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = TxLog(session, TxLogDdl.rootOf(name))
+    val pc = t.partitionColumn().getOrElse(throw new AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" ->
+        s"SHOW PARTITIONS: graft table '$name' is not partitioned")))
+    t.partitionValues().map(v => Row(s"$pc=$v"))
+  }
+}
+
+/** `DESCRIBE DETAIL t` (Delta parity) — one row of physical table
+  * metadata: format, location, current version, live file count and
+  * bytes (driver-side listing of the snapshot's dirs), partition and
+  * constraint metadata. */
+case class TxLogDescribeDetailCommand(name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("numFiles", LongType, nullable = false)(),
+    AttributeReference("sizeInBytes", LongType, nullable = false)(),
+    AttributeReference("partitionColumns", StringType, nullable = false)(),
+    AttributeReference("numConstraints", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = TxLogDdl.rootOf(name)
+    val t = TxLog(session, root)
+    val (nFiles, bytes) = t.detailStats()
+    Seq(Row("graft", root, t.currentVersion(), nFiles, bytes,
+      t.partitionColumn().getOrElse(""), t.constraints().size))
   }
 }
 

@@ -137,6 +137,52 @@ class TxLogSqlDdlSpec extends SparkTestBase {
     TxLogSql.unregister("sqlddl_ow")
   }
 
+  test("SHOW PARTITIONS / DESCRIBE DETAIL / VACUUM DRY RUN: metadata statements answer from the manifest") {
+    val loc = tmpDir("sqlddl_meta")
+    val t = TxLog(spark, loc)
+    t.overwritePartitioned(Seq(("a", 1L), ("b", 2L), ("c", 3L))
+      .toDF("day", "id"), "day")
+    t.overwritePartitioned(Seq(("a", 1L), ("b", 2L)).toDF("day", "id"), "day")
+    TxLogSql.register("sqlddl_meta", t)
+    // SHOW PARTITIONS: manifest tags, col=value form, sorted — the
+    // overwrite dropped c, and only the CURRENT snapshot answers
+    assert(spark.sql("SHOW PARTITIONS sqlddl_meta").collect()
+      .map(_.getString(0)).toSeq === Seq("day=a", "day=b"))
+    // DESCRIBE DETAIL: physical metadata of the CURRENT snapshot only
+    val d = spark.sql("DESCRIBE DETAIL sqlddl_meta").head()
+    assert(d.getString(0) === "graft")
+    assert(d.getString(1) === loc)
+    assert(d.getLong(2) === 1L) // version
+    assert(d.getLong(3) >= 1L) // numFiles: live snapshot's files only
+    assert(d.getLong(4) > 0L)
+    assert(d.getString(5) === "day")
+    // VACUUM DRY RUN lists v0's now-unreferenced dir without deleting
+    val planned = spark.sql("VACUUM sqlddl_meta RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0))
+    assert(planned.exists(_.contains("/data/")))
+    assert(planned.exists(_.endsWith("00000000.json")))
+    planned.foreach(p => assert(new java.io.File(p.stripPrefix("file:")).exists(),
+      s"DRY RUN must not delete: $p"))
+    assert(spark.sql("SELECT count(*) FROM sqlddl_meta VERSION AS OF 0")
+      .head().getLong(0) === 3L) // time travel still works — nothing deleted
+    // the real pass deletes exactly the planned set
+    spark.sql("VACUUM sqlddl_meta RETAIN 1 VERSIONS")
+    planned.foreach(p =>
+      assert(!new java.io.File(p.stripPrefix("file:")).exists(), s"not deleted: $p"))
+    // empty partitioned snapshot: partCol survives, zero values, and
+    // SHOW PARTITIONS exercises the untagged-entry data fallback
+    t.overwritePartitioned(Seq.empty[(String, Long)].toDF("day", "id"), "day")
+    assert(spark.sql("SHOW PARTITIONS sqlddl_meta").count() === 0L)
+    // an unpartitioned table is refused
+    val u = TxLog(spark, tmpDir("sqlddl_meta_untagged"))
+    u.overwrite(Seq((1L, "x")).toDF("id", "v"))
+    TxLogSql.register("sqlddl_meta_u", u)
+    val e = intercept[Exception](spark.sql("SHOW PARTITIONS sqlddl_meta_u").collect())
+    assert(e.getMessage.contains("not partitioned"))
+    TxLogSql.unregister("sqlddl_meta_u")
+    TxLogSql.unregister("sqlddl_meta")
+  }
+
   test("managed location: CREATE TABLE without LOCATION lands under the warehouse dir") {
     val name = "sqlddl_managed"
     val wh = spark.conf.get("spark.sql.warehouse.dir")
