@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.VectorHofRewrite)
+    // automatic data skipping for SQL reads of registered TxLog tables
+    // (manifest range/Bloom stats prune scan dirs under a pushed-down
+    // Filter — the PrepareDeltaScan analog)
+    e.injectOptimizerRule(_ => graft.plans.TxLogSkipScans)
     // TxLog DDL statements (CREATE TABLE … USING graft, DESCRIBE
     // HISTORY, VACUUM, OPTIMIZE [ZORDER BY]) — the DeltaSqlParser
     // pattern: scoped statement forms intercepted, everything else

@@ -961,6 +961,73 @@ final case class TxLog(spark: SparkSession, root: String,
     pruneDirs(m, c, t, lo, hi)
   }
 
+  /** Data-skipping decision for the OPTIMIZER's scan-prune rule
+    * ([[graft.plans.TxLogSkipScans]]): of `paths` (absolute dir paths,
+    * scheme-stripped, typically a batched snapshot read's rootPaths),
+    * the subset no predicate can exclude. `bounds` are per-column
+    * inclusive [lo, hi] constraints and `points` are equality probes
+    * for the per-dir Bloom words — both in the same CAST-to-STRING
+    * canonical form the stats were committed in. Conservative
+    * throughout: a path outside this table's data/, a column without
+    * committed stats, or a dir without a range line is never skipped.
+    *
+    * Stats are immutable once a dir commits (dirs are never rewritten
+    * in place), so the view may be assembled across manifest versions
+    * and cached per (root, currentVersion) — time-travel scans of dirs
+    * the current manifest no longer references still find their
+    * ranges. */
+  private[graft] def skipForScan(paths: Seq[String],
+      bounds: Seq[(String, Option[String], Option[String])],
+      points: Seq[(String, String)]): Seq[String] = {
+    val cur = currentVersion()
+    if (cur < 0) return paths
+    // bounded: stale (root, version) keys accumulate as tables commit —
+    // dropping the whole map is safe (pure cache) and keeps the session
+    // footprint flat
+    if (TxLog.scanStatsCache.size() >= 256) TxLog.scanStatsCache.clear()
+    val view = TxLog.scanStatsCache.computeIfAbsent((root, cur), _ => {
+      var types = Map.empty[String, String]
+      var colMap = Seq.empty[(String, String)]
+      var ranges = Map.empty[(String, String), (String, String)]
+      var blooms = Map.empty[(String, String), String]
+      var v = cur
+      var stop = false
+      while (v >= 0 && !stop) {
+        try {
+          val m = readManifestFull(v)
+          if (v == cur) { types = m.stats.toMap; colMap = m.colMap }
+          ranges = m.ranges ++ ranges // newer manifests win (identical anyway)
+          blooms = m.blooms ++ blooms
+        } catch { case _: Exception => stop = true } // vacuumed — older are gone too
+        v -= 1
+      }
+      TxLog.ScanStatsView(types, colMap, ranges, blooms)
+    })
+    val dataPrefix = new Path(dataDir).toUri.getPath + "/"
+    paths.filter { p0 =>
+      val p = new Path(p0).toUri.getPath
+      if (!p.startsWith(dataPrefix)) true
+      else {
+        val d = p.stripPrefix(dataPrefix)
+        val boundsOk = bounds.forall { case (c0, lo, hi) =>
+          val c = physicalOf(view.colMap, c0)
+          view.types.get(c).forall { t =>
+            view.ranges.get((d, c)).forall { case (mn, mx) =>
+              (try lo.forall(l => cmpVals(t, mx, l) >= 0) &&
+                   hi.forall(h => cmpVals(t, mn, h) <= 0)
+               catch { case _: NumberFormatException => true })
+            }
+          }
+        }
+        def pointsOk = points.forall { case (c0, value) =>
+          val c = physicalOf(view.colMap, c0)
+          view.blooms.get((d, c)).forall(bloomMayContain(_, value))
+        }
+        boundsOk && pointsOk
+      }
+    }
+  }
+
   /** Driver-side ordering in the stats column's type: numeric types
     * parse; DATE and STRING compare lexicographically (ISO dates are
     * chronological). Timestamps are rejected at stats-collection time
@@ -3035,4 +3102,19 @@ final case class TxLog(spark: SparkSession, root: String,
       s"clone destination $destRoot was committed concurrently")
     dest
   }
+}
+
+object TxLog {
+  /** Parsed stats for the optimizer's scan-prune rule, assembled
+    * across manifest versions (dir stats are immutable) and cached per
+    * (root, currentVersion) so repeated optimizer passes pay one
+    * manifest walk per table version. */
+  private[pipeline] final case class ScanStatsView(
+      types: Map[String, String],
+      colMap: Seq[(String, String)],
+      ranges: Map[(String, String), (String, String)],
+      blooms: Map[(String, String), String])
+
+  private[pipeline] val scanStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), ScanStatsView]()
 }
