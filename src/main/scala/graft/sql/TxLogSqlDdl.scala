@@ -96,7 +96,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         LocationRe.findFirstMatchIn(tail).map(_.group(1)),
         propList(tail, "keys"), propList(tail, "statsCols"),
         ifNotExists = ifNot != null, orReplace = orRepl != null,
-        asSelect = AsSelectRe.findFirstMatchIn(tail).map(_.group(1).trim))
+        asSelect = AsSelectRe.findFirstMatchIn(tail).map(_.group(1).trim),
+        // PARTITIONED BY (c) clause, or the 'clustered_by' property
+        // SHOW CREATE TABLE emits — accepting both keeps that output
+        // re-runnable for partitioned tables
+        clusteredBy = PartitionedByRe.findFirstMatchIn(tail).map(_.group(1))
+          .orElse(propList(tail, "clustered_by").headOption))
     // ALTER TABLE exists in Spark's own grammar, so these forms
     // intercept ONLY for names this registry knows — everything else
     // (including ALTER on catalog tables) parses through the delegate
@@ -172,6 +177,8 @@ object GraftSqlParser {
   private[sql] val CreateRe =
     s"""(?is)\\s*CREATE\\s+(?:(OR\\s+REPLACE)\\s+)?TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$Id\\s*(?:\\((.*)\\))?\\s*USING\\s+graft\\b(.*)""".r
   private[sql] val LocationRe = """(?is)LOCATION\s+'([^']+)'""".r
+  private[sql] val PartitionedByRe =
+    """(?is)PARTITIONED\s+BY\s*\(\s*([\w.]+)\s*\)""".r
   // CTAS query text inside the CREATE tail: everything after the first
   // AS followed by a query-starting keyword (alias ASes can only occur
   // later, inside the query itself)
@@ -262,9 +269,20 @@ case class TxLogCreateTableCommand(name: String, colsDdl: Option[String],
                                    keys: Seq[String], statsCols: Seq[String],
                                    ifNotExists: Boolean,
                                    orReplace: Boolean = false,
-                                   asSelect: Option[String] = None)
+                                   asSelect: Option[String] = None,
+                                   clusteredBy: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
+  /** Seed/replace write honoring the declared partitioning: tagged
+    * manifests from day one, so partition-pruned merges and scoped
+    * OPTIMIZE work on a purely-SQL-created table. */
+  private def seed(t: TxLog, df: org.apache.spark.sql.DataFrame): Unit =
+    clusteredBy.fold { t.overwrite(df); () } { pc =>
+      if (!df.columns.contains(pc))
+        TxLogDdl.fail(s"PARTITIONED BY column '$pc' is not in the schema " +
+          s"(${df.columns.mkString(", ")})")
+      t.overwritePartitioned(df, pc); ()
+    }
   override def run(session: SparkSession): Seq[Row] = {
     if (colsDdl.nonEmpty && asSelect.nonEmpty)
       TxLogDdl.fail("a column list and AS SELECT are mutually exclusive — " +
@@ -282,7 +300,7 @@ case class TxLogCreateTableCommand(name: String, colsDdl: Option[String],
             session.sessionState.sqlParser.parseTableSchema(c))))
           .getOrElse(TxLogDdl.fail(
             "CREATE OR REPLACE needs a column list or AS SELECT"))
-        t.overwrite(df)
+        seed(t, df)
       } else if (asSelect.nonEmpty) {
         // CTAS on an existing table: IF NOT EXISTS makes it a no-op
         // (ANSI), otherwise it is an error
@@ -311,7 +329,7 @@ case class TxLogCreateTableCommand(name: String, colsDdl: Option[String],
           session.sessionState.sqlParser.parseTableSchema(c))))
         .getOrElse(TxLogDdl.fail(
           s"no TxLog table at $root — creating one requires a column list or AS SELECT"))
-      t.overwrite(df)
+      seed(t, df)
     }
     TxLogSql.register(name, t, keys)
     TxLogSql.committed(root)

@@ -63,6 +63,13 @@ object TxLogSql {
   private[sql] def lookup(parts: Seq[String]): Option[String] =
     Option(tables.get(norm(parts))).map(_._1)
 
+  /** Every registered table root — the scope gate for the optimizer's
+    * data-skipping rule ([[graft.plans.TxLogSkipScans]]): only scans
+    * whose paths live under a registered root are prune candidates. */
+  private[graft] def registeredRoots: Set[String] =
+    scala.jdk.CollectionConverters
+      .CollectionHasAsScala(tables.values()).asScala.map(_._1).toSet
+
   private[graft] def lookupMeta(name: String): Option[(String, Seq[String])] =
     Option(tables.get(norm(name.split('.').toSeq)))
 
@@ -553,7 +560,14 @@ case class TxLogInsertCommand(root: String, source: LogicalPlan,
         src0.select(src0.columns.toSeq.zip(schema).map { case (c, f) =>
           ansiCast(col(s"`$c`"), f.dataType).as(f.name) }: _*)
       }
-    val v = if (overwrite) t.overwrite(aligned) else t.append(aligned)
+    // a partitioned table's plain INSERTs stay tagged (and INSERT
+    // OVERWRITE stays partitioned), so pruning keeps working on tables
+    // whose whole life is SQL
+    val pc = t.partitionColumn()
+    val v =
+      if (overwrite) pc.fold(t.overwrite(aligned))(c =>
+        t.overwritePartitioned(aligned, c))
+      else t.append(aligned, tagBy = pc)
     TxLogSql.committed(root)
     Seq(Row(v))
   }

@@ -183,6 +183,42 @@ class TxLogSqlDdlSpec extends SparkTestBase {
     TxLogSql.unregister("sqlddl_meta")
   }
 
+  test("CREATE TABLE PARTITIONED BY: a purely-SQL table is tagged from day one; SHOW CREATE re-runs") {
+    val loc = tmpDir("sqlddl_partby")
+    spark.sql(s"""
+      CREATE TABLE sqlddl_pb (day STRING, id BIGINT, v STRING)
+      USING graft PARTITIONED BY (day) LOCATION '$loc'""")
+    val t = TxLog(spark, loc)
+    assert(t.partitionColumn() === Some("day")) // empty seed keeps partCol
+    spark.sql("INSERT INTO sqlddl_pb VALUES ('a', 1, 'x1'), ('b', 2, 'x2')")
+    spark.sql("INSERT INTO sqlddl_pb VALUES ('a', 3, 'x3')")
+    // plain INSERTs tag their dirs: partition metadata answers SHOW
+    // PARTITIONS and scoped OPTIMIZE works on a SQL-only table
+    assert(spark.sql("SHOW PARTITIONS sqlddl_pb").collect()
+      .map(_.getString(0)).toSeq === Seq("day=a", "day=b"))
+    spark.sql("OPTIMIZE sqlddl_pb WHERE day = 'a'")
+    assert(spark.sql("SELECT count(*) FROM sqlddl_pb").head().getLong(0) === 3L)
+    // INSERT OVERWRITE keeps the table partitioned
+    spark.sql("INSERT OVERWRITE sqlddl_pb VALUES ('c', 9, 'x9')")
+    assert(t.partitionColumn() === Some("day"))
+    assert(spark.sql("SHOW PARTITIONS sqlddl_pb").collect()
+      .map(_.getString(0)).toSeq === Seq("day=c"))
+    // SHOW CREATE TABLE emits 'clustered_by' and that output re-runs
+    // into an equally-partitioned table
+    val ddl = spark.sql("SHOW CREATE TABLE sqlddl_pb").head().getString(0)
+    assert(ddl.contains("'clustered_by' = 'day'"))
+    val loc2 = tmpDir("sqlddl_partby2")
+    spark.sql(ddl.replace("sqlddl_pb", "sqlddl_pb2")
+      .replace(s"LOCATION '$loc'", s"LOCATION '$loc2'"))
+    assert(TxLog(spark, loc2).partitionColumn() === Some("day"))
+    // a PARTITIONED BY column missing from the schema is refused
+    val e = intercept[Exception](spark.sql(s"""
+      CREATE TABLE sqlddl_pb3 (id BIGINT) USING graft
+      PARTITIONED BY (nope) LOCATION '${tmpDir("sqlddl_partby3")}'"""))
+    assert(e.getMessage.contains("not in the schema"))
+    Seq("sqlddl_pb", "sqlddl_pb2").foreach(TxLogSql.unregister)
+  }
+
   test("managed location: CREATE TABLE without LOCATION lands under the warehouse dir") {
     val name = "sqlddl_managed"
     val wh = spark.conf.get("spark.sql.warehouse.dir")
