@@ -16,6 +16,133 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(
 
+    // STREAMING CORPUS INGEST WITH DEDUP — the production shape of
+    // continuous corpus building at 100 TB: the accepted corpus, its
+    // INVERTED INDEX (the (id, lang, shingle) postings), and the
+    // duplicate quarantine all live as transaction-log tables; new
+    // documents stream in per commit (graft-txlog source, one version
+    // per trigger) and each microbatch (a) probes the PERSISTENT index
+    // with the batch's shingles — an equi-join on (lang, shingle)
+    // whose cost tracks the batch's co-occurrence with the index,
+    // never the corpus — (b) routes any doc with Jaccard ≥ 0.5
+    // against the accepted corpus to quarantine with its best match
+    // (max jaccard, ties to the lowest id), and (c) appends the
+    // surviving docs AND their postings, all three commits #txn-marked
+    // for exactly-once under redelivery. Because the index grows with
+    // each accepted batch, batch 2 dedups against base ∪ batch 1's
+    // survivors — the sequential-fold semantics the oracle replays as
+    // two unrolled stages. Dedup granularity is per batch (a batch's
+    // own internal near-pairs ride the NEXT batch's probe), the
+    // documented trade of per-commit ingest.
+    Q("dedup_stream_ingest", (spark, dir) => {
+      val tag = dir.hashCode.abs
+      val stagingR = s"/root/repo/target/tmp/dedup_sing_stage_$tag"
+      val corpusR = s"/root/repo/target/tmp/dedup_sing_corpus_$tag"
+      val idxR = s"/root/repo/target/tmp/dedup_sing_idx_$tag"
+      val quarR = s"/root/repo/target/tmp/dedup_sing_quar_$tag"
+      val ckpt = s"/root/repo/target/tmp/dedup_sing_ckpt_$tag"
+      Seq(stagingR, corpusR, idxR, quarR, ckpt).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+      val docs = load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val base = docs.filter(col("doc_id") % 5 =!= 0)
+      def shingleEx(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id").as("id"), col("lang").as("blk"),
+          explode(TextFunctions.shinglesFromTokens(
+            TextFunctions.tokens(col("text")), 3)).as("s"))
+      val corpus = graft.pipeline.TxLog(spark, corpusR)
+      corpus.overwrite(base)
+      val idx = graft.pipeline.TxLog(spark, idxR)
+      idx.overwrite(shingleEx(base))
+      val quar = graft.pipeline.TxLog(spark, quarR)
+      quar.overwrite(docs.filter(lit(false)).select(col("doc_id"),
+        col("doc_id").as("match_id"), lit(0.0).as("jaccard")))
+      val stage = graft.pipeline.TxLog(spark, stagingR)
+      stage.overwrite(docs.filter(col("doc_id") % 10 === 0)) // v0: batch 1
+      stage.append(docs.filter(col("doc_id") % 10 === 5))    // v1: batch 2
+      val q = spark.readStream.format("graft-txlog").option("path", stagingR)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val b = batch.select(col("doc_id"), col("text"), col("lang"))
+            .localCheckpoint(true)
+          val bex = shingleEx(b).localCheckpoint(true)
+          val best = ExactJaccard.pairsAgainst(bex, idx.snapshot(), 0.5)
+            .groupBy(col("id_new"))
+            .agg(min_by(struct(col("id_base"), col("jaccard")),
+              struct(-col("jaccard"), col("id_base"))).as("m"))
+            .select(col("id_new").as("doc_id"),
+              col("m.id_base").as("match_id"), col("m.jaccard").as("jaccard"))
+            .localCheckpoint(true)
+          val clean = b.join(best.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          corpus.append(clean, txn = Some(("dedup_sing_corpus", id)))
+          idx.append(shingleEx(clean), txn = Some(("dedup_sing_idx", id)))
+          quar.append(best, txn = Some(("dedup_sing_quar", id)))
+          ()
+        }.start()
+      try q.awaitTermination() finally q.stop()
+      corpus.snapshot().select(col("doc_id"), lit("kept").as("status"),
+          lit(null).cast("long").as("match_id"),
+          lit(null).cast("double").as("jaccard"))
+        .unionByName(quar.snapshot().select(col("doc_id"),
+          lit("dup").as("status"), col("match_id"), col("jaccard")))
+    }, oracle = Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(string_split(text,' ')) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, len(string_split(text,' ')) - 1),
+                           i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                    ELSE [text] END AS sh
+        FROM documents),
+      ex AS (SELECT doc_id, lang, unnest(sh) AS s FROM d),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+      p1 AS (
+        SELECT n.doc_id AS id_new, b.doc_id AS id_base, count(*) AS i
+        FROM ex n JOIN ex b ON n.lang = b.lang AND n.s = b.s
+        WHERE n.doc_id % 10 = 0 AND b.doc_id % 5 <> 0
+        GROUP BY 1, 2),
+      j1 AS (
+        SELECT id_new, id_base, CAST(i AS DOUBLE) / (sn.n + sb.n - i) AS jac
+        FROM p1 JOIN sizes sn ON sn.doc_id = id_new
+                JOIN sizes sb ON sb.doc_id = id_base
+        WHERE CAST(i AS DOUBLE) / (sn.n + sb.n - i) >= 0.5),
+      d1 AS (
+        SELECT id_new, id_base, jac FROM (
+          SELECT *, row_number() OVER (PARTITION BY id_new
+              ORDER BY jac DESC, id_base) AS rk FROM j1) WHERE rk = 1),
+      k1 AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT id_new FROM d1)),
+      p2 AS (
+        SELECT n.doc_id AS id_new, b.doc_id AS id_base, count(*) AS i
+        FROM ex n JOIN ex b ON n.lang = b.lang AND n.s = b.s
+        WHERE n.doc_id % 10 = 5
+          AND (b.doc_id % 5 <> 0 OR b.doc_id IN (SELECT doc_id FROM k1))
+        GROUP BY 1, 2),
+      j2 AS (
+        SELECT id_new, id_base, CAST(i AS DOUBLE) / (sn.n + sb.n - i) AS jac
+        FROM p2 JOIN sizes sn ON sn.doc_id = id_new
+                JOIN sizes sb ON sb.doc_id = id_base
+        WHERE CAST(i AS DOUBLE) / (sn.n + sb.n - i) >= 0.5),
+      d2 AS (
+        SELECT id_new, id_base, jac FROM (
+          SELECT *, row_number() OVER (PARTITION BY id_new
+              ORDER BY jac DESC, id_base) AS rk FROM j2) WHERE rk = 1),
+      k2 AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 10 = 5 AND doc_id NOT IN (SELECT id_new FROM d2))
+      SELECT doc_id, 'kept' AS status, CAST(NULL AS BIGINT) AS match_id,
+             CAST(NULL AS DOUBLE) AS jaccard
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0
+            UNION ALL SELECT doc_id FROM k1
+            UNION ALL SELECT doc_id FROM k2)
+      UNION ALL
+      SELECT id_new AS doc_id, 'dup' AS status, id_base AS match_id, jac AS jaccard
+      FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)""")),
+
     // Per-source duplication-rate report — the accounting table a
     // dedup run publishes: docs, distinct contents, and the duplicate
     // share in exact integer ppm. One hash-aggregate pass (count +
