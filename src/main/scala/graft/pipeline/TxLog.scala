@@ -976,16 +976,13 @@ final case class TxLog(spark: SparkSession, root: String,
     * and cached per (root, currentVersion) — time-travel scans of dirs
     * the current manifest no longer references still find their
     * ranges. */
-  private[graft] def skipForScan(paths: Seq[String],
-      bounds: Seq[(String, Option[String], Option[String])],
-      points: Seq[(String, String)]): Seq[String] = {
+  private def scanStatsView(): TxLog.ScanStatsView = {
     val cur = currentVersion()
-    if (cur < 0) return paths
     // bounded: stale (root, version) keys accumulate as tables commit —
     // dropping the whole map is safe (pure cache) and keeps the session
     // footprint flat
     if (TxLog.scanStatsCache.size() >= 256) TxLog.scanStatsCache.clear()
-    val view = TxLog.scanStatsCache.computeIfAbsent((root, cur), _ => {
+    TxLog.scanStatsCache.computeIfAbsent((root, cur), _ => {
       var types = Map.empty[String, String]
       var colMap = Seq.empty[(String, String)]
       var ranges = Map.empty[(String, String), (String, String)]
@@ -1003,29 +1000,62 @@ final case class TxLog(spark: SparkSession, root: String,
       }
       TxLog.ScanStatsView(types, colMap, ranges, blooms)
     })
+  }
+
+  /** May dir token `d` contain a row satisfying every bound and point
+    * probe? Conservative: unknown column/type/range → yes. */
+  private def mayMatch(view: TxLog.ScanStatsView, d: String,
+      bounds: Seq[(String, Option[String], Option[String])],
+      points: Seq[(String, String)]): Boolean = {
+    val boundsOk = bounds.forall { case (c0, lo, hi) =>
+      val c = physicalOf(view.colMap, c0)
+      view.types.get(c).forall { t =>
+        view.ranges.get((d, c)).forall { case (mn, mx) =>
+          (try lo.forall(l => cmpVals(t, mx, l) >= 0) &&
+               hi.forall(h => cmpVals(t, mn, h) <= 0)
+           catch { case _: NumberFormatException => true })
+        }
+      }
+    }
+    def pointsOk = points.forall { case (c0, value) =>
+      val c = physicalOf(view.colMap, c0)
+      view.blooms.get((d, c)).forall(bloomMayContain(_, value))
+    }
+    boundsOk && pointsOk
+  }
+
+  private[graft] def skipForScan(paths: Seq[String],
+      bounds: Seq[(String, Option[String], Option[String])],
+      points: Seq[(String, String)]): Seq[String] = {
+    if (currentVersion() < 0) return paths
+    val view = scanStatsView()
     val dataPrefix = new Path(dataDir).toUri.getPath + "/"
     paths.filter { p0 =>
       val p = new Path(p0).toUri.getPath
-      if (!p.startsWith(dataPrefix)) true
-      else {
-        val d = p.stripPrefix(dataPrefix)
-        val boundsOk = bounds.forall { case (c0, lo, hi) =>
-          val c = physicalOf(view.colMap, c0)
-          view.types.get(c).forall { t =>
-            view.ranges.get((d, c)).forall { case (mn, mx) =>
-              (try lo.forall(l => cmpVals(t, mx, l) >= 0) &&
-                   hi.forall(h => cmpVals(t, mn, h) <= 0)
-               catch { case _: NumberFormatException => true })
-            }
-          }
-        }
-        def pointsOk = points.forall { case (c0, value) =>
-          val c = physicalOf(view.colMap, c0)
-          view.blooms.get((d, c)).forall(bloomMayContain(_, value))
-        }
-        boundsOk && pointsOk
-      }
+      !p.startsWith(dataPrefix) ||
+        mayMatch(view, p.stripPrefix(dataPrefix), bounds, points)
     }
+  }
+
+  /** [[skipForScan]] at manifest dir-token granularity, with IN-lists
+    * folded in (OR semantics per list) — the DML paths' pre-scan
+    * prune: a DELETE/UPDATE whose predicate the stats exclude for a
+    * dir never opens that dir. The caller's residual predicate keeps
+    * correctness; this bounds I/O only. A predicate this extractor
+    * cannot analyze keeps every dir. */
+  private def mayMatchDirs(dirs: Seq[String], predicate: String): Seq[String] = {
+    val (bounds, points, ins) =
+      try graft.plans.PredicateBounds.extract(
+        spark.sessionState.sqlParser.parseExpression(predicate))
+      catch { case _: Exception => return dirs }
+    if (bounds.isEmpty && points.isEmpty && ins.isEmpty) return dirs
+    val view = scanStatsView()
+    var keep = dirs.filter(d => mayMatch(view, d, bounds, points))
+    ins.foreach { case (c, vs) =>
+      keep = keep.filter(d => vs.exists(v =>
+        mayMatch(view, d, Seq((c, Some(v), Some(v))), Seq((c, v)))))
+    }
+    keep
   }
 
   /** Driver-side ordering in the stats column's type: numeric types
@@ -1057,11 +1087,15 @@ final case class TxLog(spark: SparkSession, root: String,
     * addressed dirs and carries the rest. Pre-evolution dirs null-fill
     * columns they lack (mergeSchema union of dir footers), so a
     * predicate over any visible column resolves everywhere. */
-  private def addressedVisibleRows(m: Manifest): DataFrame = {
+  private def addressedVisibleRows(m: Manifest,
+      only: Option[Set[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    // the schema is the TABLE's (all dirs), even when the scan is
+    // restricted — a predicate over any visible column must resolve
     val full = spark.read.option("mergeSchema", "true")
       .parquet(m.dirs.map(dirPath): _*).schema
-    m.entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
+    m.entries.filter(e => only.forall(_.contains(e._1)))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
       val base = withRowIds(snapshotOfDir(d))
       val minus = m.tombstones.get(d).filter(_.nonEmpty)
         .fold(base)(ts => dropTombstoned(base, ts))
@@ -2646,6 +2680,18 @@ final case class TxLog(spark: SparkSession, root: String,
     * the column's existing type (UPDATE never changes the schema).
     * The updated relation commits as a fresh single-dir snapshot like
     * [[merge]]; same optimistic-transaction retry. */
+  /** Copy-on-write UPDATE at DIR granularity: stats prune the
+    * predicate to candidate dirs ([[mayMatchDirs]]), an addressed
+    * probe finds the dirs actually containing matches, and ONLY those
+    * rewrite — every other dir's manifest lines (entries, tags,
+    * ranges, Blooms, tombstones) carry untouched. Write amplification
+    * tracks the matched dirs, not the table: the one-customer UPDATE
+    * on a 100 TB table rewrites the dirs holding that customer.
+    * Partition tagging survives (the rewritten rows re-tag from data,
+    * so an UPDATE that moves rows across partitions stays correct);
+    * rewritten dirs' deletion vectors materialize, carried dirs keep
+    * theirs. Column-mapped tables take the legacy whole-snapshot
+    * rewrite, which re-homes the table on identity mapping. */
   def updateWhere(assignments: Seq[(String, String)],
                   predicate: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
@@ -2660,21 +2706,80 @@ final case class TxLog(spark: SparkSession, root: String,
       require(unknown.isEmpty,
         s"UPDATE of unknown column(s): ${unknown.mkString(", ")}")
       val cond = predicate.map(expr).getOrElse(lit(true))
-      val updated = snap.select(snap.schema.fields.map { f =>
-        assignments.find(_._1 == f.name) match {
-          case Some((_, rhs)) =>
-            when(cond, expr(rhs).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
+      def applyAssignments(df: DataFrame): DataFrame =
+        df.select(snap.schema.fields.map { f =>
+          assignments.find(_._1 == f.name) match {
+            case Some((_, rhs)) =>
+              when(cond, expr(rhs).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq: _*)
+      if (prev.colMap.nonEmpty) {
+        // legacy path: full rewrite onto identity mapping
+        val updated = applyAssignments(snap).localCheckpoint(true)
+        val uuid = writeDataDir(updated)
+        val (hdr, ranges) = statsFor(uuid)
+        val checks = mergedChecks(prev.checks)
+        enforceChecksOnDirs(Seq(uuid), checks)
+        val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
+          txnsAfter(prev.txns, None), bloomsFor(uuid), checks,
+          copied = prev.copied))
+        if (tryCommitManifest(base + 1, lines, "UPDATE")) return base + 1
+      } else {
+        val candidates = predicate.fold(prev.dirs)(p => mayMatchDirs(prev.dirs, p))
+        val affected =
+          if (candidates.isEmpty) Seq.empty[String]
+          else addressedVisibleRows(prev, Some(candidates.toSet)).filter(cond)
+            .select(col(DvDir)).distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+        if (affected.isEmpty) {
+          // zero matches: a metadata-only version (UPDATE always
+          // commits — history records the statement ran)
+          if (tryCommitManifest(base + 1,
+              manifestLines(prev.copy(txns = txnsAfter(prev.txns, None))),
+              "UPDATE")) return base + 1
+        } else {
+          val aff = affected.toSet
+          val carry = prev.entries.filterNot(e => aff(e._1))
+          val raw = prev.entries.filter(e => aff(e._1))
+            .groupBy(_._1).toSeq.sortBy(_._1).map { case (d, es) =>
+              val baseDf = dirVisibleRows(prev.tombstones, d)
+              tagFilter(prev.partCol, es.map(_._2)).fold(baseDf)(baseDf.filter)
+            }.reduce(_.unionByName(_, allowMissingColumns = true))
+          // pre-evolution dirs may lack later columns: widen to the
+          // snapshot schema so assignments/predicates resolve
+          val widened = snap.schema.fields
+            .filterNot(f => raw.columns.contains(f.name))
+            .foldLeft(raw)((df, f) =>
+              df.withColumn(f.name, lit(null).cast(f.dataType)))
+          val updated = applyAssignments(widened).localCheckpoint(true)
+          val uuid = writeDataDir(updated)
+          val newEntries = prev.partCol match {
+            case Some(pc) =>
+              partValues(snapshotOfDir(uuid), pc).map(p => (uuid, Option(p)))
+            case None => Seq((uuid, Option.empty[String]))
+          }
+          val (hdr, newRanges) = statsFor(uuid)
+          val header = carriedHeader(prev.stats, hdr)
+          val headerCols = header.map(_._1).toSet
+          val carriedRanges = prev.ranges.filter { case ((d, c), _) =>
+            headerCols(c) && carry.exists(_._1 == d) }
+          val carriedBlooms = prev.blooms.filter { case ((d, _), _) =>
+            carry.exists(_._1 == d) }
+          val carriedTombs = prev.tombstones.filter { case (d, _) =>
+            carry.exists(_._1 == d) }
+          val checks = mergedChecks(prev.checks)
+          enforceChecksOnDirs(Seq(uuid), checks)
+          enforceChecks(entryTagSets(carry, prev.partCol), prev.partCol,
+            addedChecks(prev.checks), carriedTombs, prev.colMap)
+          val m2 = Manifest(prev.partCol, header, carry ++ newEntries,
+            carriedRanges ++ newRanges, txnsAfter(prev.txns, None),
+            carriedBlooms ++ bloomsFor(uuid), checks, carriedTombs,
+            retired = prev.retired, copied = prev.copied)
+          if (tryCommitManifest(base + 1, manifestLines(m2), "UPDATE"))
+            return base + 1
         }
-      }.toSeq: _*).localCheckpoint(true)
-      val uuid = writeDataDir(updated)
-      val (hdr, ranges) = statsFor(uuid)
-      val checks = mergedChecks(prev.checks)
-      enforceChecksOnDirs(Seq(uuid), checks)
-      val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
-        txnsAfter(prev.txns, None), bloomsFor(uuid), checks,
-        copied = prev.copied))
-      if (tryCommitManifest(base + 1, lines, "UPDATE")) return base + 1
+      }
       attempt += 1
     }
     throw new java.io.IOException(
@@ -2704,7 +2809,12 @@ final case class TxLog(spark: SparkSession, root: String,
       val cur = currentVersion()
       require(cur >= 0, s"TxLog table at $root has no commits to delete from")
       val m = readManifestFull(cur)
-      val hits = addressedVisibleRows(m).filter(expr(predicate))
+      // predicate-pruned scan: a dir whose committed stats exclude the
+      // predicate cannot contain hits — a one-key GDPR delete on a
+      // stats/bloom column opens the matching dirs, not the table
+      val candidates = mayMatchDirs(m.dirs, predicate).toSet
+      if (candidates.isEmpty) return cur // stats exclude every dir — no-op
+      val hits = addressedVisibleRows(m, Some(candidates)).filter(expr(predicate))
         .select(col(DvFile).as("file"), col(DvRow).as("row"),
           col(DvDir).as("__dir")).localCheckpoint(true)
       // affected-dir list: bounded metadata (≤ table dir count) — the

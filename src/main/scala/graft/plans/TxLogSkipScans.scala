@@ -69,68 +69,9 @@ object TxLogSkipScans extends Rule[LogicalPlan] {
       norm.forall(_.startsWith(new Path(r).toUri.getPath + "/data/")))
   }
 
-  /** CAST-to-STRING canonical form of a literal, matching how
-    * [[graft.pipeline.TxLog]] commits range stats; None for types
-    * whose rendering is not trivially canonical (the dir is kept). */
-  private def canon(v: Any, dt: DataType): Option[String] = dt match {
-    case ByteType | ShortType | IntegerType | LongType => Some(v.toString)
-    case FloatType | DoubleType => Some(v.toString)
-    case StringType => Some(v.toString)
-    case _ => None
-  }
-
-  private type Bound = (String, Option[String], Option[String])
-
-  /** The conjuncts this rule understands, as per-column bounds and
-    * Bloom point probes. IN-lists are returned separately: a dir
-    * survives an IN if ANY value may match, so they cannot fold into
-    * the conjunctive bound set. */
-  private def extract(cond: Expression)
-      : (Seq[Bound], Seq[(String, String)], Seq[(String, Seq[String])]) = {
-    def split(e: Expression): Seq[Expression] = e match {
-      case And(a, b) => split(a) ++ split(b)
-      case other => Seq(other)
-    }
-    val conjuncts = split(cond)
-    val bounds = Seq.newBuilder[Bound]
-    val points = Seq.newBuilder[(String, String)]
-    val ins = Seq.newBuilder[(String, Seq[String])]
-    conjuncts.foreach {
-      case EqualTo(a: AttributeReference, Literal(v, dt)) if v != null =>
-        canon(v, dt).foreach { s =>
-          bounds += ((a.name, Some(s), Some(s))); points += ((a.name, s)) }
-      case EqualTo(Literal(v, dt), a: AttributeReference) if v != null =>
-        canon(v, dt).foreach { s =>
-          bounds += ((a.name, Some(s), Some(s))); points += ((a.name, s)) }
-      case GreaterThan(a: AttributeReference, Literal(v, dt)) if v != null =>
-        canon(v, dt).foreach(s => bounds += ((a.name, Some(s), None)))
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) if v != null =>
-        canon(v, dt).foreach(s => bounds += ((a.name, Some(s), None)))
-      case LessThan(a: AttributeReference, Literal(v, dt)) if v != null =>
-        canon(v, dt).foreach(s => bounds += ((a.name, None, Some(s))))
-      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) if v != null =>
-        canon(v, dt).foreach(s => bounds += ((a.name, None, Some(s))))
-      case GreaterThan(Literal(v, dt), a: AttributeReference) if v != null =>
-        canon(v, dt).foreach(s => bounds += ((a.name, None, Some(s))))
-      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) if v != null =>
-        canon(v, dt).foreach(s => bounds += ((a.name, None, Some(s))))
-      case LessThan(Literal(v, dt), a: AttributeReference) if v != null =>
-        canon(v, dt).foreach(s => bounds += ((a.name, Some(s), None)))
-      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) if v != null =>
-        canon(v, dt).foreach(s => bounds += ((a.name, Some(s), None)))
-      case In(a: AttributeReference, list)
-          if list.nonEmpty && list.forall {
-            case Literal(v, _) => v != null; case _ => false } =>
-        val vs = list.flatMap { case Literal(v, dt) => canon(v, dt) }
-        if (vs.length == list.length) ins += ((a.name, vs))
-      case _ => () // unsupported shape: contributes no pruning
-    }
-    (bounds.result(), points.result(), ins.result())
-  }
-
   private def pruned(f: Filter, cond: Expression, l: LogicalRelation,
                      h: HadoopFsRelation, root: String): LogicalPlan = {
-    val (bounds, points, ins) = extract(cond)
+    val (bounds, points, ins) = PredicateBounds.extract(cond)
     if (bounds.isEmpty && points.isEmpty && ins.isEmpty) return f
     val session = h.sparkSession
     val t = graft.pipeline.TxLog(session, root)

@@ -178,6 +178,67 @@ class TxLogSpec extends SparkTestBase {
     intercept[IllegalArgumentException](u.compactSmallFiles(1L << 20, Seq("a")))
   }
 
+  test("UPDATE rewrites only the dirs containing matches; partitioning and carried layout survive") {
+    val t = TxLog(spark, tmpDir("txlog_cowupd"), statsCols = Seq("k"))
+    (0 until 4).foreach(b => t.append(
+      (b * 100 until b * 100 + 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")))
+    val before = t.snapshotDataDirs()
+    assert(before.length === 4)
+    val v = t.updateWhere(Seq(("v", "'UP'")), Some("k = 137"))
+    val after = t.snapshotDataDirs(v)
+    // three untouched dirs carry by reference; one dir rewrote
+    assert(after.length === 4)
+    assert(before.count(after.contains) === 3)
+    assert(t.snapshot().filter(col("v") === "UP").collect()
+      .map(_.getLong(0)).toSeq === Seq(137L))
+    assert(t.snapshot().count() === 400)
+    // the carried dirs' range stats still prune
+    assert(t.rangeDirs("5", "5").size === 1)
+    // stats-excluded predicate: zero dirs rewrite, the version still
+    // commits (history records the statement), content unchanged
+    val v2 = t.updateWhere(Seq(("v", "'NOPE'")), Some("k = 99999"))
+    assert(v2 === v + 1)
+    assert(t.snapshotDataDirs(v2).toSet === after.toSet)
+    assert(t.snapshot().filter(col("v") === "NOPE").count() === 0L)
+    // partitioned table: UPDATE keeps the partitioning (previously a
+    // whole-snapshot rewrite dropped it) and only the matched
+    // partition's dirs rewrite
+    val p = TxLog(spark, tmpDir("txlog_cowupd_part"))
+    p.overwritePartitioned(Seq(("a", 1L, "x1"), ("b", 2L, "x2"))
+      .toDF("day", "id", "w"), "day")
+    p.append(Seq(("b", 3L, "x3")).toDF("day", "id", "w"), tagBy = Some("day"))
+    val pBefore = p.snapshotDataDirs()
+    p.updateWhere(Seq(("w", "'X3'")), Some("id = 3"))
+    assert(p.partitionColumn() === Some("day"))
+    assert(p.snapshotDataDirs().count(pBefore.contains) === 1) // v0 dir carried
+    assert(p.snapshot().collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+      === Map(1L -> "x1", 2L -> "x2", 3L -> "X3"))
+    // an UPDATE that MOVES a row across partitions re-tags from data
+    p.updateWhere(Seq(("day", "'c'")), Some("id = 1"))
+    assert(p.snapshot().filter(col("day") === "c").count() === 1L)
+    assert(p.partitionValues().contains("c"))
+  }
+
+  test("DELETE's scan is stats-pruned: an excluded predicate is a no-op, a hit still lands") {
+    val t = TxLog(spark, tmpDir("txlog_pruneddel"), statsCols = Seq("k"),
+      bloomCols = Seq("k"))
+    (0 until 4).foreach(b => t.append(
+      (b * 100 until b * 100 + 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")))
+    val v0 = t.currentVersion()
+    // predicate outside every dir's range: no version committed
+    assert(t.deleteWhere("k = 99999") === v0)
+    // in-range delete still works (tombstone on the one matching dir)
+    val v1 = t.deleteWhere("k = 137")
+    assert(v1 === v0 + 1)
+    assert(t.snapshot().count() === 399)
+    assert(t.snapshot().filter(col("k") === 137L).count() === 0L)
+    // a predicate the extractor cannot analyze falls back to the full
+    // scan and stays correct
+    val v2 = t.deleteWhere("k % 100 = 42")
+    assert(v2 === v1 + 1)
+    assert(t.snapshot().count() === 395)
+  }
+
   test("partitioned merge on an untagged table re-tags once, then prunes") {
     val t = fresh("retag")
     t.overwrite(Seq(("a", 1L, "x1"), ("b", 2L, "x2")).toDF("day", "id", "v"))
