@@ -25,6 +25,10 @@ object PredicateBounds {
     case ByteType | ShortType | IntegerType | LongType => Some(v.toString)
     case FloatType | DoubleType => Some(v.toString)
     case StringType => Some(v.toString)
+    // DATE stats are committed as CAST-to-STRING ISO dates (which sort
+    // chronologically); a date literal is days-since-epoch
+    case DateType => Some(java.time.LocalDate
+      .ofEpochDay(v.asInstanceOf[Int].toLong).toString)
     case _ => None
   }
 

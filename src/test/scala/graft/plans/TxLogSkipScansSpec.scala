@@ -75,6 +75,28 @@ class TxLogSkipScansSpec extends SparkTestBase {
     TxLogSql.unregister("skipscan_range")
   }
 
+  test("DATE predicates prune through the ISO-string stats — the time-range shape") {
+    val t = TxLog(spark, tmpDir("skipscan_date"), statsCols = Seq("d"))
+    (0 until 4).foreach { b =>
+      t.append(spark.sql(
+        s"SELECT DATE'2024-01-01' + make_interval(0,0,0,${b * 30} + x.id) AS d, x.id AS n " +
+          s"FROM range(30) x"))
+    }
+    TxLogSql.register("skipscan_date", t)
+    // a one-month window touches the one dir whose range covers it
+    // (inclusive end: the strict `< Mar 1` form widens to ≤ and keeps
+    // the dir whose min IS Mar 1 — the documented conservatism)
+    val q = spark.sql("SELECT count(*) FROM skipscan_date " +
+      "WHERE d >= DATE'2024-02-01' AND d <= DATE'2024-02-29'")
+    assert(scanPaths(q).length === 1)
+    assert(q.head().getLong(0) === 29L) // 2024-02-01 .. 2024-02-29
+    // equality on a date
+    val eq = spark.sql("SELECT n FROM skipscan_date WHERE d = DATE'2024-03-05'")
+    assert(scanPaths(eq).length === 1)
+    assert(eq.count() === 1L)
+    TxLogSql.unregister("skipscan_date")
+  }
+
   test("pruned scans return exactly the unpruned rows (correctness is the residual filter's)") {
     val t = rangedTable("exact")
     TxLogSql.register("skipscan_exact", t)
