@@ -68,7 +68,17 @@ object DedupQueries {
           val b = batch.select(col("doc_id"), col("text"), col("lang"))
             .localCheckpoint(true)
           val bex = shingleEx(b).localCheckpoint(true)
-          val best = ExactJaccard.pairsAgainst(bex, idx.snapshot(), 0.5)
+          // probe the index MINUS this batch's own ids: on a crash
+          // replay after idx.append committed (its #txn mark makes the
+          // re-append a no-op), the index already holds the batch's
+          // survivors — without the exclusion every survivor would
+          // self-match at jaccard 1.0 and re-quarantine. The anti-join
+          // is a no-op on the first delivery (ids not yet indexed), so
+          // replay recomputes byte-identical routing — the exactly-once
+          // contract extends to the RECOMPUTATION, not just the commits
+          val probe = idx.snapshot()
+            .join(b.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+          val best = ExactJaccard.pairsAgainst(bex, probe, 0.5)
             .groupBy(col("id_new"))
             .agg(min_by(struct(col("id_base"), col("jaccard")),
               struct(-col("jaccard"), col("id_base"))).as("m"))

@@ -454,10 +454,27 @@ final case class TxLog(spark: SparkSession, root: String,
     if (v < 0) return Seq.empty
     val m = readManifestFull(v)
     m.partCol.toSeq.flatMap { pc =>
-      val tagged = m.entries.flatMap(_._2)
-      val scanned = m.entries.filter(_._2.isEmpty).map(_._1).distinct
-        .flatMap(d => partValues(dirVisibleRows(m.tombstones, d), pc))
-      (tagged ++ scanned).distinct.sorted
+      // values of a dir's VISIBLE rows (nulls are not partition
+      // values; a dir predating the column contributes nothing)
+      def visVals(d: String): Seq[String] =
+        try dirVisibleRows(m.tombstones, d)
+          .select(org.apache.spark.sql.functions.col(pc).cast("string"))
+          .distinct().collect().toSeq
+          .filterNot(_.isNullAt(0)).map(_.getString(0))
+        catch { case _: Exception => Seq.empty }
+      def dirty(d: String): Boolean = m.tombstones.get(d).exists(_.nonEmpty)
+      m.entries.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (d, es) =>
+        val tags = es.flatMap(_._2)
+        if (tags.nonEmpty && !dirty(d)) tags // clean tagged dir: manifest answers
+        else {
+          // untagged entry (covers the dir) or a TOMBSTONED dir (a
+          // delete may have emptied a partition — SHOW PARTITIONS must
+          // report the data's truth): metadata-scale distinct over the
+          // visible rows, restricted to the entry tags when present
+          val vis = visVals(d)
+          if (tags.nonEmpty) vis.intersect(tags) else vis
+        }
+      }.distinct.sorted
     }
   }
 
@@ -983,66 +1000,118 @@ final case class TxLog(spark: SparkSession, root: String,
     // footprint flat
     if (TxLog.scanStatsCache.size() >= 256) TxLog.scanStatsCache.clear()
     TxLog.scanStatsCache.computeIfAbsent((root, cur), _ => {
-      var types = Map.empty[String, String]
-      var colMap = Seq.empty[(String, String)]
-      var ranges = Map.empty[(String, String), (String, String)]
-      var blooms = Map.empty[(String, String), String]
-      var v = cur
-      var stop = false
-      while (v >= 0 && !stop) {
-        try {
-          val m = readManifestFull(v)
-          if (v == cur) { types = m.stats.toMap; colMap = m.colMap }
-          ranges = m.ranges ++ ranges // newer manifests win (identical anyway)
-          blooms = m.blooms ++ blooms
-        } catch { case _: Exception => stop = true } // vacuumed — older are gone too
-        v -= 1
+      // incremental seed: dir stats are immutable, so version v's view
+      // is v−1's cached view plus ONE manifest read — without the
+      // seed, every commit would re-walk the whole log (O(history) per
+      // commit, the very cost the hint-first currentVersion avoids)
+      Option(TxLog.scanStatsCache.get((root, cur - 1))) match {
+        case Some(prevView) =>
+          val m = readManifestFull(cur)
+          TxLog.ScanStatsView(m.stats.toMap, m.colMap,
+            prevView.ranges ++ m.ranges, prevView.blooms ++ m.blooms)
+        case None =>
+          var types = Map.empty[String, String]
+          var colMap = Seq.empty[(String, String)]
+          var ranges = Map.empty[(String, String), (String, String)]
+          var blooms = Map.empty[(String, String), String]
+          var v = cur
+          var stop = false
+          while (v >= 0 && !stop) {
+            try {
+              val m = readManifestFull(v)
+              if (v == cur) { types = m.stats.toMap; colMap = m.colMap }
+              ranges = m.ranges ++ ranges // newer manifests win (identical anyway)
+              blooms = m.blooms ++ blooms
+            } catch { case _: Exception => stop = true } // vacuumed — older are gone too
+            v -= 1
+          }
+          TxLog.ScanStatsView(types, colMap, ranges, blooms)
       }
-      TxLog.ScanStatsView(types, colMap, ranges, blooms)
     })
   }
 
+  /** Re-render a predicate literal's canonical string in the STATS
+    * column's own CAST-to-STRING form, or None when the combination
+    * is not provably comparable — the type-coercion gap of the DML
+    * face, whose predicates arrive parsed but UNRESOLVED (`price =
+    * 137` carries an IntegerType literal against a DOUBLE column whose
+    * stats and Bloom words say "137.0"). None disables pruning for
+    * that conjunct — conservative, never wrong. */
+  private def normalizeLit(statsType: String,
+      litType: org.apache.spark.sql.types.DataType,
+      s: String): Option[String] = {
+    import org.apache.spark.sql.types._
+    statsType match {
+      case "TINYINT" | "SMALLINT" | "INT" | "BIGINT" => litType match {
+        case ByteType | ShortType | IntegerType | LongType => Some(s)
+        case StringType => scala.util.Try(s.trim.toLong.toString).toOption
+        case _ => None // fractional vs integral column: don't guess
+      }
+      case "FLOAT" | "DOUBLE" =>
+        scala.util.Try(s.trim.toDouble.toString).toOption // "137" → "137.0"
+      case "DATE" => litType match {
+        case DateType | StringType => Some(s) // ISO form either way
+        case _ => None
+      }
+      case _ => litType match { // STRING stats: lexicographic compare
+        case StringType => Some(s) // is only sound for string literals
+        case _ => None
+      }
+    }
+  }
+
   /** May dir token `d` contain a row satisfying every bound and point
-    * probe? Conservative: unknown column/type/range → yes. */
+    * probe? Conservative: unknown column/type/range, or a literal type
+    * not provably comparable with the stats type → yes. */
   private def mayMatch(view: TxLog.ScanStatsView, d: String,
-      bounds: Seq[(String, Option[String], Option[String])],
-      points: Seq[(String, String)]): Boolean = {
-    val boundsOk = bounds.forall { case (c0, lo, hi) =>
+      bounds: Seq[graft.plans.PredicateBounds.Bound],
+      points: Seq[(String, String, org.apache.spark.sql.types.DataType)]): Boolean = {
+    val boundsOk = bounds.forall { case (c0, lo, hi, dt) =>
       val c = physicalOf(view.colMap, c0)
       view.types.get(c).forall { t =>
         view.ranges.get((d, c)).forall { case (mn, mx) =>
-          (try lo.forall(l => cmpVals(t, mx, l) >= 0) &&
-               hi.forall(h => cmpVals(t, mn, h) <= 0)
+          (try lo.flatMap(normalizeLit(t, dt, _)).forall(l => cmpVals(t, mx, l) >= 0) &&
+               hi.flatMap(normalizeLit(t, dt, _)).forall(h => cmpVals(t, mn, h) <= 0)
            catch { case _: NumberFormatException => true })
         }
       }
     }
-    def pointsOk = points.forall { case (c0, value) =>
+    def pointsOk = points.forall { case (c0, value, dt) =>
       val c = physicalOf(view.colMap, c0)
-      view.blooms.get((d, c)).forall(bloomMayContain(_, value))
+      view.types.get(c).flatMap(t => normalizeLit(t, dt, value)).forall(v =>
+        view.blooms.get((d, c)).forall(bloomMayContain(_, v)))
     }
     boundsOk && pointsOk
   }
 
+  /** The data-skipping decision shared by the optimizer rule (path
+    * granularity) and the DML paths (dir tokens): of `paths`, the
+    * subset no bound, point probe, or IN-list (OR semantics per list)
+    * can exclude. One stats-view resolution per call. */
   private[graft] def skipForScan(paths: Seq[String],
-      bounds: Seq[(String, Option[String], Option[String])],
-      points: Seq[(String, String)]): Seq[String] = {
+      bounds: Seq[graft.plans.PredicateBounds.Bound],
+      points: Seq[(String, String, org.apache.spark.sql.types.DataType)],
+      ins: Seq[(String, Seq[String], org.apache.spark.sql.types.DataType)] = Nil)
+      : Seq[String] = {
     if (currentVersion() < 0) return paths
     val view = scanStatsView()
     val dataPrefix = new Path(dataDir).toUri.getPath + "/"
+    def surviving(d: String): Boolean =
+      mayMatch(view, d, bounds, points) && ins.forall { case (c, vs, dt) =>
+        vs.exists(v => mayMatch(view, d,
+          Seq((c, Some(v), Some(v), dt)), Seq((c, v, dt))))
+      }
     paths.filter { p0 =>
       val p = new Path(p0).toUri.getPath
-      !p.startsWith(dataPrefix) ||
-        mayMatch(view, p.stripPrefix(dataPrefix), bounds, points)
+      !p.startsWith(dataPrefix) || surviving(p.stripPrefix(dataPrefix))
     }
   }
 
-  /** [[skipForScan]] at manifest dir-token granularity, with IN-lists
-    * folded in (OR semantics per list) — the DML paths' pre-scan
-    * prune: a DELETE/UPDATE whose predicate the stats exclude for a
-    * dir never opens that dir. The caller's residual predicate keeps
-    * correctness; this bounds I/O only. A predicate this extractor
-    * cannot analyze keeps every dir. */
+  /** [[skipForScan]] over manifest dir tokens for a predicate STRING —
+    * the DML paths' pre-scan prune: a DELETE/UPDATE whose predicate
+    * the stats exclude for a dir never opens that dir. The caller's
+    * residual predicate keeps correctness; this bounds I/O only. A
+    * predicate this extractor cannot analyze keeps every dir. */
   private def mayMatchDirs(dirs: Seq[String], predicate: String): Seq[String] = {
     val (bounds, points, ins) =
       try graft.plans.PredicateBounds.extract(
@@ -1050,12 +1119,11 @@ final case class TxLog(spark: SparkSession, root: String,
       catch { case _: Exception => return dirs }
     if (bounds.isEmpty && points.isEmpty && ins.isEmpty) return dirs
     val view = scanStatsView()
-    var keep = dirs.filter(d => mayMatch(view, d, bounds, points))
-    ins.foreach { case (c, vs) =>
-      keep = keep.filter(d => vs.exists(v =>
-        mayMatch(view, d, Seq((c, Some(v), Some(v))), Seq((c, v)))))
-    }
-    keep
+    dirs.filter(d => mayMatch(view, d, bounds, points) &&
+      ins.forall { case (c, vs, dt) =>
+        vs.exists(v => mayMatch(view, d,
+          Seq((c, Some(v), Some(v), dt)), Seq((c, v, dt))))
+      })
   }
 
   /** Driver-side ordering in the stats column's type: numeric types
@@ -1685,7 +1753,9 @@ final case class TxLog(spark: SparkSession, root: String,
   def append(df0: DataFrame, txn: Option[(String, Long)] = None,
              op: String = "APPEND", tagBy: Option[String] = None): Long = {
     val df = withGenerated(df0)
-    val newTags = tagBy.map(pc => partValues(df, pc))
+    // a batch carrying NULL partition values degrades to an untagged
+    // entry (all rows visible; pruning lost for this dir only)
+    val newTags = tagBy.flatMap(pc => partValuesOpt(df, pc))
     // carrying commit on a mapped table: the new dir must store
     // PHYSICAL names (carried dirs do), and evolution columns mint
     // mapping entries. The map is read once up front — a concurrent
@@ -1904,12 +1974,28 @@ final case class TxLog(spark: SparkSession, root: String,
           "(NUL, tab, or newline) unsupported in manifest tag encoding: " +
           v.map(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString).mkString)
 
-  private def partValues(df: DataFrame, partCol: String): Seq[String] = {
-    val vs = df.select(org.apache.spark.sql.functions.col(partCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq.sorted
-    vs.foreach(requireTagSafe(_, partCol))
-    vs
+  /** Distinct partition values of `df`, or None when any row's value
+    * is NULL — a null cannot be tagged (the equality tag filter would
+    * hide the row), so callers either degrade to an UNTAGGED entry
+    * (append/UPDATE/compaction — every row stays visible, pruning is
+    * merely lost for that dir) or fail loudly (the explicitly
+    * partitioned writes, matching overwriteClustered's contract). */
+  private def partValuesOpt(df: DataFrame, partCol: String): Option[Seq[String]] = {
+    val raw = df.select(org.apache.spark.sql.functions.col(partCol).cast("string"))
+      .distinct().collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    if (raw.contains(null)) None
+    else {
+      val vs = raw.toSeq.sorted
+      vs.foreach(requireTagSafe(_, partCol))
+      Some(vs)
+    }
   }
+
+  private def partValues(df: DataFrame, partCol: String): Seq[String] =
+    partValuesOpt(df, partCol).getOrElse(throw new IllegalArgumentException(
+      s"NULL value in partition column '$partCol' — a partition-tagged " +
+        "write requires non-null partition values"))
 
   /** Overwrite-style commit that TAGS the new snapshot's manifest with
     * the partitions present in `df`, enabling partition-pruned
@@ -2756,7 +2842,11 @@ final case class TxLog(spark: SparkSession, root: String,
           val uuid = writeDataDir(updated)
           val newEntries = prev.partCol match {
             case Some(pc) =>
-              partValues(snapshotOfDir(uuid), pc).map(p => (uuid, Option(p)))
+              // an UPDATE writing NULL partition values: untagged
+              // entry keeps those rows visible
+              partValuesOpt(snapshotOfDir(uuid), pc)
+                .fold(Seq((uuid, Option.empty[String])))(
+                  _.map(p => (uuid, Option(p))))
             case None => Seq((uuid, Option.empty[String]))
           }
           val (hdr, newRanges) = statsFor(uuid)
@@ -2943,7 +3033,10 @@ final case class TxLog(spark: SparkSession, root: String,
         carry.exists(_._1 == d) }
       val newEntries0 = uuids.flatMap { u =>
         prev.partCol match {
-          case Some(pc) => partValues(snapshotOfDir(u), pc).map(p => (u, Option(p)))
+          // packed rows may include NULL partition values (from a
+          // degraded untagged append): the packed dir stays untagged
+          case Some(pc) => partValuesOpt(snapshotOfDir(u), pc)
+            .fold(Seq((u, Option.empty[String])))(_.map(p => (u, Option(p))))
           case None => Seq((u, Option.empty[String]))
         }
       }

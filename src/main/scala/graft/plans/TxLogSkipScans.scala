@@ -76,14 +76,7 @@ object TxLogSkipScans extends Rule[LogicalPlan] {
     val session = h.sparkSession
     val t = graft.pipeline.TxLog(session, root)
     val paths = h.location.rootPaths.map(_.toString)
-    var keep = t.skipForScan(paths, bounds, points)
-    // IN: union of each value's survivors (OR semantics), intersected
-    // with the conjunctive result
-    ins.foreach { case (c, vs) =>
-      val union = vs.flatMap(v =>
-        t.skipForScan(keep, Seq((c, Some(v), Some(v))), Seq((c, v)))).distinct
-      keep = keep.filter(union.contains)
-    }
+    val keep = t.skipForScan(paths, bounds, points, ins)
     if (keep.length == paths.length) f
     else if (keep.isEmpty) LocalRelation(l.output, Nil, isStreaming = false)
     else {

@@ -92,16 +92,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         LocationRe.findFirstMatchIn(Option(tail).getOrElse("")).map(_.group(1)),
         ifNotExists = ifNot != null)
     case CreateRe(orRepl, ifNot, name, cols, tail) =>
+      // PARTITIONED BY (c) clause, or the 'clustered_by' property
+      // SHOW CREATE TABLE emits — accepting both keeps that output
+      // re-runnable for partitioned tables. An unsupported shape
+      // (multi-column, typed Hive-style) must fail LOUDLY: silently
+      // creating an unpartitioned table would surface only much later
+      // as a missing-partitioning error.
+      val clusteredBy = PartitionedByRe.findFirstMatchIn(tail).map(_.group(1))
+        .orElse(propList(tail, "clustered_by").headOption)
+      if (clusteredBy.isEmpty &&
+          "(?is)PARTITIONED\\s+BY".r.findFirstIn(tail).isDefined)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            ("CREATE TABLE ... USING graft supports only single-column " +
+              "PARTITIONED BY (col) — for multi-column physical layouts " +
+              "use OPTIMIZE ... ZORDER BY after load")))
       TxLogCreateTableCommand(name, Option(cols),
         LocationRe.findFirstMatchIn(tail).map(_.group(1)),
         propList(tail, "keys"), propList(tail, "statsCols"),
         ifNotExists = ifNot != null, orReplace = orRepl != null,
         asSelect = AsSelectRe.findFirstMatchIn(tail).map(_.group(1).trim),
-        // PARTITIONED BY (c) clause, or the 'clustered_by' property
-        // SHOW CREATE TABLE emits — accepting both keeps that output
-        // re-runnable for partitioned tables
-        clusteredBy = PartitionedByRe.findFirstMatchIn(tail).map(_.group(1))
-          .orElse(propList(tail, "clustered_by").headOption))
+        clusteredBy = clusteredBy)
     // ALTER TABLE exists in Spark's own grammar, so these forms
     // intercept ONLY for names this registry knows — everything else
     // (including ALTER on catalog tables) parses through the delegate

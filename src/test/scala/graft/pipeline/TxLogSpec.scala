@@ -239,6 +239,65 @@ class TxLogSpec extends SparkTestBase {
     assert(t.snapshot().count() === 395)
   }
 
+  test("DML pruning is type-safe: un-coerced literals never wrongly exclude a dir") {
+    // price is DOUBLE: stats/Bloom canonical strings are "137.0", but
+    // DELETE FROM ... WHERE price = 137 parses an INTEGER literal whose
+    // raw canonical form is "137" — normalization must re-render it in
+    // the stats column's own form, or the delete would silently no-op
+    val t = TxLog(spark, tmpDir("txlog_typesafe"), statsCols = Seq("price"),
+      bloomCols = Seq("price"))
+    (0 until 3).foreach(b => t.append(
+      (b * 100 until b * 100 + 100).map(i => (i.toDouble, s"v$i"))
+        .toDF("price", "v")))
+    val v = t.deleteWhere("price = 137")
+    assert(v === t.currentVersion())
+    assert(t.snapshot().count() === 299)
+    assert(t.snapshot().filter(col("price") === 137.0).count() === 0L)
+    // STRING stats column vs integer literal: lexicographic compare of
+    // "42" against zero-padded values would wrongly exclude — the
+    // type guard keeps the dir and the delete still lands
+    val s = TxLog(spark, tmpDir("txlog_typesafe_str"), statsCols = Seq("k"))
+    s.append(Seq(("041", 1L), ("042", 2L), ("043", 3L)).toDF("k", "n"))
+    s.deleteWhere("k = 42") // ANSI: '042' = 42 casts the string side
+    assert(s.snapshot().count() === 2)
+    assert(s.snapshot().filter(col("k") === "042").count() === 0L)
+  }
+
+  test("NULL partition values: tagged appends degrade to untagged entries; explicit partitioned writes refuse") {
+    val t = fresh("nullpart")
+    t.overwritePartitioned(Seq((Option("a"), 1L), (Option("b"), 2L))
+      .toDF("day", "id"), "day")
+    // append with a NULL partition value: untagged entry — every row
+    // stays visible (a tag filter would hide the null row)
+    t.append(Seq((Option.empty[String], 3L), (Option("a"), 4L))
+      .toDF("day", "id"), tagBy = Some("day"))
+    assert(t.snapshot().count() === 4)
+    assert(t.snapshot().filter(col("day").isNull).count() === 1L)
+    assert(t.partitionColumn() === Some("day"))
+    // SHOW PARTITIONS: null is not a partition value; the degraded
+    // dir's non-null values surface via the data fallback
+    assert(t.partitionValues() === Seq("a", "b"))
+    // compaction packs the degraded dir without crashing; the packed
+    // dir stays untagged and the null row survives
+    t.compactSmallFiles(1L << 20)
+    assert(t.snapshot().filter(col("day").isNull).count() === 1L)
+    // the explicitly partitioned write fails loudly
+    val e = intercept[IllegalArgumentException](t.overwritePartitioned(
+      Seq((Option.empty[String], 9L)).toDF("day", "id"), "day"))
+    assert(e.getMessage.contains("NULL"))
+  }
+
+  test("SHOW PARTITIONS reports the data's truth after a partition-emptying delete") {
+    val t = fresh("emptypart")
+    t.overwritePartitioned(Seq(("a", 1L), ("b", 2L), ("b", 3L))
+      .toDF("day", "id"), "day")
+    t.deleteWhere("day = 'a'") // MoR tombstones empty partition a
+    assert(t.partitionValues() === Seq("b"))
+    // a partial delete keeps the partition listed
+    t.deleteWhere("id = 2")
+    assert(t.partitionValues() === Seq("b"))
+  }
+
   test("partitioned merge on an untagged table re-tags once, then prunes") {
     val t = fresh("retag")
     t.overwrite(Seq(("a", 1L, "x1"), ("b", 2L, "x2")).toDF("day", "id", "v"))

@@ -216,6 +216,23 @@ class TxLogSqlDdlSpec extends SparkTestBase {
       CREATE TABLE sqlddl_pb3 (id BIGINT) USING graft
       PARTITIONED BY (nope) LOCATION '${tmpDir("sqlddl_partby3")}'"""))
     assert(e.getMessage.contains("not in the schema"))
+    // unsupported PARTITIONED BY shapes fail loudly instead of
+    // silently creating an unpartitioned table
+    val e2 = intercept[Exception](spark.sql(s"""
+      CREATE TABLE sqlddl_pb4 (a STRING, b STRING) USING graft
+      PARTITIONED BY (a, b) LOCATION '${tmpDir("sqlddl_partby4")}'"""))
+    assert(e2.getMessage.contains("single-column"))
+    val e3 = intercept[Exception](spark.sql(s"""
+      CREATE TABLE sqlddl_pb5 (day STRING, id BIGINT) USING graft
+      PARTITIONED BY (day STRING) LOCATION '${tmpDir("sqlddl_partby5")}'"""))
+    assert(e3.getMessage.contains("single-column"))
+    // INSERT with a NULL partition value degrades to an untagged
+    // append instead of crashing
+    spark.sql("INSERT INTO sqlddl_pb VALUES (NULL, 7, 'x7'), ('d', 8, 'x8')")
+    assert(spark.sql("SELECT count(*) FROM sqlddl_pb WHERE day IS NULL")
+      .head().getLong(0) === 1L)
+    assert(spark.sql("SHOW PARTITIONS sqlddl_pb").collect()
+      .map(_.getString(0)).toSeq === Seq("day=c", "day=d"))
     Seq("sqlddl_pb", "sqlddl_pb2").foreach(TxLogSql.unregister)
   }
 
