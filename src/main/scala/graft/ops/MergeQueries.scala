@@ -404,6 +404,50 @@ object MergeQueries {
       SELECT c_custkey, c_name, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
       FROM updated WHERE NOT (c_acctbal < 0)""")),
 
+    // MERGE-ON-READ UPDATE + REORG PURGE lifecycle: the deletion-vector
+    // UPDATE (the session conf routes the same UPDATE string to
+    // tombstone-hits + append-images instead of copy-on-write — zero
+    // existing dirs rewritten, the write shape a 100 TB one-row
+    // correction needs), a stacked MoR DELETE, then
+    // `REORG TABLE … APPLY (PURGE)` materializes exactly the DV debt.
+    // The final content is identical to the copy-on-write result,
+    // which the oracle derives relationally.
+    Q("txlog_update_mor", (spark, dir) => {
+      val root = s"/root/repo/target/tmp/txlog_updmor_${dir.hashCode.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t = graft.pipeline.TxLog(spark, root)
+      t.overwrite(load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").as("c_acctbal")))
+      graft.sql.TxLogSql.register("txlog_updmor_tgt", t)
+      spark.conf.set("spark.graft.update.mode", "mor")
+      try {
+        spark.sql("""
+          UPDATE txlog_updmor_tgt
+          SET c_acctbal = c_acctbal + 50, c_name = concat(c_name, ' ~')
+          WHERE c_mktsegment = 'MACHINERY'""")
+      } finally spark.conf.unset("spark.graft.update.mode")
+      spark.sql("DELETE FROM txlog_updmor_tgt WHERE c_acctbal < 0")
+      spark.sql("REORG TABLE txlog_updmor_tgt APPLY (PURGE)")
+      t.snapshot().select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT c_custkey, c_name, c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        FROM customer),
+      updated AS (
+        SELECT c_custkey,
+               CASE WHEN c_mktsegment = 'MACHINERY' THEN c_name || ' ~'
+                    ELSE c_name END AS c_name,
+               c_mktsegment,
+               CASE WHEN c_mktsegment = 'MACHINERY'
+                    THEN CAST(c_acctbal + 50 AS DECIMAL(18,2))
+                    ELSE c_acctbal END AS c_acctbal
+        FROM base)
+      SELECT c_custkey, c_name, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      FROM updated WHERE NOT (c_acctbal < 0)""")),
+
     // The full SQL lakehouse loop in one statement history: INSERT INTO
     // routes to TxLog.append, DELETE stacks a deletion vector, and the
     // final SELECT addresses all three versions — `VERSION AS OF 0`,

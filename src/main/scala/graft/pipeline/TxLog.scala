@@ -2876,6 +2876,107 @@ final case class TxLog(spark: SparkSession, root: String,
       s"TxLog updateWhere lost $MaxRaceRetries optimistic races at $root")
   }
 
+  /** MERGE-ON-READ update — the deletion-vector UPDATE (Delta's
+    * DV-enabled UPDATE): matching rows are tombstoned by physical
+    * address in a sidecar (exactly [[deleteWhere]]'s mechanism) and
+    * their UPDATED images appended as one new data dir. NO existing
+    * data dir is rewritten, so write amplification is proportional to
+    * the HIT rows — at 100 TB a one-row correction costs a
+    * metadata-sized sidecar plus one row's parquet, where even the
+    * dir-granular copy-on-write path ([[updateWhere]]) rewrites every
+    * dir the row lives in. Reads pay one anti join per dirty dir
+    * until OPTIMIZE / [[purgeDeletes]] materializes the debt. Every
+    * RHS sees the pre-update row (standard UPDATE semantics; the
+    * predicate-pruned scan means a keyed update on a stats/bloom
+    * column opens only the matching dirs). Zero matches commit a
+    * metadata-only version, matching [[updateWhere]] — history
+    * records the statement ran. Column-mapped tables delegate to
+    * [[updateWhere]]: appends speak physical names, and the mapped
+    * write path is the CoW rewrite. */
+  def updateWhereMoR(assignments: Seq[(String, String)],
+                     predicate: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    require(assignments.nonEmpty, "UPDATE requires at least one assignment")
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val base = currentVersion()
+      require(base >= 0, s"TxLog table at $root has no commits to update")
+      val prev = readManifestFull(base)
+      if (prev.colMap.nonEmpty) return updateWhere(assignments, predicate)
+      val snap = snapshot(base)
+      val unknown = assignments.map(_._1).filterNot(snap.columns.contains)
+      require(unknown.isEmpty,
+        s"UPDATE of unknown column(s): ${unknown.mkString(", ")}")
+      // predicate-pruned: dirs whose committed stats exclude the
+      // predicate cannot contain hits (stats stay sound over
+      // tombstones — deletes only narrow a dir's visible rows)
+      val candidates = predicate.fold(prev.dirs)(p =>
+        mayMatchDirs(prev.dirs, p)).toSet
+      val hits =
+        if (candidates.isEmpty) None
+        else Some(addressedVisibleRows(prev, Some(candidates))
+          .filter(predicate.map(expr).getOrElse(lit(true)))
+          .localCheckpoint(true))
+      // affected-dir list: bounded metadata (≤ table dir count)
+      val affected = hits.fold(Seq.empty[String])(h =>
+        h.select(col(DvDir)).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted)
+      if (affected.isEmpty) {
+        if (tryCommitManifest(base + 1,
+            manifestLines(prev.copy(txns = txnsAfter(prev.txns, None))),
+            "UPDATE")) return base + 1
+      } else {
+        val h = hits.get
+        // the hit addresses become a tombstone sidecar shared by every
+        // affected dir — deleteWhere's shape
+        val tsUuid = writeDataDir(
+          h.select(col(DvFile).as("file"), col(DvRow).as("row")))
+        val tombs = affected.foldLeft(prev.tombstones)((acc, d) =>
+          acc + (d -> (acc.getOrElse(d, Nil) :+ tsUuid)))
+        // the updated images append in the snapshot schema; hits all
+        // match, so assignments apply unconditionally (RHS evaluated
+        // against the pre-update row)
+        val updated = h.select(snap.schema.fields.map { f =>
+          assignments.find(_._1 == f.name) match {
+            case Some((_, rhs)) => expr(rhs).cast(f.dataType).as(f.name)
+            case None => col(f.name).cast(f.dataType).as(f.name)
+          }
+        }.toSeq: _*).localCheckpoint(true)
+        val uuid = writeDataDir(updated)
+        val newEntries = prev.partCol match {
+          case Some(pc) =>
+            // an UPDATE may move rows across partitions (or write NULL
+            // partition values): tag the new dir from its data, like
+            // every other append
+            partValuesOpt(snapshotOfDir(uuid), pc)
+              .fold(Seq((uuid, Option.empty[String])))(
+                _.map(p => (uuid, Option(p))))
+          case None => Seq((uuid, Option.empty[String]))
+        }
+        val (hdr, newRanges) = statsFor(uuid)
+        val header = carriedHeader(prev.stats, hdr)
+        val headerCols = header.map(_._1).toSet
+        // every prior entry carries (nothing was rewritten), so every
+        // prior range/bloom stays — bounds over tombstoned rows are
+        // loose but sound for skipping
+        val keptRanges = prev.ranges.filter { case ((_, c), _) => headerCols(c) }
+        val checks = mergedChecks(prev.checks)
+        enforceChecksOnDirs(Seq(uuid), checks)
+        enforceChecks(entryTagSets(prev.entries, prev.partCol), prev.partCol,
+          addedChecks(prev.checks), tombs, prev.colMap)
+        val m2 = Manifest(prev.partCol, header, prev.entries ++ newEntries,
+          keptRanges ++ newRanges, txnsAfter(prev.txns, None),
+          prev.blooms ++ bloomsFor(uuid), checks, tombs,
+          retired = prev.retired, copied = prev.copied)
+        if (tryCommitManifest(base + 1, manifestLines(m2), "UPDATE"))
+          return base + 1
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog updateWhereMoR lost $MaxRaceRetries optimistic races at $root")
+  }
+
   /** MERGE-ON-READ delete — Delta deletion-vector parity: rows
     * matching `predicate` are recorded as (file, row-index) pairs in a
     * tombstone sidecar; NO data dir is rewritten. Snapshot reads
@@ -2975,7 +3076,27 @@ final case class TxLog(spark: SparkSession, root: String,
     * because reads resolve per entry. A scoped pass does NOT purge
     * such a split dir's deletion vectors (the dir survives for its
     * carried entries); a table-wide pass does. */
-  def compactSmallFiles(targetBytes: Long, parts: Seq[String] = Nil): Long = {
+  def compactSmallFiles(targetBytes: Long, parts: Seq[String] = Nil): Long =
+    packImpl(targetBytes, parts, dvOnly = false)
+
+  /** `REORG TABLE … APPLY (PURGE)` — materialize the deletion-vector
+    * debt and NOTHING else: only dirs carrying tombstones rewrite
+    * (survivors land in right-sized dirs, sidecar lines drop);
+    * size-compliant clean dirs are never touched, unlike a full
+    * OPTIMIZE pass which also bin-packs small files. The maintenance
+    * primitive for a 100 TB table under a steady MoR DELETE/UPDATE
+    * trickle: write amplification tracks the TOMBSTONED dirs, not the
+    * small-file debt of dirs the deletes never touched. `parts`
+    * scopes the purge to named partition values of a tagged table
+    * (entry-granular, like OPTIMIZE WHERE — a dir live for scoped and
+    * unscoped partitions keeps its DVs, since the dir must survive
+    * for its carried entries). A table with no tombstones is a
+    * version-preserving no-op. */
+  def purgeDeletes(parts: Seq[String] = Nil): Long =
+    packImpl(targetFileBytes, parts, dvOnly = true)
+
+  private def packImpl(targetBytes: Long, parts: Seq[String],
+                       dvOnly: Boolean): Long = {
     require(exists(), s"TxLog table at $root has no commits to compact")
     require(targetBytes > 0, s"targetBytes must be positive (got $targetBytes)")
     import org.apache.spark.sql.functions.{col, spark_partition_id}
@@ -2997,7 +3118,8 @@ final case class TxLog(spark: SparkSession, root: String,
       val dvDirs = prev.dirs.filter(d =>
         prev.tombstones.get(d).exists(_.nonEmpty)).toSet
       val packable = prev.entries.filter { case (d, t) =>
-        (sizes(d) < targetBytes || dvDirs(d)) && inScope(t) }
+        (if (dvOnly) dvDirs(d)
+         else sizes(d) < targetBytes || dvDirs(d)) && inScope(t) }
       val packDirs = packable.map(_._1).distinct
       // no size debt (≤1 small dir cannot pack better) and no deletion
       // debt — no version churn

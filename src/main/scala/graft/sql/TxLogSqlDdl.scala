@@ -73,6 +73,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       TxLogOptimizeCommand(name, Option(zcols).toSeq.flatMap(
         _.split(',').map(_.trim).filter(_.nonEmpty)),
         Option(where).map(_.trim).filter(_.nonEmpty))
+    case ReorgRe(name, where) =>
+      TxLogReorgCommand(name, Option(where).map(_.trim).filter(_.nonEmpty))
     // RESTORE and SHALLOW CLONE are Delta-only grammar (no built-in
     // statement to collide with) — intercepted unconditionally;
     // an unregistered name fails with this face's error message
@@ -181,6 +183,8 @@ object GraftSqlParser {
     s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Id\\s*;?\\s*""".r
   private[sql] val OptimizeRe =
     s"""(?is)\\s*OPTIMIZE\\s+$Id(?:\\s+WHERE\\s+(.*?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""".r
+  private[sql] val ReorgRe =
+    s"""(?is)\\s*REORG\\s+TABLE\\s+$Id(?:\\s+WHERE\\s+(.*?))?\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
   // the two partition-predicate shapes OPTIMIZE WHERE accepts
   private[sql] val WhereEqRe = """(?is)\s*([\w.]+)\s*=\s*'([^']*)'\s*""".r
   private[sql] val WhereInRe = """(?is)\s*([\w.]+)\s+IN\s*\(([^)]*)\)\s*""".r
@@ -643,25 +647,53 @@ case class TxLogOptimizeCommand(name: String, zorderCols: Seq[String],
     val root = TxLogDdl.rootOf(name)
     require(where.isEmpty || zorderCols.isEmpty,
       "OPTIMIZE WHERE cannot combine with ZORDER BY: z-order re-clusters the whole table")
-    val parts: Seq[String] = where.toSeq.flatMap { w =>
-      val (c, vs) = w match {
-        case GraftSqlParser.WhereEqRe(c0, v0) => (c0, Seq(v0))
-        case GraftSqlParser.WhereInRe(c0, list) =>
-          (c0, list.split(',').map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
-        case other => throw new IllegalArgumentException(
-          s"OPTIMIZE WHERE supports only <partcol> = 'v' or <partcol> IN ('v', ...): got '$other'")
-      }
-      val pc = TxLog(session, root).partitionColumn()
-      require(pc.contains(c),
-        s"OPTIMIZE WHERE must reference the table's partition column " +
-          s"(${pc.getOrElse("none — table is not partitioned")}), got '$c'")
-      vs
-    }
+    val parts = TxLogMaintenance.partitionScope(session, root, where, "OPTIMIZE")
     val v =
       if (zorderCols.nonEmpty)
         TxLog(session, root, statsCols = zorderCols)
           .compactZOrder(zorderCols, nBuckets = 32)
       else TxLog(session, root).compactSmallFiles(128L << 20, parts)
+    TxLogSql.committed(root)
+    Seq(Row(v))
+  }
+}
+
+/** The partition-predicate scope OPTIMIZE WHERE / REORG WHERE accept:
+  * `<partcol> = 'v'` or `<partcol> IN ('v', …)` over the table's
+  * partition column only (Delta refuses non-partition predicates the
+  * same way). */
+object TxLogMaintenance {
+  def partitionScope(session: SparkSession, root: String,
+                     where: Option[String], stmt: String): Seq[String] =
+    where.toSeq.flatMap { w =>
+      val (c, vs) = w match {
+        case GraftSqlParser.WhereEqRe(c0, v0) => (c0, Seq(v0))
+        case GraftSqlParser.WhereInRe(c0, list) =>
+          (c0, list.split(',').map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
+        case other => throw new IllegalArgumentException(
+          s"$stmt WHERE supports only <partcol> = 'v' or <partcol> IN ('v', ...): got '$other'")
+      }
+      val pc = TxLog(session, root).partitionColumn()
+      require(pc.contains(c),
+        s"$stmt WHERE must reference the table's partition column " +
+          s"(${pc.getOrElse("none — table is not partitioned")}), got '$c'")
+      vs
+    }
+}
+
+/** `REORG TABLE t [WHERE partcol = 'v' | partcol IN ('v', …)] APPLY
+  * (PURGE)` → [[TxLog.purgeDeletes]] — Delta's REORG … APPLY (PURGE):
+  * rewrite ONLY the deletion-vector debt (tombstoned dirs
+  * materialize their survivors; clean dirs untouched), returning the
+  * committed version (unchanged when the table carries no DVs). */
+case class TxLogReorgCommand(name: String, where: Option[String] = None)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = TxLogDdl.rootOf(name)
+    val parts = TxLogMaintenance.partitionScope(session, root, where, "REORG")
+    val v = TxLog(session, root).purgeDeletes(parts)
     TxLogSql.committed(root)
     Seq(Row(v))
   }

@@ -499,14 +499,25 @@ case class TxLogInsertPartitionCommand(root: String, source: LogicalPlan,
 }
 
 /** `UPDATE <txlog> SET c = e, ... [WHERE p]` → [[TxLog.updateWhere]]
-  * (copy-on-write; every RHS sees the pre-update row). */
+  * (copy-on-write; every RHS sees the pre-update row), or
+  * [[TxLog.updateWhereMoR]] (deletion-vector merge-on-read — hit rows
+  * tombstone, updated images append, zero dirs rewritten) when the
+  * session conf `spark.graft.update.mode` is `mor` — the switch
+  * Delta flips with `delta.enableDeletionVectors`. */
 case class TxLogUpdateCommand(root: String, sets: Seq[(String, String)],
                               predicate: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
-    val v = TxLog(session, root).updateWhere(sets, predicate)
+    val mode = session.conf.get("spark.graft.update.mode", "cow")
+    val t = TxLog(session, root)
+    val v = mode.toLowerCase match {
+      case "mor" => t.updateWhereMoR(sets, predicate)
+      case "cow" => t.updateWhere(sets, predicate)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.update.mode must be 'cow' or 'mor', got '$other'")
+    }
     TxLogSql.committed(root)
     Seq(Row(v))
   }

@@ -1172,6 +1172,90 @@ class TxLogSpec extends SparkTestBase {
     assert(t.snapshot().count() === 2)
   }
 
+  test("merge-on-read update tombstones hits and appends images; no data file rewritten") {
+    val t = fresh("mor_update")
+    t.overwrite((1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.append((7L to 9L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val preVersion = t.currentVersion()
+    def dataFiles: Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"${t.root}/data"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = dataFiles
+    val v = t.updateWhereMoR(Seq("v" -> "concat(v, '!')"), Some("id % 2 = 0"))
+    assert(v === preVersion + 1)
+    val got = t.snapshot().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === (1L to 9L).map(i =>
+      i -> (if (i % 2 == 0) s"v$i!" else s"v$i")).toMap)
+    // NO pre-existing data file was rewritten or removed — the hit
+    // rows moved via sidecar + append, not a dir rewrite
+    assert(before.forall { case (p, mtime) =>
+      val f = new java.io.File(p); f.exists() && f.lastModified() === mtime },
+      "merge-on-read update modified a pre-existing data file")
+    // time travel: the pre-update version reads the original values
+    assert(t.snapshot(preVersion).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      === (1L to 9L).map(i => i -> s"v$i").toMap)
+    // zero matches: UPDATE always commits (metadata-only version)
+    assert(t.updateWhereMoR(Seq("v" -> "'x'"), Some("id > 100")) === v + 1)
+    assert(t.snapshot().count() === 9)
+    // equivalence with the copy-on-write path on identical input
+    val c = fresh("mor_update_cow")
+    c.overwrite((1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"))
+    c.append((7L to 9L).map(i => (i, s"v$i")).toDF("id", "v"))
+    c.updateWhere(Seq("v" -> "concat(v, '!')"), Some("id % 2 = 0"))
+    assert(c.snapshot().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === got)
+  }
+
+  test("merge-on-read update moves rows across partitions of a tagged table") {
+    val t = TxLog(spark, tmpDir("txlog_mor_upd_part"))
+    t.overwritePartitioned(
+      Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L)).toDF("pt", "id", "amt"), "pt")
+    t.updateWhereMoR(Seq("pt" -> "'c'", "amt" -> "amt + 1"), Some("id = 1"))
+    val rows = t.snapshot().collect()
+      .map(r => r.getLong(1) -> (r.getString(0), r.getLong(2))).toMap
+    assert(rows === Map(1L -> ("c", 11L), 2L -> ("a", 20L), 3L -> ("b", 30L)))
+    // the moved row's new partition is visible to partition metadata,
+    // and the vacated value disappears only if emptied (a is not)
+    assert(t.partitionValues() === Seq("a", "b", "c"))
+  }
+
+  test("REORG APPLY (PURGE) materializes only the deletion-vector debt") {
+    val t = fresh("reorg_purge")
+    t.overwrite((1L to 6L).map(i => (i, s"k$i")).toDF("id", "v"))
+    t.append((7L to 9L).map(i => (i, s"k$i")).toDF("id", "v")) // clean small dir
+    t.deleteWhere("id <= 2") // DV on the first dir only
+    def manifestText: String = {
+      val d = new java.io.File(s"${t.root}/_txlog")
+      d.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName).reverse
+        .headOption.map(f => new String(
+          java.nio.file.Files.readAllBytes(f.toPath))).getOrElse("")
+    }
+    assert(manifestText.contains("#tombstone"))
+    val dirsBefore = t.snapshotDataDirs()
+    assert(dirsBefore.size === 2)
+    val v = t.purgeDeletes()
+    // tombstones gone, content preserved
+    assert(!manifestText.contains("#tombstone"),
+      "REORG PURGE left deletion vectors in the manifest")
+    assert(t.snapshot().select("id").as[Long].collect().sorted
+      === (3L to 9L).toArray)
+    // the CLEAN dir was CARRIED (same manifest entry) even though it is
+    // far under the pack target — purge rewrites the DV debt and
+    // nothing else (a full OPTIMIZE would have packed both dirs); only
+    // the tombstoned dir was replaced
+    val carried = t.snapshotDataDirs().toSet.intersect(dirsBefore.toSet)
+    assert(carried.size === 1, "REORG PURGE did not carry the clean dir")
+    assert(spark.read.parquet(carried.head).select("id").as[Long]
+      .collect().sorted === (7L to 9L).toArray)
+    // a table with no DV debt is a version-preserving no-op
+    assert(t.purgeDeletes() === v)
+  }
+
   test("vacuum keeps tombstone sidecars alive with the versions that cite them") {
     val t = fresh("mor_vacuum")
     t.overwrite((1L to 4L).map(i => (i, s"v$i")).toDF("id", "v"))

@@ -65,6 +65,36 @@ class TxLogSqlSpec extends SparkTestBase {
     }
   }
 
+  test("UPDATE under spark.graft.update.mode=mor rides deletion vectors; REORG purges") {
+    val t = fresh("update_mor")
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    TxLogSql.register("txsql_updmor_tgt", t)
+    spark.conf.set("spark.graft.update.mode", "mor")
+    try {
+      val dirsBefore = t.snapshotDataDirs().toSet
+      spark.sql("UPDATE txsql_updmor_tgt SET v = upper(v) WHERE id <= 2")
+      val rows = t.snapshot().collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows === Map(1L -> "A", 2L -> "B", 3L -> "c"))
+      // MOR: every pre-update dir still referenced (tombstone + append,
+      // no rewrite) and the catalog read serves the post-update state
+      assert(dirsBefore.subsetOf(t.snapshotDataDirs().toSet))
+      assert(spark.sql("SELECT v FROM txsql_updmor_tgt WHERE id = 1")
+        .head().getString(0) === "A")
+      // REORG TABLE ... APPLY (PURGE) materializes the DV debt
+      val ver = spark.sql("REORG TABLE txsql_updmor_tgt APPLY (PURGE)")
+        .head().getLong(0)
+      assert(ver === t.currentVersion())
+      assert(t.snapshot().collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap === rows)
+      // an invalid mode is refused
+      spark.conf.set("spark.graft.update.mode", "sideways")
+      intercept[Exception] {
+        spark.sql("UPDATE txsql_updmor_tgt SET v = 'x' WHERE id = 3")
+      }
+    } finally spark.conf.unset("spark.graft.update.mode")
+  }
+
   test("DELETE FROM string rides the merge-on-read deletion-vector path") {
     val t = fresh("delete")
     t.overwrite(Seq((1L, "keep"), (2L, "drop"), (3L, "keep")).toDF("id", "v"))
