@@ -491,6 +491,17 @@ final case class TxLog(spark: SparkSession, root: String,
     (files.size.toLong, files.map(_.getLen).sum)
   }
 
+  /** Deletion-vector debt of the current snapshot: tombstone sidecars
+    * stacked across live dirs (DESCRIBE DETAIL's numDeletionVectors —
+    * the signal that `REORG … APPLY (PURGE)` / [[purgeDeletes]] has
+    * work to do). Zero for a clean table; answered from the manifest,
+    * no data read. */
+  def deletionVectorCount(): Long = {
+    val v = currentVersion()
+    if (v < 0) 0L
+    else readManifestFull(v).tombstones.values.map(_.size.toLong).sum
+  }
+
   /** The current snapshot's CHECK constraints, `(name, predicate)` in
     * declaration order — table METADATA (SHOW CREATE TABLE renders
     * them; [[addConstraint]]/[[dropConstraint]] maintain them). */

@@ -620,13 +620,15 @@ case class TxLogDescribeDetailCommand(name: String)
     AttributeReference("numFiles", LongType, nullable = false)(),
     AttributeReference("sizeInBytes", LongType, nullable = false)(),
     AttributeReference("partitionColumns", StringType, nullable = false)(),
-    AttributeReference("numConstraints", IntegerType, nullable = false)())
+    AttributeReference("numConstraints", IntegerType, nullable = false)(),
+    AttributeReference("numDeletionVectors", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val root = TxLogDdl.rootOf(name)
     val t = TxLog(session, root)
     val (nFiles, bytes) = t.detailStats()
     Seq(Row("graft", root, t.currentVersion(), nFiles, bytes,
-      t.partitionColumn().getOrElse(""), t.constraints().size))
+      t.partitionColumn().getOrElse(""), t.constraints().size,
+      t.deletionVectorCount()))
   }
 }
 

@@ -156,6 +156,7 @@ class TxLogSqlDdlSpec extends SparkTestBase {
     assert(d.getLong(3) >= 1L) // numFiles: live snapshot's files only
     assert(d.getLong(4) > 0L)
     assert(d.getString(5) === "day")
+    assert(d.getLong(7) === 0L) // numDeletionVectors: clean table
     // VACUUM DRY RUN lists v0's now-unreferenced dir without deleting
     val planned = spark.sql("VACUUM sqlddl_meta RETAIN 1 VERSIONS DRY RUN")
       .collect().map(_.getString(0))
@@ -479,5 +480,20 @@ class TxLogSqlDdlSpec extends SparkTestBase {
     // CREATE TABLE USING anything-else is Spark's own statement
     spark.sql("CREATE TABLE IF NOT EXISTS sqlddl_parquet_tbl (k INT) USING parquet")
     spark.sql("DROP TABLE IF EXISTS sqlddl_parquet_tbl")
+  }
+
+  test("DESCRIBE DETAIL reports deletion-vector debt; REORG PURGE clears it") {
+    val loc = tmpDir("sqlddl_dv")
+    val t = TxLog(spark, loc)
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    TxLogSql.register("sqlddl_dv", t)
+    def dvCount: Long = spark.sql("DESCRIBE DETAIL sqlddl_dv").head().getLong(7)
+    assert(dvCount === 0L)
+    spark.sql("DELETE FROM sqlddl_dv WHERE id = 1")
+    spark.sql("DELETE FROM sqlddl_dv WHERE id = 2") // vectors STACK
+    assert(dvCount === 2L)
+    spark.sql("REORG TABLE sqlddl_dv APPLY (PURGE)")
+    assert(dvCount === 0L)
+    assert(spark.sql("SELECT id FROM sqlddl_dv").head().getLong(0) === 3L)
   }
 }
