@@ -16,6 +16,79 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(
 
+    // URL-CANONICALIZATION DEDUP — the web-corpus pipeline step that
+    // precedes content dedup: the same page arrives under many raw
+    // URLs (scheme/host case, an explicit default port, tracking
+    // params in varying order, fragments). Canonicalize — lowercase
+    // through the path, strip ':443', drop the fragment, remove
+    // utm_*/ref params, SORT the survivors — and group by the
+    // canonical form. Every step is a codegen'd per-row expression
+    // (split_part/filter/array_sort/array_join — no UDF) feeding one
+    // hash aggregate on the canonical key: linear scan + single
+    // shuffle at any corpus size. URLs are synthesized
+    // deterministically from doc_id/source (the corpus carries no URL
+    // column); the messiness classes mirror real crawl variation.
+    Q("dedup_url_canonical", (spark, dir) => {
+      load(spark, dir, "documents").createOrReplaceTempView("url_docs")
+      spark.sql("""
+        WITH raw AS (
+          SELECT doc_id,
+                 concat(
+                   CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+                   CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,
+                   '.example.com',
+                   CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+                   '/p/', CAST(doc_id % 97 AS STRING),
+                   CASE WHEN doc_id % 7 = 0
+                        THEN concat('?utm_source=feed&id=',
+                                    CAST(doc_id % 13 AS STRING), '&v=2')
+                        ELSE concat('?v=2&id=', CAST(doc_id % 13 AS STRING),
+                                    '&ref=tw') END,
+                   CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+          FROM url_docs),
+        parts AS (
+          SELECT doc_id,
+                 split_part(split_part(url, '#', 1), '?', 1) AS pre,
+                 split_part(split_part(url, '#', 1), '?', 2) AS q
+          FROM raw)
+        SELECT concat(replace(lower(pre), ':443', ''), '?',
+                      array_join(array_sort(filter(split(q, '&'),
+                        p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))),
+                        '&')) AS canonical_url,
+               count(*) AS n_docs,
+               min(doc_id) AS keeper_id
+        FROM parts
+        GROUP BY 1""")
+    }, oracle = Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               concat(
+                 CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+                 CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,
+                 '.example.com',
+                 CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+                 '/p/', CAST(doc_id % 97 AS VARCHAR),
+                 CASE WHEN doc_id % 7 = 0
+                      THEN concat('?utm_source=feed&id=',
+                                  CAST(doc_id % 13 AS VARCHAR), '&v=2')
+                      ELSE concat('?v=2&id=', CAST(doc_id % 13 AS VARCHAR),
+                                  '&ref=tw') END,
+                 CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+        FROM documents),
+      parts AS (
+        SELECT doc_id,
+               split_part(split_part(url, '#', 1), '?', 1) AS pre,
+               split_part(split_part(url, '#', 1), '?', 2) AS q
+        FROM raw)
+      SELECT concat(replace(lower(pre), ':443', ''), '?',
+                    array_to_string(list_sort(list_filter(string_split(q, '&'),
+                      p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))),
+                      '&')) AS canonical_url,
+             count(*) AS n_docs,
+             min(doc_id) AS keeper_id
+      FROM parts
+      GROUP BY 1""")),
+
     // STREAMING CORPUS INGEST WITH DEDUP — the production shape of
     // continuous corpus building at 100 TB: the accepted corpus, its
     // INVERTED INDEX (the (id, lang, shingle) postings), and the
