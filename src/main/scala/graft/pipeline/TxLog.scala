@@ -456,12 +456,17 @@ final case class TxLog(spark: SparkSession, root: String,
     m.partCol.toSeq.flatMap { pc =>
       // values of a dir's VISIBLE rows (nulls are not partition
       // values; a dir predating the column contributes nothing)
+      // only the designed-for fallback is swallowed: a dir predating
+      // the partition column (AnalysisException on the select) has no
+      // values to report. A transient read failure PROPAGATES — a
+      // silently shortened SHOW PARTITIONS is a wrong answer
+      // masquerading as success.
       def visVals(d: String): Seq[String] =
         try dirVisibleRows(m.tombstones, d)
           .select(org.apache.spark.sql.functions.col(pc).cast("string"))
           .distinct().collect().toSeq
           .filterNot(_.isNullAt(0)).map(_.getString(0))
-        catch { case _: Exception => Seq.empty }
+        catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
       def dirty(d: String): Boolean = m.tombstones.get(d).exists(_.nonEmpty)
       m.entries.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (d, es) =>
         val tags = es.flatMap(_._2)
@@ -1061,13 +1066,40 @@ final case class TxLog(spark: SparkSession, root: String,
       case "FLOAT" | "DOUBLE" =>
         scala.util.Try(s.trim.toDouble.toString).toOption // "137" → "137.0"
       case "DATE" => litType match {
-        case DateType | StringType => Some(s) // ISO form either way
+        // DateType literals arrive pre-rendered as padded ISO
+        // (PredicateBounds canonicalizes via LocalDate.ofEpochDay)
+        case DateType => Some(s)
+        // A STRING literal against a DATE column reaches here raw from
+        // the unresolved DML face: Spark's cast accepts non-canonical
+        // forms ('2024-7-1', stray whitespace, a trailing time part)
+        // that compare WRONG lexicographically against ISO min/max and
+        // hash wrong for Bloom probes — a dir containing matching rows
+        // could be pruned, and DML would silently skip its rows. Parse
+        // with cast semantics and re-render padded ISO; unparseable →
+        // None (pruning disabled for the conjunct, never wrong).
+        case StringType => canonDateString(s)
         case _ => None
       }
       case _ => litType match { // STRING stats: lexicographic compare
         case StringType => Some(s) // is only sound for string literals
         case _ => None
       }
+    }
+  }
+
+  /** A date STRING in Spark's cast-to-DATE dialect (`[ \t]*
+    * [+-]?y+-[m]m-[d]d[ T<time>]?[ \t]*`), re-rendered as the padded
+    * ISO form the stats store — or None when it does not parse (the
+    * caller keeps the dir). A trailing time part is truncated, which
+    * matches the cast's own behavior for date comparisons. */
+  private def canonDateString(s0: String): Option[String] = {
+    val s = s0.trim
+    val datePart = s.takeWhile(c => c != ' ' && c != 'T')
+    datePart.split("-", -1) match {
+      case Array(y, m, d) if y.nonEmpty && m.nonEmpty && d.nonEmpty =>
+        scala.util.Try(
+          java.time.LocalDate.of(y.toInt, m.toInt, d.toInt).toString).toOption
+      case _ => None
     }
   }
 

@@ -78,7 +78,13 @@ object TxLogSkipScans extends Rule[LogicalPlan] {
     val paths = h.location.rootPaths.map(_.toString)
     val keep = t.skipForScan(paths, bounds, points, ins)
     if (keep.length == paths.length) f
-    else if (keep.isEmpty) LocalRelation(l.output, Nil, isStreaming = false)
+    // fully pruned → empty relation. Its output must carry the scan's
+    // METADATA attributes too: a plan projecting `_metadata.file_path`
+    // above this Filter holds a reference already resolved against
+    // l.metadataOutput's exprIds, and LocalRelation(l.output) alone
+    // would leave it dangling (unresolvable at execution).
+    else if (keep.isEmpty)
+      LocalRelation(l.output ++ l.metadataOutput, Nil, isStreaming = false)
     else {
       val idx = new InMemoryFileIndex(session, keep.map(new Path(_)),
         Map.empty[String, String], Some(h.dataSchema))

@@ -186,7 +186,10 @@ object GraftSqlParser {
   private[sql] val ReorgRe =
     s"""(?is)\\s*REORG\\s+TABLE\\s+$Id(?:\\s+WHERE\\s+(.*?))?\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
   // the two partition-predicate shapes OPTIMIZE WHERE accepts
-  private[sql] val WhereEqRe = """(?is)\s*([\w.]+)\s*=\s*'([^']*)'\s*""".r
+  // RHS captured raw (quoted or bare) — TxLogMaintenance.unquote
+  // canonicalizes; the tag encoding is the cast-to-string form, so
+  // `p = 5` and `p = '5'` scope the same partition.
+  private[sql] val WhereEqRe = """(?is)\s*([\w.]+)\s*=\s*(\S(?:.*\S)?)\s*""".r
   private[sql] val WhereInRe = """(?is)\s*([\w.]+)\s+IN\s*\(([^)]*)\)\s*""".r
   // greedy (.*) captures the full column list including nested parens
   // (DECIMAL(18,2)) because USING graft always follows the LAST paren
@@ -665,15 +668,53 @@ case class TxLogOptimizeCommand(name: String, zorderCols: Seq[String],
   * partition column only (Delta refuses non-partition predicates the
   * same way). */
 object TxLogMaintenance {
+
+  private val QuotedVal = """'((?:[^']|'')*)'""".r
+  private val BareVal = """[^\s',()]+""".r
+
+  /** `'v'` → `v` (with `''` unescaped to `'`); a bare literal passes
+    * through as written — partition tags are the cast-to-string form,
+    * so `p = 5` and `p = '5'` name the same partition. None for
+    * anything that is neither one full quoted string nor one bare
+    * token (e.g. a compound `'a' AND q = 'b'` swallowed by the greedy
+    * RHS capture) — the caller reports the unsupported shape. */
+  private[sql] def unquote(v0: String): Option[String] = v0.trim match {
+    case QuotedVal(inner) => Some(inner.replace("''", "'"))
+    case v @ BareVal() => Some(v)
+    case _ => None
+  }
+
+  /** Quote-aware IN-list tokenization: commas INSIDE single-quoted
+    * values ('a,b') and escaped quotes ('it''s') don't split — the
+    * naive split(',') mis-parsed both. */
+  private[sql] def splitInList(list: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < list.length) {
+      val ch = list.charAt(i)
+      if (ch == '\'') { inQuote = !inQuote; cur.append(ch) }
+      else if (ch == ',' && !inQuote) { out += cur.result(); cur.clear() }
+      else cur.append(ch)
+      i += 1
+    }
+    out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   def partitionScope(session: SparkSession, root: String,
                      where: Option[String], stmt: String): Seq[String] =
     where.toSeq.flatMap { w =>
+      def unsupported: Nothing = throw new IllegalArgumentException(
+        s"$stmt WHERE supports only <partcol> = <v> or <partcol> IN (<v>, ...), " +
+          s"values quoted or bare: got '$w'")
       val (c, vs) = w match {
-        case GraftSqlParser.WhereEqRe(c0, v0) => (c0, Seq(v0))
         case GraftSqlParser.WhereInRe(c0, list) =>
-          (c0, list.split(',').map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
-        case other => throw new IllegalArgumentException(
-          s"$stmt WHERE supports only <partcol> = 'v' or <partcol> IN ('v', ...): got '$other'")
+          (c0, splitInList(list).map(v => unquote(v).getOrElse(unsupported)))
+        case GraftSqlParser.WhereEqRe(c0, v0) =>
+          (c0, Seq(unquote(v0).getOrElse(unsupported)))
+        case _ => unsupported
       }
       val pc = TxLog(session, root).partitionColumn()
       require(pc.contains(c),

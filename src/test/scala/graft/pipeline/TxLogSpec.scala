@@ -263,6 +263,44 @@ class TxLogSpec extends SparkTestBase {
     assert(s.snapshot().filter(col("k") === "042").count() === 0L)
   }
 
+  test("DML pruning canonicalizes date STRINGS: non-ISO forms never wrongly exclude a dir") {
+    // d is DATE: per-dir stats are padded ISO strings. DELETE WHERE
+    // d = '2024-2-5' arrives as an UNRESOLVED StringType literal —
+    // raw, '2024-2-5' > '2024-02-29' lexicographically, so without
+    // canonicalization the only dir containing the row is pruned and
+    // the delete silently no-ops (the exact ADVICE-high scenario).
+    val t = TxLog(spark, tmpDir("txlog_datestr"), statsCols = Seq("d"),
+      bloomCols = Seq("d"))
+    (0 until 3).foreach { b =>
+      t.append(spark.sql(
+        s"SELECT DATE'2024-01-01' + make_interval(0,0,0,${b * 30} + x.id) AS d, " +
+          s"x.id + ${b * 30} AS n FROM range(30) x"))
+    }
+    assert(t.snapshot().count() === 90)
+    // non-canonical month/day, stray whitespace, a trailing time part:
+    // all must land (each targets exactly one row)
+    t.deleteWhere("d = '2024-2-5'")
+    assert(t.snapshot().filter(col("d") === lit("2024-02-05").cast("date"))
+      .count() === 0L)
+    t.deleteWhere("d = '  2024-01-07  '")
+    assert(t.snapshot().filter(col("d") === lit("2024-01-07").cast("date"))
+      .count() === 0L)
+    t.deleteWhere("d = '2024-3-2 00:00:00'")
+    assert(t.snapshot().filter(col("d") === lit("2024-03-02").cast("date"))
+      .count() === 0L)
+    assert(t.snapshot().count() === 87)
+    // range form: a non-canonical bound prunes CORRECTLY (still only
+    // the covering dirs are touched) and deletes the right rows
+    t.deleteWhere("d >= '2024-2-1' AND d <= '2024-2-29'")
+    assert(t.snapshot().count() === 87 - 28) // Feb minus the deleted 2024-02-05
+    // an unparseable string disables pruning for the conjunct
+    // (conservative keep) — the kept dirs' residual evaluation then
+    // surfaces ANSI's cast error instead of a silent no-op; a wrongly
+    // pruned scan would have skipped the rows without any error
+    intercept[Exception](t.deleteWhere("d = 'not-a-date-at-all'"))
+    assert(t.snapshot().count() === 59)
+  }
+
   test("NULL partition values: tagged appends degrade to untagged entries; explicit partitioned writes refuse") {
     val t = fresh("nullpart")
     t.overwritePartitioned(Seq((Option("a"), 1L), (Option("b"), 2L))

@@ -137,6 +137,36 @@ class TxLogSqlDdlSpec extends SparkTestBase {
     TxLogSql.unregister("sqlddl_ow")
   }
 
+  test("OPTIMIZE WHERE accepts bare literals and quote-aware IN lists") {
+    val loc = tmpDir("sqlddl_owq")
+    val t = TxLog(spark, loc)
+    // partition values that break naive parsing: numeric-looking, a
+    // comma inside the value, an embedded quote
+    t.overwritePartitioned(Seq(("5", 1L), ("a,b", 2L), ("it's", 3L), ("plain", 4L))
+      .toDF("day", "id"), "day")
+    (1 to 2).foreach(i =>
+      t.append(Seq(("5", 10L + i)).toDF("day", "id"), tagBy = Some("day")))
+    TxLogSql.register("sqlddl_owq", t)
+    // bare literal: same scope as the quoted form (tags are the
+    // cast-to-string encoding, so `day = 5` names partition '5')
+    val before = new java.io.File(s"$loc/data").listFiles().count(_.isDirectory)
+    spark.sql("OPTIMIZE sqlddl_owq WHERE day = 5")
+    assert(new java.io.File(s"$loc/data").listFiles().count(_.isDirectory)
+      === before + 1) // one packed dir for partition 5's three entries
+    // IN list: a comma INSIDE quotes must not split; '' unescapes; a
+    // bare member parses alongside quoted ones
+    spark.sql("OPTIMIZE sqlddl_owq WHERE day IN ('a,b', 'it''s', plain)")
+    assert(spark.sql("SELECT count(*) FROM sqlddl_owq").head().getLong(0) === 6L)
+    assert(spark.sql("SELECT id FROM sqlddl_owq WHERE day = 'a,b'")
+      .head().getLong(0) === 2L)
+    // a compound predicate swallowed by the greedy RHS capture is
+    // refused loudly, not silently mis-scoped
+    val e = intercept[Exception](
+      spark.sql("OPTIMIZE sqlddl_owq WHERE day = 'a,b' AND id = 1").collect())
+    assert(e.getMessage.contains("supports only"))
+    TxLogSql.unregister("sqlddl_owq")
+  }
+
   test("SHOW PARTITIONS / DESCRIBE DETAIL / VACUUM DRY RUN: metadata statements answer from the manifest") {
     val loc = tmpDir("sqlddl_meta")
     val t = TxLog(spark, loc)

@@ -97,6 +97,25 @@ class TxLogSkipScansSpec extends SparkTestBase {
     TxLogSql.unregister("skipscan_date")
   }
 
+  test("a fully-pruned scan keeps _metadata columns resolvable") {
+    // the empty LocalRelation replacing an all-dirs-excluded scan must
+    // carry the relation's METADATA attributes: a projection of
+    // _metadata.file_path above the impossible Filter holds references
+    // already resolved against them (ADVICE r9)
+    val t = rangedTable("meta")
+    TxLogSql.register("skipscan_meta", t)
+    val q = spark.sql(
+      "SELECT _metadata.file_path FROM skipscan_meta WHERE k = 99999")
+    assert(scanPaths(q).isEmpty) // fully pruned...
+    assert(q.count() === 0L)     // ...and still executable
+    // sanity: the same projection over a surviving dir works and
+    // names a real file
+    val one = spark.sql(
+      "SELECT _metadata.file_path FROM skipscan_meta WHERE k = 137")
+    assert(one.collect().map(_.getString(0)).forall(_.contains("/data/")))
+    TxLogSql.unregister("skipscan_meta")
+  }
+
   test("pruned scans return exactly the unpruned rows (correctness is the residual filter's)") {
     val t = rangedTable("exact")
     TxLogSql.register("skipscan_exact", t)
