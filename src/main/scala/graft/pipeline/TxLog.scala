@@ -188,7 +188,8 @@ final case class TxLog(spark: SparkSession, root: String,
                               tombstones: Map[String, Seq[String]] = Map.empty,
                               colMap: Seq[(String, String)] = Nil,
                               retired: Seq[String] = Nil,
-                              copied: Seq[String] = Nil) {
+                              copied: Seq[String] = Nil,
+                              props: Seq[(String, String)] = Nil) {
     def dirs: Seq[String] = entries.map(_._1).distinct
   }
 
@@ -258,6 +259,12 @@ final case class TxLog(spark: SparkSession, root: String,
       .map(_.stripPrefix("#colretired\t"))
     val copied = lines.filter(_.startsWith("#copied\t"))
       .map(_.stripPrefix("#copied\t"))
+    val props = lines.filter(_.startsWith("#prop\t")).map { l =>
+      l.stripPrefix("#prop\t").split("\t", 2) match {
+        case Array(k, v) => (k, v)
+        case _ => throw new java.io.IOException(s"bad prop line: $l")
+      }
+    }
     val entries = lines.filterNot(_.startsWith("#")).map { l =>
       l.split('\t') match {
         case Array(d) => (d, None)
@@ -270,7 +277,7 @@ final case class TxLog(spark: SparkSession, root: String,
       }
     }
     Manifest(partCol, stats, entries, ranges, txns, blooms, checks, tombstones,
-      colMap, retired, copied)
+      colMap, retired, copied, props)
   }
 
   /** Scheme-qualified FOREIGN tag — a partition tag recorded under a
@@ -332,6 +339,7 @@ final case class TxLog(spark: SparkSession, root: String,
     (if (m.entries.exists(e => isForeign(e._2))) Seq(s"#format=2") else Seq.empty) ++
     m.partCol.map(c => s"#partcol=$c").toSeq ++
       m.checks.map { case (n, s) => s"#check\t$n\t$s" } ++
+      m.props.sortBy(_._1).map { case (k, v) => s"#prop\t$k\t$v" } ++
       m.stats.map { case (c, t) => s"#statscol=$c|$t" } ++
       m.ranges.toSeq.sortBy(_._1).map { case ((d, c), (lo, hi)) =>
         s"#range\t$d\t$c\t$lo\t$hi" } ++
