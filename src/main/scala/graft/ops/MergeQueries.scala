@@ -1381,6 +1381,91 @@ object MergeQueries {
       SELECT DISTINCT 'c_mktsegment=' || c_mktsegment AS "partition"
       FROM customer""")),
 
+    // TBLPROPERTIES lifecycle under the oracle gate: CREATE persists
+    // the user properties (registration keys like 'keys' stay out of
+    // the persisted set), SET upserts, UNSET removes, and the
+    // properties RIDE EVERY COMMIT SHAPE in between (INSERT, OPTIMIZE)
+    // because they are manifest footer metadata, not session state.
+    // The folded row count proves the data commits really happened
+    // around the metadata commits. Delta's TBLPROPERTIES contract;
+    // behavior-bearing keys: graft.inCommitTimestamps,
+    // graft.vacuum.retainVersions (both spec-gated in TxLogSqlDdlSpec).
+    Q("txlog_sql_tblproperties", (spark, dir) => {
+      val tag = dir.hashCode.abs
+      val root = s"/root/repo/target/tmp/txlog_props_$tag"
+      val name = s"txlog_props_$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      graft.sql.TxLogSql.unregister(name)
+      spark.sql(s"""
+        CREATE TABLE $name (id BIGINT, seg STRING) USING graft
+        TBLPROPERTIES ('keys' = 'id', 'owner' = 'data-eng',
+                       'quality' = 'bronze')
+        LOCATION '$root'""")
+      load(spark, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_mktsegment").as("seg"))
+        .createOrReplaceTempView(s"${name}_src")
+      spark.sql(s"INSERT INTO $name SELECT * FROM ${name}_src")
+      spark.sql(s"""ALTER TABLE $name SET TBLPROPERTIES
+        ('quality' = 'silver', 'graft.vacuum.retainVersions' = '4')""")
+      spark.sql(s"OPTIMIZE $name") // a data commit BETWEEN property commits
+      spark.sql(
+        s"ALTER TABLE $name UNSET TBLPROPERTIES IF EXISTS ('owner', 'absent')")
+      val props = spark.sql(s"SHOW TBLPROPERTIES $name")
+      val out = props.unionByName(spark.sql(
+        s"SELECT 'rows' AS key, CAST(count(*) AS STRING) AS value FROM $name"))
+      out.collect() // materialize before unregistering
+      graft.sql.TxLogSql.unregister(name)
+      out
+    }, oracle = Some("""
+      SELECT 'graft.vacuum.retainVersions' AS key, '4' AS value
+      UNION ALL SELECT 'quality', 'silver'
+      UNION ALL SELECT 'rows', CAST(count(*) AS VARCHAR) FROM customer""")),
+
+    // IN-COMMIT TIMESTAMPS under the oracle gate (Delta's
+    // delta.enableInCommitTimestamps): the table property makes every
+    // commit record its own instant in the manifest — strictly
+    // monotone past its parent — and TIMESTAMP AS OF resolves on that
+    // RECORDED clock. The query skews every manifest file's mtime ten
+    // days into the future before time-traveling: on the mtime clock
+    // nothing would be eligible, so the rows coming back hash-equal to
+    // the pre-delete state PROVES the recorded clock answered. This is
+    // the 100 TB operational story: tables survive storage migrations
+    // and object-store copies (which reset mtimes) with time travel
+    // and CDF windows intact.
+    Q("txlog_ict_time_travel", (spark, dir) => {
+      val tag = dir.hashCode.abs
+      val root = s"/root/repo/target/tmp/txlog_ict_$tag"
+      val name = s"txlog_ict_$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      graft.sql.TxLogSql.unregister(name)
+      spark.sql(s"""
+        CREATE TABLE $name (id BIGINT, status STRING, price DECIMAL(18,2))
+        USING graft
+        TBLPROPERTIES ('keys' = 'id', 'graft.inCommitTimestamps' = 'true')
+        LOCATION '$root'""")
+      load(spark, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .createOrReplaceTempView(s"${name}_src")
+      spark.sql(
+        s"INSERT INTO $name SELECT * FROM ${name}_src WHERE id % 3 <> 0")
+      val t = graft.pipeline.TxLog(spark, root)
+      val vIns = t.currentVersion() // the post-insert, pre-delete version
+      spark.sql(s"DELETE FROM $name WHERE id % 5 = 0")
+      val instant = t.commitInstant(vIns) // the RECORDED in-commit instant
+      // simulate a storage migration: every manifest mtime goes far
+      // into the future — only the recorded clock can resolve now
+      new java.io.File(s"$root/_txlog").listFiles()
+        .filter(_.getName.endsWith(".json"))
+        .foreach(_.setLastModified(System.currentTimeMillis() + 864000000L))
+      spark.sql(s"""
+        SELECT id, status, CAST(price AS DOUBLE) AS price
+        FROM $name TIMESTAMP AS OF timestamp_millis(${instant}L)""")
+    }, oracle = Some("""
+      SELECT o_orderkey AS id, o_orderstatus AS status,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 <> 0""")),
+
     Q("txlog_sql_ddl", (spark, dir) => {
       import spark.implicits._
       val tag = dir.hashCode.abs

@@ -548,16 +548,17 @@ final case class TxLog(spark: SparkSession, root: String,
 
   /** TIMESTAMP AS OF resolution (Delta's time travel by time): the
     * highest version whose manifest was committed at-or-before
-    * `tsMillis`. Commit time IS the manifest file's mtime — the atomic
-    * publish is the instant the version became visible, so no extra
-    * clock needs recording. Fails if every commit is later than
-    * `tsMillis` (nothing existed then), like Delta. */
+    * `tsMillis`, on the [[commitInstant]] clock — the RECORDED
+    * in-commit timestamp where the table runs under [[TxLog.IctProp]]
+    * (robust to file copies, coarse mtimes, and writer clock skew),
+    * the manifest publish mtime otherwise (the atomic publish is the
+    * instant the version became visible). Fails if every commit is
+    * later than `tsMillis` (nothing existed then), like Delta. */
   def versionAsOf(tsMillis: Long): Long = {
     val cur = currentVersion()
     require(cur >= 0, s"TxLog table at $root has no commits")
     val eligible = (0L to cur).filter { v =>
-      fs.exists(manifestPath(v)) &&
-        fs.getFileStatus(manifestPath(v)).getModificationTime <= tsMillis
+      fs.exists(manifestPath(v)) && commitInstant(v) <= tsMillis
     }
     require(eligible.nonEmpty,
       s"TxLog table at $root has no commit at or before timestamp $tsMillis")
@@ -566,6 +567,26 @@ final case class TxLog(spark: SparkSession, root: String,
 
   /** Snapshot as of a wall-clock instant — [[versionAsOf]] + [[snapshot]]. */
   def snapshotAsOf(tsMillis: Long): DataFrame = snapshot(versionAsOf(tsMillis))
+
+  /** The LOWEST version committed at-or-after `tsMillis` on the
+    * [[commitInstant]] clock — Delta's STARTING-timestamp resolution
+    * (`table_changes(t, start_ts, …)` / the streaming source's
+    * `startingTimestamp`): "changes since ts" must begin at the first
+    * commit the instant could have observed, the mirror image of
+    * [[versionAsOf]]'s at-or-before. Fails when every commit is
+    * earlier than `tsMillis` (the caller asked for a future window),
+    * like Delta's timestamp-after-latest-commit error. */
+  def versionAtOrAfter(tsMillis: Long): Long = {
+    val cur = currentVersion()
+    require(cur >= 0, s"TxLog table at $root has no commits")
+    val eligible = (0L to cur).filter { v =>
+      fs.exists(manifestPath(v)) && commitInstant(v) >= tsMillis
+    }
+    require(eligible.nonEmpty,
+      s"TxLog table at $root has no commit at or after timestamp $tsMillis " +
+        "(the requested window starts after the latest commit)")
+    eligible.min
+  }
 
   /** DESCRIBE HISTORY: one row per surviving version — commit instant
     * (the manifest's publish mtime, the same clock [[versionAsOf]]
@@ -582,7 +603,13 @@ final case class TxLog(spark: SparkSession, root: String,
       val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
       val op = txt.linesIterator.find(_.startsWith("#op="))
         .map(_.stripPrefix("#op=")).getOrElse("UNKNOWN")
-      (v, new java.sql.Timestamp(st.getModificationTime), op,
+      // the same clock versionAsOf resolves against: recorded
+      // in-commit instant when present, publish mtime otherwise
+      val ts = txt.linesIterator.collectFirst {
+        case l if l.startsWith("#commitTs=") =>
+          l.stripPrefix("#commitTs=").toLong
+      }.getOrElse(st.getModificationTime)
+      (v, new java.sql.Timestamp(ts), op,
         readManifestFull(v).dirs.size)
     }.toDF("version", "timestamp", "operation", "n_dirs")
   }
@@ -1561,7 +1588,22 @@ final case class TxLog(spark: SparkSession, root: String,
   private def tryCommitManifest(version: Long, lines: Seq[String],
                                 op: String = ""): Boolean = {
     fs.mkdirs(new Path(logDir))
-    val withOp = if (op.isEmpty) lines else s"#op=$op" +: lines
+    // In-commit timestamps (Delta's delta.enableInCommitTimestamps):
+    // when the manifest being committed carries the table property,
+    // the commit instant is RECORDED IN the manifest — monotone past
+    // the parent's instant — so time travel survives file copies,
+    // mtime-coarse filesystems, and clock skew between writers. The
+    // single choke point stamps every commit path uniformly.
+    val stamped =
+      if (lines.contains(s"#prop\t${TxLog.IctProp}\ttrue")) {
+        val floor =
+          if (version == 0L) Long.MinValue
+          else if (fs.exists(manifestPath(version - 1)))
+            commitInstant(version - 1) + 1
+          else Long.MinValue
+        s"#commitTs=${math.max(System.currentTimeMillis(), floor)}" +: lines
+      } else lines
+    val withOp = if (op.isEmpty) stamped else s"#op=$op" +: stamped
     val won = manifestStore.putIfAbsent(fs, new Path(logDir), manifestPath(version),
       withOp.mkString("\n").getBytes("UTF-8"))
     // every winning commit refreshes the advisory latest-version
@@ -1734,6 +1776,96 @@ final case class TxLog(spark: SparkSession, root: String,
       s"TxLog dropConstraint lost $MaxRaceRetries optimistic races at $root")
   }
 
+  /** The snapshot's table properties (TBLPROPERTIES) — free-form
+    * `(key, value)` TABLE metadata carried in the manifest footer,
+    * sorted by key for determinism. Behavior-bearing keys:
+    * [[TxLog.IctProp]] turns on in-commit timestamps from the NEXT
+    * commit on; [[TxLog.VacuumRetainProp]] sets the default VACUUM
+    * retention when a statement omits RETAIN. Everything else is
+    * opaque annotation, exactly Delta's TBLPROPERTIES contract. */
+  def properties(version: Long = -1): Seq[(String, String)] = {
+    val v = if (version >= 0) version else currentVersion()
+    if (v < 0) Seq.empty else readManifestFull(v).props.sortBy(_._1)
+  }
+
+  /** ALTER TABLE SET TBLPROPERTIES — metadata-only upsert commit.
+    * Re-running with an unchanged property set commits NOTHING (the
+    * current version returns), so config management can converge a
+    * table idempotently. The `constraint.` namespace is reserved
+    * (SHOW CREATE TABLE renders CHECK constraints under it). */
+  def setProperties(kvs: Seq[(String, String)]): Long = {
+    require(kvs.nonEmpty, "SET TBLPROPERTIES with no properties")
+    kvs.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.exists("\t\n\r".contains(_)),
+        s"property key '$k' must be non-empty and tab/newline-free " +
+          "(manifest line format)")
+      require(!v.exists("\t\n\r".contains(_)),
+        s"property '$k' value must be tab/newline-free (manifest line format)")
+      require(!k.startsWith("constraint."),
+        s"property key '$k': the 'constraint.' namespace is reserved for " +
+          "CHECK constraints — use ALTER TABLE ADD CONSTRAINT")
+    }
+    require(kvs.map(_._1).distinct.size == kvs.size,
+      s"duplicate keys in SET TBLPROPERTIES: ${kvs.map(_._1).mkString(", ")}")
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val cur = currentVersion()
+      require(cur >= 0, s"TxLog table at $root has no commits")
+      val prev = readManifestFull(cur)
+      val merged =
+        (prev.props.filterNot(p => kvs.exists(_._1 == p._1)) ++ kvs).sortBy(_._1)
+      if (merged == prev.props.sortBy(_._1)) return cur
+      val lines = manifestLines(prev.copy(props = merged))
+      if (tryCommitManifest(cur + 1, lines,
+          s"SET TBLPROPERTIES (${kvs.map(_._1).sorted.mkString(", ")})"))
+        return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog setProperties lost $MaxRaceRetries optimistic races at $root")
+  }
+
+  /** ALTER TABLE UNSET TBLPROPERTIES — metadata-only removal. A
+    * missing key is refused (say what you meant) unless `ifExists`
+    * (SQL's IF EXISTS form). Unsetting every key is legal; the table
+    * reverts to mtime-clock time travel if [[TxLog.IctProp]] goes —
+    * already-recorded in-commit instants keep serving their versions. */
+  def unsetProperties(keys: Seq[String], ifExists: Boolean = false): Long = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES with no keys")
+    var attempt = 0
+    while (attempt < MaxRaceRetries) {
+      val cur = currentVersion()
+      require(cur >= 0, s"TxLog table at $root has no commits")
+      val prev = readManifestFull(cur)
+      val missing = keys.filterNot(k => prev.props.exists(_._1 == k))
+      require(ifExists || missing.isEmpty,
+        s"no table propert${if (missing.size == 1) "y" else "ies"} " +
+          s"${missing.mkString(", ")} on the table at $root " +
+          "(UNSET TBLPROPERTIES IF EXISTS to ignore)")
+      val kept = prev.props.filterNot(p => keys.contains(p._1))
+      if (kept == prev.props) return cur
+      val lines = manifestLines(prev.copy(props = kept))
+      if (tryCommitManifest(cur + 1, lines,
+          s"UNSET TBLPROPERTIES (${keys.sorted.mkString(", ")})"))
+        return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"TxLog unsetProperties lost $MaxRaceRetries optimistic races at $root")
+  }
+
+  /** The instant version `v` became visible: the manifest's RECORDED
+    * in-commit timestamp when present (committed under
+    * [[TxLog.IctProp]]), else the manifest file's publish mtime — the
+    * clock [[versionAsOf]] and [[history]] resolve against. */
+  def commitInstant(v: Long): Long = {
+    val in = fs.open(manifestPath(v))
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    txt.linesIterator.collectFirst {
+      case l if l.startsWith("#commitTs=") => l.stripPrefix("#commitTs=").toLong
+    }.getOrElse(fs.getFileStatus(manifestPath(v)).getModificationTime)
+  }
+
   /** Group (dir, tag) manifest lines into per-dir live-tag sets; a dir
     * with any untagged line (or an untagged table) validates in full. */
   private def entryTagSets(entries: Seq[(String, Option[String])],
@@ -1784,7 +1916,7 @@ final case class TxLog(spark: SparkSession, root: String,
       val checks = mergedChecks(prev.checks)
       enforceChecksOnDirs(Seq(uuid), checks)
       val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
-        prev.txns, blooms, checks, copied = prev.copied))
+        prev.txns, blooms, checks, copied = prev.copied, props = prev.props))
       if (tryCommitManifest(cur + 1, lines, "OVERWRITE")) return cur + 1
       attempt += 1
     }
@@ -1851,7 +1983,7 @@ final case class TxLog(spark: SparkSession, root: String,
         prev.blooms ++ newBlooms,
         checks,
         prev.tombstones, // carried dirs keep their deletion vectors
-        colMap = fullMap, retired = prev.retired, copied = prev.copied)
+        colMap = fullMap, retired = prev.retired, copied = prev.copied, props = prev.props)
       if (tryCommitManifest(cur + 1, manifestLines(m), op)) return cur + 1
       attempt += 1
     }
@@ -1949,7 +2081,7 @@ final case class TxLog(spark: SparkSession, root: String,
         prev.ranges.filter { case ((_, c), _) => headerCols(c) } ++ newRanges,
         prev.txns, prev.blooms ++ newBlooms, checks, prev.tombstones,
         colMap = fullMap, retired = prev.retired,
-        copied = prev.copied :+ regUuid)
+        copied = prev.copied :+ regUuid, props = prev.props)
       if (tryCommitManifest(cur + 1, manifestLines(m), "COPY INTO"))
         return (cur + 1, newFiles.size.toLong)
       attempt += 1
@@ -2080,7 +2212,7 @@ final case class TxLog(spark: SparkSession, root: String,
       enforceChecksOnDirs(Seq(uuid), checks)
       val lines = manifestLines(Manifest(Some(partCol), hdr, entries, ranges,
         txnsAfter(prev.txns, txn), blooms, checks,
-        copied = prev.copied))
+        copied = prev.copied, props = prev.props))
       if (tryCommitManifest(cur + 1, lines, "OVERWRITE")) return cur + 1
       attempt += 1
     }
@@ -2203,7 +2335,7 @@ final case class TxLog(spark: SparkSession, root: String,
       enforceChecksOnDirs(entries.map(_._1).distinct, checks)
       val lines = manifestLines(Manifest(Some(partCol), header, entries, ranges,
         txnsAfter(prev.txns, txn), Map.empty, checks,
-        copied = prev.copied))
+        copied = prev.copied, props = prev.props))
       if (tryCommitManifest(cur + 1, lines, "OVERWRITE")) return cur + 1
       attempt += 1
     }
@@ -2485,7 +2617,7 @@ final case class TxLog(spark: SparkSession, root: String,
         carry ++ newEntries,
         carriedRanges ++ newRanges, txnsAfter(prev.txns, txn),
         carriedBlooms ++ newBlooms, checks, carriedTombs,
-        colMap = fullMap, retired = prev.retired, copied = prev.copied))
+        colMap = fullMap, retired = prev.retired, copied = prev.copied, props = prev.props))
       onCommitAttempt()
       if (tryCommitManifest(base + 1, lines, op.toUpperCase)) return base + 1
       attempt += 1
@@ -2542,7 +2674,7 @@ final case class TxLog(spark: SparkSession, root: String,
               carry2 ++ newEntries2,
               carriedRanges2 ++ newRanges, txnsAfter(np.txns, txn),
               carriedBlooms2 ++ newBlooms, checks2, carriedTombs2,
-              colMap = fullMap, retired = np.retired, copied = np.copied))
+              colMap = fullMap, retired = np.retired, copied = np.copied, props = np.props))
             if (tryCommitManifest(nb + 1, lines2, op.toUpperCase)) return nb + 1
             attempt += 1
           }
@@ -2592,7 +2724,7 @@ final case class TxLog(spark: SparkSession, root: String,
       enforceChecksOnDirs(Seq(uuid), checks)
       val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
         txnsAfter(prev.txns, txn), bloomsFor(uuid), checks,
-        copied = prev.copied))
+        copied = prev.copied, props = prev.props))
       if (tryCommitManifest(base + 1, lines, "MERGE")) return base + 1
       attempt += 1
     }
@@ -2801,7 +2933,7 @@ final case class TxLog(spark: SparkSession, root: String,
         carry ++ newEntries, carriedRanges ++ newRanges,
         txnsAfter(prev.txns, txn), carriedBlooms ++ newBlooms, checks,
         carriedTombs, colMap = fullMap, retired = prev.retired,
-        copied = prev.copied))
+        copied = prev.copied, props = prev.props))
       if (tryCommitManifest(base + 1, lines, "MERGE")) return base + 1
       attempt += 1
     }
@@ -2860,7 +2992,7 @@ final case class TxLog(spark: SparkSession, root: String,
         enforceChecksOnDirs(Seq(uuid), checks)
         val lines = manifestLines(Manifest(None, hdr, Seq((uuid, None)), ranges,
           txnsAfter(prev.txns, None), bloomsFor(uuid), checks,
-          copied = prev.copied))
+          copied = prev.copied, props = prev.props))
         if (tryCommitManifest(base + 1, lines, "UPDATE")) return base + 1
       } else {
         val candidates = predicate.fold(prev.dirs)(p => mayMatchDirs(prev.dirs, p))
@@ -2916,7 +3048,7 @@ final case class TxLog(spark: SparkSession, root: String,
           val m2 = Manifest(prev.partCol, header, carry ++ newEntries,
             carriedRanges ++ newRanges, txnsAfter(prev.txns, None),
             carriedBlooms ++ bloomsFor(uuid), checks, carriedTombs,
-            retired = prev.retired, copied = prev.copied)
+            retired = prev.retired, copied = prev.copied, props = prev.props)
           if (tryCommitManifest(base + 1, manifestLines(m2), "UPDATE"))
             return base + 1
         }
@@ -3018,7 +3150,7 @@ final case class TxLog(spark: SparkSession, root: String,
         val m2 = Manifest(prev.partCol, header, prev.entries ++ newEntries,
           keptRanges ++ newRanges, txnsAfter(prev.txns, None),
           prev.blooms ++ bloomsFor(uuid), checks, tombs,
-          retired = prev.retired, copied = prev.copied)
+          retired = prev.retired, copied = prev.copied, props = prev.props)
         if (tryCommitManifest(base + 1, manifestLines(m2), "UPDATE"))
           return base + 1
       }
@@ -3233,7 +3365,8 @@ final case class TxLog(spark: SparkSession, root: String,
         carriedRanges ++ stats.flatMap(_._2).toMap, prev.txns,
         carriedBlooms ++ uuids.map(bloomsFor(_, prev.colMap)).foldLeft(
           Map.empty[(String, String), String])(_ ++ _),
-        checks, carriedTombs, colMap = prev.colMap, retired = prev.retired)
+        checks, carriedTombs, colMap = prev.colMap, retired = prev.retired,
+        props = prev.props)
       if (tryCommitManifest(cur + 1, manifestLines(m), "OPTIMIZE")) return cur + 1
       attempt += 1
     }
@@ -3334,7 +3467,7 @@ final case class TxLog(spark: SparkSession, root: String,
       enforceChecksOnDirs(uuids, checks)
       val m = Manifest(None, header,
         uuids.map(u => (u, None)), stats.flatMap(_._2).toMap, prev.txns,
-        blooms, checks)
+        blooms, checks, props = prev.props)
       if (tryCommitManifest(cur + 1, manifestLines(m), op.toUpperCase)) return cur + 1
       attempt += 1
     }
@@ -3473,7 +3606,7 @@ final case class TxLog(spark: SparkSession, root: String,
       m.blooms.map { case ((d, c), b) => (abs(d), c) -> b },
       m.checks,
       m.tombstones.map { case (d, ts) => abs(d) -> ts.map(abs) },
-      m.colMap, m.retired) // the clone sees the same visible schema
+      m.colMap, m.retired, props = m.props) // same visible schema + props
     require(dest.tryCommitManifest(0L, manifestLines(cloned), s"CLONE $root@v$v"),
       s"clone destination $destRoot was committed concurrently")
     dest
@@ -3481,6 +3614,17 @@ final case class TxLog(spark: SparkSession, root: String,
 }
 
 object TxLog {
+  /** Table property that turns on IN-COMMIT TIMESTAMPS (Delta's
+    * `delta.enableInCommitTimestamps`): each later manifest records
+    * its own commit instant, monotone past its parent's, so
+    * TIMESTAMP AS OF / DESCRIBE HISTORY survive file copies,
+    * mtime-coarse filesystems, and writer clock skew. */
+  val IctProp = "graft.inCommitTimestamps"
+
+  /** Table property: default `VACUUM … RETAIN n VERSIONS` count when
+    * the statement omits the RETAIN clause. */
+  val VacuumRetainProp = "graft.vacuum.retainVersions"
+
   /** Parsed stats for the optimizer's scan-prune rule, assembled
     * across manifest versions (dir stats are immutable) and cached per
     * (root, currentVersion) so repeated optimizer passes pay one

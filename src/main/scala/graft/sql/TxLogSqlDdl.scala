@@ -47,7 +47,13 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   *      zero data rewritten). Registered names only, like the
   *      constraint forms.
   *   - `SHOW CREATE TABLE name` — the re-runnable DDL with keys,
-  *      cluster column, and CHECK constraints as TBLPROPERTIES.
+  *      cluster column, CHECK constraints, and persisted properties
+  *      as TBLPROPERTIES.
+  *   - `ALTER TABLE name SET TBLPROPERTIES ('k' = 'v', …)` /
+  *      `UNSET TBLPROPERTIES [IF EXISTS] ('k', …)` /
+  *      `SHOW TBLPROPERTIES name [('k')]` — free-form table metadata
+  *      ([[TxLog.setProperties]]); `graft.inCommitTimestamps` and
+  *      `graft.vacuum.retainVersions` are behavior-bearing.
   *   - `CONVERT TO GRAFT parquet.`/path` [PARTITIONED BY (col TYPE)]`
   *      — [[TxLog.convertFrom]]: zero-rewrite in-place import of an
   *      existing parquet directory (flat or hive-partitioned).
@@ -67,7 +73,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case HistoryRe(name) => TxLogHistoryCommand(name)
     case VacuumRe(name, retain, dry) =>
-      TxLogVacuumCommand(name, Option(retain).map(_.toInt).getOrElse(3),
+      TxLogVacuumCommand(name, Option(retain).map(_.toInt),
         dryRun = dry != null)
     case OptimizeRe(name, where, zcols) =>
       TxLogOptimizeCommand(name, Option(zcols).toSeq.flatMap(
@@ -115,7 +121,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         propList(tail, "keys"), propList(tail, "statsCols"),
         ifNotExists = ifNot != null, orReplace = orRepl != null,
         asSelect = AsSelectRe.findFirstMatchIn(tail).map(_.group(1).trim),
-        clusteredBy = clusteredBy)
+        clusteredBy = clusteredBy, props = userProps(tail))
     // ALTER TABLE exists in Spark's own grammar, so these forms
     // intercept ONLY for names this registry knows — everything else
     // (including ALTER on catalog tables) parses through the delegate
@@ -134,6 +140,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case AlterDropColRe(name, cname)
         if TxLogSql.lookupMeta(name).isDefined =>
       TxLogDropColumnCommand(name, cname)
+    // SET/UNSET TBLPROPERTIES and SHOW TBLPROPERTIES are real Spark
+    // grammar — intercepted only for registered names
+    case AlterSetPropsRe(name, pairs)
+        if TxLogSql.lookupMeta(name).isDefined =>
+      TxLogSetPropertiesCommand(name, propPairs(pairs))
+    case AlterUnsetPropsRe(name, ifExists, keys)
+        if TxLogSql.lookupMeta(name).isDefined =>
+      TxLogUnsetPropertiesCommand(name, propKeys(keys), ifExists != null)
+    case ShowTblPropsRe(name, key)
+        if TxLogSql.lookupMeta(name).isDefined =>
+      TxLogShowPropertiesCommand(name, Option(key))
+    // ANALYZE TABLE is real Spark grammar — registered names only
+    case AnalyzeRe(name, forClause)
+        if TxLogSql.lookupMeta(name).isDefined =>
+      val fc = Option(forClause).map(_.trim)
+      TxLogAnalyzeCommand(name,
+        cols = fc.filter(_.toUpperCase(java.util.Locale.ROOT)
+            .startsWith("COLUMNS")).toSeq
+          .flatMap(_.drop("COLUMNS".length).split(',').map(_.trim)
+            .filter(_.nonEmpty)),
+        allColumns = fc.exists(_.toUpperCase(java.util.Locale.ROOT)
+          .startsWith("ALL")))
     // DROP TABLE / DESCRIBE TABLE / SHOW CREATE TABLE are real Spark
     // grammar too — intercepted only for registered names
     case DropTableRe(_, name) if TxLogSql.lookupMeta(name).isDefined =>
@@ -237,6 +265,58 @@ object GraftSqlParser {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Id\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.*)\\)\\s*;?\\s*""".r
   private[sql] val AlterDropCheckRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Id\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*""".r
+  private[sql] val AlterSetPropsRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Id\\s+SET\\s+TBLPROPERTIES\\s*\\((.*)\\)\\s*;?\\s*""".r
+  private[sql] val AlterUnsetPropsRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Id\\s+UNSET\\s+TBLPROPERTIES\\s+(?:(IF\\s+EXISTS)\\s+)?\\s*\\((.*)\\)\\s*;?\\s*""".r
+  private[sql] val ShowTblPropsRe =
+    s"""(?is)\\s*SHOW\\s+TBLPROPERTIES\\s+$Id(?:\\s*\\(\\s*'?([\\w.\\-]+)'?\\s*\\))?\\s*;?\\s*""".r
+
+  // one `k = v` pair, either side quoted ('' escapes) or bare
+  private val PropPairRe =
+    """(?s)\s*(?:'((?:[^']|'')*)'|([\w.\-]+))\s*=\s*(?:'((?:[^']|'')*)'|([\w.\-]+))\s*""".r
+
+  /** The `'k' = 'v', …` pairs of a SET TBLPROPERTIES list — commas
+    * inside quoted values don't split (TxLogMaintenance.splitInList),
+    * `''` unescapes, bare keys/values accepted like Spark's grammar. */
+  private[sql] def propPairs(list: String): Seq[(String, String)] =
+    TxLogMaintenance.splitInList(list).map {
+      case PropPairRe(qk, bk, qv, bv) =>
+        (Option(qk).map(_.replace("''", "'")).getOrElse(bk),
+          Option(qv).map(_.replace("''", "'")).getOrElse(bv))
+      case other => throw new AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"TxLog SQL DDL: malformed TBLPROPERTIES pair: $other"))
+    }
+
+  private[sql] val AnalyzeRe =
+    s"""(?is)\\s*ANALYZE\\s+TABLE\\s+$Id\\s+COMPUTE\\s+STATISTICS(?:\\s+FOR\\s+(ALL\\s+COLUMNS|COLUMNS\\s+[\\w.,\\s]+))?\\s*;?\\s*""".r
+
+  // a full TBLPROPERTIES (...) clause; parens inside quoted values OK
+  private[sql] val TblPropsClauseRe =
+    """(?is)\bTBLPROPERTIES\s*\(((?:[^()']|'[^']*')*)\)""".r
+
+  private val ReservedPropKeys = Set("keys", "statsCols", "clustered_by")
+
+  /** The USER properties of a CREATE tail's TBLPROPERTIES clause —
+    * everything that is not a registration/layout key (`keys`,
+    * `statsCols`, `clustered_by`, `constraint.*`); persisted via
+    * [[TxLog.setProperties]] so SHOW CREATE TABLE output re-runs. */
+  private[sql] def userProps(tail: String): Seq[(String, String)] =
+    TblPropsClauseRe.findFirstMatchIn(tail)
+      .map(m => propPairs(m.group(1))).getOrElse(Nil)
+      .filterNot { case (k, _) =>
+        ReservedPropKeys(k) || k.startsWith("constraint.") }
+
+  /** The `'k', …` key list of an UNSET TBLPROPERTIES statement. */
+  private[sql] def propKeys(list: String): Seq[String] =
+    TxLogMaintenance.splitInList(list).map(k =>
+      TxLogMaintenance.unquote(k).getOrElse(throw new AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"TxLog SQL DDL: malformed UNSET TBLPROPERTIES key: $k"))))
+
   private[sql] val DropTableRe =
     s"""(?is)\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?$Id\\s*;?\\s*""".r
   private[sql] val DescribeRe =
@@ -289,7 +369,8 @@ case class TxLogCreateTableCommand(name: String, colsDdl: Option[String],
                                    ifNotExists: Boolean,
                                    orReplace: Boolean = false,
                                    asSelect: Option[String] = None,
-                                   clusteredBy: Option[String] = None)
+                                   clusteredBy: Option[String] = None,
+                                   props: Seq[(String, String)] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
   /** Seed/replace write honoring the declared partitioning: tagged
@@ -350,6 +431,9 @@ case class TxLogCreateTableCommand(name: String, colsDdl: Option[String],
           s"no TxLog table at $root — creating one requires a column list or AS SELECT"))
       seed(t, df)
     }
+    // user TBLPROPERTIES persist as table metadata — idempotent, so
+    // re-running SHOW CREATE TABLE output (attach form) is a no-op
+    if (props.nonEmpty) t.setProperties(props)
     TxLogSql.register(name, t, keys)
     TxLogSql.committed(root)
     Seq.empty
@@ -498,7 +582,9 @@ case class TxLogShowCreateCommand(name: String) extends LeafRunnableCommand {
     val props =
       (if (keys.nonEmpty) Seq(s"'keys' = '${keys.mkString(",")}'") else Nil) ++
       t.partitionColumn().map(pc => s"'clustered_by' = '$pc'").toSeq ++
-      t.constraints().map { case (n, p) => s"'constraint.$n' = '$p'" }
+      t.constraints().map { case (n, p) => s"'constraint.$n' = '$p'" } ++
+      t.properties().map { case (k, v) =>
+        s"'$k' = '${v.replace("'", "''")}'" }
     val propsClause =
       if (props.isEmpty) "" else props.mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")")
     Seq(Row(
@@ -564,6 +650,114 @@ case class TxLogDropConstraintCommand(name: String, constraint: String)
       .dropConstraint(constraint)))
 }
 
+/** `ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', …)` →
+  * [[TxLog.setProperties]] — a metadata-only commit (idempotent when
+  * nothing changes). Setting `graft.inCommitTimestamps = true` turns
+  * on in-commit timestamps from this commit forward. */
+case class TxLogSetPropertiesCommand(name: String, kvs: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(TxLog(session, TxLogDdl.rootOf(name)).setProperties(kvs)))
+}
+
+/** `ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] ('k', …)` →
+  * [[TxLog.unsetProperties]]. */
+case class TxLogUnsetPropertiesCommand(name: String, keys: Seq[String],
+                                       ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(TxLog(session, TxLogDdl.rootOf(name))
+      .unsetProperties(keys, ifExists)))
+}
+
+/** `SHOW TBLPROPERTIES t [('key')]` — the persisted properties as
+  * (key, value) rows sorted by key; the single-key form returns that
+  * key's row alone and fails on an absent key (Spark's v2 command
+  * answers a not-found message row — failing loudly beats returning
+  * prose as data). */
+case class TxLogShowPropertiesCommand(name: String, key: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val props = TxLog(session, TxLogDdl.rootOf(name)).properties()
+    key match {
+      case Some(k) => props.find(_._1 == k)
+        .map { case (a, b) => Seq(Row(a, b)) }
+        .getOrElse(TxLogDdl.fail(s"table '$name' has no property '$k'"))
+      case None => props.map { case (a, b) => Row(a, b) }
+    }
+  }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, … | FOR ALL
+  * COLUMNS]` — table- and column-level statistics persisted as
+  * `graft.stats.*` TABLE PROPERTIES (one metadata commit), the
+  * lakehouse analogue of Spark's catalog stats: numRows + physical
+  * size always; per named column exact ndv, null count, and min/max
+  * (rendered as strings; skipped when the rendering would break the
+  * manifest line format). `graft.stats.version` records the snapshot
+  * the scan saw, so STALENESS is first-class — a reader compares it
+  * to the current version instead of trusting silently-old numbers.
+  * One distributed aggregation pass computes every requested column
+  * (count-distinct expansion is Spark's standard multi-ndv shape); at
+  * 100 TB the same statement is the nightly stats job, and the
+  * metadata commit costs the same regardless of table size. */
+case class TxLogAnalyzeCommand(name: String, cols: Seq[String],
+                               allColumns: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
+    val t = TxLog(session, TxLogDdl.rootOf(name))
+    val v = t.currentVersion()
+    val snap = t.snapshot(v)
+    val targets = if (allColumns) snap.columns.toSeq else cols
+    val missing = targets.filterNot(snap.columns.contains)
+    if (missing.nonEmpty)
+      TxLogDdl.fail(s"ANALYZE TABLE $name: no column(s) " +
+        s"${missing.mkString(", ")} (have: ${snap.columns.mkString(", ")})")
+    val aggs = count(lit(1)).as("__n") +: targets.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"__ndv_$c"),
+        count(col(c)).as(s"__nn_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val r = snap.agg(aggs.head, aggs.tail: _*).head()
+    val nRows = r.getAs[Long]("__n")
+    def clean(s: String): Option[String] =
+      Option(s).filterNot(_.exists("\t\n\r".contains(_)))
+    val colProps = targets.flatMap { c =>
+      Seq(s"graft.stats.col.$c.ndv" -> r.getAs[Long](s"__ndv_$c").toString,
+        s"graft.stats.col.$c.nulls" ->
+          (nRows - r.getAs[Long](s"__nn_$c")).toString) ++
+        clean(r.getAs[String](s"__min_$c")).map(s"graft.stats.col.$c.min" -> _) ++
+        clean(r.getAs[String](s"__max_$c")).map(s"graft.stats.col.$c.max" -> _)
+    }
+    val (nFiles, bytes) = t.detailStats()
+    val fresh = Seq(
+      "graft.stats.numRows" -> nRows.toString,
+      "graft.stats.numFiles" -> nFiles.toString,
+      "graft.stats.sizeInBytes" -> bytes.toString,
+      "graft.stats.version" -> v.toString) ++ colProps
+    // stats from a PREVIOUS analyze of since-renamed/dropped columns
+    // must not outlive this pass — they would read as current
+    val stale = t.properties().map(_._1)
+      .filter(_.startsWith("graft.stats."))
+      .filterNot(fresh.map(_._1).toSet)
+    if (stale.nonEmpty) t.unsetProperties(stale, ifExists = true)
+    t.setProperties(fresh)
+    TxLogSql.committed(t.root)
+    Seq(Row(t.currentVersion()))
+  }
+}
+
 /** `DESCRIBE HISTORY t` → [[TxLog.history]] rows, newest first. */
 case class TxLogHistoryCommand(name: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -578,17 +772,28 @@ case class TxLogHistoryCommand(name: String) extends LeafRunnableCommand {
 /** `VACUUM t [RETAIN n VERSIONS] [DRY RUN]` → [[TxLog.vacuum]] /
   * [[TxLog.vacuumPlan]]; the real pass returns the table path like
   * Delta's VACUUM, DRY RUN returns one row per path that would be
-  * deleted and touches nothing. */
-case class TxLogVacuumCommand(name: String, keepVersions: Int,
+  * deleted and touches nothing. A statement without RETAIN uses the
+  * table's `graft.vacuum.retainVersions` property when set (Delta's
+  * `delta.deletedFileRetentionDuration` pattern — retention policy is
+  * TABLE metadata, not a per-statement guess), else 3. */
+case class TxLogVacuumCommand(name: String, retainVersions: Option[Int],
                               dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val root = TxLogDdl.rootOf(name)
-    if (dryRun) TxLog(session, root).vacuumPlan(keepVersions).map(Row(_))
+    val t = TxLog(session, root)
+    val keepVersions = retainVersions.orElse(
+      t.properties().toMap.get(TxLog.VacuumRetainProp).map { v =>
+        require(v.forall(_.isDigit) && v.nonEmpty && v.toInt > 0,
+          s"table property ${TxLog.VacuumRetainProp} must be a positive " +
+            s"integer, got '$v'")
+        v.toInt
+      }).getOrElse(3)
+    if (dryRun) t.vacuumPlan(keepVersions).map(Row(_))
     else {
-      TxLog(session, root).vacuum(keepVersions = keepVersions)
+      t.vacuum(keepVersions = keepVersions)
       Seq(Row(root))
     }
   }
@@ -624,14 +829,17 @@ case class TxLogDescribeDetailCommand(name: String)
     AttributeReference("sizeInBytes", LongType, nullable = false)(),
     AttributeReference("partitionColumns", StringType, nullable = false)(),
     AttributeReference("numConstraints", IntegerType, nullable = false)(),
-    AttributeReference("numDeletionVectors", LongType, nullable = false)())
+    AttributeReference("numDeletionVectors", LongType, nullable = false)(),
+    AttributeReference("properties", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val root = TxLogDdl.rootOf(name)
     val t = TxLog(session, root)
     val (nFiles, bytes) = t.detailStats()
     Seq(Row("graft", root, t.currentVersion(), nFiles, bytes,
       t.partitionColumn().getOrElse(""), t.constraints().size,
-      t.deletionVectorCount()))
+      t.deletionVectorCount(),
+      t.properties().map { case (k, v) => s"$k=$v" }
+        .mkString("[", ", ", "]")))
   }
 }
 

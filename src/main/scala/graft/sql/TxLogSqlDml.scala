@@ -312,7 +312,14 @@ object TxLogSql {
     * keys come from the registration (table metadata), so the TVF
     * signature matches Delta's exactly — including the INCLUSIVE
     * starting version: `table_changes('t', 0, n)` serves commit 0's
-    * seed rows as inserts, like Delta's `starting_version`. Built on
+    * seed rows as inserts, like Delta's `starting_version`. Each
+    * bound independently takes an integer VERSION or a STRING
+    * TIMESTAMP (Delta's starting/ending_timestamp): a starting
+    * timestamp resolves to the FIRST commit at-or-after it
+    * ([[TxLog.versionAtOrAfter]]), an ending timestamp to the LAST
+    * commit at-or-before ([[TxLog.versionAsOf]]) — both on the
+    * [[TxLog.commitInstant]] clock, so in-commit-timestamp tables
+    * answer time windows after storage migrations too. Built on
     * `SparkSession.active` — TVF builders receive only the argument
     * expressions. */
   def tableChangesPlan(exprs: Seq[Expression]): LogicalPlan = exprs match {
@@ -322,9 +329,18 @@ object TxLogSql {
         s"table_changes: '$name' is not a registered TxLog table"))
       if (keys.isEmpty) fail(s"table_changes: '$name' was registered " +
         "without key columns (TxLogSql.register(name, t, keys))")
-      analyzed(TxLog(SparkSession.active, root).changes(
-        litLong(f, "table_changes"), litLong(t, "table_changes"), keys))
-    case _ => fail("table_changes takes (name, fromVersion, toVersion)")
+      val tx = TxLog(SparkSession.active, root)
+      def bound(e: Expression, starting: Boolean): Long = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) =>
+          v.longValue()
+        case _ =>
+          val ts = TxLogDdl.tsMillis(litString(e, "table_changes"))
+          if (starting) tx.versionAtOrAfter(ts) else tx.versionAsOf(ts)
+      }
+      analyzed(tx.changes(
+        bound(f, starting = true), bound(t, starting = false), keys))
+    case _ => fail(
+      "table_changes takes (name, fromVersion|'fromTs', toVersion|'toTs')")
   }
 
   /** `SELECT * FROM txlog_history('name')` — DESCRIBE HISTORY as a

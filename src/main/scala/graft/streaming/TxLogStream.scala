@@ -40,6 +40,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *    the stream's start offset, then pure tailing (Delta's default).
   *    CDF mode default: 1 — v0 is the table seed; `startingVersion=0`
   *    streams it too, as inserts at commit 0.
+  *  - `startingTimestamp`: timestamp form of `startingVersion`
+  *    (Delta's option of the same name) — resolves to the FIRST
+  *    commit at-or-after the instant on the [[TxLog.commitInstant]]
+  *    clock (the recorded in-commit timestamp where the table runs
+  *    under `graft.inCommitTimestamps`). Mutually exclusive with
+  *    `startingVersion`.
   *  - `maxVersionsPerTrigger`: cap each microbatch at N commits
   *    (Delta's `maxFilesPerTrigger` analogue); with `startingVersion`
   *    it paces the backfill too.
@@ -109,9 +115,21 @@ class TxLogStreamProvider extends StreamSourceProvider
     require(!cdf || keys.nonEmpty,
       "graft-txlog: readChangeFeed=true requires option 'keys' " +
         "(comma-separated key columns — the feed classifies by key identity)")
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graft-txlog: startingVersion and startingTimestamp are mutually " +
+        "exclusive (Delta's contract)")
+    val startVer = parameters.get("startingVersion").map(_.toLong)
+      .orElse(parameters.get("startingTimestamp").map { ts =>
+        val millis =
+          if (ts.trim.length <= 10) java.sql.Date.valueOf(ts.trim).getTime
+          else java.sql.Timestamp.valueOf(ts.trim).getTime
+        graft.pipeline.TxLog(sqlContext.sparkSession, root)
+          .versionAtOrAfter(millis)
+      })
     new TxLogSource(sqlContext.sparkSession, root, cdf, keys,
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
-      startingVersion = parameters.get("startingVersion").map(_.toLong),
+      startingVersion = startVer,
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toInt))
   }
 

@@ -1864,4 +1864,87 @@ class TxLogSpec extends SparkTestBase {
     assert(again === 2L && t.currentVersion() === 2L)
     assert(t.snapshot().count() === 4)
   }
+
+  test("TBLPROPERTIES: set/unset round-trip, idempotent no-op, reserved namespace refused") {
+    val t = fresh("props")
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    assert(t.properties().isEmpty)
+    val v1 = t.setProperties(Seq("owner" -> "team-data", "pii" -> "false"))
+    assert(v1 === 1L)
+    assert(t.properties() === Seq("owner" -> "team-data", "pii" -> "false"))
+    // upsert overwrites one key, leaves the other
+    val v2 = t.setProperties(Seq("pii" -> "true"))
+    assert(v2 === 2L)
+    assert(t.properties().toMap === Map("owner" -> "team-data", "pii" -> "true"))
+    // unchanged set → NO new commit (idempotent config convergence)
+    assert(t.setProperties(Seq("pii" -> "true")) === 2L)
+    assert(t.currentVersion() === 2L)
+    // unset; missing key refused without ifExists, ignored with it
+    val v3 = t.unsetProperties(Seq("pii"))
+    assert(v3 === 3L && t.properties() === Seq("owner" -> "team-data"))
+    intercept[IllegalArgumentException](t.unsetProperties(Seq("nope")))
+    assert(t.unsetProperties(Seq("nope"), ifExists = true) === 3L)
+    // reserved namespace and manifest-breaking characters refused
+    intercept[IllegalArgumentException](
+      t.setProperties(Seq("constraint.x" -> "1")))
+    intercept[IllegalArgumentException](t.setProperties(Seq("k\tb" -> "v")))
+    intercept[IllegalArgumentException](t.setProperties(Seq("k" -> "a\nb")))
+    // time travel reads each version's OWN properties
+    assert(t.properties(version = 0).isEmpty)
+    assert(t.properties(version = 2).toMap ===
+      Map("owner" -> "team-data", "pii" -> "true"))
+  }
+
+  test("TBLPROPERTIES survive every commit shape: append, merge, optimize, overwrite, clone") {
+    val t = fresh("props_carry")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.setProperties(Seq("owner" -> "x"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.properties() === Seq("owner" -> "x"), "append dropped props")
+    t.merge(Seq((3L, "C"), (4L, "d")).toDF("id", "v"), Seq("id"))
+    assert(t.properties() === Seq("owner" -> "x"), "merge dropped props")
+    t.compactSmallFiles(128L << 20)
+    assert(t.properties() === Seq("owner" -> "x"), "optimize dropped props")
+    t.deleteWhere("id = 4")
+    assert(t.properties() === Seq("owner" -> "x"), "delete dropped props")
+    t.overwrite(Seq((9L, "z")).toDF("id", "v"))
+    assert(t.properties() === Seq("owner" -> "x"),
+      "overwrite dropped props — properties are TABLE metadata, not data")
+    val c = t.shallowCloneTo(tmpDir("txlog_props_clone"))
+    assert(c.properties() === Seq("owner" -> "x"), "clone dropped props")
+  }
+
+  test("in-commit timestamps: recorded, strictly monotone, and the time-travel clock survives mtime skew") {
+    val t = fresh("ict")
+    t.overwrite(Seq((1L, "a")).toDF("id", "v")) // v0: pre-ICT, mtime clock
+    t.setProperties(Seq(TxLog.IctProp -> "true")) // v1: first stamped commit
+    t.append(Seq((2L, "b")).toDF("id", "v")) // v2
+    t.append(Seq((3L, "c")).toDF("id", "v")) // v3
+    // every ICT commit records an instant strictly after its parent's
+    val instants = (1L to 3L).map(t.commitInstant)
+    assert(instants === instants.sorted.distinct,
+      s"in-commit instants not strictly increasing: $instants")
+    // the recorded clock, not the file mtime, resolves TIMESTAMP AS OF:
+    // skew every manifest's mtime far into the future (a file copy /
+    // coarse-mtime filesystem would do this) and resolution holds
+    val logDir = new java.io.File(s"${t.root}/_txlog")
+    logDir.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+      f.setLastModified(System.currentTimeMillis() + 864000000L)
+    }
+    assert(t.versionAsOf(t.commitInstant(2L)) === 2L)
+    assert(t.versionAsOf(t.commitInstant(3L)) === 3L)
+    assert(t.snapshotAsOf(t.commitInstant(2L)).count() === 2)
+    // history shows the recorded instants on the stamped versions
+    val hist = t.history().collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(hist(2L) === t.commitInstant(2L))
+    assert(hist(3L) === t.commitInstant(3L))
+    // disabling stops stamping new commits; recorded instants keep serving
+    t.unsetProperties(Seq(TxLog.IctProp))
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    val mtxt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"${t.root}/_txlog/%08d.json".format(t.currentVersion())))
+    assert(!mtxt.contains("#commitTs="), "post-disable commit still stamped")
+    assert(t.versionAsOf(t.commitInstant(3L)) >= 3L)
+  }
 }

@@ -526,4 +526,85 @@ class TxLogSqlDdlSpec extends SparkTestBase {
     assert(dvCount === 0L)
     assert(spark.sql("SELECT id FROM sqlddl_dv").head().getLong(0) === 3L)
   }
+
+  test("TBLPROPERTIES lifecycle in SQL: CREATE persists, SET/UNSET/SHOW, DETAIL + SHOW CREATE render, VACUUM reads retention") {
+    val loc = tmpDir("sqlddl_props")
+    // CREATE persists user properties; registration keys stay metadata
+    spark.sql(s"""
+      CREATE TABLE sqlddl_props (id BIGINT, v STRING) USING graft
+      TBLPROPERTIES ('keys' = 'id', 'owner' = 'data-eng',
+                     'note' = 'has, comma and it''s quote')
+      LOCATION '$loc'""")
+    def show: Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES sqlddl_props").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(show === Map("owner" -> "data-eng",
+      "note" -> "has, comma and it's quote"))
+    // SET upserts (quoted and bare forms); UNSET removes
+    spark.sql("""ALTER TABLE sqlddl_props SET TBLPROPERTIES
+      ('owner' = 'ml-platform', graft.vacuum.retainVersions = '2')""")
+    spark.sql(
+      "ALTER TABLE sqlddl_props UNSET TBLPROPERTIES IF EXISTS ('note', 'gone')")
+    assert(show === Map("owner" -> "ml-platform",
+      "graft.vacuum.retainVersions" -> "2"))
+    // single-key form; absent key fails loudly
+    assert(spark.sql("SHOW TBLPROPERTIES sqlddl_props ('owner')").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("owner", "ml-platform")))
+    val missing = intercept[Exception](
+      spark.sql("SHOW TBLPROPERTIES sqlddl_props ('absent')").collect())
+    assert(missing.getMessage.contains("no property"))
+    // DESCRIBE DETAIL and SHOW CREATE TABLE both carry the properties
+    val d = spark.sql("DESCRIBE DETAIL sqlddl_props").head()
+    assert(d.getString(d.length - 1) ===
+      "[graft.vacuum.retainVersions=2, owner=ml-platform]")
+    val ddl = spark.sql("SHOW CREATE TABLE sqlddl_props").head().getString(0)
+    assert(ddl.contains("'owner' = 'ml-platform'"))
+    assert(ddl.contains("'graft.vacuum.retainVersions' = '2'"))
+    // VACUUM without RETAIN honors the table's retention property:
+    // retainVersions=2 dooms manifests older than {cur-1, cur}
+    val t = TxLog(spark, loc)
+    (1 to 3).foreach(i => t.overwrite(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val cur = t.currentVersion()
+    val planned = spark.sql("VACUUM sqlddl_props DRY RUN").collect()
+      .map(_.getString(0))
+    assert(planned.exists(_.endsWith("%08d.json".format(cur - 2))),
+      s"v${cur - 2} should be doomed under retainVersions=2: ${planned.toSeq}")
+    assert(!planned.exists(_.endsWith("%08d.json".format(cur - 1))),
+      s"v${cur - 1} must survive under retainVersions=2")
+    spark.sql("VACUUM sqlddl_props")
+    assert(spark.sql(s"SELECT count(*) FROM sqlddl_props VERSION AS OF ${cur - 1}")
+      .head().getLong(0) === 1L) // still retained under the property
+    TxLogSql.unregister("sqlddl_props")
+  }
+
+  test("in-commit timestamps via SQL: property turns the recorded clock on; TIMESTAMP AS OF uses it") {
+    val loc = tmpDir("sqlddl_ict")
+    spark.sql(s"""
+      CREATE TABLE sqlddl_ict (id BIGINT, v STRING) USING graft
+      TBLPROPERTIES ('graft.inCommitTimestamps' = 'true')
+      LOCATION '$loc'""")
+    spark.sql("INSERT INTO sqlddl_ict VALUES (1, 'a')")
+    spark.sql("INSERT INTO sqlddl_ict VALUES (2, 'b')")
+    val t = TxLog(spark, loc)
+    val cur = t.currentVersion()
+    // manifests record their instants (the property enables stamping)
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$loc/_txlog/%08d.json".format(cur)))
+    assert(txt.contains("#commitTs="), "ICT table's commit not stamped")
+    // TIMESTAMP AS OF resolves on the recorded clock even after the
+    // manifest files' mtimes are skewed (e.g. a table copy)
+    val instant = t.commitInstant(cur - 1)
+    new java.io.File(s"$loc/_txlog").listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .foreach(_.setLastModified(System.currentTimeMillis() + 864000000L))
+    assert(spark.sql(s"""SELECT count(*) FROM sqlddl_ict
+        TIMESTAMP AS OF timestamp_millis(${instant}L)""")
+      .head().getLong(0) === 1L)
+    // DESCRIBE HISTORY shows the recorded instants
+    val hist = spark.sql("DESCRIBE HISTORY sqlddl_ict").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(hist(cur) === t.commitInstant(cur))
+    TxLogSql.unregister("sqlddl_ict")
+  }
 }
