@@ -557,12 +557,28 @@ final case class TxLog(spark: SparkSession, root: String,
   def versionAsOf(tsMillis: Long): Long = {
     val cur = currentVersion()
     require(cur >= 0, s"TxLog table at $root has no commits")
-    val eligible = (0L to cur).filter { v =>
-      fs.exists(manifestPath(v)) && commitInstant(v) <= tsMillis
+    // Binary search over the non-decreasing commit clock — O(log V)
+    // header-only reads, not the former O(total log bytes) full-manifest
+    // scan (one TIMESTAMP AS OF on a 5,000-commit object-store table
+    // used to cost 5,000 full GETs). The clock is non-decreasing by
+    // construction: ICT records each instant strictly past its
+    // parent's, and mtime tables publish manifests sequentially through
+    // the atomic put-if-absent. A manifest vanished under a concurrent
+    // VACUUM is a vacuumed prefix member: resolution moves up.
+    var lo = lowestExistingVersion(cur)
+    var hi = cur
+    var ans = -1L
+    while (lo <= hi) {
+      val mid = lo + (hi - lo) / 2
+      instantOrNone(mid) match {
+        case Some(i) if i <= tsMillis => ans = mid; lo = mid + 1
+        case Some(_)                  => hi = mid - 1
+        case None                     => lo = mid + 1
+      }
     }
-    require(eligible.nonEmpty,
+    require(ans >= 0,
       s"TxLog table at $root has no commit at or before timestamp $tsMillis")
-    eligible.max
+    ans
   }
 
   /** Snapshot as of a wall-clock instant — [[versionAsOf]] + [[snapshot]]. */
@@ -579,13 +595,24 @@ final case class TxLog(spark: SparkSession, root: String,
   def versionAtOrAfter(tsMillis: Long): Long = {
     val cur = currentVersion()
     require(cur >= 0, s"TxLog table at $root has no commits")
-    val eligible = (0L to cur).filter { v =>
-      fs.exists(manifestPath(v)) && commitInstant(v) >= tsMillis
+    // mirror of [[versionAsOf]]: lowest version at-or-after, by binary
+    // search over the same non-decreasing clock with the same
+    // vacuum-race handling
+    var lo = lowestExistingVersion(cur)
+    var hi = cur
+    var ans = -1L
+    while (lo <= hi) {
+      val mid = lo + (hi - lo) / 2
+      instantOrNone(mid) match {
+        case Some(i) if i >= tsMillis => ans = mid; hi = mid - 1
+        case Some(_)                  => lo = mid + 1
+        case None                     => lo = mid + 1
+      }
     }
-    require(eligible.nonEmpty,
+    require(ans >= 0,
       s"TxLog table at $root has no commit at or after timestamp $tsMillis " +
         "(the requested window starts after the latest commit)")
-    eligible.min
+    ans
   }
 
   /** DESCRIBE HISTORY: one row per surviving version — commit instant
@@ -1594,13 +1621,21 @@ final case class TxLog(spark: SparkSession, root: String,
     // the parent's instant — so time travel survives file copies,
     // mtime-coarse filesystems, and clock skew between writers. The
     // single choke point stamps every commit path uniformly.
+    // the property value parses as a BOOLEAN, case-insensitively
+    // (Delta parses boolean table properties that way): setProperties
+    // normalizes to lowercase at the choke point, but a manifest
+    // written by a foreign/older writer may still carry 'True' — an
+    // armed table must never silently degrade to the mtime clock
+    val ictArmed = lines.exists { l =>
+      l.startsWith(s"#prop\t${TxLog.IctProp}\t") &&
+        l.stripPrefix(s"#prop\t${TxLog.IctProp}\t").trim
+          .equalsIgnoreCase("true")
+    }
     val stamped =
-      if (lines.contains(s"#prop\t${TxLog.IctProp}\ttrue")) {
+      if (ictArmed) {
         val floor =
           if (version == 0L) Long.MinValue
-          else if (fs.exists(manifestPath(version - 1)))
-            commitInstant(version - 1) + 1
-          else Long.MinValue
+          else instantOrNone(version - 1).map(_ + 1).getOrElse(Long.MinValue)
         s"#commitTs=${math.max(System.currentTimeMillis(), floor)}" +: lines
       } else lines
     val withOp = if (op.isEmpty) stamped else s"#op=$op" +: stamped
@@ -1795,34 +1830,84 @@ final case class TxLog(spark: SparkSession, root: String,
     * (SHOW CREATE TABLE renders CHECK constraints under it). */
   def setProperties(kvs: Seq[(String, String)]): Long = {
     require(kvs.nonEmpty, "SET TBLPROPERTIES with no properties")
-    kvs.foreach { case (k, v) =>
-      require(k.nonEmpty && !k.exists("\t\n\r".contains(_)),
-        s"property key '$k' must be non-empty and tab/newline-free " +
-          "(manifest line format)")
-      require(!v.exists("\t\n\r".contains(_)),
-        s"property '$k' value must be tab/newline-free (manifest line format)")
-      require(!k.startsWith("constraint."),
-        s"property key '$k': the 'constraint.' namespace is reserved for " +
-          "CHECK constraints — use ALTER TABLE ADD CONSTRAINT")
+    updateProperties(set = kvs, unset = Nil,
+      op = s"SET TBLPROPERTIES (${kvs.map(_._1).sorted.mkString(", ")})")
+  }
+
+  /** Validate-and-normalize one declared property. BEHAVIOR-BEARING
+    * keys are parsed at the choke point: [[TxLog.IctProp]] must be a
+    * boolean and normalizes to lowercase (a committed `'True'` that
+    * fails an exact-match test would silently degrade the table to
+    * the mtime clock — the worst outcome; Delta parses boolean table
+    * properties case-insensitively), [[TxLog.VacuumRetainProp]] must
+    * be a positive integer (a typo'd retention must fail at SET time,
+    * not at the VACUUM that would act on it). Everything else is
+    * opaque annotation and passes through verbatim. */
+  private def normalizeProp(k: String, v: String): (String, String) = {
+    require(k.nonEmpty && !k.exists("\t\n\r".contains(_)),
+      s"property key '$k' must be non-empty and tab/newline-free " +
+        "(manifest line format)")
+    require(!v.exists("\t\n\r".contains(_)),
+      s"property '$k' value must be tab/newline-free (manifest line format)")
+    require(!k.startsWith("constraint."),
+      s"property key '$k': the 'constraint.' namespace is reserved for " +
+        "CHECK constraints — use ALTER TABLE ADD CONSTRAINT")
+    k match {
+      case TxLog.IctProp =>
+        val b = v.trim.toLowerCase(java.util.Locale.ROOT)
+        require(b == "true" || b == "false",
+          s"table property '$k' must be a boolean, got '$v'")
+        k -> b
+      case TxLog.VacuumRetainProp =>
+        require(scala.util.Try(v.trim.toInt).toOption.exists(_ >= 1),
+          s"table property '$k' must be a positive integer, got '$v'")
+        k -> v.trim
+      case _ => k -> v
     }
+  }
+
+  /** SINGLE-COMMIT property update: remove `unset` keys and upsert
+    * `set` in ONE metadata commit — the primitive behind
+    * SET/UNSET TBLPROPERTIES, ANALYZE's stats refresh, and CREATE OR
+    * REPLACE's property reset. A combined remove+write as two commits
+    * would expose a window where a concurrent reader sees NEITHER the
+    * old nor the new keys (and burn two log versions per refresh);
+    * here the manifest swaps atomically. A no-op delta (nothing
+    * changes) commits NOTHING and returns the current version. */
+  def updateProperties(set: Seq[(String, String)], unset: Seq[String],
+                       op: String = "UPDATE TBLPROPERTIES"): Long = {
+    val kvs = set.map { case (k, v) => normalizeProp(k, v) }
     require(kvs.map(_._1).distinct.size == kvs.size,
       s"duplicate keys in SET TBLPROPERTIES: ${kvs.map(_._1).mkString(", ")}")
+    val dropped = unset.toSet ++ kvs.map(_._1)
     var attempt = 0
     while (attempt < MaxRaceRetries) {
       val cur = currentVersion()
       require(cur >= 0, s"TxLog table at $root has no commits")
       val prev = readManifestFull(cur)
       val merged =
-        (prev.props.filterNot(p => kvs.exists(_._1 == p._1)) ++ kvs).sortBy(_._1)
+        (prev.props.filterNot(p => dropped.contains(p._1)) ++ kvs).sortBy(_._1)
       if (merged == prev.props.sortBy(_._1)) return cur
       val lines = manifestLines(prev.copy(props = merged))
-      if (tryCommitManifest(cur + 1, lines,
-          s"SET TBLPROPERTIES (${kvs.map(_._1).sorted.mkString(", ")})"))
-        return cur + 1
+      if (tryCommitManifest(cur + 1, lines, op)) return cur + 1
       attempt += 1
     }
     throw new java.io.IOException(
-      s"TxLog setProperties lost $MaxRaceRetries optimistic races at $root")
+      s"TxLog updateProperties lost $MaxRaceRetries optimistic races at $root")
+  }
+
+  /** Commit EXACTLY `kvs` as the table's property set — CREATE OR
+    * REPLACE's contract (Delta: REPLACE resets table configuration to
+    * the declared set; a surviving stale `graft.vacuum.retainVersions`
+    * from the replaced table would silently keep governing the new
+    * one). One metadata commit; a no-op when the set already matches. */
+  def replaceProperties(kvs: Seq[(String, String)]): Long = {
+    val cur = currentVersion()
+    require(cur >= 0, s"TxLog table at $root has no commits")
+    val stale = readManifestFull(cur).props.map(_._1)
+      .filterNot(kvs.map(_._1).contains)
+    updateProperties(kvs, stale,
+      op = s"REPLACE TBLPROPERTIES (${kvs.map(_._1).sorted.mkString(", ")})")
   }
 
   /** ALTER TABLE UNSET TBLPROPERTIES — metadata-only removal. A
@@ -1832,38 +1917,71 @@ final case class TxLog(spark: SparkSession, root: String,
     * already-recorded in-commit instants keep serving their versions. */
   def unsetProperties(keys: Seq[String], ifExists: Boolean = false): Long = {
     require(keys.nonEmpty, "UNSET TBLPROPERTIES with no keys")
-    var attempt = 0
-    while (attempt < MaxRaceRetries) {
-      val cur = currentVersion()
-      require(cur >= 0, s"TxLog table at $root has no commits")
-      val prev = readManifestFull(cur)
-      val missing = keys.filterNot(k => prev.props.exists(_._1 == k))
-      require(ifExists || missing.isEmpty,
-        s"no table propert${if (missing.size == 1) "y" else "ies"} " +
-          s"${missing.mkString(", ")} on the table at $root " +
-          "(UNSET TBLPROPERTIES IF EXISTS to ignore)")
-      val kept = prev.props.filterNot(p => keys.contains(p._1))
-      if (kept == prev.props) return cur
-      val lines = manifestLines(prev.copy(props = kept))
-      if (tryCommitManifest(cur + 1, lines,
-          s"UNSET TBLPROPERTIES (${keys.sorted.mkString(", ")})"))
-        return cur + 1
-      attempt += 1
-    }
-    throw new java.io.IOException(
-      s"TxLog unsetProperties lost $MaxRaceRetries optimistic races at $root")
+    val cur = currentVersion()
+    require(cur >= 0, s"TxLog table at $root has no commits")
+    val missing = keys.filterNot(k =>
+      readManifestFull(cur).props.exists(_._1 == k))
+    require(ifExists || missing.isEmpty,
+      s"no table propert${if (missing.size == 1) "y" else "ies"} " +
+        s"${missing.mkString(", ")} on the table at $root " +
+        "(UNSET TBLPROPERTIES IF EXISTS to ignore)")
+    updateProperties(Nil, keys,
+      op = s"UNSET TBLPROPERTIES (${keys.sorted.mkString(", ")})")
   }
 
   /** The instant version `v` became visible: the manifest's RECORDED
     * in-commit timestamp when present (committed under
     * [[TxLog.IctProp]]), else the manifest file's publish mtime — the
-    * clock [[versionAsOf]] and [[history]] resolve against. */
+    * clock [[versionAsOf]] and [[history]] resolve against.
+    *
+    * BOUNDED read: the stamping choke point ([[tryCommitManifest]])
+    * writes `#commitTs=` as the first manifest line after the optional
+    * `#op=` header, so resolution reads at most the first two lines —
+    * never the dir/stat body, which can be MBs on a large table. A
+    * RECORDED instant is immutable (manifests publish put-if-absent
+    * and are never rewritten) and caches process-wide per
+    * (root, version); an mtime fallback is NOT cached — file mtimes
+    * can legitimately change under copies/migrations, and the raw
+    * clock must observe that. */
   def commitInstant(v: Long): Long = {
+    val key = (root, v)
+    val cached = TxLog.instantCache.get(key)
+    if (cached != null) return cached.longValue()
+    TxLog.instantReads.incrementAndGet()
     val in = fs.open(manifestPath(v))
-    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    txt.linesIterator.collectFirst {
+    val head = try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8"))
+      List(Option(br.readLine()), Option(br.readLine())).flatten
+    } finally in.close()
+    head.collectFirst {
       case l if l.startsWith("#commitTs=") => l.stripPrefix("#commitTs=").toLong
-    }.getOrElse(fs.getFileStatus(manifestPath(v)).getModificationTime)
+    } match {
+      case Some(ts) => TxLog.instantCache.put(key, ts); ts
+      case None => fs.getFileStatus(manifestPath(v)).getModificationTime
+    }
+  }
+
+  /** [[commitInstant]] that treats a manifest vanished under a
+    * concurrent VACUUM as "no instant" instead of an I/O error — the
+    * TOCTOU-safe form time-travel resolution uses. */
+  private def instantOrNone(v: Long): Option[Long] =
+    try Some(commitInstant(v))
+    catch { case _: java.io.FileNotFoundException => None }
+
+  /** Lowest surviving manifest version at-or-below `cur`. VACUUM
+    * deletes a strict PREFIX of versions (everything below the kept
+    * window), so existence is monotone over `[0, cur]` and the
+    * boundary binary-searches in O(log V) existence probes. */
+  private def lowestExistingVersion(cur: Long): Long = {
+    if (fs.exists(manifestPath(0L))) return 0L
+    var lo = 0L
+    var hi = cur // currentVersion() saw this manifest: it exists
+    while (hi - lo > 1) {
+      val mid = lo + (hi - lo) / 2
+      if (fs.exists(manifestPath(mid))) hi = mid else lo = mid
+    }
+    hi
   }
 
   /** Group (dir, tag) manifest lines into per-dir live-tag sets; a dir
@@ -3637,4 +3755,18 @@ object TxLog {
 
   private[pipeline] val scanStatsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), ScanStatsView]()
+
+  /** Process-wide (root, version) → RECORDED commit instant. Only
+    * in-commit (ICT) instants cache — they are immutable once the
+    * manifest publishes; mtime-derived instants are not (copies and
+    * migrations legitimately move them, and the raw clock must see
+    * that). Vacuumed versions never get probed ([[TxLog.versionAsOf]]
+    * resolves over surviving versions only), so stale entries for
+    * deleted manifests are harmless. */
+  private[pipeline] val instantCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+
+  /** Header reads [[TxLog.commitInstant]] performed (cache misses) —
+    * test instrumentation for the bounded-read time-travel contract. */
+  private[graft] val instantReads = new java.util.concurrent.atomic.AtomicLong
 }

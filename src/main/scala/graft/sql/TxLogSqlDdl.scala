@@ -390,8 +390,17 @@ case class TxLogCreateTableCommand(name: String, colsDdl: Option[String],
     val root = location.getOrElse(TxLogDdl.defaultRoot(session, name))
     val t = TxLog(session, root, statsCols = statsCols)
     def queryDf = asSelect.map(q => session.sql(q))
+    // TBLPROPERTIES bind only when THIS statement materializes the
+    // table: a no-op branch (IF NOT EXISTS on an existing table, CTAS
+    // no-op, bare-name attach) must leave the existing table's
+    // metadata untouched — ANSI/Delta treat IF-NOT-EXISTS-on-existing
+    // as a full no-op, and a replayed SHOW CREATE TABLE attach keeps
+    // its properties because they are already committed, not because
+    // the attach re-commits them
+    var tableMaterialized = false
     if (t.exists()) {
       if (orReplace) {
+        tableMaterialized = true
         // replace = overwrite through the log; schema comes from the
         // query (CTAS) or the declared column list
         val df = queryDf.orElse(
@@ -430,10 +439,16 @@ case class TxLogCreateTableCommand(name: String, colsDdl: Option[String],
         .getOrElse(TxLogDdl.fail(
           s"no TxLog table at $root — creating one requires a column list or AS SELECT"))
       seed(t, df)
+      tableMaterialized = true
     }
-    // user TBLPROPERTIES persist as table metadata — idempotent, so
-    // re-running SHOW CREATE TABLE output (attach form) is a no-op
-    if (props.nonEmpty) t.setProperties(props)
+    // fresh create: commit the declared properties; OR REPLACE: commit
+    // EXACTLY the declared set — a surviving property of the replaced
+    // table (say an old graft.vacuum.retainVersions) must not silently
+    // keep governing the new one (Delta: REPLACE resets configuration)
+    if (tableMaterialized) {
+      if (orReplace) t.replaceProperties(props)
+      else if (props.nonEmpty) t.setProperties(props)
+    }
     TxLogSql.register(name, t, keys)
     TxLogSql.committed(root)
     Seq.empty
@@ -676,9 +691,17 @@ case class TxLogUnsetPropertiesCommand(name: String, keys: Seq[String],
 
 /** `SHOW TBLPROPERTIES t [('key')]` — the persisted properties as
   * (key, value) rows sorted by key; the single-key form returns that
-  * key's row alone and fails on an absent key (Spark's v2 command
-  * answers a not-found message row — failing loudly beats returning
-  * prose as data). */
+  * key's row alone.
+  *
+  * DELIBERATE divergence from Spark on an absent key: Spark's v2
+  * command answers a single row whose VALUE cell is the English
+  * message `Table … does not have property: <k>` — prose typed as
+  * data, which a driver-side `.getString(1)` consumer will happily
+  * treat as the property's value. This command fails loudly instead
+  * (the same contract choice `table_changes` documents for its
+  * inclusive starting bound): an absent key is an error the caller
+  * must see, not a sentinel string to parse. Callers that want
+  * probe-don't-throw semantics use the no-key form and filter. */
 case class TxLogShowPropertiesCommand(name: String, key: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -704,6 +727,12 @@ case class TxLogShowPropertiesCommand(name: String, key: Option[String])
   * manifest line format). `graft.stats.version` records the snapshot
   * the scan saw, so STALENESS is first-class — a reader compares it
   * to the current version instead of trusting silently-old numbers.
+  * COLUMN-PRESERVING like Spark's catalog: a pass `FOR COLUMNS c2`
+  * keeps a prior pass's `c1` stats (each column carries its own
+  * `graft.stats.col.<c>.version` for per-column staleness); only
+  * stats of columns re-analyzed here, or since dropped/renamed, are
+  * removed — and removal + fresh stats land in ONE metadata commit,
+  * so no concurrent reader ever observes a stats-less window.
   * One distributed aggregation pass computes every requested column
   * (count-distinct expansion is Spark's standard multi-ndv shape); at
   * 100 TB the same statement is the nightly stats job, and the
@@ -736,7 +765,13 @@ case class TxLogAnalyzeCommand(name: String, cols: Seq[String],
     val colProps = targets.flatMap { c =>
       Seq(s"graft.stats.col.$c.ndv" -> r.getAs[Long](s"__ndv_$c").toString,
         s"graft.stats.col.$c.nulls" ->
-          (nRows - r.getAs[Long](s"__nn_$c")).toString) ++
+          (nRows - r.getAs[Long](s"__nn_$c")).toString,
+        // per-column snapshot version: column stats SURVIVE later
+        // passes over other columns (Spark's catalog contract), so
+        // each column records the snapshot ITS stats saw — staleness
+        // is judged per column, not from the table-level
+        // graft.stats.version this pass refreshes
+        s"graft.stats.col.$c.version" -> v.toString) ++
         clean(r.getAs[String](s"__min_$c")).map(s"graft.stats.col.$c.min" -> _) ++
         clean(r.getAs[String](s"__max_$c")).map(s"graft.stats.col.$c.max" -> _)
     }
@@ -746,13 +781,27 @@ case class TxLogAnalyzeCommand(name: String, cols: Seq[String],
       "graft.stats.numFiles" -> nFiles.toString,
       "graft.stats.sizeInBytes" -> bytes.toString,
       "graft.stats.version" -> v.toString) ++ colProps
-    // stats from a PREVIOUS analyze of since-renamed/dropped columns
-    // must not outlive this pass — they would read as current
+    // COLUMN-PRESERVING refresh (Spark's catalog keeps other columns'
+    // stats across ANALYZE passes): a prior pass's column stats survive
+    // unless that column no longer exists in the snapshot — stats of
+    // since-renamed/dropped columns must not outlive this pass, they
+    // would read as current. Removal and fresh stats land in ONE
+    // metadata commit: a two-commit unset+set exposed a window where a
+    // concurrent reader saw a table with NO stats at all (and a crash
+    // between the commits lost them), and burned two log versions per
+    // nightly ANALYZE.
+    val liveColPrefixes = snap.columns.map(c => s"graft.stats.col.$c.").toSet
+    val passPrefixes = targets.map(c => s"graft.stats.col.$c.").toSet
     val stale = t.properties().map(_._1)
       .filter(_.startsWith("graft.stats."))
       .filterNot(fresh.map(_._1).toSet)
-    if (stale.nonEmpty) t.unsetProperties(stale, ifExists = true)
-    t.setProperties(fresh)
+      .filter { k =>
+        !k.startsWith("graft.stats.col.") || // table-level leftover key
+          !liveColPrefixes.exists(k.startsWith) || // dropped/renamed col
+          passPrefixes.exists(k.startsWith) // superseded by THIS pass
+      }
+    t.updateProperties(fresh, stale,
+      op = s"ANALYZE (${targets.sorted.mkString(", ")})")
     TxLogSql.committed(t.root)
     Seq(Row(t.currentVersion()))
   }

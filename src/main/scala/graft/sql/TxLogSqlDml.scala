@@ -284,15 +284,21 @@ object TxLogSql {
                        version: Option[String],
                        timestamp: Option[Expression]): LogicalPlan = {
     val t = TxLog(session, root)
-    val df = (version, timestamp) match {
+    (version, timestamp) match {
       case (Some(v), _) =>
         val n = try v.toLong catch { case _: NumberFormatException =>
           fail(s"VERSION AS OF '$v' — TxLog versions are integers") }
-        t.snapshot(n)
-      case (_, Some(ts)) => t.snapshotAsOf(evalTsMillis(session, ts))
-      case _ => t.snapshot()
+        SubqueryAlias(name, analyzed(t.snapshot(n)))
+      case (_, Some(ts)) =>
+        SubqueryAlias(name,
+          analyzed(t.snapshotAsOf(evalTsMillis(session, ts))))
+      case _ =>
+        // current-snapshot reads carry the table's ANALYZEd statistics
+        // into the plan (time-traveled reads don't — the stats describe
+        // the analyzed snapshot, not an arbitrary historical one)
+        SubqueryAlias(name,
+          TxLogCatalogStats.withStats(name, t, analyzed(t.snapshot())))
     }
-    SubqueryAlias(name, analyzed(df))
   }
 
   private def litString(e: Expression, fn: String): String = e match {
@@ -330,12 +336,33 @@ object TxLogSql {
       if (keys.isEmpty) fail(s"table_changes: '$name' was registered " +
         "without key columns (TxLogSql.register(name, t, keys))")
       val tx = TxLog(SparkSession.active, root)
-      def bound(e: Expression, starting: Boolean): Long = e match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) =>
-          v.longValue()
-        case _ =>
-          val ts = TxLogDdl.tsMillis(litString(e, "table_changes"))
+      // route on the literal's DATA TYPE, not its runtime class: a
+      // DATE literal is internally an Int (days since epoch) and a
+      // TIMESTAMP literal a Long (micros), so a `v: Number` match
+      // would silently read DATE'2024-01-01' as starting version
+      // ~19700 — wrong results with no error on tables of many
+      // versions. Integral literals are versions; string/date/
+      // timestamp literals resolve on the commit clock.
+      def bound(e: Expression, starting: Boolean): Long = {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types._
+        def resolve(ts: Long): Long =
           if (starting) tx.versionAtOrAfter(ts) else tx.versionAsOf(ts)
+        e match {
+          case Literal(v: Number, ByteType | ShortType | IntegerType | LongType) =>
+            v.longValue()
+          case Literal(days: Integer, DateType) =>
+            // same local-midnight convention as the string form
+            // (TxLogDdl.tsMillis parses via java.sql.Date)
+            resolve(java.sql.Date.valueOf(
+              java.time.LocalDate.ofEpochDay(days.longValue())).getTime)
+          case Literal(micros: java.lang.Long, _: TimestampType) =>
+            resolve(Math.floorDiv(micros.longValue(), 1000L))
+          case Literal(_, StringType) =>
+            resolve(TxLogDdl.tsMillis(litString(e, "table_changes")))
+          case _ => fail("table_changes bounds take an integer VERSION or " +
+            s"a string/date/timestamp, got '${e.sql}' (${e.dataType.sql})")
+        }
       }
       analyzed(tx.changes(
         bound(f, starting = true), bound(t, starting = false), keys))

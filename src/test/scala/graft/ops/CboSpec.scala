@@ -67,4 +67,63 @@ class CboSpec extends SparkTestBase {
         "baseline (no CBO) unexpectedly reordered the chain")
     }
   }
+
+  test("TxLog ANALYZE feeds CBO: persisted stats flip a filtered join to broadcast, no scan") {
+    import graft.sql.TxLogSql
+    val loc = tmpDir("cbo_txlog")
+    spark.sql(s"""
+      CREATE TABLE cbo_txlog (id BIGINT, pad STRING) USING graft
+      TBLPROPERTIES ('keys' = 'id') LOCATION '$loc'""")
+    // ~30k rows of incompressible padding: the parquet footprint is
+    // far above the broadcast threshold, so WITHOUT statistics the
+    // planner sees only big file bytes on both sides
+    spark.range(30000)
+      .selectExpr("id", "md5(CAST(id AS STRING)) AS pad")
+      .createOrReplaceTempView("cbo_txlog_src")
+    spark.sql("INSERT INTO cbo_txlog SELECT id, pad FROM cbo_txlog_src")
+    val sql = """
+      SELECT count(*) AS n
+      FROM cbo_txlog a
+      JOIN (SELECT id, pad FROM cbo_txlog WHERE id <= 100) b
+        ON a.id = b.id"""
+    def hasBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.nonEmpty
+    withConf("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString) {
+      // BEFORE ANALYZE: no rowCount, the filtered side's estimate stays
+      // the full file size → sort-merge
+      assert(!hasBroadcast(spark.sql(sql)),
+        "join broadcast before any statistics existed — threshold too high?")
+      spark.sql("ANALYZE TABLE cbo_txlog COMPUTE STATISTICS FOR COLUMNS id")
+      // AFTER ANALYZE: rowCount + id's min/max make the id<=100 side
+      // ~0.3% selective → estimated bytes under the threshold →
+      // broadcast. The statistics came from TABLE PROPERTIES (one
+      // manifest read), not from scanning data at plan time.
+      val df = spark.sql(sql)
+      assert(hasBroadcast(df),
+        "ANALYZEd statistics did not flip the filtered join to broadcast:\n" +
+          df.queryExecution.optimizedPlan.toString.take(2000))
+      assert(df.head().getLong(0) === 101L)
+      // the injected stats carry the analyzed rowCount on the scan
+      val scanStats = df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.catalogTable.exists(_.provider.contains("graft")) =>
+          lr.stats
+      }
+      assert(scanStats.nonEmpty, "no graft-stamped relation in the plan")
+      assert(scanStats.exists(_.rowCount.contains(BigInt(30000))),
+        s"scan stats missing the ANALYZEd rowCount: $scanStats")
+    }
+    // time-traveled reads do NOT carry the stats (they describe the
+    // analyzed snapshot, not an arbitrary historical one)
+    val tt = spark.sql("SELECT * FROM cbo_txlog VERSION AS OF 0")
+    assert(!tt.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.catalogTable.isDefined => lr
+    }.exists(_ => true), "time travel carried current-snapshot stats")
+    TxLogSql.unregister("cbo_txlog")
+  }
 }

@@ -1947,4 +1947,74 @@ class TxLogSpec extends SparkTestBase {
     assert(!mtxt.contains("#commitTs="), "post-disable commit still stamped")
     assert(t.versionAsOf(t.commitInstant(3L)) >= 3L)
   }
+
+  test("ICT property parses as a boolean: mixed case arms stamping, junk is rejected at SET time") {
+    val t = fresh("ict_bool")
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    // 'True' normalizes at the choke point — SHOW would report the
+    // property set either way, so silent non-stamping (degrading to
+    // the mtime clock with no warning) is the failure mode to kill
+    t.setProperties(Seq(TxLog.IctProp -> "True"))
+    assert(t.properties().toMap.apply(TxLog.IctProp) === "true")
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    val mtxt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"${t.root}/_txlog/%08d.json".format(t.currentVersion())))
+    assert(mtxt.contains("#commitTs="), "'True' did not arm ICT stamping")
+    // a FOREIGN writer's manifest may carry an un-normalized value:
+    // the stamping test itself must parse case-insensitively too
+    val mp = java.nio.file.Paths.get(
+      s"${t.root}/_txlog/%08d.json".format(t.currentVersion()))
+    java.nio.file.Files.writeString(mp, java.nio.file.Files.readString(mp)
+      .replace(s"#prop\t${TxLog.IctProp}\ttrue",
+        s"#prop\t${TxLog.IctProp}\tTRUE"))
+    TxLog.instantCache.clear() // the rewrite above changed recorded bytes
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    val next = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"${t.root}/_txlog/%08d.json".format(t.currentVersion())))
+    assert(next.contains("#commitTs="),
+      "a foreign-writer 'TRUE' silently disarmed stamping")
+    // behavior-bearing keys reject junk at SET time, not at use time
+    intercept[IllegalArgumentException](
+      t.setProperties(Seq(TxLog.IctProp -> "yes")))
+    intercept[IllegalArgumentException](
+      t.setProperties(Seq(TxLog.VacuumRetainProp -> "0")))
+    intercept[IllegalArgumentException](
+      t.setProperties(Seq(TxLog.VacuumRetainProp -> "soon")))
+  }
+
+  test("timestamp resolution binary-searches with header-only reads: O(log V) opens, cached after") {
+    val t = fresh("ict_boundedreads")
+    t.overwrite(Seq((0L, "seed")).toDF("id", "v"))
+    t.setProperties(Seq(TxLog.IctProp -> "true"))
+    (1 to 34).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "v")))
+    val cur = t.currentVersion() // 36 versions
+    val ts = t.commitInstant(cur - 3)
+    // cold resolution: at most ~2·log2(V) header reads (versionAsOf
+    // probes O(log V) versions; each probe reads two LINES, never the
+    // manifest body) — the former implementation read EVERY manifest
+    // IN FULL, O(total log bytes) per call
+    TxLog.instantCache.clear()
+    val before = TxLog.instantReads.get()
+    assert(t.versionAsOf(ts) === cur - 3)
+    val coldReads = TxLog.instantReads.get() - before
+    val logV = 64 - java.lang.Long.numberOfLeadingZeros(cur)
+    assert(coldReads <= 2 * logV + 4,
+      s"versionAsOf read $coldReads manifest headers over ${cur + 1} " +
+        s"versions — expected O(log V) ≈ $logV")
+    // warm resolution: recorded instants are immutable and cached —
+    // a repeat costs ZERO reads
+    val b2 = TxLog.instantReads.get()
+    assert(t.versionAsOf(ts) === cur - 3)
+    assert(TxLog.instantReads.get() === b2,
+      "repeat resolution re-read manifest headers despite the cache")
+    // the mirror bound resolves the same way
+    val b3 = TxLog.instantReads.get()
+    assert(t.versionAtOrAfter(ts) === cur - 3)
+    assert(TxLog.instantReads.get() - b3 <= 2 * logV + 4)
+    // vacuum shrinks the search window instead of breaking it: the
+    // surviving-prefix boundary is found by existence probes alone
+    t.vacuum(keepVersions = 3)
+    assert(t.versionAsOf(t.commitInstant(cur)) === cur)
+    intercept[IllegalArgumentException](t.versionAsOf(ts - 1000000L))
+  }
 }

@@ -607,4 +607,137 @@ class TxLogSqlDdlSpec extends SparkTestBase {
     assert(hist(cur) === t.commitInstant(cur))
     TxLogSql.unregister("sqlddl_ict")
   }
+
+  test("CREATE IF NOT EXISTS / CTAS no-op on an existing table leaves its metadata untouched") {
+    val loc = tmpDir("sqlddl_noop")
+    spark.sql(s"""
+      CREATE TABLE sqlddl_noop (id BIGINT, v STRING) USING graft
+      TBLPROPERTIES ('owner' = 'original') LOCATION '$loc'""")
+    spark.sql("INSERT INTO sqlddl_noop VALUES (1, 'a')")
+    val t = TxLog(spark, loc)
+    val v0 = t.currentVersion()
+    val p0 = t.properties()
+    // IF NOT EXISTS on an existing table is a FULL no-op (ANSI/Delta):
+    // the declared TBLPROPERTIES must NOT commit to the existing table
+    spark.sql(s"""
+      CREATE TABLE IF NOT EXISTS sqlddl_noop (id BIGINT, v STRING)
+      USING graft TBLPROPERTIES ('owner' = 'intruder', 'sneak' = 'x')
+      LOCATION '$loc'""")
+    assert(t.currentVersion() === v0,
+      "IF-NOT-EXISTS-on-existing committed a version")
+    assert(t.properties() === p0,
+      "IF-NOT-EXISTS-on-existing changed table properties")
+    // CTAS IF NOT EXISTS no-op: same contract
+    spark.sql(s"""
+      CREATE TABLE IF NOT EXISTS sqlddl_noop USING graft
+      TBLPROPERTIES ('owner' = 'intruder2')
+      LOCATION '$loc' AS SELECT 9 AS id, 'z' AS v""")
+    assert(t.currentVersion() === v0 && t.properties() === p0,
+      "CTAS no-op branch mutated the existing table")
+    // data untouched too
+    assert(spark.sql("SELECT count(*) FROM sqlddl_noop").head().getLong(0) === 1L)
+    TxLogSql.unregister("sqlddl_noop")
+  }
+
+  test("CREATE OR REPLACE resets TBLPROPERTIES to exactly the declared set") {
+    val loc = tmpDir("sqlddl_replprops")
+    spark.sql(s"""
+      CREATE TABLE sqlddl_replprops (id BIGINT) USING graft
+      TBLPROPERTIES ('owner' = 'old', 'graft.vacuum.retainVersions' = '2')
+      LOCATION '$loc'""")
+    spark.sql("INSERT INTO sqlddl_replprops VALUES (1)")
+    // REPLACE resets configuration (Delta): the old retention policy
+    // must NOT silently keep governing the new table
+    spark.sql(s"""
+      CREATE OR REPLACE TABLE sqlddl_replprops (id BIGINT, v STRING)
+      USING graft TBLPROPERTIES ('owner' = 'new') LOCATION '$loc'""")
+    val props = spark.sql("SHOW TBLPROPERTIES sqlddl_replprops").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props === Map("owner" -> "new"),
+      s"REPLACE carried stale properties: $props")
+    // a REPLACE with no TBLPROPERTIES clears everything
+    spark.sql(s"""
+      CREATE OR REPLACE TABLE sqlddl_replprops (id BIGINT)
+      USING graft LOCATION '$loc'""")
+    assert(spark.sql("SHOW TBLPROPERTIES sqlddl_replprops").count() === 0L)
+    // history survives the replaces (Delta: REPLACE keeps history)
+    assert(spark.sql("DESCRIBE HISTORY sqlddl_replprops").count() >= 4L)
+    TxLogSql.unregister("sqlddl_replprops")
+  }
+
+  test("ANALYZE is single-commit and column-preserving across passes") {
+    val loc = tmpDir("sqlddl_analyze")
+    spark.sql(s"""
+      CREATE TABLE sqlddl_analyze (id BIGINT, v STRING, w STRING)
+      USING graft TBLPROPERTIES ('keys' = 'id') LOCATION '$loc'""")
+    spark.sql(
+      "INSERT INTO sqlddl_analyze VALUES (1,'a','x'), (2,'b','y'), (3,'b','y')")
+    val t = TxLog(spark, loc)
+    def props: Map[String, String] = t.properties().toMap
+    val vBefore = t.currentVersion()
+    spark.sql("ANALYZE TABLE sqlddl_analyze COMPUTE STATISTICS FOR COLUMNS v")
+    // exactly ONE metadata commit per pass — the old unset+set pair
+    // burned two versions and exposed a stats-less window in between
+    assert(t.currentVersion() === vBefore + 1,
+      "ANALYZE burned more than one log version")
+    assert(props("graft.stats.numRows") === "3")
+    assert(props("graft.stats.col.v.ndv") === "2")
+    val vFirstPass = props("graft.stats.col.v.version")
+    // a second pass over ANOTHER column keeps v's stats (Spark's
+    // catalog contract) and refreshes only w's + the table-level keys
+    spark.sql("INSERT INTO sqlddl_analyze VALUES (4,'c','z')")
+    val vMid = t.currentVersion()
+    spark.sql("ANALYZE TABLE sqlddl_analyze COMPUTE STATISTICS FOR COLUMNS w")
+    assert(t.currentVersion() === vMid + 1)
+    val p2 = props
+    assert(p2("graft.stats.col.v.ndv") === "2",
+      "ANALYZE FOR COLUMNS w wiped v's stats from the earlier pass")
+    assert(p2("graft.stats.col.v.version") === vFirstPass,
+      "v's per-column staleness version moved without re-analyzing v")
+    assert(p2("graft.stats.col.w.ndv") === "3")
+    assert(p2("graft.stats.numRows") === "4", "table-level stats not refreshed")
+    assert(p2("graft.stats.col.w.version").toLong >
+      vFirstPass.toLong, "w's pass did not record its own snapshot")
+    // stats of a since-dropped column do not outlive the next pass
+    spark.sql("ALTER TABLE sqlddl_analyze DROP COLUMN w")
+    spark.sql("ANALYZE TABLE sqlddl_analyze COMPUTE STATISTICS")
+    val p3 = props
+    assert(!p3.keys.exists(_.startsWith("graft.stats.col.w.")),
+      s"dropped column's stats survived: ${p3.keys.filter(_.contains(".w."))}")
+    assert(p3.contains("graft.stats.col.v.ndv"),
+      "live column's stats were wiped by a table-level pass")
+    TxLogSql.unregister("sqlddl_analyze")
+  }
+
+  test("table_changes routes DATE/TIMESTAMP literals to the timestamp path, not the version path") {
+    val loc = tmpDir("sqlddl_tcdate")
+    spark.sql(s"""
+      CREATE TABLE sqlddl_tcdate (id BIGINT, v STRING) USING graft
+      TBLPROPERTIES ('keys' = 'id') LOCATION '$loc'""")
+    spark.sql("INSERT INTO sqlddl_tcdate VALUES (1, 'a')")
+    spark.sql("INSERT INTO sqlddl_tcdate VALUES (2, 'b')")
+    val full = spark.sql(
+      "SELECT count(*) FROM table_changes('sqlddl_tcdate', 0, 2)")
+      .head().getLong(0)
+    // DATE'2000-01-01' is internally Int 10957 (days since epoch): the
+    // old `v: Number` match read it as starting VERSION 10957 — here it
+    // must resolve as a timestamp to the first commit at-or-after it,
+    // i.e. version 0, serving the whole feed
+    assert(spark.sql(
+      "SELECT count(*) FROM table_changes('sqlddl_tcdate', DATE'2000-01-01', 2)")
+      .head().getLong(0) === full)
+    assert(spark.sql(
+      """SELECT count(*) FROM table_changes('sqlddl_tcdate',
+         TIMESTAMP'2000-01-01 00:00:00', 2)""")
+      .head().getLong(0) === full)
+    // plain integer versions still route as versions
+    assert(spark.sql(
+      "SELECT count(*) FROM table_changes('sqlddl_tcdate', 2, 2)")
+      .head().getLong(0) === 1L)
+    // a non-version, non-time literal fails loudly
+    val bad = intercept[Exception](spark.sql(
+      "SELECT * FROM table_changes('sqlddl_tcdate', 1.5, 2)").collect())
+    assert(bad.getMessage.toLowerCase.contains("bound"))
+    TxLogSql.unregister("sqlddl_tcdate")
+  }
 }
