@@ -1466,6 +1466,62 @@ object MergeQueries {
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
       FROM orders WHERE o_orderkey % 3 <> 0""")),
 
+    // ANALYZE-fed COST-BASED PLANNING under the oracle gate: ANALYZE
+    // persists table + column statistics as manifest properties (ONE
+    // metadata commit, column-preserving — TxLogSqlDdl.scala), and the
+    // snapshot read DECODES them into catalog statistics
+    // (TxLogCatalogStats), so CBO estimates the id<=20 side at ~20
+    // rows from ndv/min/max and BROADCASTS it — no scan at plan time.
+    // The query asserts the flip STRUCTURALLY (a BroadcastHashJoin
+    // must be in the executed plan under a 4 KB threshold the raw
+    // file bytes exceed at every sf) and hashes the join's aggregate.
+    // This is Delta+catalog-stats parity: the 100 TB star join whose
+    // dimension broadcasts because the optimizer KNOWS it is small.
+    Q("txlog_sql_analyze_cbo", (spark, dir) => {
+      val tag = dir.hashCode.abs
+      val root = s"/root/repo/target/tmp/txlog_cbo_$tag"
+      val name = s"txlog_cbo_$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      graft.sql.TxLogSql.unregister(name)
+      spark.sql(s"""
+        CREATE TABLE $name (id BIGINT, seg STRING, bal DECIMAL(18,2))
+        USING graft TBLPROPERTIES ('keys' = 'id') LOCATION '$root'""")
+      load(spark, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+        .createOrReplaceTempView(s"${name}_src")
+      spark.sql(s"INSERT INTO $name SELECT * FROM ${name}_src")
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS id, seg")
+      val sql = s"""
+        SELECT a.seg, count(*) AS n_cust,
+               CAST(sum(CAST(b.bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        FROM $name a
+        JOIN (SELECT id, bal FROM $name WHERE id <= 20) b ON a.id = b.id
+        GROUP BY a.seg"""
+      val saved = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold").map(k =>
+        k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 4 * 1024)
+        val df = spark.sql(sql)
+        val bhj = df.queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        }
+        require(bhj.nonEmpty,
+          "ANALYZEd statistics did not flip the filtered join to broadcast " +
+            "under CBO — the stats consumer is not feeding the planner")
+        df.collect() // materialize under the scoped confs
+        graft.sql.TxLogSql.unregister(name)
+        df
+      } finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }, oracle = Some("""
+      SELECT c_mktsegment AS seg, count(*) AS n_cust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+      FROM customer WHERE c_custkey <= 20 GROUP BY 1""")),
+
     Q("txlog_sql_ddl", (spark, dir) => {
       import spark.implicits._
       val tag = dir.hashCode.abs

@@ -334,6 +334,13 @@ final case class TxLog(spark: SparkSession, root: String,
   private val ManifestFormat = 2
 
   private def manifestLines(m: Manifest): Seq[String] =
+    // dir count rides the header so DESCRIBE HISTORY reads BOUNDED
+    // bytes per version (op + instant + n_dirs all sit in the first
+    // few lines) instead of the whole manifest — a large table's
+    // manifest carries thousands of range/bloom lines; pre-#ndirs
+    // manifests fall back to a full read. Unknown #-headers are
+    // ignored by every reader version, so no format bump is needed.
+    Seq(s"#ndirs=${m.dirs.size}") ++
     // stamp the format header only when a format-2 feature is actually
     // used: format-1 tables stay byte-compatible with older readers
     (if (m.entries.exists(e => isForeign(e._2))) Seq(s"#format=2") else Seq.empty) ++
@@ -624,20 +631,34 @@ final case class TxLog(spark: SparkSession, root: String,
     val cur = currentVersion()
     require(cur >= 0, s"TxLog table at $root has no commits")
     import spark.implicits._
-    (0L to cur).filter(v => fs.exists(manifestPath(v))).reverse.map { v =>
-      val st = fs.getFileStatus(manifestPath(v))
+    // BOUNDED reads: everything a history row needs — operation,
+    // commit instant, dir count — rides the first few header lines
+    // (#op= / #commitTs= are prepended at the commit choke point,
+    // #ndirs= leads the rendered body), so a 1,000-commit table costs
+    // 1,000 small header reads, never 1,000 full manifests (each can
+    // carry thousands of range/bloom lines). Pre-#ndirs manifests
+    // fall back to one full read.
+    (lowestExistingVersion(cur) to cur)
+      .filter(v => fs.exists(manifestPath(v))).reverse.map { v =>
       val in = fs.open(manifestPath(v))
-      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      val op = txt.linesIterator.find(_.startsWith("#op="))
+      val head = try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8"))
+        Iterator.continually(Option(br.readLine())).takeWhile(_.isDefined)
+          .flatten.take(4).toList
+      } finally in.close()
+      val op = head.find(_.startsWith("#op="))
         .map(_.stripPrefix("#op=")).getOrElse("UNKNOWN")
       // the same clock versionAsOf resolves against: recorded
       // in-commit instant when present, publish mtime otherwise
-      val ts = txt.linesIterator.collectFirst {
+      val ts = head.collectFirst {
         case l if l.startsWith("#commitTs=") =>
           l.stripPrefix("#commitTs=").toLong
-      }.getOrElse(st.getModificationTime)
-      (v, new java.sql.Timestamp(ts), op,
-        readManifestFull(v).dirs.size)
+      }.getOrElse(fs.getFileStatus(manifestPath(v)).getModificationTime)
+      val nDirs = head.collectFirst {
+        case l if l.startsWith("#ndirs=") => l.stripPrefix("#ndirs=").toInt
+      }.getOrElse(readManifestFull(v).dirs.size)
+      (v, new java.sql.Timestamp(ts), op, nDirs)
     }.toDF("version", "timestamp", "operation", "n_dirs")
   }
 

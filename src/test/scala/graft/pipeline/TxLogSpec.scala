@@ -945,6 +945,18 @@ class TxLogSpec extends SparkTestBase {
     // a clone's v0 names its source
     val c = t.shallowCloneTo(tmpDir("txlog_history_clone"))
     assert(c.history().collect().head.getString(2).startsWith("CLONE "))
+    // dir counts ride the manifest header (bounded history reads) —
+    // and a legacy manifest WITHOUT the header still answers via the
+    // full-read fallback
+    val n0 = t.history().collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val mp = java.nio.file.Paths.get(s"${t.root}/_txlog/00000002.json")
+    val txt = java.nio.file.Files.readString(mp)
+    assert(txt.linesIterator.exists(_.startsWith("#ndirs=")),
+      "commit did not stamp the #ndirs header")
+    java.nio.file.Files.writeString(mp, txt.linesIterator
+      .filterNot(_.startsWith("#ndirs=")).mkString("\n"))
+    val n1 = t.history().collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(n1 === n0, "legacy (header-less) manifest mis-served n_dirs")
   }
 
   test("property: evolving merge equals strict merge whenever schemas already match") {
