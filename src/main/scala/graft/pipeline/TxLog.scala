@@ -567,11 +567,17 @@ final case class TxLog(spark: SparkSession, root: String,
     // Binary search over the non-decreasing commit clock — O(log V)
     // header-only reads, not the former O(total log bytes) full-manifest
     // scan (one TIMESTAMP AS OF on a 5,000-commit object-store table
-    // used to cost 5,000 full GETs). The clock is non-decreasing by
-    // construction: ICT records each instant strictly past its
-    // parent's, and mtime tables publish manifests sequentially through
-    // the atomic put-if-absent. A manifest vanished under a concurrent
-    // VACUUM is a vacuumed prefix member: resolution moves up.
+    // used to cost 5,000 full GETs). CLOCK CONTRACT: resolution is
+    // defined on an ORDER-PRESERVING clock. ICT guarantees it outright
+    // (each instant strictly past its parent's); mtime tables publish
+    // manifests sequentially through the atomic put-if-absent, and
+    // uniform mtime shifts (a copy, a migration) preserve the order.
+    // mtimes perturbed OUT OF ORDER by external tooling are outside
+    // the mtime clock's contract — surviving exactly that is what the
+    // ICT property exists for (Delta makes the same trade: its history
+    // manager binary-searches monotonized commit timestamps). A
+    // manifest vanished under a concurrent VACUUM is a vacuumed prefix
+    // member: resolution moves up.
     var lo = lowestExistingVersion(cur)
     var hi = cur
     var ans = -1L
@@ -1664,7 +1670,10 @@ final case class TxLog(spark: SparkSession, root: String,
       withOp.mkString("\n").getBytes("UTF-8"))
     // every winning commit refreshes the advisory latest-version
     // pointer, bounding reader roll-forward to the concurrent window
-    if (won) writeLatestHint(version)
+    if (won) {
+      TxLog.purgeMetaCaches(root, version)
+      writeLatestHint(version)
+    }
     won
   }
 
@@ -1841,7 +1850,19 @@ final case class TxLog(spark: SparkSession, root: String,
     * opaque annotation, exactly Delta's TBLPROPERTIES contract. */
   def properties(version: Long = -1): Seq[(String, String)] = {
     val v = if (version >= 0) version else currentVersion()
-    if (v < 0) Seq.empty else readManifestFull(v).props.sortBy(_._1)
+    if (v < 0) return Seq.empty
+    // committed manifests are immutable, so a version's property set
+    // caches process-wide (same discipline as the commit-instant
+    // cache; both purge on a same-root commit, which covers
+    // delete-and-recreate at the same path within a process) — a SQL
+    // read that just resolved the snapshot doesn't pay a second full
+    // manifest read to learn the table was never ANALYZEd
+    val key = (root, v)
+    val cached = TxLog.propsCache.get(key)
+    if (cached != null) return cached
+    val props = readManifestFull(v).props.sortBy(_._1)
+    TxLog.propsCache.put(key, props)
+    props
   }
 
   /** ALTER TABLE SET TBLPROPERTIES — metadata-only upsert commit.
@@ -1896,7 +1917,8 @@ final case class TxLog(spark: SparkSession, root: String,
     * here the manifest swaps atomically. A no-op delta (nothing
     * changes) commits NOTHING and returns the current version. */
   def updateProperties(set: Seq[(String, String)], unset: Seq[String],
-                       op: String = "UPDATE TBLPROPERTIES"): Long = {
+                       op: String = "UPDATE TBLPROPERTIES",
+                       replaceAll: Boolean = false): Long = {
     val kvs = set.map { case (k, v) => normalizeProp(k, v) }
     require(kvs.map(_._1).distinct.size == kvs.size,
       s"duplicate keys in SET TBLPROPERTIES: ${kvs.map(_._1).mkString(", ")}")
@@ -1906,8 +1928,14 @@ final case class TxLog(spark: SparkSession, root: String,
       val cur = currentVersion()
       require(cur >= 0, s"TxLog table at $root has no commits")
       val prev = readManifestFull(cur)
+      // replaceAll recomputes the drop set INSIDE the retry loop from
+      // the version actually being replaced — a fixed pre-read list
+      // would let a concurrently-SET key survive a REPLACE that must
+      // reset configuration
       val merged =
-        (prev.props.filterNot(p => dropped.contains(p._1)) ++ kvs).sortBy(_._1)
+        (if (replaceAll) kvs
+         else prev.props.filterNot(p => dropped.contains(p._1)) ++ kvs)
+          .sortBy(_._1)
       if (merged == prev.props.sortBy(_._1)) return cur
       val lines = manifestLines(prev.copy(props = merged))
       if (tryCommitManifest(cur + 1, lines, op)) return cur + 1
@@ -1922,14 +1950,10 @@ final case class TxLog(spark: SparkSession, root: String,
     * the declared set; a surviving stale `graft.vacuum.retainVersions`
     * from the replaced table would silently keep governing the new
     * one). One metadata commit; a no-op when the set already matches. */
-  def replaceProperties(kvs: Seq[(String, String)]): Long = {
-    val cur = currentVersion()
-    require(cur >= 0, s"TxLog table at $root has no commits")
-    val stale = readManifestFull(cur).props.map(_._1)
-      .filterNot(kvs.map(_._1).contains)
-    updateProperties(kvs, stale,
-      op = s"REPLACE TBLPROPERTIES (${kvs.map(_._1).sorted.mkString(", ")})")
-  }
+  def replaceProperties(kvs: Seq[(String, String)]): Long =
+    updateProperties(kvs, Nil,
+      op = s"REPLACE TBLPROPERTIES (${kvs.map(_._1).sorted.mkString(", ")})",
+      replaceAll = true)
 
   /** ALTER TABLE UNSET TBLPROPERTIES — metadata-only removal. A
     * missing key is refused (say what you meant) unless `ifExists`
@@ -1940,8 +1964,8 @@ final case class TxLog(spark: SparkSession, root: String,
     require(keys.nonEmpty, "UNSET TBLPROPERTIES with no keys")
     val cur = currentVersion()
     require(cur >= 0, s"TxLog table at $root has no commits")
-    val missing = keys.filterNot(k =>
-      readManifestFull(cur).props.exists(_._1 == k))
+    val present = properties(cur).map(_._1).toSet
+    val missing = keys.filterNot(present)
     require(ifExists || missing.isEmpty,
       s"no table propert${if (missing.size == 1) "y" else "ies"} " +
         s"${missing.mkString(", ")} on the table at $root " +
@@ -3790,4 +3814,22 @@ object TxLog {
   /** Header reads [[TxLog.commitInstant]] performed (cache misses) —
     * test instrumentation for the bounded-read time-travel contract. */
   private[graft] val instantReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** Process-wide (root, version) → sorted property set — same
+    * immutability argument and same purge discipline as
+    * [[TxLog.instantCache]]. */
+  private[pipeline] val propsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[(String, String)]]()
+
+  /** A commit of `version` at `root` invalidates cached metadata for
+    * that version AND everything above it: a table deleted and
+    * re-created at the same path restarts from version 0, and the old
+    * incarnation's cached instants/properties must not serve the new
+    * one (within this process; cross-process recreation is the same
+    * out-of-scope coherence problem every snapshot cache has). In
+    * normal forward operation the purged range is empty. */
+  private[pipeline] def purgeMetaCaches(root: String, version: Long): Unit = {
+    instantCache.keySet.removeIf(k => k._1 == root && k._2 >= version)
+    propsCache.keySet.removeIf(k => k._1 == root && k._2 >= version)
+  }
 }

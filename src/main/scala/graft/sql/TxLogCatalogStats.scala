@@ -20,12 +20,24 @@ import org.apache.spark.sql.types._
   * carrying [[CatalogStatistics]] decoded from the properties —
   * rowCount + sizeInBytes at the table level, ndv / null count (and,
   * for plainly-parseable numeric types, min/max) per column.
-  * `LogicalRelation.computeStats` serves those to the optimizer the
-  * moment `spark.sql.cbo.enabled` is on (with CBO off the injected
-  * numbers are inert and planning falls back to file sizes — Spark's
-  * own catalog-stats contract). Nothing is scanned and nothing is
-  * cached driver-side: the properties ride the manifest the snapshot
-  * read already opened.
+  * `LogicalRelation.computeStats` serves those to the optimizer.
+  *
+  * Two deliberate guards:
+  *   - Injection happens ONLY when cost-based planning is on
+  *     (`spark.sql.cbo.enabled` / `spark.sql.planStats.enabled`).
+  *     `CatalogStatistics.toPlanStats` replaces the relation's REAL
+  *     file-size estimate with the recorded one even when CBO is off,
+  *     so unconditional stamping would let a stale ANALYZE (table
+  *     grown 1000× since) under-estimate a huge side below the
+  *     broadcast threshold under DEFAULT configs — worse than no
+  *     stats. CBO off ⇒ plan untouched ⇒ file-size estimates, Spark's
+  *     own catalog behavior.
+  *   - Injection requires the snapshot plan to contain EXACTLY ONE
+  *     parquet relation. A merge-on-read snapshot (tombstone anti-join
+  *     sidecars) or a schema-evolution union resolves to several
+  *     relations; stamping each with the FULL table's rowCount would
+  *     multiply the estimate and mis-plan the very joins this feature
+  *     exists to improve. Conservative skip, never a wrong number.
   *
   * Staleness follows Spark's catalog behavior: statistics recorded at
   * `graft.stats.version` keep serving until the next ANALYZE, however
@@ -41,14 +53,22 @@ object TxLogCatalogStats {
 
   private val Fields = Seq("ndv", "nulls", "min", "max", "version")
 
-  /** `plan` with ANALYZE statistics attached to its scan relations,
-    * or `plan` unchanged when the table was never analyzed. Min/max
+  /** `plan` with ANALYZE statistics attached to its scan relation, or
+    * `plan` unchanged when the table was never analyzed, CBO is off,
+    * or the plan is not a single-relation read (guards above).
+    * `version` pins the SAME snapshot the caller resolved — reading
+    * "current" properties independently would race a concurrent
+    * commit and attach version-N+1 stats to a version-N plan. Min/max
     * attach only for numeric columns — their cast-to-string rendering
     * round-trips through Spark's external-string parser; other types'
     * renderings might not, and a planning-time parse failure is worse
     * than a missing bound. */
-  def withStats(name: String, t: TxLog, plan: LogicalPlan): LogicalPlan = {
-    val props = t.properties().toMap
+  def withStats(name: String, t: TxLog, version: Long,
+                plan: LogicalPlan): LogicalPlan = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    if (!conf.cboEnabled && !conf.planStatsEnabled) return plan
+    if (plan.collect { case lr: LogicalRelation => lr }.size != 1) return plan
+    val props = t.properties(version).toMap
     val rowCount = props.get("graft.stats.numRows")
       .flatMap(s => scala.util.Try(BigInt(s)).toOption)
     if (rowCount.isEmpty) return plan

@@ -349,11 +349,29 @@ private object TxLogDdl {
   }
 
   /** Timestamp literal → epoch millis, the two Delta-accepted shapes:
-    * `yyyy-MM-dd HH:mm:ss[.f]` and a bare `yyyy-MM-dd` (midnight). */
-  def tsMillis(lit: String): Long =
-    if (lit.trim.length <= 10)
-      java.sql.Date.valueOf(lit.trim).getTime
-    else java.sql.Timestamp.valueOf(lit.trim).getTime
+    * `yyyy-MM-dd HH:mm:ss[.f]` and a bare `yyyy-MM-dd` (midnight).
+    * Wall-clock text is interpreted in the SESSION timezone
+    * (`spark.sql.session.timeZone`) — the same zone Spark's own
+    * TIMESTAMP literals parse under, so `TIMESTAMP AS OF '…'` and
+    * `TIMESTAMP AS OF TIMESTAMP'…'` resolve to the same instant (the
+    * JVM-default-zone `java.sql` parse they replaced diverged from
+    * the literal form whenever the two zones differed). Non-ISO
+    * lenient shapes fall back to the legacy java.sql parse. */
+  def tsMillis(lit: String): Long = {
+    val s = lit.trim
+    val zone = java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    try {
+      if (s.length <= 10)
+        java.time.LocalDate.parse(s).atStartOfDay(zone).toInstant.toEpochMilli
+      else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .atZone(zone).toInstant.toEpochMilli
+    } catch {
+      case _: java.time.format.DateTimeParseException =>
+        if (s.length <= 10) java.sql.Date.valueOf(s).getTime
+        else java.sql.Timestamp.valueOf(s).getTime
+    }
+  }
 }
 
 /** `CREATE [OR REPLACE] TABLE … USING graft [AS SELECT …]`:

@@ -295,9 +295,12 @@ object TxLogSql {
       case _ =>
         // current-snapshot reads carry the table's ANALYZEd statistics
         // into the plan (time-traveled reads don't — the stats describe
-        // the analyzed snapshot, not an arbitrary historical one)
+        // the analyzed snapshot, not an arbitrary historical one). The
+        // version resolves ONCE so the stats and the snapshot cannot
+        // straddle a concurrent commit.
+        val v = t.currentVersion()
         SubqueryAlias(name,
-          TxLogCatalogStats.withStats(name, t, analyzed(t.snapshot())))
+          TxLogCatalogStats.withStats(name, t, v, analyzed(t.snapshot(v))))
     }
   }
 
@@ -352,10 +355,12 @@ object TxLogSql {
           case Literal(v: Number, ByteType | ShortType | IntegerType | LongType) =>
             v.longValue()
           case Literal(days: Integer, DateType) =>
-            // same local-midnight convention as the string form
-            // (TxLogDdl.tsMillis parses via java.sql.Date)
-            resolve(java.sql.Date.valueOf(
-              java.time.LocalDate.ofEpochDay(days.longValue())).getTime)
+            // same session-zone midnight convention as the string form
+            // (TxLogDdl.tsMillis)
+            resolve(java.time.LocalDate.ofEpochDay(days.longValue())
+              .atStartOfDay(java.time.ZoneId.of(
+                org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+              .toInstant.toEpochMilli)
           case Literal(micros: java.lang.Long, _: TimestampType) =>
             resolve(Math.floorDiv(micros.longValue(), 1000L))
           case Literal(_, StringType) =>

@@ -126,4 +126,78 @@ class CboSpec extends SparkTestBase {
     }.exists(_ => true), "time travel carried current-snapshot stats")
     TxLogSql.unregister("cbo_txlog")
   }
+
+  test("stats injection guards: inert with CBO off; skipped on multi-relation (MoR) snapshots") {
+    import graft.pipeline.TxLog
+    import graft.sql.TxLogSql
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val loc = tmpDir("cbo_guards")
+    spark.sql(s"""
+      CREATE TABLE cbo_guards (id BIGINT, v STRING) USING graft
+      TBLPROPERTIES ('keys' = 'id') LOCATION '$loc'""")
+    spark.range(500).selectExpr("id", "CAST(id AS STRING) AS v")
+      .createOrReplaceTempView("cbo_guards_src")
+    spark.sql("INSERT INTO cbo_guards SELECT * FROM cbo_guards_src")
+    spark.sql("ANALYZE TABLE cbo_guards COMPUTE STATISTICS FOR COLUMNS id")
+    def stamped(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation if lr.catalogTable.isDefined => lr
+      }.nonEmpty
+    // CBO OFF (the default): the plan must stay on REAL file-size
+    // estimates — CatalogStatistics.sizeInBytes would otherwise
+    // override them, letting a stale ANALYZE of a since-grown table
+    // under-estimate a huge join side below the broadcast threshold
+    assert(!stamped(spark.sql("SELECT * FROM cbo_guards")),
+      "stats were injected with cost-based planning disabled")
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      assert(stamped(spark.sql("SELECT * FROM cbo_guards")),
+        "stats missing under CBO on a single-relation snapshot")
+      // a merge-on-read DELETE makes the snapshot a multi-relation
+      // plan (tombstone anti-join sidecars): stamping each relation
+      // with the FULL table's rowCount would multiply the estimate,
+      // so injection must skip — conservative, never a wrong number
+      TxLog(spark, loc).deleteWhere("id % 10 = 0")
+      spark.sql("ANALYZE TABLE cbo_guards COMPUTE STATISTICS FOR COLUMNS id")
+      val mor = spark.sql("SELECT * FROM cbo_guards")
+      val rels = mor.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr }
+      assert(rels.size > 1, "expected a multi-relation MoR snapshot plan")
+      assert(!stamped(mor),
+        "full-table stats were stamped onto a multi-relation snapshot")
+      assert(mor.count() === 450)
+    }
+    TxLogSql.unregister("cbo_guards")
+  }
+
+  test("metadata caches purge on same-root recreate: no stale instants or properties") {
+    import graft.pipeline.TxLog
+    val loc = tmpDir("cbo_recreate")
+    val t0 = TxLog(spark, loc)
+    import spark.implicits._
+    t0.overwrite(Seq((1L, "old")).toDF("id", "v"))
+    t0.setProperties(Seq(TxLog.IctProp -> "true", "owner" -> "old"))
+    t0.append(Seq((2L, "old2")).toDF("id", "v"))
+    val oldInstant = t0.commitInstant(2L) // cached (recorded ICT)
+    val oldProps = t0.properties() // cached
+    assert(oldProps.toMap.apply("owner") === "old")
+    // delete and RE-CREATE at the same root, same process — the new
+    // incarnation's commits must purge the old one's cached metadata
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(loc))
+    val t1 = TxLog(spark, loc)
+    t1.overwrite(Seq((1L, "new")).toDF("id", "v"))
+    t1.setProperties(Seq(TxLog.IctProp -> "true", "owner" -> "new"))
+    t1.append(Seq((2L, "new2")).toDF("id", "v"))
+    assert(t1.properties().toMap.apply("owner") === "new",
+      "recreated table served the dead incarnation's cached properties")
+    // the instant must come from the NEW manifest on disk, not the
+    // dead incarnation's cache entry
+    val recorded = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        s"$loc/_txlog/00000002.json")).linesIterator
+      .find(_.startsWith("#commitTs=")).get.stripPrefix("#commitTs=").toLong
+    assert(t1.commitInstant(2L) === recorded,
+      "recreated table served the dead incarnation's cached instant")
+    // and time travel resolves on the NEW clock
+    assert(t1.versionAsOf(recorded) === 2L)
+    assert(oldInstant > 0L) // silence unused warning; old value was read pre-delete
+  }
 }
