@@ -604,11 +604,21 @@ object DedupQueries {
     Q("dedup_minhash_estimate", (spark, dir) => {
       val docs = load(spark, dir, "documents")
       val post = ExactJaccard.postings(docs, "doc_id", "text", "lang")
+      // 16 hash components from FOUR md5 evaluations, not sixteen:
+      // one md5 is 128 uniform bits = four independent 32-bit slots,
+      // so hashing (the signature build's dominant cost — it runs per
+      // shingle) drops 4×. Slot i = md5(⌊i/4⌋ | shingle)[8·(i%4) ..].
+      // 32 bits per component is ample: a min-collision among n
+      // shingles is ~n²/2³³ — and the oracle computes the identical
+      // slicing, so results stay bit-equal cross-engine.
       val sigs = post
-        .select(col("id"), explode(sequence(lit(0), lit(15))).as("i"), col("s"))
-        .withColumn("h", conv(substring(md5(
-            concat(col("i").cast("string"), lit("|"), col("s"))), 1, 12), 16, 10)
-          .cast("long"))
+        .select(col("id"), explode(sequence(lit(0), lit(3))).as("g"), col("s"))
+        .withColumn("m", md5(concat(col("g").cast("string"), lit("|"), col("s"))))
+        .select(col("id"), col("g"), col("m"),
+          explode(sequence(lit(0), lit(3))).as("slot"))
+        .select(col("id"), (col("g") * 4 + col("slot")).as("i"),
+          conv(col("m").substr(col("slot") * 8 + lit(1), lit(8)), 16, 10)
+            .cast("long").as("h"))
         .groupBy(col("id"), col("i")).agg(min(col("h")).as("mh"))
         .localCheckpoint(true)
       val p = ExactJaccard.pairs(docs, "doc_id", "text", "lang",
@@ -645,11 +655,13 @@ object DedupQueries {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
       sig AS (
-        SELECT doc_id, f.i,
+        SELECT doc_id, gs.g * 4 + gs.slot AS i,
                min(${CurationQueries.hexFoldSql(
-                 "substr(md5(CAST(f.i AS VARCHAR) || '|' || ex.s), 1, 12)")}) AS mh
-        FROM ex, (SELECT unnest(range(0, 16)) AS i) f
-        GROUP BY doc_id, f.i)
+                 "substr(md5(CAST(gs.g AS VARCHAR) || '|' || ex.s), gs.slot * 8 + 1, 8)")}) AS mh
+        FROM ex, (SELECT g.g, s.slot
+                  FROM (SELECT unnest(range(0, 4)) AS g) g,
+                       (SELECT unnest(range(0, 4)) AS slot) s) gs
+        GROUP BY doc_id, gs.g * 4 + gs.slot)
       SELECT p.id_a, p.id_b, p.jaccard,
              CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0
                AS estimate
