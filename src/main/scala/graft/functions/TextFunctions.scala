@@ -76,7 +76,10 @@ object TextFunctions {
     * cost ~P(P+1) full token passes per document: measured 20× at 10×
     * data on the confusion-matrix query, entirely this constant. */
   def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column =
-    aggregate(
+    // coalesce: a NULL text must read "und" like the when-chain form
+    // did (aggregate propagates NULL; the SQL CASE both oracles use
+    // falls through to the ELSE)
+    coalesce(aggregate(
       tokens(text),
       array(profiles.map(_ => lit(0)): _*),
       (acc, t) => array(profiles.zipWithIndex.map { case ((_, words), i) =>
@@ -90,7 +93,7 @@ object TextFunctions {
           case (((lang, _), i), els) =>
             when(hs(i) === maxHits && hs(i) > 0, lit(lang)).otherwise(els)
         }
-      })
+      }), lit("und"))
 
   /** English/German/French/Spanish marker profiles (tiny but real). */
   val defaultProfiles: Seq[(String, Seq[String])] = Seq(
