@@ -608,5 +608,15 @@ class PlanSpec extends SparkTestBase {
     val prune = p.indexOf("least(")
     assert(prune > ex && ex >= 0,
       s"sketch prune not below the key exchange (ex=$ex, prune=$prune):\n" + p.take(2000))
+    // the PER-ROW probe must index the densified ARRAY (cms_arr),
+    // never look a key up in the map (cms): ElementAt over MapType is
+    // a LINEAR scan of all W·D keys per row — measured 11.7× at 10×
+    // data before the densify. The map may appear only on the one-row
+    // broadcast side that builds the array.
+    val pruneExpr = p.substring(prune, math.min(p.length, prune + 600))
+    assert(pruneExpr.contains("element_at(cms_arr"),
+      s"probe does not index the dense array:\n$pruneExpr")
+    assert(!pruneExpr.contains("element_at(cms#"),
+      s"per-row CMS probe scans map keys linearly:\n$pruneExpr")
   }
 }
