@@ -654,14 +654,16 @@ object DedupQueries {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      sigm AS (
+        SELECT doc_id, g.g AS g,
+               md5(CAST(g.g AS VARCHAR) || '|' || ex.s) AS m
+        FROM ex, (SELECT unnest(range(0, 4)) AS g) g),
       sig AS (
-        SELECT doc_id, gs.g * 4 + gs.slot AS i,
+        SELECT doc_id, sigm.g * 4 + s.slot AS i,
                min(${CurationQueries.hexFoldSql(
-                 "substr(md5(CAST(gs.g AS VARCHAR) || '|' || ex.s), gs.slot * 8 + 1, 8)")}) AS mh
-        FROM ex, (SELECT g.g, s.slot
-                  FROM (SELECT unnest(range(0, 4)) AS g) g,
-                       (SELECT unnest(range(0, 4)) AS slot) s) gs
-        GROUP BY doc_id, gs.g * 4 + gs.slot)
+                 "substr(sigm.m, s.slot * 8 + 1, 8)")}) AS mh
+        FROM sigm, (SELECT unnest(range(0, 4)) AS slot) s
+        GROUP BY doc_id, sigm.g * 4 + s.slot)
       SELECT p.id_a, p.id_b, p.jaccard,
              CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0
                AS estimate

@@ -36,6 +36,13 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(one(langId($"t", profiles), "xyz").getString(0) === "und")
     // tie → declaration order (en before de)
     assert(one(langId($"t", profiles), "the der").getString(0) === "en")
+    // NULL text reads "und", exactly like the SQL oracles' CASE-ELSE
+    // (the aggregate form would propagate NULL without the coalesce)
+    val nullRow = Seq(Option.empty[String]).toDF("t")
+      .select(langId($"t", profiles).as("v")).head()
+    assert(!nullRow.isNullAt(0) && nullRow.getString(0) === "und")
+    // and empty text has zero hits everywhere
+    assert(one(langId($"t", profiles), "").getString(0) === "und")
   }
 
   test("BPE-ish pieces split letter runs, digit runs, and single symbols") {

@@ -611,12 +611,17 @@ class PlanSpec extends SparkTestBase {
     // the PER-ROW probe must index the densified ARRAY (cms_arr),
     // never look a key up in the map (cms): ElementAt over MapType is
     // a LINEAR scan of all W·D keys per row — measured 11.7× at 10×
-    // data before the densify. The map may appear only on the one-row
-    // broadcast side that builds the array.
-    val pruneExpr = p.substring(prune, math.min(p.length, prune + 600))
-    assert(pruneExpr.contains("element_at(cms_arr"),
-      s"probe does not index the dense array:\n$pruneExpr")
-    assert(!pruneExpr.contains("element_at(cms#"),
-      s"per-row CMS probe scans map keys linearly:\n$pruneExpr")
+    // data before the densify. Each operator prints as ONE plan line,
+    // so anchoring the check to the probe's own line (the ones
+    // containing the least(...) estimate) keeps it independent of
+    // what the neighboring broadcast-side densify projection prints.
+    val probeLines = p.linesIterator.filter(_.contains("least(")).toSeq
+    assert(probeLines.nonEmpty, "probe line not found in the plan")
+    probeLines.foreach { l =>
+      assert(l.contains("element_at(cms_arr"),
+        s"probe does not index the dense array:\n$l")
+      assert(!l.contains("element_at(cms#"),
+        s"per-row CMS probe scans map keys linearly:\n$l")
+    }
   }
 }
