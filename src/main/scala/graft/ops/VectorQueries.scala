@@ -26,6 +26,16 @@ object VectorQueries {
 
   private val oracleCos = cosSql("a", "b")
 
+  /** Per-label sample cap for the exact-cosine calibrator
+    * (`dedup_embedding_cosine`): bounds its pair space at cap²/2 per
+    * label regardless of block size, keeping the ground-truth query
+    * linear-in-scan at any SF while leaving small blocks (≤ cap)
+    * exhaustive. Mirrored verbatim in the DuckDB oracle. Kept under
+    * Spark's windowGroupLimitThreshold (1000) so the row_number ≤ cap
+    * filter rewrites to a WindowGroupLimit heap, never a full
+    * per-label sort. */
+  private val cosineCalibCap = 512
+
   /** [[cosSql]] generalized to arbitrary list-valued SQL expressions
     * (e.g. a trained-centroid column) — same sequential double folds. */
   private def cosFrag(x: String, y: String): String =
@@ -76,22 +86,47 @@ object VectorQueries {
       bench = true),
 
     // Embedding near-duplicate join: all pairs above a cosine threshold
-    // (blocked by label to bound the pair space — the exact analogue of
-    // lang-blocking in text dedup).
+    // (blocked by label — the exact analogue of lang-blocking in text
+    // dedup). This is the deliberately-EXACT ground-truth calibrator
+    // for the bucketed scale paths (`sim_lsh_bucketed`,
+    // `dedup_semantic_ivf`), so the pair space is BOUNDED by a
+    // deterministic md5-selected per-label sample: each label
+    // contributes its `cosineCalibCap` members with the smallest
+    // md5(vec_id) (a content-independent uniform draw, identical on
+    // the oracle side). Per-label pair work is then ≤ cap²/2 no matter
+    // how large the block grows — total cost is the O(n) scan + a
+    // top-cap-per-group selection + a CONSTANT-per-label pair stage,
+    // so the query scales linearly instead of quadratically. The
+    // row_number ≤ cap filter triggers Spark's WindowGroupLimit
+    // rewrite: each input partition keeps a cap-sized heap map-side,
+    // so the window shuffle carries ≤ cap rows per (partition, label)
+    // — no single-task block sort.
     Q("dedup_embedding_cosine", (spark, dir) => {
       val e = load(spark, dir, "embeddings")
-      val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val capped = e
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("label"))
+            .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        .filter(col("rn") <= cosineCalibCap)
+        .select(col("label"), col("vec_id"), col("embedding"))
+      val a = capped.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = capped.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, Seq("label"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("score", VectorExpressions.cosine_sim(spark, col("va"), col("vb")))
         .filter(col("score") >= 0.4)
         .select(col("id_a"), col("id_b"), col("score"))
     }, oracle = Some(s"""
+      WITH capped AS (
+        SELECT label, vec_id, embedding,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, $oracleCos AS score
-      FROM embeddings a JOIN embeddings b
+      FROM capped a JOIN capped b
         ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE $oracleCos >= 0.4""")),
+      WHERE a.rn <= $cosineCalibCap AND b.rn <= $cosineCalibCap
+        AND $oracleCos >= 0.4""")),
 
     // Per-label centroids: array aggregation via posexplode →
     // (label, dim) partial sums. Exact DECIMAL sums make the mean

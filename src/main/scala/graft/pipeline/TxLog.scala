@@ -562,37 +562,85 @@ final case class TxLog(spark: SparkSession, root: String,
     * instant the version became visible). Fails if every commit is
     * later than `tsMillis` (nothing existed then), like Delta. */
   def versionAsOf(tsMillis: Long): Long = {
-    val cur = currentVersion()
-    require(cur >= 0, s"TxLog table at $root has no commits")
-    // Binary search over the non-decreasing commit clock — O(log V)
-    // header-only reads, not the former O(total log bytes) full-manifest
-    // scan (one TIMESTAMP AS OF on a 5,000-commit object-store table
-    // used to cost 5,000 full GETs). CLOCK CONTRACT: resolution is
-    // defined on an ORDER-PRESERVING clock. ICT guarantees it outright
-    // (each instant strictly past its parent's); mtime tables publish
-    // manifests sequentially through the atomic put-if-absent, and
-    // uniform mtime shifts (a copy, a migration) preserve the order.
-    // mtimes perturbed OUT OF ORDER by external tooling are outside
-    // the mtime clock's contract — surviving exactly that is what the
-    // ICT property exists for (Delta makes the same trade: its history
-    // manager binary-searches monotonized commit timestamps). A
-    // manifest vanished under a concurrent VACUUM is a vacuumed prefix
-    // member: resolution moves up.
-    var lo = lowestExistingVersion(cur)
-    var hi = cur
-    var ans = -1L
-    while (lo <= hi) {
-      val mid = lo + (hi - lo) / 2
-      instantOrNone(mid) match {
-        case Some(i) if i <= tsMillis => ans = mid; lo = mid + 1
-        case Some(_)                  => hi = mid - 1
-        case None                     => lo = mid + 1
-      }
-    }
+    val ans = clockResolve(tsMillis, atOrBefore = true)
     require(ans >= 0,
       s"TxLog table at $root has no commit at or before timestamp $tsMillis")
     ans
   }
+
+  /** Resolve `tsMillis` on the commit clock: the HIGHEST version
+    * committed at-or-before (`atOrBefore`) or the LOWEST at-or-after
+    * (`!atOrBefore`); -1 when no version qualifies.
+    *
+    * Fast path: binary search — O(log V) header-only reads, not the
+    * former O(total log bytes) full-manifest scan (one TIMESTAMP AS OF
+    * on a 5,000-commit object-store table used to cost 5,000 full
+    * GETs). The search's answer is TRUSTED only when every instant it
+    * probed was a RECORDED in-commit timestamp — the ICT clock is
+    * monotone by construction (each instant stamps past its parent's
+    * at the commit choke point and is immutable once published), so
+    * the order-preserving precondition holds; this is exactly Delta's
+    * ICT contract (resolution in the ICT range ignores file mtimes
+    * entirely). The moment ANY probe fell back to a publish mtime the
+    * guarantee is gone — external tooling can reorder mtimes under
+    * the log — so resolution drops to the slow path rather than
+    * silently mis-resolving: a linear scan over the window resolving
+    * on the MONOTONIZED clock (each instant clamped to the running
+    * max — the clock Delta's history manager serves non-ICT tables
+    * on, also by reading every commit in the window). O(V) header
+    * reads is the documented price of a correct answer on a clock
+    * with no monotonicity guarantee; arming [[TxLog.IctProp]] is the
+    * O(log V) path. A manifest vanished under a concurrent VACUUM is
+    * a vacuumed-prefix member: resolution moves up. */
+  private def clockResolve(tsMillis: Long, atOrBefore: Boolean): Long = {
+    val cur = currentVersion()
+    require(cur >= 0, s"TxLog table at $root has no commits")
+    val low = lowestExistingVersion(cur)
+    var allRecorded = true
+    var lo = low
+    var hi = cur
+    var ans = -1L
+    while (allRecorded && lo <= hi) {
+      val mid = lo + (hi - lo) / 2
+      sourcedOrNone(mid) match {
+        case Some((i, recorded)) =>
+          allRecorded &&= recorded
+          if (atOrBefore) {
+            if (i <= tsMillis) { ans = mid; lo = mid + 1 } else hi = mid - 1
+          } else {
+            if (i >= tsMillis) { ans = mid; hi = mid - 1 } else lo = mid + 1
+          }
+        case None => lo = mid + 1
+      }
+    }
+    if (allRecorded) return ans
+    // slow path: linear resolution over the whole window on the
+    // REPAIRED clock — RECORDED instants are authoritative (immutable
+    // and choke-point-monotone, so a perturbed mtime before them must
+    // never clamp them away: recorded instants keep serving their
+    // versions even after ICT is later disabled), while mtime-derived
+    // instants are untrusted and clamp to the running max
+    var running = Long.MinValue
+    var found = -1L
+    var v = low
+    while (v <= cur) {
+      sourcedOrNone(v).foreach { case (i, recorded) =>
+        val eff = if (recorded) i else math.max(running, i)
+        running = math.max(running, eff)
+        if (atOrBefore) { if (eff <= tsMillis) found = v }
+        else if (found < 0 && eff >= tsMillis) found = v
+      }
+      v += 1
+    }
+    found
+  }
+
+  /** [[instantSourced]] that treats a manifest vanished under a
+    * concurrent VACUUM as "no instant" — [[clockResolve]]'s
+    * TOCTOU-safe probe. */
+  private def sourcedOrNone(v: Long): Option[(Long, Boolean)] =
+    try Some(instantSourced(v))
+    catch { case _: java.io.FileNotFoundException => None }
 
   /** Snapshot as of a wall-clock instant — [[versionAsOf]] + [[snapshot]]. */
   def snapshotAsOf(tsMillis: Long): DataFrame = snapshot(versionAsOf(tsMillis))
@@ -606,22 +654,9 @@ final case class TxLog(spark: SparkSession, root: String,
     * earlier than `tsMillis` (the caller asked for a future window),
     * like Delta's timestamp-after-latest-commit error. */
   def versionAtOrAfter(tsMillis: Long): Long = {
-    val cur = currentVersion()
-    require(cur >= 0, s"TxLog table at $root has no commits")
-    // mirror of [[versionAsOf]]: lowest version at-or-after, by binary
-    // search over the same non-decreasing clock with the same
-    // vacuum-race handling
-    var lo = lowestExistingVersion(cur)
-    var hi = cur
-    var ans = -1L
-    while (lo <= hi) {
-      val mid = lo + (hi - lo) / 2
-      instantOrNone(mid) match {
-        case Some(i) if i >= tsMillis => ans = mid; hi = mid - 1
-        case Some(_)                  => lo = mid + 1
-        case None                     => lo = mid + 1
-      }
-    }
+    // mirror of [[versionAsOf]]: lowest version at-or-after, through
+    // the same assert-or-monotonize resolution ([[clockResolve]])
+    val ans = clockResolve(tsMillis, atOrBefore = false)
     require(ans >= 0,
       s"TxLog table at $root has no commit at or after timestamp $tsMillis " +
         "(the requested window starts after the latest commit)")
@@ -643,16 +678,13 @@ final case class TxLog(spark: SparkSession, root: String,
     // #ndirs= leads the rendered body), so a 1,000-commit table costs
     // 1,000 small header reads, never 1,000 full manifests (each can
     // carry thousands of range/bloom lines). Pre-#ndirs manifests
-    // fall back to one full read.
+    // fall back to one full read. The scan stops at #ndirs= (the last
+    // header a history row needs) or the first non-# line — NOT at a
+    // hard-coded line count, so a future header prepended at the
+    // choke point cannot silently push #ndirs out of the window.
     (lowestExistingVersion(cur) to cur)
       .filter(v => fs.exists(manifestPath(v))).reverse.map { v =>
-      val in = fs.open(manifestPath(v))
-      val head = try {
-        val br = new java.io.BufferedReader(
-          new java.io.InputStreamReader(in, "UTF-8"))
-        Iterator.continually(Option(br.readLine())).takeWhile(_.isDefined)
-          .flatten.take(4).toList
-      } finally in.close()
+      val head = readHeaderUntil(v, stopAfter = "#ndirs=")
       val op = head.find(_.startsWith("#op="))
         .map(_.stripPrefix("#op=")).getOrElse("UNKNOWN")
       // the same clock versionAsOf resolves against: recorded
@@ -1918,7 +1950,8 @@ final case class TxLog(spark: SparkSession, root: String,
     * changes) commits NOTHING and returns the current version. */
   def updateProperties(set: Seq[(String, String)], unset: Seq[String],
                        op: String = "UPDATE TBLPROPERTIES",
-                       replaceAll: Boolean = false): Long = {
+                       replaceAll: Boolean = false,
+                       unsetMustExist: Boolean = false): Long = {
     val kvs = set.map { case (k, v) => normalizeProp(k, v) }
     require(kvs.map(_._1).distinct.size == kvs.size,
       s"duplicate keys in SET TBLPROPERTIES: ${kvs.map(_._1).mkString(", ")}")
@@ -1928,6 +1961,18 @@ final case class TxLog(spark: SparkSession, root: String,
       val cur = currentVersion()
       require(cur >= 0, s"TxLog table at $root has no commits")
       val prev = readManifestFull(cur)
+      // strict-UNSET presence is validated INSIDE the retry loop,
+      // against the very property set the commit will replace — a
+      // pre-loop check goes stale the moment a concurrent SET/UNSET
+      // wins a race this attempt retries over
+      if (unsetMustExist) {
+        val present = prev.props.map(_._1).toSet
+        val missing = unset.filterNot(present)
+        require(missing.isEmpty,
+          s"no table propert${if (missing.size == 1) "y" else "ies"} " +
+            s"${missing.mkString(", ")} on the table at $root " +
+            "(UNSET TBLPROPERTIES IF EXISTS to ignore)")
+      }
       // replaceAll recomputes the drop set INSIDE the retry loop from
       // the version actually being replaced — a fixed pre-read list
       // would let a concurrently-SET key survive a REPLACE that must
@@ -1962,16 +2007,12 @@ final case class TxLog(spark: SparkSession, root: String,
     * already-recorded in-commit instants keep serving their versions. */
   def unsetProperties(keys: Seq[String], ifExists: Boolean = false): Long = {
     require(keys.nonEmpty, "UNSET TBLPROPERTIES with no keys")
-    val cur = currentVersion()
-    require(cur >= 0, s"TxLog table at $root has no commits")
-    val present = properties(cur).map(_._1).toSet
-    val missing = keys.filterNot(present)
-    require(ifExists || missing.isEmpty,
-      s"no table propert${if (missing.size == 1) "y" else "ies"} " +
-        s"${missing.mkString(", ")} on the table at $root " +
-        "(UNSET TBLPROPERTIES IF EXISTS to ignore)")
+    // presence (strict form) validates INSIDE updateProperties' retry
+    // loop, against the property set each attempt actually replaces —
+    // never against a pre-read that a concurrent SET/UNSET can stale
     updateProperties(Nil, keys,
-      op = s"UNSET TBLPROPERTIES (${keys.sorted.mkString(", ")})")
+      op = s"UNSET TBLPROPERTIES (${keys.sorted.mkString(", ")})",
+      unsetMustExist = !ifExists)
   }
 
   /** The instant version `v` became visible: the manifest's RECORDED
@@ -1988,23 +2029,52 @@ final case class TxLog(spark: SparkSession, root: String,
     * (root, version); an mtime fallback is NOT cached — file mtimes
     * can legitimately change under copies/migrations, and the raw
     * clock must observe that. */
-  def commitInstant(v: Long): Long = {
+  def commitInstant(v: Long): Long = instantSourced(v)._1
+
+  /** `(instant, recorded)` for version `v`: the RECORDED in-commit
+    * instant (`recorded = true`) or the publish-mtime fallback
+    * (`recorded = false`) — [[clockResolve]] needs the source to know
+    * whether the monotone-clock contract is guaranteed (ICT) or merely
+    * conventional (mtime). */
+  private def instantSourced(v: Long): (Long, Boolean) = {
     val key = (root, v)
     val cached = TxLog.instantCache.get(key)
-    if (cached != null) return cached.longValue()
+    if (cached != null) return (cached.longValue(), true)
     TxLog.instantReads.incrementAndGet()
-    val in = fs.open(manifestPath(v))
-    val head = try {
-      val br = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, "UTF-8"))
-      List(Option(br.readLine()), Option(br.readLine())).flatten
-    } finally in.close()
+    // scan prepended headers until #commitTs= or the first body line
+    // (#ndirs= / non-#) — never a hard-coded line count, so a future
+    // header prepended at the choke point cannot hide the instant
+    val head = readHeaderUntil(v, stopAfter = "#commitTs=")
     head.collectFirst {
       case l if l.startsWith("#commitTs=") => l.stripPrefix("#commitTs=").toLong
     } match {
-      case Some(ts) => TxLog.instantCache.put(key, ts); ts
-      case None => fs.getFileStatus(manifestPath(v)).getModificationTime
+      case Some(ts) => TxLog.instantCache.put(key, ts); (ts, true)
+      case None => (fs.getFileStatus(manifestPath(v)).getModificationTime, false)
     }
+  }
+
+  /** The manifest's leading `#`-header lines, up to and including the
+    * first starting with `stopAfter` (or up to the first non-`#` line
+    * when that header is absent) — the bounded-read primitive behind
+    * [[commitInstant]] and [[history]]. Scanning by PREFIX instead of
+    * a hard-coded line count keeps both resolvers correct if another
+    * header is ever prepended at the commit choke point. */
+  private def readHeaderUntil(v: Long, stopAfter: String): List[String] = {
+    val in = fs.open(manifestPath(v))
+    try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8"))
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var line = br.readLine()
+      var done = false
+      while (!done && line != null && line.startsWith("#")) {
+        out += line
+        done = line.startsWith(stopAfter) ||
+          line.startsWith("#ndirs=") // first rendered-body header
+        if (!done) line = br.readLine()
+      }
+      out.toList
+    } finally in.close()
   }
 
   /** [[commitInstant]] that treats a manifest vanished under a
@@ -3801,15 +3871,38 @@ object TxLog {
   private[pipeline] val scanStatsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), ScanStatsView]()
 
+  /** Size-capped LRU metadata cache (access-ordered LinkedHashMap
+    * behind its own lock): a long-lived driver process touching many
+    * tables and versions holds BOUNDED memory — entries past capacity
+    * evict least-recently-used, and a miss merely re-reads a tiny
+    * manifest header/footer. Plain lock, not striping: entries are
+    * hit on the driver during plan/metadata resolution, never in a
+    * hot executor path. */
+  private[pipeline] final class BoundedCache[K, V >: Null <: AnyRef](capacity: Int) {
+    private val m = new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        size() > capacity
+    }
+    def get(k: K): V = m.synchronized(m.get(k))
+    def put(k: K, v: V): Unit = m.synchronized { m.put(k, v); () }
+    def removeIf(p: K => Boolean): Unit = m.synchronized {
+      val it = m.keySet.iterator()
+      while (it.hasNext) if (p(it.next())) it.remove()
+    }
+    def clear(): Unit = m.synchronized(m.clear())
+  }
+
   /** Process-wide (root, version) → RECORDED commit instant. Only
     * in-commit (ICT) instants cache — they are immutable once the
     * manifest publishes; mtime-derived instants are not (copies and
     * migrations legitimately move them, and the raw clock must see
     * that). Vacuumed versions never get probed ([[TxLog.versionAsOf]]
     * resolves over surviving versions only), so stale entries for
-    * deleted manifests are harmless. */
+    * deleted manifests are harmless — and bounded: the cache evicts
+    * LRU past ~64k entries (≈ a few MB) instead of growing for the
+    * life of the process. */
   private[pipeline] val instantCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+    new BoundedCache[(String, Long), java.lang.Long](65536)
 
   /** Header reads [[TxLog.commitInstant]] performed (cache misses) —
     * test instrumentation for the bounded-read time-travel contract. */
@@ -3817,9 +3910,10 @@ object TxLog {
 
   /** Process-wide (root, version) → sorted property set — same
     * immutability argument and same purge discipline as
-    * [[TxLog.instantCache]]. */
+    * [[TxLog.instantCache]]; LRU-bounded (property sets are bigger
+    * than instants, so the cap is lower). */
   private[pipeline] val propsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[(String, String)]]()
+    new BoundedCache[(String, Long), Seq[(String, String)]](4096)
 
   /** A commit of `version` at `root` invalidates cached metadata for
     * that version AND everything above it: a table deleted and
@@ -3829,7 +3923,7 @@ object TxLog {
     * out-of-scope coherence problem every snapshot cache has). In
     * normal forward operation the purged range is empty. */
   private[pipeline] def purgeMetaCaches(root: String, version: Long): Unit = {
-    instantCache.keySet.removeIf(k => k._1 == root && k._2 >= version)
-    propsCache.keySet.removeIf(k => k._1 == root && k._2 >= version)
+    instantCache.removeIf(k => k._1 == root && k._2 >= version)
+    propsCache.removeIf(k => k._1 == root && k._2 >= version)
   }
 }

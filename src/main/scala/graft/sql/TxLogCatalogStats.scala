@@ -3,7 +3,8 @@ package graft.sql
 import graft.pipeline.TxLog
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types._
 
@@ -32,12 +33,18 @@ import org.apache.spark.sql.types._
   *     broadcast threshold under DEFAULT configs — worse than no
   *     stats. CBO off ⇒ plan untouched ⇒ file-size estimates, Spark's
   *     own catalog behavior.
-  *   - Injection requires the snapshot plan to contain EXACTLY ONE
-  *     parquet relation. A merge-on-read snapshot (tombstone anti-join
-  *     sidecars) or a schema-evolution union resolves to several
-  *     relations; stamping each with the FULL table's rowCount would
-  *     multiply the estimate and mis-plan the very joins this feature
-  *     exists to improve. Conservative skip, never a wrong number.
+  *   - Statistics attach only to DATA relations — parquet relations
+  *     that CONTRIBUTE rows. Merge-on-read tombstone sidecars sit
+  *     under the right (subtrahend) side of a LeftAnti join: they
+  *     subtract rows and keep their real file-size estimates
+  *     (delete-volume-bounded — they broadcast on their own). When a
+  *     snapshot reads as several data relations (clean-dirs batch scan
+  *     unioned with per-dir anti-joins, schema-evolution unions), the
+  *     table statistics are APPORTIONED across them by file bytes —
+  *     never stamped in full on each, which would multiply the
+  *     estimate and mis-plan the very joins this feature exists to
+  *     improve. A one-row GDPR delete therefore does not de-CBO a
+  *     100 TB table until REORG.
   *
   * Staleness follows Spark's catalog behavior: statistics recorded at
   * `graft.stats.version` keep serving until the next ANALYZE, however
@@ -53,21 +60,50 @@ object TxLogCatalogStats {
 
   private val Fields = Seq("ndv", "nulls", "min", "max", "version")
 
-  /** `plan` with ANALYZE statistics attached to its scan relation, or
-    * `plan` unchanged when the table was never analyzed, CBO is off,
-    * or the plan is not a single-relation read (guards above).
-    * `version` pins the SAME snapshot the caller resolved — reading
-    * "current" properties independently would race a concurrent
-    * commit and attach version-N+1 stats to a version-N plan. Min/max
-    * attach only for numeric columns — their cast-to-string rendering
-    * round-trips through Spark's external-string parser; other types'
-    * renderings might not, and a planning-time parse failure is worse
-    * than a missing bound. */
+  /** [[CatalogColumnStat]]'s v2 external timestamp format (UTC,
+    * 6-digit fraction) — the exact shape the ANALYZE producer renders
+    * and the shape validated before attaching a timestamp bound. */
+  private val TsExternal = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** The DATA relations of a snapshot plan: every parquet relation that
+    * CONTRIBUTES rows — i.e. not under the right (subtrahend) side of a
+    * merge-on-read LeftAnti tombstone join. */
+  private def dataRelations(plan: LogicalPlan): Seq[LogicalRelation] = plan match {
+    case j: Join if j.joinType == LeftAnti => dataRelations(j.left)
+    case lr: LogicalRelation => Seq(lr)
+    case other => other.children.flatMap(dataRelations)
+  }
+
+  /** `plan` with ANALYZE statistics attached to its data relations, or
+    * `plan` unchanged when the table was never analyzed or CBO is off
+    * (guards above). `version` pins the SAME snapshot the caller
+    * resolved — reading "current" properties independently would race
+    * a concurrent commit and attach version-N+1 stats to a version-N
+    * plan.
+    *
+    * A snapshot can read as SEVERAL data relations — clean dirs batch
+    * into one scan, each tombstoned dir anti-joins its sidecar, a
+    * schema-evolution union keeps per-footer scans — and the recorded
+    * rowCount describes their UNION. Stamping each with the full count
+    * would multiply the estimate, so the table statistics are
+    * APPORTIONED by each relation's file bytes (the only size signal
+    * available without a scan): row/null counts scale with the byte
+    * share, ndv and min/max attach verbatim (a superset bound is a
+    * valid estimate for any subset). The dominant dir gets ~all rows,
+    * an empty seed dir ~none — and a one-row GDPR delete no longer
+    * de-CBOs a 100 TB table until REORG.
+    *
+    * Min/max attach for numeric, DATE and TIMESTAMP columns;
+    * date/timestamp strings are parse-VALIDATED against the
+    * external-string contract first, because a planning-time parse
+    * failure inside the optimizer is worse than a missing bound. */
   def withStats(name: String, t: TxLog, version: Long,
                 plan: LogicalPlan): LogicalPlan = {
     val conf = org.apache.spark.sql.internal.SQLConf.get
     if (!conf.cboEnabled && !conf.planStatsEnabled) return plan
-    if (plan.collect { case lr: LogicalRelation => lr }.size != 1) return plan
+    val data = dataRelations(plan)
+    if (data.isEmpty) return plan
     val props = t.properties(version).toMap
     val rowCount = props.get("graft.stats.numRows")
       .flatMap(s => scala.util.Try(BigInt(s)).toOption)
@@ -76,6 +112,9 @@ object TxLogCatalogStats {
       .flatMap(s => scala.util.Try(BigInt(s)).toOption)
       .filter(_ > 0)
       .getOrElse(rowCount.get.max(1) * 32)
+    val bytes = data.map(lr => math.max(lr.relation.sizeInBytes, 1L))
+    val totalBytes = BigInt(bytes.sum)
+    def share(total: BigInt, i: Int): BigInt = total * bytes(i) / totalBytes
     val byCol: Map[String, Map[String, String]] = props.toSeq.collect {
       case (k, v) if k.startsWith("graft.stats.col.") =>
         val rest = k.stripPrefix("graft.stats.col.")
@@ -84,25 +123,34 @@ object TxLogCatalogStats {
             (rest.dropRight(f.length + 1), f -> v)
         }
     }.flatten.groupBy(_._1).map { case (c, kvs) => c -> kvs.map(_._2).toMap }
-    def numeric(dt: DataType): Boolean = dt match {
+    // can the optimizer's external-string parser read this bound back?
+    // numerics pass through (their cast-to-string rendering is the
+    // external form); DATE/TIMESTAMP are parse-validated against the
+    // v2 contract (ISO local date; UTC 6-digit-fraction timestamp)
+    def bound(dt: DataType, s: Option[String]): Option[String] = dt match {
       case ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | _: DecimalType => true
-      case _ => false
+           FloatType | DoubleType | _: DecimalType => s
+      case DateType => s.filter(v =>
+        scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)
+      case TimestampType => s.filter(v =>
+        scala.util.Try(java.time.LocalDateTime.parse(v, TsExternal)).isSuccess)
+      case _ => None
     }
-    def colStat(c: String, dt: DataType): Option[CatalogColumnStat] =
+    def colStat(c: String, dt: DataType, i: Int): Option[CatalogColumnStat] =
       byCol.get(c).map { m =>
         CatalogColumnStat(
           distinctCount = m.get("ndv").flatMap(s =>
             scala.util.Try(BigInt(s)).toOption),
-          min = if (numeric(dt)) m.get("min") else None,
-          max = if (numeric(dt)) m.get("max") else None,
+          min = bound(dt, m.get("min")),
+          max = bound(dt, m.get("max")),
           nullCount = m.get("nulls").flatMap(s =>
-            scala.util.Try(BigInt(s)).toOption))
+            scala.util.Try(BigInt(s)).toOption).map(share(_, i)))
       }
     plan.transform {
-      case lr: LogicalRelation if lr.catalogTable.isEmpty =>
+      case lr: LogicalRelation if data.exists(_ eq lr) =>
+        val i = data.indexWhere(_ eq lr)
         val colStats = lr.output.flatMap(a =>
-          colStat(a.name, a.dataType).map(a.name -> _)).toMap
+          colStat(a.name, a.dataType, i).map(a.name -> _)).toMap
         val ct = CatalogTable(
           identifier = TableIdentifier(name.split('.').last),
           tableType = CatalogTableType.EXTERNAL,
@@ -110,7 +158,8 @@ object TxLogCatalogStats {
           schema = StructType(lr.output.map(a =>
             StructField(a.name, a.dataType, a.nullable))),
           provider = Some("graft"),
-          stats = Some(CatalogStatistics(sizeInBytes, rowCount, colStats)))
+          stats = Some(CatalogStatistics(
+            share(sizeInBytes, i).max(1), Some(share(rowCount.get, i)), colStats)))
         lr.copy(catalogTable = Some(ct))
     }
   }

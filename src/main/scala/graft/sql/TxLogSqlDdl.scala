@@ -466,6 +466,23 @@ case class TxLogCreateTableCommand(name: String, colsDdl: Option[String],
     if (tableMaterialized) {
       if (orReplace) t.replaceProperties(props)
       else if (props.nonEmpty) t.setProperties(props)
+    } else if (props.nonEmpty) {
+      // no-op branch (IF NOT EXISTS on existing / CTAS no-op / attach):
+      // declared properties do NOT commit — but a declared value that
+      // CONFLICTS with the stored one must fail loudly, never be
+      // silently discarded (the user believes the configuration is in
+      // effect; e.g. a declared ICT arm that isn't). A replayed
+      // SHOW CREATE TABLE attach declares the committed values
+      // verbatim and passes.
+      val stored = t.properties().toMap
+      val conflicts = props.filter { case (k, v) => !stored.get(k).contains(v) }
+      if (conflicts.nonEmpty)
+        TxLogDdl.fail(s"table at $root already exists and this statement is a " +
+          "no-op, but its declared TBLPROPERTIES differ from the stored ones: " +
+          conflicts.map { case (k, v) =>
+            s"$k='$v' (stored: ${stored.get(k).fold("<absent>")(s => s"'$s'")})"
+          }.mkString(", ") +
+          " — use ALTER TABLE … SET TBLPROPERTIES to change table configuration")
     }
     TxLogSql.register(name, t, keys)
     TxLogSql.committed(root)
@@ -761,7 +778,7 @@ case class TxLogAnalyzeCommand(name: String, cols: Seq[String],
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min, unix_micros}
     val t = TxLog(session, TxLogDdl.rootOf(name))
     val v = t.currentVersion()
     val snap = t.snapshot(v)
@@ -770,14 +787,31 @@ case class TxLogAnalyzeCommand(name: String, cols: Seq[String],
     if (missing.nonEmpty)
       TxLogDdl.fail(s"ANALYZE TABLE $name: no column(s) " +
         s"${missing.mkString(", ")} (have: ${snap.columns.mkString(", ")})")
+    // TIMESTAMP min/max travel as epoch MICROS (session-tz-independent)
+    // and are rendered driver-side in CatalogColumnStat's v2 external
+    // format (UTC, 6-digit fraction) — a cast-to-string would render in
+    // the session zone and trim fractions, and the stats CONSUMER
+    // ([[graft.sql.TxLogCatalogStats]]) must hand the optimizer strings
+    // its external-string parser is guaranteed to read back.
+    val isTs = targets.map(c => c -> (snap.schema(c).dataType == TimestampType)).toMap
     val aggs = count(lit(1)).as("__n") +: targets.flatMap { c =>
+      val (mn, mx) =
+        if (isTs(c)) (unix_micros(min(col(c))), unix_micros(max(col(c))))
+        else (min(col(c)), max(col(c)))
       Seq(countDistinct(col(c)).as(s"__ndv_$c"),
         count(col(c)).as(s"__nn_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        mn.cast("string").as(s"__min_$c"),
+        mx.cast("string").as(s"__max_$c"))
     }
     val r = snap.agg(aggs.head, aggs.tail: _*).head()
     val nRows = r.getAs[Long]("__n")
+    val tsExternal = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    def render(c: String, s: String): String =
+      if (s == null || !isTs(c)) s
+      else tsExternal.format(java.time.Instant.EPOCH.plus(
+        s.toLong, java.time.temporal.ChronoUnit.MICROS))
     def clean(s: String): Option[String] =
       Option(s).filterNot(_.exists("\t\n\r".contains(_)))
     val colProps = targets.flatMap { c =>
@@ -790,8 +824,10 @@ case class TxLogAnalyzeCommand(name: String, cols: Seq[String],
         // is judged per column, not from the table-level
         // graft.stats.version this pass refreshes
         s"graft.stats.col.$c.version" -> v.toString) ++
-        clean(r.getAs[String](s"__min_$c")).map(s"graft.stats.col.$c.min" -> _) ++
-        clean(r.getAs[String](s"__max_$c")).map(s"graft.stats.col.$c.max" -> _)
+        clean(render(c, r.getAs[String](s"__min_$c")))
+          .map(s"graft.stats.col.$c.min" -> _) ++
+        clean(render(c, r.getAs[String](s"__max_$c")))
+          .map(s"graft.stats.col.$c.max" -> _)
     }
     val (nFiles, bytes) = t.detailStats()
     val fresh = Seq(

@@ -86,9 +86,13 @@ class CboSpec extends SparkTestBase {
       FROM cbo_txlog a
       JOIN (SELECT id, pad FROM cbo_txlog WHERE id <= 100) b
         ON a.id = b.id"""
+    // INNER joins only: once a deletion vector is live the MoR read
+    // itself plans a (broadcast) LeftAnti subtraction, which must not
+    // satisfy the assertion for the query join under test
     def hasBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.sparkPlan.collect {
-        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if b.joinType == org.apache.spark.sql.catalyst.plans.Inner => b
       }.nonEmpty
     withConf("spark.sql.cbo.enabled" -> "true",
       "spark.sql.adaptive.enabled" -> "false",
@@ -116,6 +120,18 @@ class CboSpec extends SparkTestBase {
       assert(scanStats.nonEmpty, "no graft-stamped relation in the plan")
       assert(scanStats.exists(_.rowCount.contains(BigInt(30000))),
         s"scan stats missing the ANALYZEd rowCount: $scanStats")
+      // a LIVE DELETION VECTOR must not de-CBO the table: after a
+      // merge-on-read DELETE (tombstone sidecar, multi-relation plan)
+      // and a re-ANALYZE, the base relation still carries stats and
+      // the filtered join still flips to broadcast
+      graft.pipeline.TxLog(spark, loc).deleteWhere("id >= 29000")
+      spark.sql("ANALYZE TABLE cbo_txlog COMPUTE STATISTICS FOR COLUMNS id")
+      val dv = spark.sql(sql)
+      assert(hasBroadcast(dv),
+        "stats stopped flipping the join to broadcast once a deletion " +
+          "vector was live:\n" +
+          dv.queryExecution.optimizedPlan.toString.take(2000))
+      assert(dv.head().getLong(0) === 101L)
     }
     // time-traveled reads do NOT carry the stats (they describe the
     // analyzed snapshot, not an arbitrary historical one)
@@ -127,7 +143,107 @@ class CboSpec extends SparkTestBase {
     TxLogSql.unregister("cbo_txlog")
   }
 
-  test("stats injection guards: inert with CBO off; skipped on multi-relation (MoR) snapshots") {
+  test("DATE min/max stats: a date-range predicate's selectivity flips the join to broadcast") {
+    import graft.sql.TxLogSql
+    val loc = tmpDir("cbo_dates")
+    spark.sql(s"""
+      CREATE TABLE cbo_dates (d DATE, pad STRING) USING graft
+      TBLPROPERTIES ('keys' = 'd') LOCATION '$loc'""")
+    // 30k rows over 1,000 consecutive days; incompressible padding so
+    // the parquet footprint sits far above the broadcast threshold
+    spark.range(30000).selectExpr(
+        "date_add(DATE'2024-01-01', CAST(id % 1000 AS INT)) AS d",
+        "md5(CAST(id AS STRING)) AS pad")
+      .createOrReplaceTempView("cbo_dates_src")
+    spark.sql("INSERT INTO cbo_dates SELECT d, pad FROM cbo_dates_src")
+    // dates are the dominant selectivity dimension of this pipeline
+    // family (date-partitioned gold; the reference's watermark is a
+    // date surrogate): d >= max-2 keeps 3 of 1,000 days ≈ 0.3%
+    val sql = """
+      SELECT count(*) AS n
+      FROM cbo_dates a
+      JOIN (SELECT d, pad FROM cbo_dates WHERE d >= DATE'2026-09-24') b
+        ON a.d = b.d"""
+    def innerBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if b.joinType == org.apache.spark.sql.catalyst.plans.Inner => b
+      }.nonEmpty
+    withConf("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString) {
+      assert(!innerBroadcast(spark.sql(sql)),
+        "join broadcast before any statistics existed — threshold too high?")
+      spark.sql("ANALYZE TABLE cbo_dates COMPUTE STATISTICS FOR COLUMNS d")
+      // WITHOUT date min/max the filter over d would keep the default
+      // selectivity and the filtered side would stay sort-merge; the
+      // bounds make it ~0.3% → estimated bytes under the threshold
+      val df = spark.sql(sql)
+      assert(innerBroadcast(df),
+        "DATE min/max stats did not flip the date-filtered join to broadcast:\n" +
+          df.queryExecution.optimizedPlan.toString.take(2000))
+      // 3 qualifying days × 30 rows/day joined against the same 3 days
+      assert(df.head().getLong(0) === (3L * 30 * 30))
+      // round-trip: the stamped bounds surface as Catalyst INTERNAL
+      // date values (days since epoch) in the plan's column statistics
+      val dStats = df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.catalogTable.isDefined =>
+          lr.stats.attributeStats.collect {
+            case (a, s) if a.name == "d" => s }
+      }.flatten
+      assert(dStats.nonEmpty, "no column statistics for d on the stamped scan")
+      val epochDay = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toInt
+      assert(dStats.exists(_.min.contains(epochDay)),
+        s"date min did not round-trip to internal days: ${dStats.map(_.min)}")
+      assert(dStats.exists(_.max.contains(epochDay + 999)),
+        s"date max did not round-trip to internal days: ${dStats.map(_.max)}")
+    }
+    TxLogSql.unregister("cbo_dates")
+  }
+
+  test("TIMESTAMP stats round-trip: UTC 6-digit external rendering parses back to exact micros") {
+    import graft.pipeline.TxLog
+    import graft.sql.TxLogSql
+    val loc = tmpDir("cbo_ts")
+    spark.sql(s"""
+      CREATE TABLE cbo_ts (ts TIMESTAMP, v BIGINT) USING graft
+      TBLPROPERTIES ('keys' = 'v') LOCATION '$loc'""")
+    spark.range(1000).selectExpr(
+        "timestampadd(SECOND, CAST(id AS INT), TIMESTAMP'2024-06-01 08:30:00.123456') AS ts",
+        "id AS v")
+      .createOrReplaceTempView("cbo_ts_src")
+    spark.sql("INSERT INTO cbo_ts SELECT ts, v FROM cbo_ts_src")
+    spark.sql("ANALYZE TABLE cbo_ts COMPUTE STATISTICS FOR COLUMNS ts")
+    // the persisted rendering is the external-string contract's v2
+    // shape: UTC, space separator, 6-digit fraction — session-zone
+    // casts would shift the instant and trim the fraction
+    val props = TxLog(spark, loc).properties().toMap
+    assert(props("graft.stats.col.ts.min") === "2024-06-01 08:30:00.123456",
+      s"unexpected external min rendering: ${props("graft.stats.col.ts.min")}")
+    assert(props("graft.stats.col.ts.max") === "2024-06-01 08:46:39.123456",
+      s"unexpected external max rendering: ${props("graft.stats.col.ts.max")}")
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val df = spark.sql("SELECT * FROM cbo_ts")
+      val tsStats = df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.catalogTable.isDefined =>
+          lr.stats.attributeStats.collect {
+            case (a, s) if a.name == "ts" => s }
+      }.flatten
+      assert(tsStats.nonEmpty, "no column statistics for ts on the stamped scan")
+      // exact micros: the parse must land on the written instants
+      val expectMin = spark.sql(
+        "SELECT unix_micros(TIMESTAMP'2024-06-01 08:30:00.123456')").head().getLong(0)
+      assert(tsStats.exists(_.min.contains(expectMin)),
+        s"timestamp min did not round-trip to exact micros: ${tsStats.map(_.min)}")
+      assert(tsStats.exists(_.max.contains(expectMin + 999L * 1000000)),
+        s"timestamp max did not round-trip to exact micros: ${tsStats.map(_.max)}")
+    }
+    TxLogSql.unregister("cbo_ts")
+  }
+
+  test("stats injection guards: inert with CBO off; MoR snapshot stamps the BASE relation only") {
     import graft.pipeline.TxLog
     import graft.sql.TxLogSql
     import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -153,17 +269,36 @@ class CboSpec extends SparkTestBase {
       assert(stamped(spark.sql("SELECT * FROM cbo_guards")),
         "stats missing under CBO on a single-relation snapshot")
       // a merge-on-read DELETE makes the snapshot a multi-relation
-      // plan (tombstone anti-join sidecars): stamping each relation
-      // with the FULL table's rowCount would multiply the estimate,
-      // so injection must skip — conservative, never a wrong number
+      // plan (tombstone anti-join sidecars). Sidecars sit under the
+      // SUBTRAHEND side of a LeftAnti join — they subtract rows, they
+      // don't contribute them — so they stay UNstamped, while the
+      // table statistics APPORTION across the data relations by file
+      // bytes: the counts must never multiply (a full stamp on each
+      // relation would), and the bulk must land on the data dir (a
+      // one-row delete must not de-CBO the table until REORG).
       TxLog(spark, loc).deleteWhere("id % 10 = 0")
       spark.sql("ANALYZE TABLE cbo_guards COMPUTE STATISTICS FOR COLUMNS id")
       val mor = spark.sql("SELECT * FROM cbo_guards")
       val rels = mor.queryExecution.optimizedPlan.collect {
         case lr: LogicalRelation => lr }
       assert(rels.size > 1, "expected a multi-relation MoR snapshot plan")
-      assert(!stamped(mor),
-        "full-table stats were stamped onto a multi-relation snapshot")
+      val stampedCounts = mor.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation if lr.catalogTable.isDefined =>
+          lr.catalogTable.get.stats.get.rowCount.get }
+      assert(stampedCounts.nonEmpty,
+        "a live deletion vector de-CBO'd the table (no stamped relation)")
+      assert(stampedCounts.sum <= BigInt(450),
+        s"apportioned rowCounts exceed the table total: $stampedCounts")
+      assert(stampedCounts.max >= BigInt(300),
+        s"the data dir did not receive the bulk of the rows: $stampedCounts")
+      // the sidecar (under the anti-join's right side) is never stamped
+      val sidecarStamped = mor.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+          j.right.collect {
+            case lr: LogicalRelation if lr.catalogTable.isDefined => lr }
+      }.flatten
+      assert(sidecarStamped.isEmpty, "tombstone sidecar got table stats")
       assert(mor.count() === 450)
     }
     TxLogSql.unregister("cbo_guards")

@@ -119,6 +119,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
 
+  test("cosine calibrator: per-label sample cap executes as a WindowGroupLimit, no cartesian") {
+    val p = planOf("dedup_embedding_cosine")
+    // the md5-selected per-label sample (row_number ≤ cap) must run as
+    // the pushed-down group limit — a cap-sized heap per input
+    // partition — not a full per-label sort in one task
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    // and the pair stage stays a label equi-join over the capped
+    // sample, never an all-pairs cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
   test("repeated-span audit: the run-detection window partitions by document") {
     val p = planOf("text_repeated_spans")
     // gaps-and-islands must stay inside the doc — a partition-less

@@ -2029,4 +2029,81 @@ class TxLogSpec extends SparkTestBase {
     assert(t.versionAsOf(t.commitInstant(cur)) === cur)
     intercept[IllegalArgumentException](t.versionAsOf(ts - 1000000L))
   }
+
+  test("mtime clock perturbed out of order: resolution is MONOTONIZED, never silently wrong") {
+    val t = fresh("mtime_monotone")
+    t.overwrite(Seq((0L, "v0")).toDF("id", "v"))
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    // pin a clean mtime clock: v → base + v seconds
+    val base = 1700000000000L
+    def mf(v: Int) = new java.io.File(s"${t.root}/_txlog/%08d.json".format(v))
+    (0 to 4).foreach(v => assert(mf(v).setLastModified(base + v * 1000L)))
+    assert(t.versionAsOf(base + 2000L) === 2L) // sane clock resolves raw
+    // external tooling reorders ONE mtime far past the rest — the
+    // binary search's order-preserving precondition is gone; on the
+    // MONOTONIZED clock (running max) v1..v4 all read base+10000
+    assert(mf(1).setLastModified(base + 10000L))
+    // base+2000: raw probe at v2 (mtime base+2000) would happily
+    // answer 2 — but v2 became VISIBLE no earlier than v1 on any
+    // consistent reading, so the monotonized answer is 0
+    assert(t.versionAsOf(base + 2000L) === 0L)
+    assert(t.versionAsOf(base + 10000L) === 4L) // clamp: all ≤ perturbed instant
+    assert(t.versionAtOrAfter(base + 1L) === 1L) // lowest at-or-after, monotonized
+    intercept[IllegalArgumentException](t.versionAsOf(base - 1L))
+  }
+
+  test("header resolution scans by prefix: a future prepended header cannot hide op/instant/ndirs") {
+    val t = fresh("hdr_prefix")
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.setProperties(Seq(TxLog.IctProp -> "true"))
+    t.append(Seq((2L, "b")).toDF("id", "v"), op = "APPEND")
+    val cur = t.currentVersion()
+    val mp = java.nio.file.Paths.get(s"${t.root}/_txlog/%08d.json".format(cur))
+    val recorded = java.nio.file.Files.readString(mp).linesIterator
+      .find(_.startsWith("#commitTs=")).get.stripPrefix("#commitTs=").toLong
+    // a NEWER writer version prepends two headers this reader has
+    // never heard of — hard-coded line counts would push #commitTs=
+    // and #ndirs= out of the read window and silently degrade the
+    // clock to mtime / the history row to a full-manifest fallback
+    java.nio.file.Files.writeString(mp,
+      "#futureHeader=x\n#anotherFutureHeader=y\n" +
+        java.nio.file.Files.readString(mp))
+    TxLog.instantCache.clear() // recorded bytes changed
+    assert(t.commitInstant(cur) === recorded,
+      "prepended unknown headers hid the recorded commit instant")
+    val row = t.history().collect().find(_.getLong(0) == cur).get
+    assert(row.getTimestamp(1).getTime === recorded)
+    assert(row.getString(2) === "APPEND")
+  }
+
+  test("strict UNSET validates inside the commit path; IF EXISTS no-ops without a commit") {
+    val t = fresh("unset_strict")
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.setProperties(Seq("owner" -> "alice"))
+    val v = t.currentVersion()
+    // IF EXISTS on a missing key: no error, no commit
+    assert(t.unsetProperties(Seq("nope"), ifExists = true) === v)
+    // strict on a missing key: loud error, no commit burned
+    intercept[IllegalArgumentException](t.unsetProperties(Seq("nope")))
+    assert(t.currentVersion() === v)
+    // strict on a present key commits exactly once
+    assert(t.unsetProperties(Seq("owner")) === v + 1)
+    assert(!t.properties().toMap.contains("owner"))
+  }
+
+  test("metadata caches are size-capped LRU: eviction past capacity, hot keys survive") {
+    val c = new TxLog.BoundedCache[(String, Long), java.lang.Long](8)
+    (0 until 8).foreach(i => c.put(("t", i.toLong), java.lang.Long.valueOf(i.toLong)))
+    // touch key 0 so it is the most recently used
+    assert(c.get(("t", 0L)) === java.lang.Long.valueOf(0L))
+    // two inserts past capacity evict the two LEAST recently used (1, 2)
+    c.put(("t", 8L), java.lang.Long.valueOf(8L))
+    c.put(("t", 9L), java.lang.Long.valueOf(9L))
+    assert(c.get(("t", 0L)) !== null, "hot key evicted despite recent use")
+    assert(c.get(("t", 1L)) === null, "LRU key survived past capacity")
+    assert(c.get(("t", 2L)) === null, "LRU key survived past capacity")
+    assert(c.get(("t", 9L)) !== null)
+    c.removeIf(_._2 >= 8L)
+    assert(c.get(("t", 9L)) === null)
+  }
 }

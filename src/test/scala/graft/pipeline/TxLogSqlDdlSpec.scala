@@ -617,21 +617,36 @@ class TxLogSqlDdlSpec extends SparkTestBase {
     val t = TxLog(spark, loc)
     val v0 = t.currentVersion()
     val p0 = t.properties()
-    // IF NOT EXISTS on an existing table is a FULL no-op (ANSI/Delta):
-    // the declared TBLPROPERTIES must NOT commit to the existing table
+    // IF NOT EXISTS on an existing table is a no-op (ANSI/Delta): the
+    // declared TBLPROPERTIES must NOT commit — and when they MATCH the
+    // stored values (a SHOW CREATE TABLE replay) the statement passes
+    // quietly
     spark.sql(s"""
       CREATE TABLE IF NOT EXISTS sqlddl_noop (id BIGINT, v STRING)
-      USING graft TBLPROPERTIES ('owner' = 'intruder', 'sneak' = 'x')
+      USING graft TBLPROPERTIES ('owner' = 'original')
       LOCATION '$loc'""")
     assert(t.currentVersion() === v0,
       "IF-NOT-EXISTS-on-existing committed a version")
     assert(t.properties() === p0,
       "IF-NOT-EXISTS-on-existing changed table properties")
-    // CTAS IF NOT EXISTS no-op: same contract
-    spark.sql(s"""
+    // a CONFLICTING declared property must fail LOUDLY, never be
+    // silently discarded — the user believes the declared
+    // configuration is in effect (imagine a declared ICT arm that
+    // isn't); the error routes them to ALTER TABLE SET TBLPROPERTIES
+    val ec = intercept[Exception](spark.sql(s"""
+      CREATE TABLE IF NOT EXISTS sqlddl_noop (id BIGINT, v STRING)
+      USING graft TBLPROPERTIES ('owner' = 'intruder', 'sneak' = 'x')
+      LOCATION '$loc'"""))
+    assert(ec.getMessage.contains("TBLPROPERTIES") &&
+      ec.getMessage.contains("owner"), ec.getMessage)
+    assert(t.currentVersion() === v0 && t.properties() === p0,
+      "conflicting-props refusal still mutated the table")
+    // CTAS IF NOT EXISTS no-op: same contract, same conflict signal
+    val ec2 = intercept[Exception](spark.sql(s"""
       CREATE TABLE IF NOT EXISTS sqlddl_noop USING graft
       TBLPROPERTIES ('owner' = 'intruder2')
-      LOCATION '$loc' AS SELECT 9 AS id, 'z' AS v""")
+      LOCATION '$loc' AS SELECT 9 AS id, 'z' AS v"""))
+    assert(ec2.getMessage.contains("TBLPROPERTIES"), ec2.getMessage)
     assert(t.currentVersion() === v0 && t.properties() === p0,
       "CTAS no-op branch mutated the existing table")
     // data untouched too
