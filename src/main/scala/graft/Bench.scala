@@ -164,6 +164,17 @@ object Bench {
       java.nio.file.Paths.get("/root/repo/target/bench.json"), json.getBytes)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/tools/bench_full.json"), json.getBytes)
+    // tools/bench_full.json is overwritten IN PLACE each run, so a
+    // round's BENCH artifact (which carries only the compact tail +
+    // the map's sha16) would stop being matchable to its full map one
+    // run later. Archive a content-addressed copy keyed by that same
+    // sha16 — each round's artifact stands alone against its archive.
+    val mapSha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(json.getBytes).map("%02x".format(_)).mkString.take(16)
+    val archive = java.nio.file.Paths.get("/root/repo/tools/bench_archive")
+    java.nio.file.Files.createDirectories(archive)
+    java.nio.file.Files.write(
+      archive.resolve(s"bench_full_$mapSha.json"), json.getBytes)
     // per-query resource map (MB, 2dp): shuffle volumes + spill — the
     // scale-evidence sidecar BASELINE.md's scaling tables read
     val mb = 1024.0 * 1024.0
@@ -195,8 +206,7 @@ object Bench {
     // as tools/bench_full.json (sha256 below proves identity) and
     // printed in full above; parsers must treat `queries` here as
     // the top-N subset marked by `queries_truncated`.
-    val sha = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(json.getBytes).map("%02x".format(_)).mkString.take(16)
+    val sha = mapSha
     def r3(x: Double) = math.rint(x * 1000) / 1000
     val heavy = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }

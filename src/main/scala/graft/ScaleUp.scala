@@ -29,17 +29,24 @@ import org.apache.spark.sql.functions._
   * injective per-copy transform that preserves structure WITHIN the
   * copy exactly and destroys similarity ACROSS copies:
   *   - documents: a per-copy CHARACTER substitution (`translate` of
-  *     every printable-ASCII char into a copy-disjoint Unicode block)
-  *     — a per-char bijection, so within-copy token equality, token
-  *     lengths, and shingle structure are isomorphic to copy 0's,
-  *     cross-copy token overlap is zero (disjoint alphabets), and —
-  *     unlike the first cut's `w` → `w~c3` token tags, which grew
-  *     total characters ~15× at 10 copies and inflated every
-  *     char-bound query's ratio past the true data slope — the CHAR
-  *     count is preserved exactly: 10 copies = exactly 10× chars.
-  *     (Substituted chars are 3-byte UTF-8, so parquet bytes grow
-  *     faster than chars; the text queries are JVM-char-bound, which
-  *     is the axis the scaling ratios measure.)
+  *     every printable-ASCII char through a copy-specific ROTATION of
+  *     the printable-ASCII alphabet) — a per-char bijection, so
+  *     within-copy token equality, token lengths, and shingle
+  *     structure are isomorphic to copy 0's, while cross-copy token
+  *     overlap collapses to background noise (distinct nonzero
+  *     relative rotations: two copies share a token only when one
+  *     token happens to be the other's rotation — the same collision
+  *     rate as unrelated text). Two earlier schemes measured their
+  *     own artifacts instead of the data slope: `w` → `w~c3` token
+  *     tags grew total characters ~15× at 10 copies, and the r9 CJK
+  *     block substitution kept CHARS exact but turned every
+  *     substituted char into 3-byte UTF-8 — copies lost
+  *     `UTF8String`'s ASCII fast path and parquet bytes grew ~2.6×
+  *     past chars, inflating char-bound scans (the r12
+  *     `text_lang_confusion` 5.7× residual). The rotation keeps the
+  *     text ASCII: 10 copies = exactly 10× chars AND exactly 10×
+  *     bytes, so char-bound and byte-bound queries measure the same
+  *     slope.
   *   - embeddings: dimensions cyclically rotated by the copy index — a
   *     permutation is orthogonal, so within-copy norms/distances are
   *     bit-preserved while cross-copy cosines collapse to background
@@ -130,13 +137,20 @@ object ScaleUp {
 
     val documents = read("documents")
     val docOff = offsetOf(documents, "doc_id")
-    // fixed-width injective transform: every printable ASCII char maps
-    // 1:1 into a per-copy block of the CJK range (space untouched, so
-    // tokenization is unchanged). n_chars recomputed defensively; it
-    // is provably identical (per-char substitution preserves length).
+    // fixed-width injective ASCII-preserving transform: every
+    // printable ASCII char maps 1:1 through a per-copy rotation of
+    // the printable-ASCII alphabet (space untouched, so tokenization
+    // is unchanged; output stays 1-byte UTF-8, so bytes scale exactly
+    // like chars). Rotation step 37 is coprime to 94 and c·37 mod 94
+    // is distinct and nonzero for c = 1..9, so every copy pair sits a
+    // nonzero relative rotation apart — cross-copy token overlap is
+    // background noise. n_chars recomputed defensively; it is provably
+    // identical (per-char substitution preserves length).
     val fromChars = (0x21 to 0x7E).map(_.toChar).mkString
-    def toChars(c: Int): String = fromChars.indices
-      .map(i => (0x4E00 + (c - 1) * fromChars.length + i).toChar).mkString
+    def toChars(c: Int): String = {
+      val k = (c * 37) % fromChars.length
+      fromChars.drop(k) + fromChars.take(k)
+    }
     write(scaled(documents, Seq("doc_id" -> docOff)) { (d, c) =>
       if (c == 0) d
       else d.withColumn("text", translate(col("text"), fromChars, toChars(c)))

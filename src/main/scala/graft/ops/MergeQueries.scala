@@ -420,13 +420,12 @@ object MergeQueries {
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
           col("c_acctbal").cast("decimal(18,2)").as("c_acctbal")))
       graft.sql.TxLogSql.register("txlog_updmor_tgt", t)
-      spark.conf.set("spark.graft.update.mode", "mor")
-      try {
+      Q.withConf(spark, "spark.graft.update.mode" -> "mor") {
         spark.sql("""
           UPDATE txlog_updmor_tgt
           SET c_acctbal = c_acctbal + 50, c_name = concat(c_name, ' ~')
           WHERE c_mktsegment = 'MACHINERY'""")
-      } finally spark.conf.unset("spark.graft.update.mode")
+      }
       spark.sql("DELETE FROM txlog_updmor_tgt WHERE c_acctbal < 0")
       spark.sql("REORG TABLE txlog_updmor_tgt APPLY (PURGE)")
       t.snapshot().select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
@@ -1498,13 +1497,10 @@ object MergeQueries {
         FROM $name a
         JOIN (SELECT id, bal FROM $name WHERE id <= 20) b ON a.id = b.id
         GROUP BY a.seg"""
-      val saved = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
-        "spark.sql.autoBroadcastJoinThreshold").map(k =>
-        k -> spark.conf.getOption(k))
-      try {
-        spark.conf.set("spark.sql.cbo.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 4 * 1024)
+      Q.withConf(spark,
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> (4 * 1024).toString) {
         val df = spark.sql(sql)
         val bhj = df.queryExecution.sparkPlan.collect {
           case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
@@ -1515,8 +1511,7 @@ object MergeQueries {
         df.collect() // materialize under the scoped confs
         graft.sql.TxLogSql.unregister(name)
         df
-      } finally saved.foreach { case (k, v) =>
-        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      }
     }, oracle = Some("""
       SELECT c_mktsegment AS seg, count(*) AS n_cust,
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum

@@ -596,6 +596,7 @@ final case class TxLog(spark: SparkSession, root: String,
     val cur = currentVersion()
     require(cur >= 0, s"TxLog table at $root has no commits")
     val low = lowestExistingVersion(cur)
+    primeInstantsFromSidecar(low, cur)
     var allRecorded = true
     var lo = low
     var hi = cur
@@ -667,37 +668,145 @@ final case class TxLog(spark: SparkSession, root: String,
     * (the manifest's publish mtime, the same clock [[versionAsOf]]
     * resolves against), the operation recorded at commit (`#op=`
     * header; pre-op manifests read UNKNOWN), and the snapshot's dir
-    * count. Newest first, like Delta's DESCRIBE HISTORY. */
+    * count. Newest first, like Delta's DESCRIBE HISTORY.
+    *
+    * CHECKPOINT-FIRST reads (the `_last_checkpoint` analog the
+    * `_latest` hint already plays for version resolution): versions
+    * covered by the validated [[trustedSidecar]] cost ZERO manifest
+    * opens — a 1,000-commit table is one sidecar read + one
+    * spot-check header + O(commits since the last refresh) header
+    * reads, never 1,000 opens. Uncovered versions fall back to the
+    * bounded per-header read ([[histEntryOf]]). */
   def history(): DataFrame = {
     val cur = currentVersion()
     require(cur >= 0, s"TxLog table at $root has no commits")
     import spark.implicits._
-    // BOUNDED reads: everything a history row needs — operation,
-    // commit instant, dir count — rides the first few header lines
-    // (#op= / #commitTs= are prepended at the commit choke point,
-    // #ndirs= leads the rendered body), so a 1,000-commit table costs
-    // 1,000 small header reads, never 1,000 full manifests (each can
-    // carry thousands of range/bloom lines). Pre-#ndirs manifests
-    // fall back to one full read. The scan stops at #ndirs= (the last
-    // header a history row needs) or the first non-# line — NOT at a
-    // hard-coded line count, so a future header prepended at the
-    // choke point cannot silently push #ndirs out of the window.
-    (lowestExistingVersion(cur) to cur)
-      .filter(v => fs.exists(manifestPath(v))).reverse.map { v =>
-      val head = readHeaderUntil(v, stopAfter = "#ndirs=")
-      val op = head.find(_.startsWith("#op="))
-        .map(_.stripPrefix("#op=")).getOrElse("UNKNOWN")
-      // the same clock versionAsOf resolves against: recorded
-      // in-commit instant when present, publish mtime otherwise
-      val ts = head.collectFirst {
-        case l if l.startsWith("#commitTs=") =>
-          l.stripPrefix("#commitTs=").toLong
-      }.getOrElse(fs.getFileStatus(manifestPath(v)).getModificationTime)
-      val nDirs = head.collectFirst {
-        case l if l.startsWith("#ndirs=") => l.stripPrefix("#ndirs=").toInt
-      }.getOrElse(readManifestFull(v).dirs.size)
-      (v, new java.sql.Timestamp(ts), op, nDirs)
-    }.toDF("version", "timestamp", "operation", "n_dirs")
+    val low = lowestExistingVersion(cur)
+    val side = trustedSidecar(low, cur)
+    (low to cur).reverse.flatMap { v =>
+      side.get(v).orElse(
+        // TOCTOU under a concurrent VACUUM: a vanished manifest is a
+        // vacuumed-prefix member, its row simply drops out
+        try Some(histEntryOf(v))
+        catch { case _: java.io.FileNotFoundException => None })
+    }.map(e => (e.version, new java.sql.Timestamp(e.instant), e.op, e.nDirs))
+      .toDF("version", "timestamp", "operation", "n_dirs")
+  }
+
+  // ---- history checkpoint sidecar ---------------------------------------
+  // `_txlog/_history`: a compacted copy of every version's history
+  // header (instant + its source, op, dir count) — the DESCRIBE
+  // HISTORY / cold-clock analog of Delta's `_last_checkpoint`. Same
+  // discipline as the `_latest` hint: best-effort advisory writes,
+  // readers VALIDATE before trusting, correctness never depends on it
+  // — only request count does.
+
+  private def historySidecarPath = new Path(logDir, "_history")
+  private final val SidecarHeader = "#graftHistory=1"
+
+  /** One compacted history row. `recorded` marks an in-commit (ICT)
+    * instant — immutable, safe to feed the clock cache; mtime-derived
+    * instants serve DESCRIBE HISTORY display but never the raw clock. */
+  private[pipeline] final case class HistEntry(version: Long, instant: Long,
+      recorded: Boolean, nDirs: Int, op: String)
+
+  /** A version's history fields from its manifest header — the
+    * bounded per-version read the sidecar checkpoints. */
+  private def histEntryOf(v: Long): HistEntry = {
+    val head = readHeaderUntil(v, stopAfter = "#ndirs=")
+    // tab-sanitized at the SOURCE so the header path and the sidecar's
+    // tab-separated line format can never disagree on the same version
+    val op = head.find(_.startsWith("#op="))
+      .map(_.stripPrefix("#op=").replaceAll("\t", " ")).getOrElse("UNKNOWN")
+    val rec = head.collectFirst {
+      case l if l.startsWith("#commitTs=") => l.stripPrefix("#commitTs=").toLong
+    }
+    val nDirs = head.collectFirst {
+      case l if l.startsWith("#ndirs=") => l.stripPrefix("#ndirs=").toInt
+    }.getOrElse(readManifestFull(v).dirs.size)
+    HistEntry(v, rec.getOrElse(
+      fs.getFileStatus(manifestPath(v)).getModificationTime), rec.isDefined,
+      nDirs, op)
+  }
+
+  /** Raw sidecar parse — empty on absence, corruption, or a foreign
+    * format version (never an error: the sidecar is advisory). */
+  private def readHistorySidecarRaw(): Seq[HistEntry] =
+    try {
+      if (!fs.exists(historySidecarPath)) return Seq.empty
+      val in = fs.open(historySidecarPath)
+      val text = try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8"))
+        Iterator.continually(Option(br.readLine())).takeWhile(_.isDefined)
+          .flatten.toList
+      } finally in.close()
+      if (!text.headOption.contains(SidecarHeader)) return Seq.empty
+      text.drop(1).map { l =>
+        val a = l.split("\t", 5)
+        HistEntry(a(0).toLong, a(1).toLong, a(2) == "1", a(3).toInt, a(4))
+      }
+    } catch { case _: Exception => Seq.empty }
+
+  /** Sidecar entries VALIDATED for this incarnation: restricted to the
+    * surviving window `[low, cur]`, then the NEWEST remaining entry is
+    * spot-checked against its actual manifest header — a same-root
+    * re-created table (the log restarted from 0), a copied table whose
+    * mtimes moved, or any corruption fails the check and the whole
+    * sidecar is ignored. Manifests are immutable once published, so a
+    * passing spot-check vouches for every older entry. */
+  private def trustedSidecar(low: Long, cur: Long): Map[Long, HistEntry] = {
+    val raw = readHistorySidecarRaw()
+      .filter(e => e.version >= low && e.version <= cur)
+    if (raw.isEmpty) return Map.empty
+    val newest = raw.maxBy(_.version)
+    val ok = try histEntryOf(newest.version) == newest
+      catch { case _: Exception => false }
+    if (ok) raw.map(e => e.version -> e).toMap else Map.empty
+  }
+
+  /** Best-effort advisory sidecar write (the `_latest` discipline):
+    * plain overwrite put, failures swallowed, readers validate. Ops
+    * are sanitized to keep the line format. */
+  private def writeHistorySidecar(entries: Seq[HistEntry]): Unit =
+    try {
+      val body = (SidecarHeader +: entries.sortBy(_.version).map(e =>
+        s"${e.version}\t${e.instant}\t${if (e.recorded) "1" else "0"}\t" +
+          s"${e.nDirs}\t${e.op.replaceAll("[\\t\\n\\r]", " ")}"))
+        .mkString("\n")
+      val out = fs.create(historySidecarPath, true)
+      out.write(body.getBytes("UTF-8"))
+      out.close()
+    } catch { case _: Exception => () }
+
+  /** Incremental sidecar refresh at the commit choke point: every
+    * [[TxLog.SidecarEvery]]-th winning commit extends the validated
+    * sidecar with the headers committed since its coverage —
+    * O(SidecarEvery) header reads in steady state (one O(V) backfill
+    * the first time an old table refreshes). */
+  private def maybeRefreshHistorySidecar(version: Long): Unit =
+    if (version > 0 && version % TxLog.SidecarEvery == 0) try {
+      val low = lowestExistingVersion(version)
+      val covered = trustedSidecar(low, version)
+      val from = if (covered.isEmpty) low else covered.keys.max + 1
+      val fresh = (from to version).flatMap(v =>
+        try Some(histEntryOf(v))
+        catch { case _: java.io.FileNotFoundException => None })
+      writeHistorySidecar(covered.values.toSeq ++ fresh)
+    } catch { case _: Exception => () }
+
+  /** Feed the sidecar's RECORDED (immutable) instants into the
+    * process-wide clock cache, once per (root, coverage window) — a
+    * cold TIMESTAMP AS OF pays one sidecar read + one spot-check
+    * instead of O(log V) header GETs. mtime-derived entries are NOT
+    * primed: file mtimes can legitimately move and the raw clock must
+    * observe that. */
+  private def primeInstantsFromSidecar(low: Long, cur: Long): Unit = {
+    val marker = (root, cur - cur % TxLog.SidecarEvery)
+    if (!TxLog.sidecarPrimed.add(marker)) return
+    trustedSidecar(low, cur).values.foreach(e =>
+      if (e.recorded)
+        TxLog.instantCache.put((root, e.version), java.lang.Long.valueOf(e.instant)))
   }
 
   /** CHANGE DATA FEED: the row-level changes committed by versions in
@@ -1705,6 +1814,7 @@ final case class TxLog(spark: SparkSession, root: String,
     if (won) {
       TxLog.purgeMetaCaches(root, version)
       writeLatestHint(version)
+      maybeRefreshHistorySidecar(version)
     }
     won
   }
@@ -2060,6 +2170,7 @@ final case class TxLog(spark: SparkSession, root: String,
     * a hard-coded line count keeps both resolvers correct if another
     * header is ever prepended at the commit choke point. */
   private def readHeaderUntil(v: Long, stopAfter: String): List[String] = {
+    TxLog.headerReads.incrementAndGet()
     val in = fs.open(manifestPath(v))
     try {
       val br = new java.io.BufferedReader(
@@ -3908,6 +4019,21 @@ object TxLog {
     * test instrumentation for the bounded-read time-travel contract. */
   private[graft] val instantReads = new java.util.concurrent.atomic.AtomicLong
 
+  /** EVERY manifest-header open (instant resolution, history rows,
+    * sidecar refresh/spot-checks) — test instrumentation for the
+    * checkpoint-sidecar read-count contract. */
+  private[graft] val headerReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** History-checkpoint refresh cadence: every N-th winning commit
+    * extends `_txlog/_history` (see [[TxLog!.maybeRefreshHistorySidecar]]). */
+  private[pipeline] final val SidecarEvery = 10
+
+  /** (root, coverage-window) markers for clock-cache priming — one
+    * sidecar read per window per process, purged with the other
+    * metadata caches on a same-root commit. */
+  private[pipeline] val sidecarPrimed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+
   /** Process-wide (root, version) → sorted property set — same
     * immutability argument and same purge discipline as
     * [[TxLog.instantCache]]; LRU-bounded (property sets are bigger
@@ -3925,5 +4051,6 @@ object TxLog {
   private[pipeline] def purgeMetaCaches(root: String, version: Long): Unit = {
     instantCache.removeIf(k => k._1 == root && k._2 >= version)
     propsCache.removeIf(k => k._1 == root && k._2 >= version)
+    sidecarPrimed.removeIf(k => k._1 == root)
   }
 }

@@ -91,11 +91,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(pc).map(p => (p, typ.trim)))
     case CopyIntoRe(name, path, fmt, tail) =>
       val t = Option(tail).getOrElse("")
+      requireCleanTail("COPY INTO", t, Seq(PatternRe, FormatOptsRe, CopyOptsRe))
       TxLogCopyIntoCommand(name, path, fmt.toLowerCase(java.util.Locale.ROOT),
         PatternRe.findFirstMatchIn(t).map(_.group(1)),
         quotedOpts(t, "FORMAT_OPTIONS"),
         quotedOpts(t, "COPY_OPTIONS").get("force").contains("true"))
     case CloneRe(ifNot, dst, src, ver, tail) =>
+      requireCleanTail("CREATE TABLE ... SHALLOW CLONE",
+        Option(tail).getOrElse(""), Seq(LocationRe))
       TxLogCloneCommand(dst, src, Option(ver).map(_.toLong),
         LocationRe.findFirstMatchIn(Option(tail).getOrElse("")).map(_.group(1)),
         ifNotExists = ifNot != null)
@@ -116,6 +119,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             ("CREATE TABLE ... USING graft supports only single-column " +
               "PARTITIONED BY (col) — for multi-column physical layouts " +
               "use OPTIMIZE ... ZORDER BY after load")))
+      requireCleanTail("CREATE TABLE ... USING graft", tail,
+        Seq(AsSelectRe, TblPropsClauseRe, OptionsClauseRe, LocationRe,
+          PartitionedByRe))
       TxLogCreateTableCommand(name, Option(cols),
         LocationRe.findFirstMatchIn(tail).map(_.group(1)),
         propList(tail, "keys"), propList(tail, "statsCols"),
@@ -248,6 +254,34 @@ object GraftSqlParser {
   private[sql] val CopyIntoRe =
     s"""(?is)\\s*COPY\\s+INTO\\s+$Id\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(\\w+)(.*)""".r
   private[sql] val PatternRe = """(?is)\bPATTERN\s*=\s*'([^']+)'""".r
+  private[sql] val FormatOptsRe =
+    """(?is)\bFORMAT_OPTIONS\s*\(([^)]*)\)""".r
+  private[sql] val CopyOptsRe =
+    """(?is)\bCOPY_OPTIONS\s*\(([^)]*)\)""".r
+  // OPTIONS (...) — CREATE's second accepted clause spelling
+  private[sql] val OptionsClauseRe =
+    """(?is)\bOPTIONS\s*\(((?:[^()']|'[^']*')*)\)""".r
+
+  /** Reject unrecognized text in a permissive statement tail. The
+    * CREATE/CLONE/COPY tails are free-order `(.*)` captures so clause
+    * order doesn't matter — but that permissiveness must never
+    * silently swallow a typo'd clause: `TBLPROPERTIE (...)` parsing
+    * as a table with NO properties is a MIS-parse, not a parse. Every
+    * clause the extraction recognizes is removed (same regexes, same
+    * precedence as extraction — the AS-SELECT suffix first, exactly
+    * as the field extraction consumes it); anything left is a loud
+    * error naming the residue. */
+  private[sql] def requireCleanTail(stmt: String, tail: String,
+      clauses: Seq[scala.util.matching.Regex]): Unit = {
+    val residue = clauses.foldLeft(tail)((t, re) =>
+      re.replaceAllIn(t, " ")).replaceAll("[;\\s]+$", "").trim
+    if (residue.nonEmpty)
+      throw new AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          (s"TxLog SQL DDL: unrecognized text in $stmt: " +
+            s"'${residue.take(80)}'")))
+  }
 
   /** `KEY_OPTIONS ('k' = 'v', ...)` quoted-pair lists (Databricks'
     * COPY INTO option syntax). */

@@ -1,0 +1,231 @@
+package graft.sql
+
+import graft.SparkTestBase
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+import scala.util.Random
+
+/** Property-fuzz of the hand-rolled SQL faces (`GraftSqlParser` and
+  * its helper parsers): randomized identifier shapes, keyword casing,
+  * whitespace, quoting and escapes must all PARSE to exactly the
+  * declared command fields — and near-miss statements (one keyword
+  * letter off) must parse-or-loudly-reject, NEVER mis-parse into a
+  * graft command with different fields. Fixed seeds — deterministic. */
+class SqlFaceFuzzSpec extends SparkTestBase {
+  import GraftSqlParser._
+
+  private lazy val parser = new GraftSqlParser(
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser)
+
+  // ---- statement generator: tagged tokens -------------------------------
+  // K = a grammar keyword (case-randomized when rendering, the mutation
+  // target), T = verbatim text (identifiers, literals, punctuation)
+  private sealed trait Tok
+  private case class K(s: String) extends Tok
+  private case class T(s: String) extends Tok
+
+  private def randCase(s: String, rnd: Random): String =
+    s.map(c => if (rnd.nextBoolean()) c.toUpper else c.toLower).mkString
+
+  private def ws(rnd: Random): String =
+    Seq(" ", "  ", "\t", " \n ", "   ")(rnd.nextInt(5))
+
+  private def render(toks: Seq[Tok], rnd: Random): String =
+    toks.map {
+      case K(s) => randCase(s, rnd)
+      case T(s) => s
+    }.mkString(ws(rnd), ws(rnd), if (rnd.nextBoolean()) ";" else "")
+
+  /** A random dotted identifier that cannot collide with a keyword. */
+  private def ident(rnd: Random): String = {
+    def seg = "x" + rnd.nextInt(1000) + "_" +
+      Seq("tbl", "gold", "Fact", "DIM")(rnd.nextInt(4))
+    if (rnd.nextBoolean()) seg else s"$seg.$seg"
+  }
+
+  /** One single-character mutation of a random KEYWORD token: delete,
+    * replace with a different letter, or swap two distinct adjacent
+    * letters — each produces a different spelling, so a graft command
+    * coming back from the mutant is by definition a mis-parse. */
+  private def mutate(toks: Seq[Tok], rnd: Random): Option[Seq[Tok]] = {
+    val kIdx = toks.zipWithIndex.collect { case (K(s), i) if s.length > 1 => i }
+    if (kIdx.isEmpty) return None
+    val i = kIdx(rnd.nextInt(kIdx.size))
+    val s = toks(i).asInstanceOf[K].s
+    val p = rnd.nextInt(s.length)
+    val mutated = rnd.nextInt(3) match {
+      case 0 => s.substring(0, p) + s.substring(p + 1) // delete
+      case 1 => // replace with a different letter
+        val c = (('a' to 'z').filterNot(_.toLower == s(p).toLower))(rnd.nextInt(25))
+        s.updated(p, c)
+      case _ => // swap adjacent distinct
+        if (p + 1 >= s.length || s(p).toLower == s(p + 1).toLower)
+          s.substring(0, p) + s.substring(p + 1) // fall back to delete
+        else s.substring(0, p) + s(p + 1) + s(p) + s.substring(p + 2)
+    }
+    if (mutated.equalsIgnoreCase(s)) None else Some(toks.updated(i, K(mutated)))
+  }
+
+  private def isGraft(p: LogicalPlan): Boolean =
+    p.getClass.getSimpleName.startsWith("TxLog")
+
+  // ---- shape round-trips -------------------------------------------------
+
+  test("fuzz: DESCRIBE HISTORY / VACUUM / OPTIMIZE / REORG / RESTORE round-trip exact fields") {
+    val rnd = new Random(1914)
+    (1 to 120).foreach { trial =>
+      val id = ident(rnd)
+      val (toks, check): (Seq[Tok], LogicalPlan => Unit) = rnd.nextInt(6) match {
+        case 0 =>
+          (Seq(K(if (rnd.nextBoolean()) "DESCRIBE" else "DESC"), K("HISTORY"), T(id)),
+            p => assert(p === TxLogHistoryCommand(id)))
+        case 1 =>
+          val retain = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(999)) else None
+          val dry = rnd.nextBoolean()
+          (Seq(K("VACUUM"), T(id)) ++
+            retain.toSeq.flatMap(n => Seq(K("RETAIN"), T(n.toString), K("VERSIONS"))) ++
+            (if (dry) Seq(K("DRY"), K("RUN")) else Nil),
+            p => assert(p === TxLogVacuumCommand(id, retain, dry)))
+        case 2 =>
+          val zcols = if (rnd.nextBoolean()) Seq("c1", "c_" + rnd.nextInt(99)) else Nil
+          (Seq(K("OPTIMIZE"), T(id)) ++
+            (if (zcols.nonEmpty)
+              Seq(K("ZORDER"), K("BY"), T(zcols.mkString("(", ", ", ")")))
+            else Nil),
+            p => assert(p === TxLogOptimizeCommand(id, zcols, None)))
+        case 3 =>
+          (Seq(K("REORG"), K("TABLE"), T(id), K("APPLY"), T("("), K("PURGE"), T(")")),
+            p => assert(p === TxLogReorgCommand(id, None)))
+        case 4 =>
+          val v = rnd.nextInt(100000)
+          (Seq(K("RESTORE")) ++ (if (rnd.nextBoolean()) Seq(K("TABLE")) else Nil) ++
+            Seq(T(id), K("TO"), K("VERSION"), K("AS"), K("OF"), T(v.toString)),
+            p => assert(p === TxLogRestoreCommand(id, Left(v.toLong))))
+        case _ =>
+          val ts = s"2024-0${1 + rnd.nextInt(9)}-1${rnd.nextInt(9)} 08:30:00"
+          (Seq(K("RESTORE")) ++ (if (rnd.nextBoolean()) Seq(K("TABLE")) else Nil) ++
+            Seq(T(id), K("TO"), K("TIMESTAMP"), K("AS"), K("OF"), T(s"'$ts'")),
+            p => assert(p === TxLogRestoreCommand(id, Right(ts))))
+      }
+      val sql = render(toks, rnd)
+      check(parser.parsePlan(sql))
+      // near-miss: one keyword letter off must never come back as a
+      // graft command — either the delegate parses it as ITS OWN plan
+      // or someone throws; both are "loud", a graft command is not
+      mutate(toks, rnd).foreach { m =>
+        val msql = render(m, rnd)
+        val r = scala.util.Try(parser.parsePlan(msql))
+        assert(!r.toOption.exists(isGraft),
+          s"trial $trial: near-miss parsed as a graft command:\n  $msql\n  -> ${r.toOption}")
+      }
+    }
+  }
+
+  test("fuzz: CREATE TABLE USING graft round-trips name/flags/keys/props/location") {
+    val rnd = new Random(2718)
+    (1 to 80).foreach { trial =>
+      val id = ident(rnd)
+      val ifNot = rnd.nextBoolean()
+      val loc = s"/root/repo/target/tmp/fuzz_${rnd.nextInt(1 << 20)}"
+      val keys = if (rnd.nextBoolean()) Seq("id") else Seq("id", "seg")
+      val owner = s"team-${rnd.nextInt(100)}"
+      val toks =
+        Seq(K("CREATE"), K("TABLE")) ++
+          (if (ifNot) Seq(K("IF"), K("NOT"), K("EXISTS")) else Nil) ++
+          Seq(T(id), T("(id BIGINT, seg STRING)"), K("USING"), K("graft"),
+            K("TBLPROPERTIES"),
+            T(s"('keys' = '${keys.mkString(",")}', 'owner' = '$owner')"),
+            K("LOCATION"), T(s"'$loc'"))
+      val sql = render(toks, rnd)
+      parser.parsePlan(sql) match {
+        case c: TxLogCreateTableCommand =>
+          assert(c.name === id, sql)
+          assert(c.ifNotExists === ifNot, sql)
+          assert(c.keys === keys, sql)
+          assert(c.props === Seq("owner" -> owner), sql)
+          assert(c.location === Some(loc), sql)
+          assert(c.colsDdl.exists(_.contains("BIGINT")), sql)
+        case other => fail(s"trial $trial: $sql parsed to $other")
+      }
+      // near-miss keyword: loud reject or a non-graft plan, never a
+      // graft command (a typo'd TBLPROPERTIES silently parsing as a
+      // table with NO properties would be the classic mis-parse)
+      mutate(toks, rnd).foreach { m =>
+        val msql = render(m, rnd)
+        val r = scala.util.Try(parser.parsePlan(msql))
+        assert(!r.toOption.exists(isGraft),
+          s"trial $trial: near-miss parsed as a graft command:\n  $msql\n  -> ${r.toOption}")
+      }
+    }
+  }
+
+  test("fuzz: TBLPROPERTIES pair lists round-trip quoting, '' escapes, commas, equals") {
+    val rnd = new Random(31415)
+    val charPool = "abcXYZ 09_.-,='()|&é"
+    def randVal(): String =
+      (0 until rnd.nextInt(12)).map(_ => charPool(rnd.nextInt(charPool.length))).mkString
+    (1 to 300).foreach { trial =>
+      val pairs = (0 to rnd.nextInt(4)).map(i => (s"k$i." + randVal().filter(c =>
+        c.isLetterOrDigit || c == '.' || c == '-'), randVal()))
+      val rendered = pairs.map { case (k, v) =>
+        s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'"
+      }.mkString(" , ")
+      assert(propPairs(rendered) === pairs, s"trial $trial: [$rendered]")
+    }
+    // malformed pairs reject loudly, never mis-bind
+    Seq("'k' = ", "= 'v'", "'k' 'v'", "'k' == 'v'", "'unclosed = 'v'").foreach { bad =>
+      assert(scala.util.Try(propPairs(bad)).isFailure ||
+        scala.util.Try(propPairs(bad)).toOption.exists(_.isEmpty), bad)
+    }
+  }
+
+  test("fuzz: statement-tail garbage is rejected loudly, never silently swallowed") {
+    val rnd = new Random(1618)
+    // a typo'd clause keyword inside a permissive (.*) tail must FAIL
+    // the statement, not parse to a command that ignores the clause
+    val bads = Seq(
+      "CREATE TABLE t_ft (id BIGINT) USING graft TBLPROPERTIE ('keys' = 'id')",
+      "CREATE TABLE t_ft (id BIGINT) USING graft LOCATIONS '/tmp/x'",
+      "CREATE TABLE t_ft (id BIGINT) USING graft COMMENT 'nope'",
+      "CREATE TABLE t_ft SHALLOW CLONE t_src LOCATIN '/tmp/x'",
+      "COPY INTO t_ft FROM '/tmp/x' FILEFORMAT = PARQUET PATERN = '*.pq'",
+      "COPY INTO t_ft FROM '/tmp/x' FILEFORMAT = PARQUET FORCE")
+    bads.foreach { bad =>
+      val r = scala.util.Try(parser.parsePlan(bad))
+      assert(r.isFailure,
+        s"tail garbage silently accepted: $bad -> ${r.toOption}")
+    }
+    // while the clean forms (random casing/whitespace) still parse
+    (1 to 20).foreach { _ =>
+      val toks = Seq(K("CREATE"), K("TABLE"), T("t_ft"), T("(id BIGINT)"),
+        K("USING"), K("graft"), K("TBLPROPERTIES"), T("('keys' = 'id')"),
+        K("LOCATION"), T("'/tmp/x'"))
+      assert(isGraft(parser.parsePlan(render(toks, rnd))))
+    }
+  }
+
+  test("registered-name guard: ALTER/ANALYZE forms fall through to Spark for unknown names") {
+    // Spark's own grammar must keep working for catalog tables: the
+    // face intercepts these shapes ONLY for registered TxLog names
+    val alter = parser.parsePlan(
+      "ALTER TABLE some_catalog_tbl SET TBLPROPERTIES ('a' = 'b')")
+    assert(!isGraft(alter), alter.getClass.getName)
+    val analyze = parser.parsePlan(
+      "ANALYZE TABLE some_catalog_tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+    assert(!isGraft(analyze), analyze.getClass.getName)
+    // and a REGISTERED name routes to the graft commands
+    val loc = tmpDir("fuzz_guard")
+    spark.sql(s"""
+      CREATE TABLE fuzz_guard_tbl (id BIGINT) USING graft
+      TBLPROPERTIES ('keys' = 'id') LOCATION '$loc'""")
+    try {
+      val g = parser.parsePlan(
+        "ALTER TABLE fuzz_guard_tbl SET TBLPROPERTIES ('a' = 'b')")
+      assert(g === TxLogSetPropertiesCommand("fuzz_guard_tbl", Seq("a" -> "b")))
+      val ga = parser.parsePlan(
+        "ANALYZE TABLE fuzz_guard_tbl COMPUTE STATISTICS FOR COLUMNS id")
+      assert(ga === TxLogAnalyzeCommand("fuzz_guard_tbl", Seq("id"), allColumns = false))
+    } finally TxLogSql.unregister("fuzz_guard_tbl")
+  }
+}
