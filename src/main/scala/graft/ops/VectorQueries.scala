@@ -210,6 +210,55 @@ object VectorQueries {
         WHERE q.vec_id < 20)
       SELECT query_id, neighbor_id, rank, score FROM probed WHERE rank <= 5""")),
 
+    // CLUSTER-BALANCED curation sampling — the SemDeDup/topic-balance
+    // shape: assign every vector to its trained IVF cell, then keep a
+    // per-cluster sample of isqrt(n_c) members so over-represented
+    // topics flatten (sqrt-law balancing, the cluster analog of
+    // sqrt-temperature source mixing) while small topics survive
+    // whole-ish. Selection is the deterministic md5(vec_id) draw —
+    // content-independent, identical on the oracle side. isqrt is the
+    // EXACT integer square root (floor(sqrt) + two-sided ±1
+    // correction — bit-identical cross-engine; a raw floor(sqrt(x))
+    // double can land one off at perfect squares). Cost: the trained
+    // assignment + one count aggregate + a broadcast of the nlist-row
+    // budget table + a per-cell ranked selection — two shuffles, and
+    // cells multiply with corpus size so no single task ever sorts
+    // more than a cell.
+    Q("curate_cluster_balance", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      val assigned = ivfTrainedAssignment(spark, e)
+      val g = floor(sqrt(col("n_c").cast("double"))).cast("long")
+      val g1 = when((g + 1) * (g + 1) <= col("n_c"), g + 1).otherwise(g)
+      val kc = when(g1 * g1 > col("n_c"), g1 - 1).otherwise(g1)
+      val budget = assigned.groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n_c"))
+        .withColumn("k_c", kc)
+      assigned.join(broadcast(budget), Seq("cent_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cent_id"))
+            .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        .filter(col("rn") <= col("k_c"))
+        .select(col("cent_id"), col("vec_id"), col("n_c"), col("k_c"))
+    }, oracle = Some(s"""
+      WITH ${ivfOracleCtes()},
+      cnt AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_c
+              FROM a3 GROUP BY cent_id),
+      kb AS (
+        SELECT cent_id, n_c,
+               CASE WHEN g1*g1 > n_c THEN g1 - 1 ELSE g1 END AS k_c
+        FROM (
+          SELECT cent_id, n_c,
+                 CASE WHEN (g+1)*(g+1) <= n_c THEN g + 1 ELSE g END AS g1
+          FROM (SELECT cent_id, n_c,
+                       CAST(floor(sqrt(CAST(n_c AS DOUBLE))) AS BIGINT) AS g
+                FROM cnt))),
+      ranked AS (
+        SELECT a.cent_id, a.vec_id, k.n_c, k.k_c,
+               row_number() OVER (PARTITION BY a.cent_id
+                 ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id) AS rn
+        FROM a3 a JOIN kb k ON a.cent_id = k.cent_id)
+      SELECT cent_id, vec_id, n_c, k_c FROM ranked WHERE rn <= k_c""")),
+
     // MULTI-PROBE IVF — the recall lever of an IVF index at constant
     // index size: the CORPUS keeps its single-cell assignment (the
     // index layout — one posting list per vector), while each QUERY
