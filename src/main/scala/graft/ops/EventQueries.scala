@@ -689,6 +689,50 @@ object EventQueries {
              CAST(n_events AS DOUBLE) / CAST(sum(n_events) OVER (PARTITION BY day) AS BIGINT) AS share
       FROM daily""")),
 
+    // Day-over-day event-mix DRIFT: each (day, type)'s chi-square
+    // contribution against the PRIOR day's mix — the distribution-
+    // shift monitor a training-data pipeline runs per ingest date
+    // (observed count vs the count the previous day's proportions
+    // predict; big contributions localize WHICH type moved). Exact
+    // integer counts end-to-end; each row performs its own two double
+    // operations in a pinned order (divide → multiply; subtract →
+    // square → divide), so there is NO cross-row float accumulation
+    // and both engines produce bit-identical doubles. Types absent on
+    // the prior day drop out (inner join — chi-square is defined on
+    // the common support; brand-new types are the novelty queries'
+    // job). Cost: one corpus scan into a (days × types) metadata
+    // frame, one window, one self-join — everything after the first
+    // aggregate is broadcast-sized at any corpus scale.
+    Q("events_drift_contrib", (spark, dir) => {
+      val daily = Tables.loadEvents(spark, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("o"))
+      val w = Window.partitionBy(col("day"))
+      val tot = daily.withColumn("day_total", sum(col("o")).over(w))
+      val prev = tot.select(date_add(col("day"), 1).as("day"),
+        col("event_type"), col("o").as("p"), col("day_total").as("pt"))
+      val oD = col("o").cast("double")
+      tot.join(prev, Seq("day", "event_type"))
+        .withColumn("e", col("p").cast("double") / col("pt") * col("day_total"))
+        .withColumn("contrib", (oD - col("e")) * (oD - col("e")) / col("e"))
+        .select(col("day"), col("event_type"), col("o"), col("e"), col("contrib"))
+    }, oracle = Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS o
+        FROM events GROUP BY 1, 2),
+      tot AS (
+        SELECT day, event_type, o,
+               CAST(sum(o) OVER (PARTITION BY day) AS BIGINT) AS day_total
+        FROM daily),
+      joined AS (
+        SELECT t.day, t.event_type, t.o, t.day_total,
+               CAST(p.o AS DOUBLE) / p.day_total * t.day_total AS e
+        FROM tot t JOIN tot p
+          ON t.event_type = p.event_type AND t.day = p.day + 1)
+      SELECT day, event_type, o, e,
+             (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS contrib
+      FROM joined""")),
+
     // Cohort retention: users grouped by FIRST-ACTIVITY week, counted
     // by distinct activity in each later week — the warehouse analytics
     // matrix behind every retention dashboard. Two aggregations + one
