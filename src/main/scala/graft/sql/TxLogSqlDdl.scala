@@ -92,6 +92,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CopyIntoRe(name, path, fmt, tail) =>
       val t = Option(tail).getOrElse("")
       requireCleanTail("COPY INTO", t, Seq(PatternRe, FormatOptsRe, CopyOptsRe))
+      // the regex accepts any word here — validate at PARSE time so a
+      // typo'd format fails at the statement, not inside the load
+      if (!Set("parquet", "csv", "json")(fmt.toLowerCase(java.util.Locale.ROOT)))
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            (s"TxLog SQL DDL: COPY INTO FILEFORMAT '$fmt' is not supported " +
+              "(PARQUET | CSV | JSON)")))
       TxLogCopyIntoCommand(name, path, fmt.toLowerCase(java.util.Locale.ROOT),
         PatternRe.findFirstMatchIn(t).map(_.group(1)),
         quotedOpts(t, "FORMAT_OPTIONS"),

@@ -131,6 +131,17 @@ class PlanSpec extends SparkTestBase {
       p.take(1200))
   }
 
+  test("cluster-balance curation: budget table broadcasts, selection window partitions by cell") {
+    val p = planOf("curate_cluster_balance")
+    // the nlist-row budget side must broadcast (joining it shuffled
+    // would re-shuffle the whole corpus for a metadata-sized frame)
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // the survivor draw is per-cell — a partition-less window would
+    // funnel the corpus through one task
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")), p.take(1200))
+  }
+
   test("repeated-span audit: the run-detection window partitions by document") {
     val p = planOf("text_repeated_spans")
     // gaps-and-islands must stay inside the doc — a partition-less

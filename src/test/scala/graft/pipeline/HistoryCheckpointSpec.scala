@@ -84,6 +84,24 @@ class HistoryCheckpointSpec extends SparkTestBase {
     assert(t.versionAsOf(ts30) === 30L)
   }
 
+  test("vacuum interplay: checkpoint entries for deleted versions drop out of every reader") {
+    val t = build("vacuumed", 40)
+    assert(new java.io.File(s"${t.root}/_txlog/_history").exists())
+    t.vacuum(keepVersions = 3)
+    // history serves exactly the surviving window — the checkpoint
+    // still covers 0..40 but entries below the vacuum boundary are
+    // filtered before trust, never resurrected
+    val rows = t.history().collect()
+    assert(rows.length === 3, s"vacuumed versions leaked: ${rows.length}")
+    assert(rows.map(_.getLong(0)).toSeq === Seq(40L, 39L, 38L))
+    // and the primed clock never probes a vacuumed version
+    TxLog.instantCache.clear()
+    TxLog.purgeMetaCaches(t.root, 41L)
+    assert(t.versionAsOf(t.commitInstant(39L)) === 39L)
+    intercept[IllegalArgumentException](
+      t.versionAsOf(t.commitInstant(38L) - 1000000L))
+  }
+
   test("same-root recreation: the dead incarnation's checkpoint is rejected by the spot-check") {
     val loc = tmpDir("hist_ckpt_recreate")
     val t0 = TxLog(spark, loc)

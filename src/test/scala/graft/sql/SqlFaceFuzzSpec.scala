@@ -160,6 +160,59 @@ class SqlFaceFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("fuzz: CONVERT / COPY INTO / SHALLOW CLONE round-trip exact fields") {
+    val rnd = new Random(8128)
+    (1 to 90).foreach { trial =>
+      val id = ident(rnd)
+      val path = s"/root/repo/target/tmp/fz_${rnd.nextInt(1 << 20)}"
+      val (toks, check): (Seq[Tok], LogicalPlan => Unit) = rnd.nextInt(4) match {
+        case 0 =>
+          val pb = if (rnd.nextBoolean()) Some(("day", "DATE")) else None
+          (Seq(K("CONVERT"), K("TO"), K("GRAFT"),
+            T(if (rnd.nextBoolean()) s"parquet.`$path`" else s"'$path'")) ++
+            pb.toSeq.flatMap { case (c, ty) =>
+              Seq(K("PARTITIONED"), K("BY"), T(s"($c $ty)")) },
+            p => assert(p === TxLogConvertCommand(path, pb)))
+        case 1 =>
+          val pat = if (rnd.nextBoolean()) Some(s"*_${rnd.nextInt(9)}.parquet") else None
+          val force = rnd.nextBoolean()
+          (Seq(K("COPY"), K("INTO"), T(id), K("FROM"), T(s"'$path'"),
+            K("FILEFORMAT"), T("="), K("PARQUET")) ++
+            pat.toSeq.flatMap(s => Seq(K("PATTERN"), T(s"= '$s'"))) ++
+            (if (force) Seq(K("COPY_OPTIONS"), T("('force' = 'true')")) else Nil),
+            p => assert(p === TxLogCopyIntoCommand(id, path, "parquet", pat,
+              Map.empty, force)))
+        case 2 =>
+          val ifNot = rnd.nextBoolean()
+          val ver = if (rnd.nextBoolean()) Some(rnd.nextInt(9999).toLong) else None
+          val src = ident(rnd)
+          (Seq(K("CREATE"), K("TABLE")) ++
+            (if (ifNot) Seq(K("IF"), K("NOT"), K("EXISTS")) else Nil) ++
+            Seq(T(id), K("SHALLOW"), K("CLONE"), T(src)) ++
+            ver.toSeq.flatMap(v =>
+              Seq(K("VERSION"), K("AS"), K("OF"), T(v.toString))) ++
+            Seq(K("LOCATION"), T(s"'$path'")),
+            p => assert(p === TxLogCloneCommand(id, src, ver, Some(path), ifNot)))
+        case _ =>
+          val fmt = Seq("PARQUET", "CSV", "JSON")(rnd.nextInt(3))
+          (Seq(K("COPY"), K("INTO"), T(id), K("FROM"), T(s"'$path'"),
+            K("FILEFORMAT"), T("="), K(fmt),
+            K("FORMAT_OPTIONS"), T("('header' = 'true')")),
+            p => assert(p === TxLogCopyIntoCommand(id, path,
+              fmt.toLowerCase(java.util.Locale.ROOT), None,
+              Map("header" -> "true"), force = false)))
+      }
+      val sql = render(toks, rnd)
+      check(parser.parsePlan(sql))
+      mutate(toks, rnd).foreach { m =>
+        val msql = render(m, rnd)
+        val r = scala.util.Try(parser.parsePlan(msql))
+        assert(!r.toOption.exists(isGraft),
+          s"trial $trial: near-miss parsed as a graft command:\n  $msql\n  -> ${r.toOption}")
+      }
+    }
+  }
+
   test("fuzz: TBLPROPERTIES pair lists round-trip quoting, '' escapes, commas, equals") {
     val rnd = new Random(31415)
     val charPool = "abcXYZ 09_.-,='()|&é"
