@@ -4,6 +4,7 @@ import graft.pipeline.TxLog
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
 import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types._
@@ -58,7 +59,7 @@ import org.apache.spark.sql.types._
   * the planner only saw unanalyzed file bytes. */
 object TxLogCatalogStats {
 
-  private val Fields = Seq("ndv", "nulls", "min", "max", "version")
+  private val Fields = Seq("ndv", "nulls", "min", "max", "hist", "version")
 
   /** [[CatalogColumnStat]]'s v2 external timestamp format (UTC,
     * 6-digit fraction) — the exact shape the ANALYZE producer renders
@@ -136,6 +137,37 @@ object TxLogCatalogStats {
         scala.util.Try(java.time.LocalDateTime.parse(v, TsExternal)).isSuccess)
       case _ => None
     }
+    // EQUI-HEIGHT histogram for a numeric column, decoded from the
+    // persisted 33-endpoint percentile list: heights scale with the
+    // relation's byte share like the row counts do; per-bin ndv is the
+    // uniform split except degenerate [v, v] bins, which hold exactly
+    // one value. Validated hard (finite, non-decreasing, 32 bins) —
+    // a malformed property yields NO histogram, never a planner error.
+    def histOf(dt: DataType, m: Map[String, String],
+               i: Int): Option[logical.Histogram] = dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | _: DecimalType =>
+        for {
+          s <- m.get("hist")
+          ndv <- m.get("ndv").flatMap(x => scala.util.Try(x.toLong).toOption)
+          es <- scala.util.Try(s.split(',').map(_.toDouble)).toOption
+          if es.length == 33 &&
+            es.forall(e => !e.isNaN && !e.isInfinite) &&
+            es.lazyZip(es.drop(1)).forall(_ <= _)
+          rc <- rowCount
+        } yield {
+          val nb = es.length - 1
+          val nulls = m.get("nulls").flatMap(x =>
+            scala.util.Try(BigInt(x)).toOption).getOrElse(BigInt(0))
+          val height = share((rc - nulls).max(0), i).toDouble / nb
+          val ndvPerBin = math.max(1L, ndv / nb)
+          logical.Histogram(height, (0 until nb).map { b =>
+            logical.HistogramBin(es(b), es(b + 1),
+              if (es(b) == es(b + 1)) 1L else ndvPerBin)
+          }.toArray)
+        }
+      case _ => None
+    }
     def colStat(c: String, dt: DataType, i: Int): Option[CatalogColumnStat] =
       byCol.get(c).map { m =>
         CatalogColumnStat(
@@ -144,7 +176,8 @@ object TxLogCatalogStats {
           min = bound(dt, m.get("min")),
           max = bound(dt, m.get("max")),
           nullCount = m.get("nulls").flatMap(s =>
-            scala.util.Try(BigInt(s)).toOption).map(share(_, i)))
+            scala.util.Try(BigInt(s)).toOption).map(share(_, i)),
+          histogram = histOf(dt, m, i))
       }
     plan.transform {
       case lr: LogicalRelation if data.exists(_ eq lr) =>

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
 
 /** SQL DDL face of [[TxLog]] tables — the statements Delta adds beyond
   * ANSI, routed through an injected parser (the DeltaSqlParser
@@ -799,9 +799,12 @@ case class TxLogShowPropertiesCommand(name: String, key: Option[String])
   * COLUMNS]` — table- and column-level statistics persisted as
   * `graft.stats.*` TABLE PROPERTIES (one metadata commit), the
   * lakehouse analogue of Spark's catalog stats: numRows + physical
-  * size always; per named column exact ndv, null count, and min/max
+  * size always; per named column exact ndv, null count, min/max
   * (rendered as strings; skipped when the rendering would break the
-  * manifest line format). `graft.stats.version` records the snapshot
+  * manifest line format), and — for numeric columns — a 32-bin
+  * equi-height HISTOGRAM (33 approx-percentile endpoints) so range
+  * selectivity over skewed columns prices at the real mass
+  * distribution. `graft.stats.version` records the snapshot
   * the scan saw, so STALENESS is first-class — a reader compares it
   * to the current version instead of trusting silently-old numbers.
   * COLUMN-PRESERVING like Spark's catalog: a pass `FOR COLUMNS c2`
@@ -836,6 +839,20 @@ case class TxLogAnalyzeCommand(name: String, cols: Seq[String],
     // ([[graft.sql.TxLogCatalogStats]]) must hand the optimizer strings
     // its external-string parser is guaranteed to read back.
     val isTs = targets.map(c => c -> (snap.schema(c).dataType == TimestampType)).toMap
+    // numeric columns additionally persist an EQUI-HEIGHT HISTOGRAM
+    // (33 approx-percentile endpoints → 32 bins): min/max alone price
+    // a range predicate over a SKEWED column at the uniform fraction
+    // of [min, max], which can over-estimate a selective filter by
+    // orders of magnitude and miss a broadcast; the histogram hands
+    // Catalyst's FilterEstimation the real mass distribution. One
+    // extra sketch per column, same single scan.
+    val isNum = targets.map(c => c -> (snap.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | _: DecimalType => true
+      case _ => false
+    })).toMap
+    val histPcts = org.apache.spark.sql.functions.array(
+      (0 to 32).map(i => lit(i / 32.0)): _*)
     val aggs = count(lit(1)).as("__n") +: targets.flatMap { c =>
       val (mn, mx) =
         if (isTs(c)) (unix_micros(min(col(c))), unix_micros(max(col(c))))
@@ -843,7 +860,11 @@ case class TxLogAnalyzeCommand(name: String, cols: Seq[String],
       Seq(countDistinct(col(c)).as(s"__ndv_$c"),
         count(col(c)).as(s"__nn_$c"),
         mn.cast("string").as(s"__min_$c"),
-        mx.cast("string").as(s"__max_$c"))
+        mx.cast("string").as(s"__max_$c")) ++
+        (if (isNum(c))
+          Seq(org.apache.spark.sql.functions.percentile_approx(
+            col(c).cast("double"), histPcts, lit(10000)).as(s"__hist_$c"))
+        else Nil)
     }
     val r = snap.agg(aggs.head, aggs.tail: _*).head()
     val nRows = r.getAs[Long]("__n")
@@ -869,7 +890,13 @@ case class TxLogAnalyzeCommand(name: String, cols: Seq[String],
         clean(render(c, r.getAs[String](s"__min_$c")))
           .map(s"graft.stats.col.$c.min" -> _) ++
         clean(render(c, r.getAs[String](s"__max_$c")))
-          .map(s"graft.stats.col.$c.max" -> _)
+          .map(s"graft.stats.col.$c.max" -> _) ++
+        (if (isNum(c))
+          Option(r.getAs[scala.collection.Seq[Double]](s"__hist_$c"))
+            .filter(es => es.length == 33 &&
+              es.forall(e => !e.isNaN && !e.isInfinite))
+            .map(es => s"graft.stats.col.$c.hist" -> es.mkString(","))
+        else None)
     }
     val (nFiles, bytes) = t.detailStats()
     val fresh = Seq(

@@ -143,6 +143,51 @@ class CboSpec extends SparkTestBase {
     TxLogSql.unregister("cbo_txlog")
   }
 
+  test("histogram statistics: a skewed range predicate flips to broadcast where min/max cannot") {
+    import graft.sql.TxLogSql
+    val loc = tmpDir("cbo_hist")
+    spark.sql(s"""
+      CREATE TABLE cbo_hist (v BIGINT, pad STRING) USING graft
+      TBLPROPERTIES ('keys' = 'v') LOCATION '$loc'""")
+    // 99% of the mass sits at v = 0; 1% spreads over [29700, 29999].
+    // min/max selectivity for v >= 20000 is the UNIFORM fraction of
+    // [0, 29999] ≈ 33% → ~10k rows → far above the broadcast
+    // threshold. The real answer is ~300 rows.
+    spark.range(30000).selectExpr(
+        "CASE WHEN id < 29700 THEN CAST(0 AS BIGINT) ELSE id END AS v",
+        "md5(CAST(id AS STRING)) AS pad")
+      .createOrReplaceTempView("cbo_hist_src")
+    spark.sql("INSERT INTO cbo_hist SELECT v, pad FROM cbo_hist_src")
+    spark.sql("ANALYZE TABLE cbo_hist COMPUTE STATISTICS FOR COLUMNS v")
+    val sql = """
+      SELECT count(*) AS n
+      FROM cbo_hist a
+      JOIN (SELECT v, pad FROM cbo_hist WHERE v >= 20000) b ON a.v = b.v"""
+    def innerBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if b.joinType == org.apache.spark.sql.catalyst.plans.Inner => b
+      }.nonEmpty
+    withConf("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString) {
+      val df = spark.sql(sql)
+      assert(innerBroadcast(df),
+        "histogram did not price the skewed filter selectively:\n" +
+          df.queryExecution.optimizedPlan.toString.take(2000))
+      assert(df.head().getLong(0) === 300L)
+      // counterfactual — SAME statistics minus the histogram property:
+      // min/max alone must over-estimate and keep the join sort-merge,
+      // proving the flip came from the histogram, not rowCount/bounds
+      spark.sql(
+        "ALTER TABLE cbo_hist UNSET TBLPROPERTIES ('graft.stats.col.v.hist')")
+      assert(!innerBroadcast(spark.sql(sql)),
+        "join broadcast WITHOUT the histogram — the counterfactual is broken " +
+          "(threshold too high, or min/max alone suffices here)")
+    }
+    TxLogSql.unregister("cbo_hist")
+  }
+
   test("DATE min/max stats: a date-range predicate's selectivity flips the join to broadcast") {
     import graft.sql.TxLogSql
     val loc = tmpDir("cbo_dates")
