@@ -83,14 +83,11 @@ object ScaleQueries {
     // Stratified fixed-size sampling: 20 docs per language, selected by
     // content-hash order — deterministic reservoir-equivalent sampling
     // (same members on any cluster size / run), one window per stratum.
-    Q("sample_stratified_topk", (spark, dir) => {
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(md5(col("text")), col("doc_id"))
-      load(spark, dir, "documents")
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 20)
-        .select(col("lang"), col("doc_id"))
-    }, oracle = Some("""
+    Q("sample_stratified_topk", (spark, dir) =>
+      graft.functions.Md5Draw.capConstant(load(spark, dir, "documents"),
+          Seq(col("lang")), md5(col("text")), col("doc_id"), 20)
+        .select(col("lang"), col("doc_id")),
+      oracle = Some("""
       SELECT lang, doc_id FROM (
         SELECT lang, doc_id,
                row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk

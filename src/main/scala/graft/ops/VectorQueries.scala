@@ -96,18 +96,17 @@ object VectorQueries {
     // the oracle side). Per-label pair work is then ≤ cap²/2 no matter
     // how large the block grows — total cost is the O(n) scan + a
     // top-cap-per-group selection + a CONSTANT-per-label pair stage,
-    // so the query scales linearly instead of quadratically. The
-    // row_number ≤ cap filter triggers Spark's WindowGroupLimit
+    // so the query scales linearly instead of quadratically. The draw
+    // is [[graft.functions.Md5Draw.capConstant]] — a LITERAL cap, so
+    // the row_number ≤ cap filter triggers Spark's WindowGroupLimit
     // rewrite: each input partition keeps a cap-sized heap map-side,
     // so the window shuffle carries ≤ cap rows per (partition, label)
     // — no single-task block sort.
     Q("dedup_embedding_cosine", (spark, dir) => {
       val e = load(spark, dir, "embeddings")
-      val capped = e
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("label"))
-            .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
-        .filter(col("rn") <= cosineCalibCap)
+      val capped = graft.functions.Md5Draw.capConstant(e, Seq(col("label")),
+          graft.functions.Md5Draw.drawKey(col("vec_id")), col("vec_id"),
+          cosineCalibCap)
         .select(col("label"), col("vec_id"), col("embedding"))
       val a = capped.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = capped.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"))
@@ -221,9 +220,18 @@ object VectorQueries {
     // correction — bit-identical cross-engine; a raw floor(sqrt(x))
     // double can land one off at perfect squares). Cost: the trained
     // assignment + one count aggregate + a broadcast of the nlist-row
-    // budget table + a per-cell ranked selection — two shuffles, and
-    // cells multiply with corpus size so no single task ever sorts
-    // more than a cell.
+    // budget table + the bounded-heap survivor draw. nlist is CAPPED
+    // at 64 (an index-format parameter), so cells grow N/64 with the
+    // corpus — the draw must therefore never sort a cell in one task.
+    // The per-cell cap k_c is VARIABLE (isqrt(n_c)), which forecloses
+    // Spark's WindowGroupLimit rewrite (constant limits only): a
+    // `rn <= k_c` window filter would run 64 single-task linear sorts
+    // at 100×. Instead the draw is [[graft.functions.Md5Draw
+    // .bottomKIds]] — a bounded-heap aggregate keyed by cell whose
+    // state is O(k_c) = O(isqrt(cell)) however large the cell grows,
+    // with map-side partials (each input partition contributes ≤ k_c
+    // entries per cell to the shuffle). Same selected members as the
+    // window formulation, plan-pinned window-free in PlanSpec.
     Q("curate_cluster_balance", (spark, dir) => {
       val e = load(spark, dir, "embeddings")
       val assigned = ivfTrainedAssignment(spark, e)
@@ -234,10 +242,12 @@ object VectorQueries {
         .agg(count(lit(1)).as("n_c"))
         .withColumn("k_c", kc)
       assigned.join(broadcast(budget), Seq("cent_id"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("cent_id"))
-            .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
-        .filter(col("rn") <= col("k_c"))
+        .groupBy(col("cent_id"), col("n_c"), col("k_c"))
+        .agg(graft.functions.Md5Draw.bottomKIds(spark,
+          graft.functions.Md5Draw.drawKey(col("vec_id")), col("vec_id"),
+          col("k_c")).as("sel"))
+        .select(col("cent_id"), explode(col("sel")).as("vec_id"),
+          col("n_c"), col("k_c"))
         .select(col("cent_id"), col("vec_id"), col("n_c"), col("k_c"))
     }, oracle = Some(s"""
       WITH ${ivfOracleCtes()},

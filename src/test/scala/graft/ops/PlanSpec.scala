@@ -131,15 +131,22 @@ class PlanSpec extends SparkTestBase {
       p.take(1200))
   }
 
-  test("cluster-balance curation: budget table broadcasts, selection window partitions by cell") {
+  test("cluster-balance curation: budget broadcasts; survivor draw is a bounded heap, no window sort") {
     val p = planOf("curate_cluster_balance")
     // the nlist-row budget side must broadcast (joining it shuffled
     // would re-shuffle the whole corpus for a metadata-sized frame)
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
-    // the survivor draw is per-cell — a partition-less window would
-    // funnel the corpus through one task
-    assert(!p.linesIterator.exists(l =>
-      l.contains("Window") && l.contains("partitionBy=[]")), p.take(1200))
+    // the survivor draw's cap is VARIABLE (k_c = isqrt(n_c)), which
+    // forecloses the WindowGroupLimit rewrite — a window formulation
+    // here means one full linear sort per cell (nlist=64 single tasks
+    // at any corpus size). The draw must run as the bounded-heap
+    // aggregate: no window machinery anywhere, an ObjectHashAggregate
+    // hosting bottomk_ids with a map-side partial pass.
+    assert(!p.contains("Window"), s"survivor draw fell back to a window sort:\n${p.take(1500)}")
+    assert(p.contains("ObjectHashAggregate") && p.contains("bottomk_ids"),
+      s"bounded-heap survivor draw missing:\n${p.take(1500)}")
+    assert(p.contains("partial_bottomk_ids"),
+      s"no map-side partial heap pass:\n${p.take(1500)}")
   }
 
   test("repeated-span audit: the run-detection window partitions by document") {
