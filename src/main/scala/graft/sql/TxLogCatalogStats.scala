@@ -137,16 +137,22 @@ object TxLogCatalogStats {
         scala.util.Try(java.time.LocalDateTime.parse(v, TsExternal)).isSuccess)
       case _ => None
     }
-    // EQUI-HEIGHT histogram for a numeric column, decoded from the
-    // persisted 33-endpoint percentile list: heights scale with the
-    // relation's byte share like the row counts do; per-bin ndv is the
-    // uniform split except degenerate [v, v] bins, which hold exactly
-    // one value. Validated hard (finite, non-decreasing, 32 bins) —
-    // a malformed property yields NO histogram, never a planner error.
+    // EQUI-HEIGHT histogram for a numeric/DATE/TIMESTAMP column,
+    // decoded from the persisted 33-endpoint percentile list: heights
+    // scale with the relation's byte share like the row counts do;
+    // per-bin ndv is the uniform split except degenerate [v, v] bins,
+    // which hold exactly one value. Date/timestamp endpoints are
+    // ALREADY in Catalyst's internal units (epoch days / epoch micros
+    // — the ANALYZE producer sketches unix_date/unix_micros), which is
+    // the axis FilterEstimation/JoinEstimation convert bound literals
+    // onto, so they decode exactly like numerics. Validated hard
+    // (finite, non-decreasing, 32 bins) — a malformed property yields
+    // NO histogram, never a planner error.
     def histOf(dt: DataType, m: Map[String, String],
                i: Int): Option[logical.Histogram] = dt match {
       case ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | _: DecimalType =>
+           FloatType | DoubleType | _: DecimalType |
+           DateType | TimestampType =>
         for {
           s <- m.get("hist")
           ndv <- m.get("ndv").flatMap(x => scala.util.Try(x.toLong).toOption)

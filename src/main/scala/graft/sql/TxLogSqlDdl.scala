@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
 
 /** SQL DDL face of [[TxLog]] tables — the statements Delta adds beyond
   * ANSI, routed through an injected parser (the DeltaSqlParser
@@ -801,9 +801,10 @@ case class TxLogShowPropertiesCommand(name: String, key: Option[String])
   * lakehouse analogue of Spark's catalog stats: numRows + physical
   * size always; per named column exact ndv, null count, min/max
   * (rendered as strings; skipped when the rendering would break the
-  * manifest line format), and — for numeric columns — a 32-bin
-  * equi-height HISTOGRAM (33 approx-percentile endpoints) so range
-  * selectivity over skewed columns prices at the real mass
+  * manifest line format), and — for numeric, DATE and TIMESTAMP
+  * columns — a 32-bin equi-height HISTOGRAM (33 approx-percentile
+  * endpoints, date/timestamp endpoints in internal epoch days/micros)
+  * so range selectivity over skewed columns prices at the real mass
   * distribution. `graft.stats.version` records the snapshot
   * the scan saw, so STALENESS is first-class — a reader compares it
   * to the current version instead of trusting silently-old numbers.
@@ -839,18 +840,29 @@ case class TxLogAnalyzeCommand(name: String, cols: Seq[String],
     // ([[graft.sql.TxLogCatalogStats]]) must hand the optimizer strings
     // its external-string parser is guaranteed to read back.
     val isTs = targets.map(c => c -> (snap.schema(c).dataType == TimestampType)).toMap
-    // numeric columns additionally persist an EQUI-HEIGHT HISTOGRAM
-    // (33 approx-percentile endpoints → 32 bins): min/max alone price
-    // a range predicate over a SKEWED column at the uniform fraction
-    // of [min, max], which can over-estimate a selective filter by
-    // orders of magnitude and miss a broadcast; the histogram hands
-    // Catalyst's FilterEstimation the real mass distribution. One
+    // numeric, DATE and TIMESTAMP columns additionally persist an
+    // EQUI-HEIGHT HISTOGRAM (33 approx-percentile endpoints → 32
+    // bins): min/max alone price a range predicate over a SKEWED
+    // column at the uniform fraction of [min, max], which can
+    // over-estimate a selective filter by orders of magnitude and miss
+    // a broadcast; the histogram hands Catalyst's FilterEstimation the
+    // real mass distribution. Dates are the dominant skewed predicate
+    // of this pipeline family (date-partitioned events gold, the
+    // reference's watermark date surrogate), so they get the same
+    // treatment: endpoints travel in Catalyst's INTERNAL units — epoch
+    // DAYS for DATE, epoch MICROS for TIMESTAMP, both zone-free — the
+    // exact axis the optimizer's estimation compares literals on. One
     // extra sketch per column, same single scan.
-    val isNum = targets.map(c => c -> (snap.schema(c).dataType match {
-      case ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | _: DecimalType => true
-      case _ => false
-    })).toMap
+    val histExpr: Map[String, Option[org.apache.spark.sql.Column]] =
+      targets.map(c => c -> (snap.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | _: DecimalType =>
+          Some(col(c).cast("double"))
+        case DateType =>
+          Some(org.apache.spark.sql.functions.unix_date(col(c)).cast("double"))
+        case TimestampType => Some(unix_micros(col(c)).cast("double"))
+        case _ => None
+      })).toMap
     val histPcts = org.apache.spark.sql.functions.array(
       (0 to 32).map(i => lit(i / 32.0)): _*)
     val aggs = count(lit(1)).as("__n") +: targets.flatMap { c =>
@@ -861,10 +873,9 @@ case class TxLogAnalyzeCommand(name: String, cols: Seq[String],
         count(col(c)).as(s"__nn_$c"),
         mn.cast("string").as(s"__min_$c"),
         mx.cast("string").as(s"__max_$c")) ++
-        (if (isNum(c))
-          Seq(org.apache.spark.sql.functions.percentile_approx(
-            col(c).cast("double"), histPcts, lit(10000)).as(s"__hist_$c"))
-        else Nil)
+        histExpr(c).map(h =>
+          org.apache.spark.sql.functions.percentile_approx(
+            h, histPcts, lit(10000)).as(s"__hist_$c"))
     }
     val r = snap.agg(aggs.head, aggs.tail: _*).head()
     val nRows = r.getAs[Long]("__n")
@@ -891,7 +902,7 @@ case class TxLogAnalyzeCommand(name: String, cols: Seq[String],
           .map(s"graft.stats.col.$c.min" -> _) ++
         clean(render(c, r.getAs[String](s"__max_$c")))
           .map(s"graft.stats.col.$c.max" -> _) ++
-        (if (isNum(c))
+        (if (histExpr(c).isDefined)
           Option(r.getAs[scala.collection.Seq[Double]](s"__hist_$c"))
             .filter(es => es.length == 33 &&
               es.forall(e => !e.isNaN && !e.isInfinite))

@@ -290,6 +290,64 @@ class CboSpec extends SparkTestBase {
     TxLogSql.unregister("cbo_dates")
   }
 
+  test("DATE histogram: a skewed date-range predicate flips to broadcast only WITH the histogram") {
+    import graft.pipeline.TxLog
+    import graft.sql.TxLogSql
+    val loc = tmpDir("cbo_dhist")
+    spark.sql(s"""
+      CREATE TABLE cbo_dhist (d DATE, pad STRING) USING graft
+      TBLPROPERTIES ('keys' = 'd') LOCATION '$loc'""")
+    // 99% of the mass on ONE early date; 1% spreads one-row-per-day
+    // over the last 300 days of a 30,000-day span — the shape of a
+    // date-partitioned events gold where history piles on backfill
+    // days. min/max selectivity for d >= day-20000 is the UNIFORM
+    // fraction of the span ≈ 33% → ~10k rows → above the broadcast
+    // threshold. The real answer is 300 rows.
+    spark.range(30000).selectExpr(
+        "date_add(DATE'2024-01-01', CASE WHEN id < 29700 THEN 0 ELSE CAST(id AS INT) END) AS d",
+        "md5(CAST(id AS STRING)) AS pad")
+      .createOrReplaceTempView("cbo_dhist_src")
+    spark.sql("INSERT INTO cbo_dhist SELECT d, pad FROM cbo_dhist_src")
+    spark.sql("ANALYZE TABLE cbo_dhist COMPUTE STATISTICS FOR COLUMNS d")
+    // the persisted endpoints are INTERNAL epoch days (zone-free, the
+    // axis the optimizer compares date literals on)
+    val hist = TxLog(spark, loc).properties().toMap
+      .getOrElse("graft.stats.col.d.hist", fail("no persisted DATE histogram"))
+    val es = hist.split(',').map(_.toDouble)
+    val epochDay = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toDouble
+    assert(es.length === 33 && es.head === epochDay && es.last === epochDay + 29999,
+      s"DATE histogram endpoints not in epoch days: ${hist.take(120)}")
+    val sql = """
+      SELECT count(*) AS n
+      FROM cbo_dhist a
+      JOIN (SELECT d, pad FROM cbo_dhist
+            WHERE d >= date_add(DATE'2024-01-01', 20000)) b ON a.d = b.d"""
+    def innerBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if b.joinType == org.apache.spark.sql.catalyst.plans.Inner => b
+      }.nonEmpty
+    withConf("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString) {
+      val df = spark.sql(sql)
+      assert(innerBroadcast(df),
+        "DATE histogram did not price the skewed date filter selectively:\n" +
+          df.queryExecution.optimizedPlan.toString.take(2000))
+      assert(df.head().getLong(0) === 300L)
+      // counterfactual — SAME statistics minus the histogram property:
+      // date min/max alone price the range uniformly, over-estimate,
+      // and keep the join sort-merge — proving the flip came from the
+      // DATE histogram, not from the bounds/rowCount
+      spark.sql(
+        "ALTER TABLE cbo_dhist UNSET TBLPROPERTIES ('graft.stats.col.d.hist')")
+      assert(!innerBroadcast(spark.sql(sql)),
+        "join broadcast WITHOUT the DATE histogram — the counterfactual is " +
+          "broken (threshold too high, or min/max alone suffices here)")
+    }
+    TxLogSql.unregister("cbo_dhist")
+  }
+
   test("TIMESTAMP stats round-trip: UTC 6-digit external rendering parses back to exact micros") {
     import graft.pipeline.TxLog
     import graft.sql.TxLogSql
@@ -327,6 +385,15 @@ class CboSpec extends SparkTestBase {
         s"timestamp min did not round-trip to exact micros: ${tsStats.map(_.min)}")
       assert(tsStats.exists(_.max.contains(expectMin + 999L * 1000000)),
         s"timestamp max did not round-trip to exact micros: ${tsStats.map(_.max)}")
+      // the TIMESTAMP histogram decodes on the same internal-micros
+      // axis: 32 bins spanning exactly [min, max]
+      val h = tsStats.flatMap(_.histogram)
+      assert(h.nonEmpty, "no decoded TIMESTAMP histogram on the stamped scan")
+      assert(h.exists(hh => hh.bins.length == 32 &&
+          hh.bins.head.lo == expectMin.toDouble &&
+          hh.bins.last.hi == (expectMin + 999L * 1000000).toDouble),
+        s"TIMESTAMP histogram bins not on the micros axis: " +
+          h.map(hh => (hh.bins.length, hh.bins.head.lo, hh.bins.last.hi)))
     }
     TxLogSql.unregister("cbo_ts")
   }
