@@ -1242,7 +1242,7 @@ object VectorQueries {
     * checkpointed by a stopped session must never be served to a new
     * one — same discipline as [[graft.dedup.ExactJaccard]]). */
   private val centsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), org.apache.spark.sql.DataFrame]()
+    new SessionScopedCache[(String, Int), org.apache.spark.sql.DataFrame](32)
 
   /** Trained coarse quantizer centroids: every-25th-vector seeds
     * CAPPED at nlist=64, 2 Lloyd iterations, cached per (session,
@@ -1257,16 +1257,16 @@ object VectorQueries {
                               e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
       e.queryExecution.analyzed.semanticHash())
-    centsCache.computeIfAbsent(key, _ => {
+    centsCache.getOrCompute(key, SessionScopedCache.aliveProbe(spark)) {
       val cents0 = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 25L * 64)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
       ivfRetrain(ivfAssign(spark, e, ivfRetrain(ivfAssign(spark, e, cents0))))
-    })
+    }
   }
 
   /** Persisted-served-index cache: root path per (session, corpus). */
   private val servedCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+    new SessionScopedCache[(String, Int), String](32)
 
   /** Build (once per session+corpus) the PERSISTED serving form of the
     * IVF index: a TxLog pair under one root —
@@ -1289,7 +1289,7 @@ object VectorQueries {
                                    e: org.apache.spark.sql.DataFrame): String = {
     val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
       e.queryExecution.analyzed.semanticHash())
-    servedCache.computeIfAbsent(key, _ => {
+    servedCache.getOrCompute(key, SessionScopedCache.aliveProbe(spark)) {
       val root = s"/root/repo/target/tmp/ivf_served_${dir.hashCode.abs}_${key._2.abs}"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       val t0 = System.nanoTime()
@@ -1302,7 +1302,7 @@ object VectorQueries {
           "cent_id")
       Scale.layoutNanos.addAndGet(System.nanoTime() - t0)
       root
-    })
+    }
   }
 
   /** Build (once per session+corpus) the PERSISTED serving form of the
@@ -1327,7 +1327,7 @@ object VectorQueries {
                                   e: org.apache.spark.sql.DataFrame): String = {
     val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
       e.queryExecution.analyzed.semanticHash())
-    servedPqCache.computeIfAbsent(key, _ => {
+    servedPqCache.getOrCompute(key, SessionScopedCache.aliveProbe(spark)) {
       val root = s"/root/repo/target/tmp/pq_served_${dir.hashCode.abs}_${key._2.abs}"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       val t0 = System.nanoTime()
@@ -1343,11 +1343,11 @@ object VectorQueries {
             x => x.getField("cent_id")).as("codes")))
       Scale.layoutNanos.addAndGet(System.nanoTime() - t0)
       root
-    })
+    }
   }
 
   private val servedPqCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+    new SessionScopedCache[(String, Int), String](32)
 
   /** Build (once per session+corpus) the PERSISTED serving form of the
     * IVF-PQ index — the production composition of both layouts under
@@ -1370,7 +1370,7 @@ object VectorQueries {
                                      e: org.apache.spark.sql.DataFrame): String = {
     val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
       e.queryExecution.analyzed.semanticHash())
-    servedIvfPqCache.computeIfAbsent(key, _ => {
+    servedIvfPqCache.getOrCompute(key, SessionScopedCache.aliveProbe(spark)) {
       val root = s"/root/repo/target/tmp/ivfpq_served_${dir.hashCode.abs}_${key._2.abs}"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       val t0 = System.nanoTime()
@@ -1394,11 +1394,11 @@ object VectorQueries {
           "cell")
       Scale.layoutNanos.addAndGet(System.nanoTime() - t0)
       root
-    })
+    }
   }
 
   private val servedIvfPqCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+    new SessionScopedCache[(String, Int), String](32)
 
   /** Full trained coarse quantizer: [[ivfTrainedCents]] plus a final
     * `nProbe`-cell assignment → (vec_id, embedding, cent_id). */
@@ -1591,14 +1591,14 @@ object VectorQueries {
     * and is checkpointed so consumers scan it without replaying
     * training; the codebook frame is a broadcast-size lookup. */
   private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int),
-      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+    new SessionScopedCache[(String, Int),
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](32)
 
   private def pqTrainedCodes(spark: org.apache.spark.sql.SparkSession,
                              e: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
       e.queryExecution.analyzed.semanticHash())
-    pqCache.computeIfAbsent(key, _ => {
+    pqCache.getOrCompute(key, SessionScopedCache.aliveProbe(spark)) {
       // the training set is read 3× (2 Lloyd passes + final encoding):
       // materialize it once — it is the corpus re-shaped, not a copy
       // per pass
@@ -1614,7 +1614,7 @@ object VectorQueries {
         .select(col("vec_id"), col("s"), col("cent_id"))
         .localCheckpoint(true)
       (codes, cents2)
-    })
+    }
   }
 
   /** Oracle CTE chain replaying [[pqTrainedCodes]] exactly:
