@@ -591,7 +591,26 @@ final case class TxLog(spark: SparkSession, root: String,
     * reads is the documented price of a correct answer on a clock
     * with no monotonicity guarantee; arming [[TxLog.IctProp]] is the
     * O(log V) path. A manifest vanished under a concurrent VACUUM is
-    * a vacuumed-prefix member: resolution moves up. */
+    * a vacuumed-prefix member: resolution moves up.
+    *
+    * What all-recorded PROBES actually vouch for differs by
+    * direction. The search terminates having probed the two ADJACENT
+    * versions around its boundary (the last lo-move probed the
+    * answer, the last hi-move probed its neighbor). For AT-OR-BEFORE
+    * that is sufficient: the answer is the HIGHEST qualifier,
+    * recorded instants above the boundary are choke-point-monotone
+    * past ts, and the slow path clamps every unrecorded instant above
+    * the boundary to the running max (already past ts) — no unprobed
+    * version can out-qualify the answer. For AT-OR-AFTER it is NOT:
+    * the answer is the LOWEST qualifier, and an UNPROBED
+    * mtime-derived version BELOW the boundary (a mixed table's
+    * pre-ICT prefix) with a forward-perturbed mtime reads as a huge
+    * instant on the slow path's monotonized clock and out-qualifies
+    * the probed answer. So an at-or-after answer is trusted only once
+    * every version below it is ESTABLISHED recorded — memory-only
+    * when the sidecar primed the window (the all-ICT steady state), a
+    * bounded header probe per unseen version otherwise, each of which
+    * caches for every later resolution. */
   private def clockResolve(tsMillis: Long, atOrBefore: Boolean): Long = {
     val cur = currentVersion()
     require(cur >= 0, s"TxLog table at $root has no commits")
@@ -612,6 +631,17 @@ final case class TxLog(spark: SparkSession, root: String,
             if (i >= tsMillis) { ans = mid; hi = mid - 1 } else lo = mid + 1
           }
         case None => lo = mid + 1
+      }
+    }
+    if (allRecorded && !atOrBefore) {
+      // at-or-after: the window BELOW the answer (the whole window
+      // when nothing qualified) must be recorded too — see doc above
+      val checkTo = if (ans >= 0) ans else cur + 1
+      var v = low
+      while (allRecorded && v < checkTo) {
+        if (TxLog.instantCache.get((root, v)) == null)
+          allRecorded = sourcedOrNone(v).forall(_._2)
+        v += 1
       }
     }
     if (allRecorded) return ans
@@ -684,7 +714,17 @@ final case class TxLog(spark: SparkSession, root: String,
     val low = lowestExistingVersion(cur)
     val side = trustedSidecar(low, cur)
     (low to cur).reverse.flatMap { v =>
-      side.get(v).orElse(
+      side.get(v).flatMap { e =>
+        // RECORDED instants are immutable — serve the sidecar copy.
+        // mtime-derived instants are snapshots of MUTABLE file mtimes
+        // (copies/migrations legitimately move them after the sidecar
+        // was written), so those rows re-stat the live mtime: one
+        // getFileStatus, still zero manifest OPENS for covered rows
+        if (e.recorded) Some(e)
+        else try Some(e.copy(instant =
+          fs.getFileStatus(manifestPath(v)).getModificationTime))
+        catch { case _: java.io.FileNotFoundException => None }
+      }.orElse(
         // TOCTOU under a concurrent VACUUM: a vanished manifest is a
         // vacuumed-prefix member, its row simply drops out
         try Some(histEntryOf(v))
@@ -754,7 +794,13 @@ final case class TxLog(spark: SparkSession, root: String,
     * re-created table (the log restarted from 0), a copied table whose
     * mtimes moved, or any corruption fails the check and the whole
     * sidecar is ignored. Manifests are immutable once published, so a
-    * passing spot-check vouches for every older entry. */
+    * passing spot-check vouches for every older entry's MANIFEST-BORNE
+    * fields (op, dir count, recorded ICT instants). It does NOT vouch
+    * for mtime-derived instants — those are snapshots of mutable file
+    * mtimes that can legitimately move while the newest entry still
+    * matches, which is why [[history]] re-stats every `recorded=false`
+    * row before serving it and the clock cache is primed from
+    * `recorded=true` rows only. */
   private def trustedSidecar(low: Long, cur: Long): Map[Long, HistEntry] = {
     val raw = readHistorySidecarRaw()
       .filter(e => e.version >= low && e.version <= cur)
@@ -2026,8 +2072,10 @@ final case class TxLog(spark: SparkSession, root: String,
     * properties case-insensitively), [[TxLog.VacuumRetainProp]] must
     * be a positive integer (a typo'd retention must fail at SET time,
     * not at the VACUUM that would act on it). Everything else is
-    * opaque annotation and passes through verbatim. */
-  private def normalizeProp(k: String, v: String): (String, String) = {
+    * opaque annotation and passes through verbatim. Exposed to the
+    * SQL face so CREATE's no-op TBLPROPERTIES conflict check compares
+    * declared values in the SAME normal form they would commit in. */
+  private[graft] def normalizeProp(k: String, v: String): (String, String) = {
     require(k.nonEmpty && !k.exists("\t\n\r".contains(_)),
       s"property key '$k' must be non-empty and tab/newline-free " +
         "(manifest line format)")

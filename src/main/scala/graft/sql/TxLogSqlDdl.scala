@@ -262,10 +262,14 @@ object GraftSqlParser {
   private[sql] val CopyIntoRe =
     s"""(?is)\\s*COPY\\s+INTO\\s+$Id\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(\\w+)(.*)""".r
   private[sql] val PatternRe = """(?is)\bPATTERN\s*=\s*'([^']+)'""".r
+  // quote-aware bodies (same pattern as OptionsClauseRe): a quoted
+  // option VALUE may contain ')' — e.g. FORMAT_OPTIONS('sep'=')') —
+  // and a [^)]* body would stop at it, leaving requireCleanTail to
+  // reject the remainder of a valid statement as residue
   private[sql] val FormatOptsRe =
-    """(?is)\bFORMAT_OPTIONS\s*\(([^)]*)\)""".r
+    """(?is)\bFORMAT_OPTIONS\s*\(((?:[^()']|'[^']*')*)\)""".r
   private[sql] val CopyOptsRe =
-    """(?is)\bCOPY_OPTIONS\s*\(([^)]*)\)""".r
+    """(?is)\bCOPY_OPTIONS\s*\(((?:[^()']|'[^']*')*)\)""".r
   // OPTIONS (...) — CREATE's second accepted clause spelling
   private[sql] val OptionsClauseRe =
     """(?is)\bOPTIONS\s*\(((?:[^()']|'[^']*')*)\)""".r
@@ -294,7 +298,7 @@ object GraftSqlParser {
   /** `KEY_OPTIONS ('k' = 'v', ...)` quoted-pair lists (Databricks'
     * COPY INTO option syntax). */
   private[sql] def quotedOpts(tail: String, key: String): Map[String, String] =
-    s"""(?is)\\b$key\\s*\\(([^)]*)\\)""".r.findFirstMatchIn(tail)
+    s"""(?is)\\b$key\\s*\\(((?:[^()']|'[^']*')*)\\)""".r.findFirstMatchIn(tail)
       .map(m => """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(m.group(1))
         .map(p => p.group(1) -> p.group(2)).toMap)
       .getOrElse(Map.empty)
@@ -516,8 +520,15 @@ case class TxLogCreateTableCommand(name: String, colsDdl: Option[String],
       // effect; e.g. a declared ICT arm that isn't). A replayed
       // SHOW CREATE TABLE attach declares the committed values
       // verbatim and passes.
+      // compare NORMALIZED declared values against the (normalized-at-
+      // commit) stored ones: re-running the user's original DDL with
+      // 'graft.inCommitTimestamps'='TRUE' against a table stored as
+      // 'true' is a semantic no-op and must pass, not fail — the same
+      // normalize-validate the real SET path applies (so a declared
+      // INVALID value also fails here with the SET-time message)
       val stored = t.properties().toMap
-      val conflicts = props.filter { case (k, v) => !stored.get(k).contains(v) }
+      val conflicts = props.map { case (k, v) => t.normalizeProp(k, v) }
+        .filter { case (k, v) => !stored.get(k).contains(v) }
       if (conflicts.nonEmpty)
         TxLogDdl.fail(s"table at $root already exists and this statement is a " +
           "no-op, but its declared TBLPROPERTIES differ from the stored ones: " +

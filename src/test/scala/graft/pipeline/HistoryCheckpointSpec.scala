@@ -84,6 +84,31 @@ class HistoryCheckpointSpec extends SparkTestBase {
     assert(t.versionAsOf(ts30) === 30L)
   }
 
+  test("mtime-sourced checkpoint rows re-stat: a moved pre-ICT mtime surfaces in DESCRIBE HISTORY") {
+    // the sidecar snapshots mtime-derived instants at write time, but
+    // file mtimes are MUTABLE (copies/migrations move them while the
+    // newest entry still spot-checks clean) — history() must re-stat
+    // recorded=false rows instead of serving the stale snapshot, and
+    // still without opening their manifests
+    val t = build("mtime_restat", 25) // v0 and v1 (the ICT arm) are mtime-sourced
+    assert(new java.io.File(s"${t.root}/_txlog/_history").exists())
+    val before = t.history().collect().find(_.getLong(0) === 0L).get
+      .getTimestamp(1).getTime
+    val moved = before + 7770000L
+    assert(new java.io.File(s"${t.root}/_txlog/00000000.json")
+      .setLastModified(moved))
+    val opens0 = TxLog.headerReads.get()
+    val after = t.history().collect()
+    val opens = TxLog.headerReads.get() - opens0
+    assert(after.find(_.getLong(0) === 0L).get.getTimestamp(1).getTime === moved,
+      "DESCRIBE HISTORY served the sidecar's stale mtime snapshot")
+    // recorded rows still serve from the sidecar copy, and the re-stat
+    // is a getFileStatus, not a manifest open: the open count stays
+    // the spot-check + O(recent)
+    assert(opens <= 2L * TxLog.SidecarEvery + 5,
+      s"re-stat turned into $opens manifest opens")
+  }
+
   test("vacuum interplay: checkpoint entries for deleted versions drop out of every reader") {
     val t = build("vacuumed", 40)
     assert(new java.io.File(s"${t.root}/_txlog/_history").exists())

@@ -112,4 +112,26 @@ class TxLogCopyIntoSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM copy_sql_tbl").head().getLong(0) === 2L)
     TxLogSql.unregister("copy_sql_tbl")
   }
+
+  test("FORMAT_OPTIONS values may contain ')': the clause body is quote-aware") {
+    // a quoted option value containing a closing paren — e.g. a ')'
+    // CSV separator — used to stop the [^)]* clause body early and
+    // fail requireCleanTail on the valid remainder
+    val src = tmpDir("copy_paren_src")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/rows.csv"), "id)v\n1)a\n2)b\n")
+    val t = TxLog(spark, tmpDir("copy_paren_tbl"))
+    t.overwrite(Seq.empty[(Long, String)].toDF("id", "v"))
+    TxLogSql.register("copy_paren_tbl", t)
+    val out = spark.sql(
+      s"COPY INTO copy_paren_tbl FROM '$src' FILEFORMAT = CSV " +
+        "PATTERN = '*.csv' FORMAT_OPTIONS ('sep' = ')', 'header' = 'true') " +
+        "COPY_OPTIONS ('force' = 'false')").collect()
+    assert(out.head.getLong(1) === 1L, "the csv file did not load")
+    assert(spark.sql("SELECT id, v FROM copy_paren_tbl ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    TxLogSql.unregister("copy_paren_tbl")
+  }
 }

@@ -2030,6 +2030,38 @@ class TxLogSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t.versionAsOf(ts - 1000000L))
   }
 
+  test("mixed table at-or-after: a forward-perturbed pre-ICT mtime cannot split fast/slow answers") {
+    // versions 0-2 pre-ICT (mtime clock), 3+ ICT-recorded — the shape
+    // of every table that arms ICT after its first commits. An
+    // at-or-after binary search probing only ICT versions used to
+    // TRUST its answer while the slow path's monotonized clock could
+    // name an earlier version whose mtime external tooling had pushed
+    // forward; resolution must give the monotonized answer either way.
+    val t = fresh("mixed_atorafter")
+    t.overwrite(Seq((0L, "v0")).toDF("id", "v"))
+    t.append(Seq((1L, "v1")).toDF("id", "v"))
+    t.setProperties(Seq(TxLog.IctProp -> "true")) // v2; stamps from v3
+    (3 to 14).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val cur = t.currentVersion()
+    assert(cur === 14L)
+    val ts = t.commitInstant(12L) // a recorded instant near the top
+    // sane clock: both directions land on 12
+    assert(t.versionAtOrAfter(ts) === 12L)
+    assert(t.versionAsOf(ts) === 12L)
+    // external tooling (a copy/migration) moves a PRE-ICT manifest's
+    // mtime far past every recorded instant
+    def mf(v: Long) = new java.io.File(s"${t.root}/_txlog/%08d.json".format(v))
+    assert(mf(1L).setLastModified(ts + 3650L * 86400000L))
+    // monotonized clock: v1 (and v2, clamped) now read as the huge
+    // instant — the FIRST version at-or-after ts is v1, however the
+    // resolver gets there; answering 12 from an all-ICT probe set
+    // would contradict the linear scan
+    assert(t.versionAtOrAfter(ts) === 1L)
+    // at-or-before is immune (the answer is the HIGHEST qualifier and
+    // recorded instants are authoritative): still 12
+    assert(t.versionAsOf(ts) === 12L)
+  }
+
   test("mtime clock perturbed out of order: resolution is MONOTONIZED, never silently wrong") {
     val t = fresh("mtime_monotone")
     t.overwrite(Seq((0L, "v0")).toDF("id", "v"))

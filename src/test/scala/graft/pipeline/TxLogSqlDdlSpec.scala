@@ -629,6 +629,29 @@ class TxLogSqlDdlSpec extends SparkTestBase {
       "IF-NOT-EXISTS-on-existing committed a version")
     assert(t.properties() === p0,
       "IF-NOT-EXISTS-on-existing changed table properties")
+    // NORMALIZED comparison: behavior-bearing values commit in a
+    // normal form ('TRUE' → 'true'), so replaying the user's ORIGINAL
+    // un-normalized DDL against the stored normalized value is a
+    // semantic no-op and must pass — comparing raw against stored
+    // used to fail it
+    spark.sql("ALTER TABLE sqlddl_noop SET TBLPROPERTIES " +
+      "('graft.inCommitTimestamps' = 'TRUE')")
+    val v1 = t.currentVersion()
+    val p1 = t.properties()
+    spark.sql(s"""
+      CREATE TABLE IF NOT EXISTS sqlddl_noop (id BIGINT, v STRING)
+      USING graft TBLPROPERTIES ('owner' = 'original',
+        'graft.inCommitTimestamps' = 'TRUE')
+      LOCATION '$loc'""")
+    assert(t.currentVersion() === v1,
+      "normalized-no-op replay committed a version")
+    // and a declared value that is INVALID for a behavior-bearing key
+    // fails with the SET-time validation message, not a raw compare
+    val ev = intercept[Exception](spark.sql(s"""
+      CREATE TABLE IF NOT EXISTS sqlddl_noop (id BIGINT, v STRING)
+      USING graft TBLPROPERTIES ('graft.inCommitTimestamps' = 'yes')
+      LOCATION '$loc'"""))
+    assert(ev.getMessage.contains("boolean"), ev.getMessage)
     // a CONFLICTING declared property must fail LOUDLY, never be
     // silently discarded — the user believes the declared
     // configuration is in effect (imagine a declared ICT arm that
@@ -639,7 +662,7 @@ class TxLogSqlDdlSpec extends SparkTestBase {
       LOCATION '$loc'"""))
     assert(ec.getMessage.contains("TBLPROPERTIES") &&
       ec.getMessage.contains("owner"), ec.getMessage)
-    assert(t.currentVersion() === v0 && t.properties() === p0,
+    assert(t.currentVersion() === v1 && t.properties() === p1,
       "conflicting-props refusal still mutated the table")
     // CTAS IF NOT EXISTS no-op: same contract, same conflict signal
     val ec2 = intercept[Exception](spark.sql(s"""
@@ -647,7 +670,7 @@ class TxLogSqlDdlSpec extends SparkTestBase {
       TBLPROPERTIES ('owner' = 'intruder2')
       LOCATION '$loc' AS SELECT 9 AS id, 'z' AS v"""))
     assert(ec2.getMessage.contains("TBLPROPERTIES"), ec2.getMessage)
-    assert(t.currentVersion() === v0 && t.properties() === p0,
+    assert(t.currentVersion() === v1 && t.properties() === p1,
       "CTAS no-op branch mutated the existing table")
     // data untouched too
     assert(spark.sql("SELECT count(*) FROM sqlddl_noop").head().getLong(0) === 1L)
