@@ -258,6 +258,101 @@ class SqlFaceFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("fuzz: backticked identifiers (embedded dots/spaces/keywords) NEVER bind a graft command") {
+    // the face's declared scope is dotted BARE names; backticked names
+    // belong to the delegate. The hazard is a half-match: a regex that
+    // binds `x.y z` as table "x.y" and leaves " z`" to a permissive
+    // tail would silently run a graft command against the wrong table.
+    val rnd = new Random(4242)
+    def btIdent(): String = {
+      val inner = Seq(
+        s"dim ${rnd.nextInt(99)}",        // embedded space
+        s"a.b.${rnd.nextInt(99)}",        // embedded dots
+        s"select ${rnd.nextInt(9)}",      // an embedded KEYWORD
+        s"x-${rnd.nextInt(99)}")(rnd.nextInt(4))
+      s"`$inner`"
+    }
+    (1 to 80).foreach { trial =>
+      val id = btIdent()
+      val toks = rnd.nextInt(5) match {
+        case 0 => Seq(K("DESCRIBE"), K("HISTORY"), T(id))
+        case 1 => Seq(K("VACUUM"), T(id), K("RETAIN"), T("7"), K("VERSIONS"))
+        case 2 => Seq(K("OPTIMIZE"), T(id))
+        case 3 => Seq(K("RESTORE"), K("TABLE"), T(id),
+          K("TO"), K("VERSION"), K("AS"), K("OF"), T("3"))
+        case _ => Seq(K("COPY"), K("INTO"), T(id), K("FROM"), T("'/tmp/x'"),
+          K("FILEFORMAT"), T("="), K("PARQUET"))
+      }
+      val sql = render(toks, rnd)
+      val r = scala.util.Try(parser.parsePlan(sql))
+      assert(!r.toOption.exists(isGraft),
+        s"trial $trial: backticked identifier bound a graft command:\n  $sql\n  -> ${r.toOption}")
+    }
+  }
+
+  test("fuzz: escaped quotes in string literals round-trip in props and reject loudly in paths") {
+    val rnd = new Random(5050)
+    // TBLPROPERTIES values with '' escapes (plus commas/parens/equals)
+    // must round-trip through the FULL parser, unescaped — not just
+    // the propPairs helper
+    (1 to 60).foreach { trial =>
+      val v = Seq("it''s", "a''b''c", "x,(y)=z''", "''lead", "trail''")(rnd.nextInt(5))
+      val expected = v.replace("''", "'")
+      val loc = s"/root/repo/target/tmp/fz_esc_${rnd.nextInt(1 << 20)}"
+      val sql = render(Seq(K("CREATE"), K("TABLE"), T(s"t_esc$trial"),
+        T("(id BIGINT)"), K("USING"), K("graft"),
+        K("TBLPROPERTIES"), T(s"('note' = '$v', 'keys' = 'id')"),
+        K("LOCATION"), T(s"'$loc'")), rnd)
+      parser.parsePlan(sql) match {
+        case c: TxLogCreateTableCommand =>
+          assert(c.props === Seq("note" -> expected), sql)
+        case other => fail(s"trial $trial: $sql parsed to $other")
+      }
+    }
+    // a quote inside a PATH literal is outside the grammar ('' is not
+    // an escape there): the statement must reject LOUDLY — the
+    // truncated-literal residue trips requireCleanTail — never bind a
+    // command against the truncated path
+    Seq(
+      "CREATE TABLE t_q (id BIGINT) USING graft LOCATION '/tmp/a''b'",
+      "COPY INTO t_q FROM '/tmp/a''b' FILEFORMAT = PARQUET").foreach { bad =>
+      val r = scala.util.Try(parser.parsePlan(bad))
+      assert(r.isFailure || !r.toOption.exists(isGraft),
+        s"quote-bearing path bound a graft command: $bad -> ${r.toOption}")
+    }
+  }
+
+  test("fuzz: unicode whitespace never yields a mis-bound graft command") {
+    // NBSP, ideographic space, zero-width space between tokens: the
+    // faces tokenize on ASCII \\s, so these either fall through to the
+    // delegate (its own plan or a loud parse error) or — where a
+    // regex still matches — must bind the EXACT declared fields. What
+    // they must never do is half-match into a command with different
+    // fields.
+    val rnd = new Random(6060)
+    val uws = Seq(" ", "　", "​", " ")
+    (1 to 60).foreach { trial =>
+      val id = ident(rnd)
+      val sep = uws(rnd.nextInt(uws.size))
+      val sql = s"VACUUM$sep$id${sep}RETAIN 5 VERSIONS"
+      scala.util.Try(parser.parsePlan(sql)).toOption.filter(isGraft).foreach {
+        case TxLogVacuumCommand(n, retain, dry) =>
+          assert(n === id && retain === Some(5) && !dry,
+            s"trial $trial: unicode ws mis-bound fields: $sql")
+        case other => fail(s"trial $trial: unexpected graft bind $other for: $sql")
+      }
+      // and embedded INSIDE an identifier it must never silently become
+      // part of the table name a command acts on
+      val sqlIn = s"DESCRIBE HISTORY x$sep$id"
+      scala.util.Try(parser.parsePlan(sqlIn)).toOption.filter(isGraft).foreach {
+        case TxLogHistoryCommand(n) =>
+          assert(n == "x" || n == s"x$sep$id",
+            s"trial $trial: unicode ws spliced identifiers: $sqlIn -> $n")
+        case other => fail(s"unexpected graft bind $other for: $sqlIn")
+      }
+    }
+  }
+
   test("registered-name guard: ALTER/ANALYZE forms fall through to Spark for unknown names") {
     // Spark's own grammar must keep working for catalog tables: the
     // face intercepts these shapes ONLY for registered TxLog names
