@@ -19,7 +19,10 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     // same contention-band probe as Bench (warmed once, then timed
     // first/last) so targeted readings can be calibrated against the
-    // committed reference map like full-run readings
+    // committed reference map like full-run readings — and the same
+    // untimed streaming-stack warm-up, so a targeted streaming reading
+    // is comparable to the map's instead of absorbing cold-start
+    graft.streaming.StreamWarmup.run(spark)
     Bench.calibrate(spark)
     val calibFirst = Bench.calibrate(spark)
     args.foreach { name =>
