@@ -764,6 +764,158 @@ object VectorQueries {
         FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
       SELECT vec_id, nn_id, score FROM p WHERE rn = 1""")),
 
+    // PAGERANK CENTRALITY over the corpus NN-graph — the
+    // representativeness score graph-based curation ranks a corpus by
+    // (a vector pointed at by many well-pointed-at vectors sits in a
+    // dense, representative region; orphans and outliers score the
+    // floor). Edges are `sim_nn_graph`'s 1-NN-within-SRP-bucket list
+    // (out-degree exactly 1, so a node's contribution is its whole
+    // rank — no out-degree division anywhere), and the 3 fixed power
+    // iterations run in FIXED-POINT BIGINT arithmetic: ranks are
+    // scaled by 1e9, each round is r(v) = 0.15·SCALE +
+    // (85·Σ_in r(u)) div 100 — integer sums are order-independent, so
+    // the result is bit-exact cross-engine with no float-accumulation
+    // caveat (the drift-monitor rule applied to an iterative op).
+    // Scale: the edge list materializes ONCE (localCheckpoint — the
+    // bucket join never re-runs), each round is one co-partitioned
+    // join on vec_id plus one shuffle-agg on nn_id over n rows of
+    // 16-byte state, and the iteration count is a constant 3 — at
+    // 100 TB the cost is 3 bounded shuffles of node-sized frames,
+    // dwarfed by the one-time edge build. Headroom: Σ_in r(u) ≤
+    // n·1e9, so the 85× product stays inside int64 to n ≈ 1e8
+    // vectors per rank partition of the corpus; beyond that the
+    // fixed-point scale drops a decade (or the sums widen to
+    // DECIMAL(38,0)) without changing the plan.
+    Q("sim_nn_pagerank", (spark, dir) => {
+      graft.plans.VectorHofRewrite.install(spark)
+      val e = load(spark, dir, "embeddings")
+        .withColumn("bucket",
+          graft.functions.VectorFunctions.srpBucket(col("embedding"), 8))
+      val a = e.select(col("bucket"), col("vec_id"), col("embedding").as("va"))
+      val b = e.select(col("bucket"), col("vec_id").as("nn_id"),
+        col("embedding").as("vb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("nn_id"))
+      val parts = spark.sessionState.conf.numShufflePartitions
+      // materialize the (expensive) 1-NN detection once, durably, so
+      // the three rank rounds never re-run the bucket join (the
+      // DedupClusters rule: cache() alone is evictable)
+      val edges = a.join(b, Seq("bucket"))
+        .filter(col("vec_id") =!= col("nn_id"))
+        .withColumn("score",
+          VectorExpressions.cosine_sim(spark, col("va"), col("vb")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("nn_id"))
+        .repartition(parts, col("vec_id"))
+        .localCheckpoint(true)
+      val nodes = e.select(col("vec_id"))
+        .repartition(parts, col("vec_id")).localCheckpoint(true)
+      val scale = 1000000000L
+      var ranks = nodes.withColumn("r", lit(scale))
+      for (_ <- 1 to 3) {
+        val in = edges.join(ranks, Seq("vec_id"))
+          .groupBy(col("nn_id").as("vec_id"))
+          .agg(sum(col("r")).as("i"))
+        ranks = nodes.join(in, Seq("vec_id"), "left")
+          .withColumn("r", lit(scale * 15 / 100) +
+            expr("(85 * coalesce(i, 0L)) DIV 100"))
+          .select(col("vec_id"), col("r"))
+      }
+      ranks.select(col("vec_id"), col("r").as("rank_fp"))
+    }, oracle = Some(s"""
+      WITH bkt AS (
+        SELECT vec_id, embedding, ${srpBucketSql(8)} AS bucket
+        FROM embeddings),
+      p AS (
+        SELECT a.vec_id, b.vec_id AS nn_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY $oracleCos DESC, b.vec_id) AS rn
+        FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      edges AS (SELECT vec_id, nn_id FROM p WHERE rn = 1),
+      r0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS r FROM embeddings),
+      r1 AS (
+        SELECT n.vec_id,
+               CAST(150000000 + (85 * COALESCE(s.i, 0)) // 100 AS BIGINT) AS r
+        FROM embeddings n LEFT JOIN (
+          SELECT e.nn_id, sum(x.r) AS i FROM edges e
+          JOIN r0 x ON x.vec_id = e.vec_id GROUP BY e.nn_id) s
+        ON s.nn_id = n.vec_id),
+      r2 AS (
+        SELECT n.vec_id,
+               CAST(150000000 + (85 * COALESCE(s.i, 0)) // 100 AS BIGINT) AS r
+        FROM embeddings n LEFT JOIN (
+          SELECT e.nn_id, sum(x.r) AS i FROM edges e
+          JOIN r1 x ON x.vec_id = e.vec_id GROUP BY e.nn_id) s
+        ON s.nn_id = n.vec_id),
+      r3 AS (
+        SELECT n.vec_id,
+               CAST(150000000 + (85 * COALESCE(s.i, 0)) // 100 AS BIGINT) AS r
+        FROM embeddings n LEFT JOIN (
+          SELECT e.nn_id, sum(x.r) AS i FROM edges e
+          JOIN r2 x ON x.vec_id = e.vec_id GROUP BY e.nn_id) s
+        ON s.nn_id = n.vec_id)
+      SELECT vec_id, r AS rank_fp FROM r3""")),
+
+    // LABEL CONSENSUS over the 3-NN graph — corpus-wide mislabel
+    // detection: every vector's label is re-derived as the majority
+    // vote of its 3 nearest SRP-bucket peers (votes DESC, label ASC
+    // tie-break), and rows where the consensus disagrees with the
+    // stored label are the label-QA queue. Differs from
+    // `sim_knn_classify` (a fixed-64-query brute-force audit) in
+    // being the FULL-corpus pass: candidates come from the LSH
+    // bucket equi-join, the per-vector top-3 is a CONSTANT-cap
+    // rank window (WindowGroupLimit heap — never a per-vector
+    // corpus sort), and everything after the neighbor list is
+    // integer counting on 3 rows per vector. Exact integers +
+    // bit-identical cosine folds end-to-end, so the oracle is a
+    // full equality check.
+    Q("sim_label_consensus", (spark, dir) => {
+      graft.plans.VectorHofRewrite.install(spark)
+      val e = load(spark, dir, "embeddings")
+        .withColumn("bucket",
+          graft.functions.VectorFunctions.srpBucket(col("embedding"), 8))
+      val a = e.select(col("bucket"), col("vec_id"), col("label"),
+        col("embedding").as("va"))
+      val b = e.select(col("bucket"), col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label"), col("embedding").as("vb"))
+      val wNn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("nbr_id"))
+      val wVote = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("votes").desc, col("nbr_label"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .withColumn("score",
+          VectorExpressions.cosine_sim(spark, col("va"), col("vb")))
+        .withColumn("rn", row_number().over(wNn)).filter(col("rn") <= 3)
+        .groupBy(col("vec_id"), col("label"), col("nbr_label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rk", row_number().over(wVote)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("label"),
+          col("nbr_label").as("consensus_label"),
+          col("votes").as("n_votes"),
+          (col("label") === col("nbr_label")).as("agrees"))
+    }, oracle = Some(s"""
+      WITH bkt AS (
+        SELECT vec_id, label, embedding, ${srpBucketSql(8)} AS bucket
+        FROM embeddings),
+      p AS (
+        SELECT a.vec_id, a.label, b.vec_id AS nbr_id, b.label AS nbr_label,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY $oracleCos DESC, b.vec_id) AS rn
+        FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      votes AS (
+        SELECT vec_id, label, nbr_label, CAST(count(*) AS BIGINT) AS votes
+        FROM p WHERE rn <= 3 GROUP BY 1, 2, 3)
+      SELECT vec_id, label, nbr_label AS consensus_label,
+             votes AS n_votes, label = nbr_label AS agrees
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY votes DESC, nbr_label) AS rk
+            FROM votes)
+      WHERE rk = 1""")),
+
     // PRODUCT QUANTIZATION + ADC — the memory-bound ANN path (IVF cuts
     // candidates; PQ cuts bytes-per-candidate): the 64-dim vector is
     // split into 8 8-dim subspaces, each with its own k-means

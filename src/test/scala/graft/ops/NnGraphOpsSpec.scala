@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The two NN-graph analytics operators (`sim_nn_pagerank`,
+  * `sim_label_consensus`) checked against independent driver-side
+  * reimplementations on the tiny corpus — the graph is rebuilt here
+  * by brute force (no SRP buckets, then intersected with the bucketed
+  * candidates exactly as the operators define them), the fixed-point
+  * rank recursion and the majority vote are folded in plain Scala,
+  * and the operator outputs must match row-for-row. The DuckDB oracle
+  * already pins cross-engine equality; this spec pins the SEMANTICS
+  * (what the recursion computes) independently of both engines.
+  */
+class NnGraphOpsSpec extends SparkTestBase {
+
+  private val Scale = 1000000000L
+  private val Base = Scale * 15 / 100
+
+  /** (vec_id, label, bucket, embedding) for the sf dir, with the same
+    * SRP bucket assignment the operators use. */
+  private def corpus(dir: String): Seq[(Long, Int, Long, Array[Float])] = {
+    graft.plans.VectorHofRewrite.install(spark)
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.srpBucket(col("embedding"), 8).as("bucket"),
+        col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getSeq[Float](3).toArray))
+      .toSeq
+  }
+
+  /** Sequential-fold cosine, the exact arithmetic of
+    * VectorExpressions.cosine_sim (left-to-right double accumulation). */
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Per-vector bucket peers ranked (score DESC, id ASC) — the
+    * operators' candidate order — as id lists. */
+  private def rankedPeers(c: Seq[(Long, Int, Long, Array[Float])])
+      : Map[Long, Seq[Long]] = {
+    val byBucket = c.groupBy(_._3)
+    c.map { case (id, _, bkt, v) =>
+      val peers = byBucket(bkt).filter(_._1 != id)
+        .map { case (pid, _, _, pv) => (pid, cos(v, pv)) }
+        .sortBy { case (pid, s) => (-s, pid) }
+        .map(_._1)
+      id -> peers
+    }.toMap
+  }
+
+  test("sim_nn_pagerank matches a driver-side fixed-point fold") {
+    val dir = sf("0.001")
+    val c = corpus(dir)
+    val nn = rankedPeers(c).collect { case (id, ps) if ps.nonEmpty => id -> ps.head }
+    var ranks = c.map(_._1 -> Scale).toMap
+    for (_ <- 1 to 3) {
+      val in = nn.toSeq.groupMapReduce(_._2)({ case (u, _) => ranks(u) })(_ + _)
+      ranks = ranks.map { case (v, _) => v -> (Base + 85 * in.getOrElse(v, 0L) / 100) }
+    }
+    val got = graft.SparkEntry.queries("sim_nn_pagerank")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ranks)
+    // structural floor: a node nobody points at holds exactly the base
+    val sinks = ranks.keySet -- nn.values.toSet
+    assert(sinks.forall(v => got(v) == Base), "in-degree-0 nodes must sit at 0.15*SCALE")
+    assert(got.values.max > Scale, "some node must accumulate above the uniform start")
+  }
+
+  test("sim_label_consensus matches a driver-side majority vote") {
+    val dir = sf("0.001")
+    val c = corpus(dir)
+    val labels = c.map(t => t._1 -> t._2).toMap
+    val expected = rankedPeers(c).collect { case (id, ps) if ps.nonEmpty =>
+      val votes = ps.take(3).groupBy(labels).map { case (l, xs) => (l, xs.size) }
+      val (consensus, n) = votes.toSeq.minBy { case (l, v) => (-v, l) }
+      id -> ((labels(id), consensus, n.toLong, labels(id) == consensus))
+    }
+    val got = graft.SparkEntry.queries("sim_label_consensus")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got === expected)
+  }
+
+  test("label consensus plan: constant-cap neighbor window takes WindowGroupLimit; bucket join stays equi") {
+    val p = graft.SparkEntry.queries("sim_label_consensus")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(1200))
+  }
+}
