@@ -25,6 +25,15 @@ object BenchOne {
     graft.streaming.StreamWarmup.run(spark)
     Bench.calibrate(spark)
     val calibFirst = Bench.calibrate(spark)
+    // SPARK_GRAFT_CALIB_EACH=1: run the contention probe after EVERY
+    // query and print it alongside the reading. Host contention on a
+    // shared box arrives in multi-minute WAVES — a leg whose first/last
+    // probes read 0.78/0.42 against a 0.25 baseline is uninterpretable
+    // with endpoint calibration alone, because the wave hits different
+    // queries differently. A per-query probe lets the consumer
+    // (tools/decade_ratio.py) normalize each reading against the
+    // contention measured seconds after it, at ~0.25 s per probe.
+    val calibEach = sys.env.get("SPARK_GRAFT_CALIB_EACH").contains("1")
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       // same billing as [[Bench]]: one-time layout writes (bucketed
@@ -37,7 +46,8 @@ object BenchOne {
       val layout = ops.Scale.layoutNanos.get() - l0
       val billed = (elapsed - layout).max(0L) / 1e9
       val note = if (layout > 0) f"  (+${layout / 1e9}%.2f s layout)" else ""
-      println(f"$name%-28s $billed%8.2f s  ($n rows)$note")
+      val cal = if (calibEach) f"  [calib=${Bench.calibrate(spark)}%.3f]" else ""
+      println(f"$name%-28s $billed%8.2f s  ($n rows)$note$cal")
     }
     val calibLast = Bench.calibrate(spark)
     println(f"__calib__ first=$calibFirst%.3f last=$calibLast%.3f")
