@@ -916,6 +916,76 @@ object VectorQueries {
             FROM votes)
       WHERE rk = 1""")),
 
+    // K-CENTER CORESET — farthest-first traversal (the Gonzalez
+    // 2-approximation): pick the lowest-id vector as the seed, then 7
+    // rounds of "add the vector farthest from every chosen center"
+    // (max min-distance, ties to the smaller id). The selected 8-point
+    // coreset is the classic geometric summary curation uses to cover
+    // a corpus with maximally-spread exemplars, and each center's
+    // selection distance is the corpus covering radius at that k — the
+    // diminishing-returns curve for choosing k. Exactness: squared-L2
+    // is the sequential double fold (bit-identical cross-engine), and
+    // min-over-centers / max-over-corpus are COMPARISONS, not
+    // accumulations — order-independent on exact doubles, so the whole
+    // iterative selection hash-matches the oracle. Scale: the running
+    // min-distance column makes each round ONE corpus scan + a
+    // distributed top-1 (TakeOrderedAndProject) — k scans total, state
+    // one double per row, driver traffic one row per round
+    // (localCheckpoint truncates the least()-chain lineage so round r
+    // never recomputes rounds 1..r-1; without it the traversal is
+    // O(k²) scans). k is a constant 8.
+    Q("curate_coreset_kcenter", (spark, dir) => {
+      val e0 = load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val k = 8
+      def distTo(v: Seq[Float]) =
+        VectorExpressions.l2_sq(spark, col("embedding"), typedlit(v))
+      val seed = e0.orderBy(col("vec_id")).limit(1).head()
+      var chosen = List((seed.getLong(0), Option.empty[Double]))
+      var d = e0.withColumn("dist", distTo(seed.getSeq[Float](1)))
+        .localCheckpoint(true)
+      for (r <- 2 to k) {
+        val next = d.orderBy(col("dist").desc, col("vec_id")).limit(1).head()
+        chosen = (next.getLong(0), Some(next.getDouble(2))) :: chosen
+        if (r < k)
+          d = d.withColumn("dist",
+            least(col("dist"), distTo(next.getSeq[Float](1))))
+            .localCheckpoint(true)
+      }
+      import spark.implicits._
+      chosen.reverse.zipWithIndex
+        .map { case ((id, sd), i) => (i + 1, id, sd) }
+        .toDF("center_rank", "vec_id", "sel_dist")
+    }, oracle = Some {
+      def cte(prev: String, cn: String, dn: String) =
+        s"""$cn AS (SELECT vec_id, embedding, dist FROM $prev
+              ORDER BY dist DESC, vec_id LIMIT 1),
+            $dn AS (SELECT d.vec_id, d.embedding,
+                      least(d.dist, ${l2Frag("d.embedding", "c.embedding")}) AS dist
+                    FROM $prev d, $cn c)"""
+      s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+      d1 AS (SELECT e.vec_id, e.embedding,
+               ${l2Frag("e.embedding", "c.embedding")} AS dist
+             FROM e, c1 c),
+      ${cte("d1", "c2", "d2")},
+      ${cte("d2", "c3", "d3")},
+      ${cte("d3", "c4", "d4")},
+      ${cte("d4", "c5", "d5")},
+      ${cte("d5", "c6", "d6")},
+      ${cte("d6", "c7", "d7")},
+      c8 AS (SELECT vec_id, embedding, dist FROM d7
+             ORDER BY dist DESC, vec_id LIMIT 1)
+      SELECT 1 AS center_rank, vec_id, CAST(NULL AS DOUBLE) AS sel_dist FROM c1
+      UNION ALL SELECT 2, vec_id, dist FROM c2
+      UNION ALL SELECT 3, vec_id, dist FROM c3
+      UNION ALL SELECT 4, vec_id, dist FROM c4
+      UNION ALL SELECT 5, vec_id, dist FROM c5
+      UNION ALL SELECT 6, vec_id, dist FROM c6
+      UNION ALL SELECT 7, vec_id, dist FROM c7
+      UNION ALL SELECT 8, vec_id, dist FROM c8"""
+    }),
+
     // PRODUCT QUANTIZATION + ADC — the memory-bound ANN path (IVF cuts
     // candidates; PQ cuts bytes-per-candidate): the 64-dim vector is
     // split into 8 8-dim subspaces, each with its own k-means

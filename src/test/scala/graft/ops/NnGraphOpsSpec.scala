@@ -93,6 +93,37 @@ class NnGraphOpsSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("curate_coreset_kcenter matches a driver-side farthest-first traversal") {
+    val dir = sf("0.001")
+    val c = corpus(dir).sortBy(_._1)
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    val vecs = c.map(t => t._1 -> t._4).toMap
+    var chosen = List((c.head._1, Option.empty[Double])) // seed = lowest id
+    var dist = c.map(t => t._1 -> l2(t._4, vecs(c.head._1))).toMap
+    for (_ <- 2 to 8) {
+      val (nid, nd) = dist.toSeq.minBy { case (id, d) => (-d, id) }
+      chosen = (nid, Some(nd)) :: chosen
+      dist = dist.map { case (id, d) => id -> math.min(d, l2(vecs(id), vecs(nid))) }
+    }
+    val expected = chosen.reverse.zipWithIndex
+      .map { case ((id, sd), i) => (i + 1, id, sd) }
+    val got = graft.SparkEntry.queries("curate_coreset_kcenter")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSeq.sortBy(_._1)
+    assert(got === expected)
+    // covering radius must be non-increasing round over round
+    val radii = got.flatMap(_._3)
+    assert(radii === radii.sorted.reverse, "selection distances must decrease")
+  }
+
   test("label consensus plan: constant-cap neighbor window takes WindowGroupLimit; bucket join stays equi") {
     val p = graft.SparkEntry.queries("sim_label_consensus")(spark, sf("0.001"))
       .queryExecution.executedPlan.toString
