@@ -102,7 +102,7 @@ object EventStreams {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(queryName).filter(col("event_type") =!= "sentinel")
+    MemTable.drain(spark, queryName).filter(col("event_type") =!= "sentinel")
   }
 
   /** CHAINED stateful operators (Spark ≥ 3.4 multi-stateful support):
@@ -142,7 +142,7 @@ object EventStreams {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(queryName).filter(col("event_type") =!= "sentinel")
+    MemTable.drain(spark, queryName).filter(col("event_type") =!= "sentinel")
   }
 
   /** Streaming → gold MERGE: the production stream-to-star pattern.
@@ -245,7 +245,7 @@ object EventStreams {
         .outputMode("append").format("memory").queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(queryName)
+    MemTable.drain(spark, queryName)
       .filter(col("p_user") >= 0)
       .select(col("purchase_id"), col("view_id"))
   }
@@ -341,7 +341,7 @@ object EventStreams {
         .outputMode("append").format("memory").queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(queryName).filter(col("user_id") >= 0)
+    MemTable.drain(spark, queryName).filter(col("user_id") >= 0)
   }
 
   /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
@@ -372,7 +372,7 @@ object EventStreams {
         .outputMode("append").format("memory").queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(queryName).filter(col("user_id") >= 0)
+    MemTable.drain(spark, queryName).filter(col("user_id") >= 0)
   }
 
   /** STREAM-STATIC enrichment — the canonical "join the firehose to a
@@ -405,7 +405,7 @@ object EventStreams {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(queryName)
+    MemTable.drain(spark, queryName)
   }
 
   /** Per-user sessions via Spark's BUILT-IN `session_window` — the
@@ -442,7 +442,7 @@ object EventStreams {
         .outputMode("append").format("memory").queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(queryName).filter(col("user_id") >= 0)
+    MemTable.drain(spark, queryName).filter(col("user_id") >= 0)
   }
 
   /** Stream-stream LEFT OUTER interval join — the semantic the inner
@@ -476,7 +476,7 @@ object EventStreams {
         .outputMode("append").format("memory").queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(queryName)
+    MemTable.drain(spark, queryName)
       .filter(col("p_user") >= 0)
       .select(col("purchase_id"), col("view_id"))
   }
@@ -511,7 +511,7 @@ object EventStreams {
         .outputMode("append").format("memory").queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(queryName)
+    MemTable.drain(spark, queryName)
       .filter(coalesce(col("p_user"), col("v_user")) >= 0)
       .select(col("purchase_id"), col("view_id"))
   }
@@ -580,7 +580,7 @@ object EventStreams {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(queryName)
+    MemTable.drain(spark, queryName)
   }
 
   /** UNION of two INDEPENDENT streaming sources feeding one stateful
@@ -619,6 +619,6 @@ object EventStreams {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(queryName)
+    MemTable.drain(spark, queryName)
   }
 }

@@ -129,7 +129,7 @@ object SessionTimers {
         .outputMode("append").format("memory").queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
     } finally prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
-    spark.table(queryName)
+    MemTable.drain(spark, queryName)
       .filter(col("user_id") >= 0)
       .withColumn("session_id",
         row_number().over(Window.partitionBy(col("user_id"))

@@ -187,7 +187,7 @@ object SessionizeStream {
       try q.processAllAvailable() finally q.stop()
     }
 
-    spark.table(queryName)
+    MemTable.drain(spark, queryName)
       .filter(col("user_id") >= 0)
       .withColumn("session_id",
         row_number().over(Window.partitionBy(col("user_id")).orderBy(col("start_us")))
