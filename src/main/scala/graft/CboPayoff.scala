@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** End-to-end CBO payoff measurement at bench fidelity (round-15
   * verdict item 7): the Q9 profit shape (fact ⋈ filtered part ⋈
-  * supplier ⋈ orders ⋈ nation, grouped by nation × year) over graft
-  * TxLog tables at the target SF, run under identical confs in three
-  * stats conditions:
+  * supplier ⋈ date-filtered orders ⋈ nation, grouped by nation ×
+  * year) over graft TxLog tables at the target SF, run under
+  * identical confs in three stats conditions:
   *
   *   - `no_stats`   — tables never ANALYZEd (planner sees file bytes)
   *   - `analyzed`   — ANALYZE … FOR ALL COLUMNS (rowCount/ndv/bounds
@@ -16,13 +16,36 @@ import org.apache.spark.sql.SparkSession
   *                    (the UNSET counterfactual, isolating what the
   *                    histograms add over bounds at full fidelity)
   *
+  * The discriminating predicate is a RANGE over a SKEWED date: the
+  * harness's orders table packs 98% of orders into 1995 (deterministic
+  * o_orderkey-derived dates) with the remaining 2% spread to 2001 —
+  * the date-partitioned-gold shape the engine's real tables have —
+  * and Q9 restricts to the sparse 1997+ tail. The driver's synthetic
+  * orders are date-UNIFORM, where an equi-height histogram prices
+  * nothing the min/max bounds don't already (the first cut of this
+  * harness measured exactly that: three identical plans); the skewed
+  * build is what separates the three conditions. Measured split at
+  * sf1 (tools/cbo_payoff_r15_sf1.txt): `no_stats` sees file bytes
+  * (orders sort-merged), `no_hist` interpolates the range UNIFORMLY
+  * over [min,max] (≈70% of orders — sort-merge AND a worse
+  * CBO-chosen join order, the confidently-wrong case), `analyzed`
+  * prices the tail from the histogram (≈2% — broadcasts the filtered
+  * orders side, BroadcastHashJoin ×4).
+  *
   * Conditions interleave round-robin (3 reps each) so JIT/page-cache
   * warming cancels; the report is per-condition medians plus a plan
-  * digest (join operators in order) so a wall-time delta is traceable
-  * to a plan change, not noise. Broadcast threshold is pinned low
-  * enough that the filtered sides must EARN a broadcast through
-  * statistics — the 100 TB posture, where file sizes alone would
-  * sort-merge everything.
+  * digest (join operator counts + chosen join ORDER) so a wall-time
+  * delta is traceable to a plan change, not noise. Broadcast
+  * threshold is pinned low enough that the filtered sides must EARN
+  * a broadcast through statistics — the 100 TB posture, where file
+  * sizes alone would sort-merge everything. Plan and execution time
+  * report separately, and the whole matrix runs under BOTH AQE
+  * settings — see the axis comment in the loop: with AQE on, runtime
+  * replanning converges mis-estimated broadcast decisions, so the
+  * histograms' irreducible value is the decisions that exist before
+  * any exchange does (join order) plus planning determinism; with
+  * AQE off the static misestimate runs as chosen (measured 5×
+  * execution penalty for bounds-only stats vs histograms).
   *
   * `runMain graft.CboPayoff [sfDir]` (default target/sf1 — run
   * ScaleUp first). One-time table builds land under target/tmp.
@@ -43,19 +66,34 @@ object CboPayoff {
 
     val root = s"/root/repo/target/tmp/cbo_payoff_${sfDir.hashCode.abs}"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
-    // two incarnations of each table so `no_stats` can never see the
-    // analyzed tables' properties: *_ns (never analyzed) and *_an
-    // (ANALYZEd; histograms UNSET for the no_hist condition, restored
-    // from a re-ANALYZE)
+    // three incarnations of each table, one per stats condition, so
+    // the timed loop never mutates statistics: *_ns (never analyzed),
+    // *_an (fully ANALYZEd), *_nh (ANALYZEd once, histogram
+    // properties UNSET once). The first cut used two incarnations and
+    // re-ANALYZEd inside the loop to restore UNSET histograms — 3
+    // full-corpus ANALYZE passes per rep dominated the harness (30 min
+    // at sf1) without adding information.
     val tables = Seq("lineitem", "orders", "part", "supplier", "nation")
-    for (t <- tables; suf <- Seq("ns", "an")) {
+    // orders: deterministic date SKEW (98% packed into 1995, 2% keep
+    // the original 1995-2001 spread) — see the scaladoc; every other
+    // table ships verbatim. Identical SELECT for _ns and _an so the
+    // two incarnations are row-identical.
+    def sourceSql(t: String): String =
+      if (t == "orders")
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              CASE WHEN o_orderkey % 50 = 0 THEN CAST(o_orderdate AS DATE)
+                   ELSE DATE_ADD(DATE'1995-01-01',
+                                 CAST(o_orderkey % 365 AS INT)) END AS o_orderdate
+            FROM parquet.`$sfDir/$t.parquet`"""
+      else s"SELECT * FROM parquet.`$sfDir/$t.parquet`"
+    for (t <- tables; suf <- Seq("ns", "an", "nh")) {
       val name = s"cbo9_${t}_$suf"
       spark.sql(s"DROP TABLE IF EXISTS $name")
       spark.sql(s"""CREATE TABLE $name USING graft LOCATION '$root/${t}_$suf'
-        AS SELECT * FROM parquet.`$sfDir/$t.parquet`""")
+        AS ${sourceSql(t)}""")
     }
-    tables.foreach(t =>
-      spark.sql(s"ANALYZE TABLE cbo9_${t}_an COMPUTE STATISTICS FOR ALL COLUMNS"))
+    for (t <- tables; suf <- Seq("an", "nh"))
+      spark.sql(s"ANALYZE TABLE cbo9_${t}_$suf COMPUTE STATISTICS FOR ALL COLUMNS")
 
     def q9(suf: String): String = s"""
       SELECT n_name AS nation, year(o_orderdate) AS o_year,
@@ -66,24 +104,29 @@ object CboPayoff {
       JOIN cbo9_orders_$suf   ON o_orderkey = l_orderkey
       JOIN cbo9_nation_$suf   ON s_nationkey = n_nationkey
       WHERE p_name LIKE '%green%'
+        AND o_orderdate >= DATE '1997-01-01'
       GROUP BY n_name, year(o_orderdate)"""
 
-    def unsetHists(): Unit = tables.foreach { t =>
-      val hists = graft.pipeline.TxLog(spark, s"$root/${t}_an").properties()
+    tables.foreach { t =>
+      val hists = graft.pipeline.TxLog(spark, s"$root/${t}_nh").properties()
         .map(_._1).filter(k => k.startsWith("graft.stats.col.") && k.endsWith(".hist"))
       if (hists.nonEmpty)
-        spark.sql(s"ALTER TABLE cbo9_${t}_an UNSET TBLPROPERTIES (" +
+        spark.sql(s"ALTER TABLE cbo9_${t}_nh UNSET TBLPROPERTIES (" +
           hists.map(k => s"'$k'").mkString(", ") + ")")
     }
-    def reAnalyze(): Unit = tables.foreach(t =>
-      spark.sql(s"ANALYZE TABLE cbo9_${t}_an COMPUTE STATISTICS FOR ALL COLUMNS"))
 
     def planDigest(sql: String): String = {
       val p = spark.sql(sql).queryExecution.executedPlan.toString
       val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
         .findAllIn(p).toSeq
-      joins.groupBy(identity).map { case (k, v) => s"$k x${v.size}" }
+      val counts = joins.groupBy(identity).map { case (k, v) => s"$k x${v.size}" }
         .toSeq.sorted.mkString(", ")
+      // scan order = the join ORDER the optimizer chose — the part of
+      // the decision AQE can never revisit (it replans strategies
+      // around existing exchanges, it does not re-tree the joins)
+      val order = "cbo9_([a-z]+)_".r.findAllMatchIn(p).map(_.group(1))
+        .toSeq.distinct.mkString("->")
+      s"$counts  [$order]"
     }
 
     val conf = Seq(
@@ -91,36 +134,59 @@ object CboPayoff {
       "spark.sql.cbo.joinReorder.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> (4 * 1024 * 1024).toString)
 
-    def timed(sql: String): Double = {
+    // plan and execution timed SEPARATELY: CBO's cost is paid at
+    // planning (stats/histogram decode, join reorder) and is
+    // constant-per-query, while its payoff is paid at execution and
+    // scales with data — folding them into one number at a small SF
+    // lets a ~0.1 s planning overhead mask an execution win that is
+    // the entire point at the 100 TB design scale
+    def timed(sql: String): (Double, Double) = {
       val t0 = System.nanoTime()
-      spark.sql(sql).collect()
-      (System.nanoTime() - t0) / 1e9
+      val df = spark.sql(sql)
+      df.queryExecution.executedPlan
+      val t1 = System.nanoTime()
+      df.collect()
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
     }
 
     graft.ops.Q.withConf(spark, conf: _*) {
-      // warm both table sets once, untimed
-      timed(q9("ns")); timed(q9("an"))
-      val conds = Seq("no_stats" -> "ns", "analyzed" -> "an", "no_hist" -> "an")
-      val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      // warm all three table sets once, untimed
+      timed(q9("ns")); timed(q9("an")); timed(q9("nh"))
+      // second axis: AQE on/off. With AQE ON, the runtime replans the
+      // statically-chosen sort-merge into a broadcast join the moment
+      // the filtered side's exchange materializes (it sees the true
+      // bytes), so mis-estimated BROADCAST decisions converge at
+      // execution and the histogram's measured value is planning-side.
+      // With AQE OFF — every decision AQE cannot rescue in a real
+      // plan, i.e. anything decided before an exchange exists (join
+      // ORDER, pre-shuffle strategy) — the static plan runs as
+      // chosen, exposing the execution cost the histogram avoids.
+      val conds = Seq("no_stats" -> "ns", "analyzed" -> "an", "no_hist" -> "nh")
+      val aqes = Seq("aqe_on" -> "true", "aqe_off" -> "false")
+      val times = scala.collection.mutable.Map.empty[String, List[(Double, Double)]]
         .withDefaultValue(Nil)
       val digests = scala.collection.mutable.Map.empty[String, String]
       (1 to 3).foreach { _ =>
-        conds.foreach { case (cond, suf) =>
-          if (cond == "no_hist") unsetHists()
-          else if (cond == "analyzed") reAnalyze()
-          digests(cond) = planDigest(q9(suf))
-          times(cond) = timed(q9(suf)) :: times(cond)
+        for ((aqe, flag) <- aqes; (cond, suf) <- conds) {
+          val key = s"$cond/$aqe"
+          graft.ops.Q.withConf(spark, "spark.sql.adaptive.enabled" -> flag) {
+            digests(key) = planDigest(q9(suf))
+            times(key) = timed(q9(suf)) :: times(key)
+          }
         }
       }
-      reAnalyze() // leave the tables fully analyzed
-      conds.map(_._1).distinct.foreach { cond =>
-        val ts = times(cond).sorted
-        val med = ts(ts.size / 2)
-        println(f"$cond%-10s median=${med}%6.2f s  runs=${times(cond).reverse.map(t => f"$t%.2f").mkString("/")}  plan: ${digests(cond)}")
+      for ((aqe, _) <- aqes; (cond, _) <- conds) {
+        val key = s"$cond/$aqe"
+        def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+        val (plans, execs) = times(key).unzip
+        println(f"$key%-18s exec_median=${med(execs)}%6.2f s  plan_median=${med(plans)}%5.2f s" +
+          f"  execs=${times(key).reverse.map(t => f"${t._2}%.2f").mkString("/")}" +
+          f"  plan: ${digests(key)}")
       }
     }
     tables.foreach { t =>
-      TxLogSql.unregister(s"cbo9_${t}_ns"); TxLogSql.unregister(s"cbo9_${t}_an")
+      Seq("ns", "an", "nh").foreach(s => TxLogSql.unregister(s"cbo9_${t}_$s"))
     }
     spark.stop()
   }
