@@ -36,6 +36,89 @@ object VectorQueries {
     * per-label sort. */
   private val cosineCalibCap = 512
 
+  /** CORPUS-SCALED SRP sizing for the bucketed-NN family
+    * (`sim_lsh_bucketed`, `sim_nn_graph`, `sim_nn_pagerank`,
+    * `sim_label_consensus`): the hyperplane count is a FUNCTION of the
+    * corpus size, not a constant. A fixed plane count p makes the
+    * within-bucket pair volume Θ(N²/2^p) — quadratic compute hidden
+    * behind a constant divisor (measured: sf0.1→sf1 grew per-bucket
+    * occupancy ~8→~78 under the old fixed 8 planes, i.e. ~100× the
+    * cosine evaluations for 10× the data). Scaling the bits as
+    * bits = ⌈log₂(N / targetOccupancy)⌉ pins the EXPECTED per-bucket
+    * occupancy into (targetOcc/2, targetOcc], so candidate volume per
+    * vector is a constant ≲ 2·targetOcc and total pair volume is
+    * LINEAR in N — the standard LSH sizing rule, the same way the IVF
+    * family derives its serving layout from data. The arithmetic is
+    * integer-only (smallest b with N ≤ occ·2^b — no float log2 whose
+    * libm rounding could diverge cross-engine) and is mirrored
+    * verbatim in the oracle's [[srpBitsSql]] CASE chain. */
+  private[graft] val srpTargetOcc = 128L
+
+  /** Plane-count ceiling: 24 bits = 16M buckets covers a 2·10⁹-vector
+    * corpus at the target occupancy; beyond that occupancy grows
+    * linearly again (raise the ceiling, not the occupancy). */
+  private[graft] val srpMaxBits = 24
+
+  /** Smallest b in [1, srpMaxBits] with n ≤ srpTargetOcc·2^b. */
+  private[graft] def srpBits(n: Long): Int = {
+    var b = 1
+    while (b < srpMaxBits && n > (srpTargetOcc << b)) b += 1
+    b
+  }
+
+  /** Shared 3-NN neighbor-list cache for the NN-graph family: ONE
+    * build per (session, corpus). `sim_nn_graph` (top-1 = rn 1),
+    * `sim_nn_pagerank` (edges = rn 1) and `sim_label_consensus`
+    * (votes over rn ≤ 3) all start from the identical
+    * bucket-join + cosine + constant-cap rank — re-running it three
+    * times was 3× the family's dominant cost (the dedup family's
+    * shared-pair-index lesson applied here). Entries are node-sized
+    * checkpointed frames, session-scoped and LRU-bounded. */
+  private val nnTopCache =
+    new SessionScopedCache[(String, Int), (Long, org.apache.spark.sql.DataFrame)](32)
+
+  /** The un-checkpointed 3-NN builder — exposed for plan pinning
+    * (PlanSpec asserts the bucket equi-join + WindowGroupLimit on the
+    * BUILD plan; the cached form the queries consume is a checkpoint
+    * scan that no longer shows those operators). */
+  private[graft] def nnTop3Build(spark: org.apache.spark.sql.SparkSession,
+                                 e0: org.apache.spark.sql.DataFrame,
+                                 bits: Int): org.apache.spark.sql.DataFrame = {
+    val e = e0.withColumn("bucket",
+      graft.functions.VectorFunctions.srpBucket(col("embedding"), bits))
+    val a = e.select(col("bucket"), col("vec_id"), col("label"),
+      col("embedding").as("va"))
+    val b = e.select(col("bucket"), col("vec_id").as("nbr_id"),
+      col("label").as("nbr_label"), col("embedding").as("vb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("score",
+        VectorExpressions.cosine_sim(spark, col("va"), col("vb")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("vec_id"), col("label"), col("nbr_id"), col("nbr_label"),
+        col("score"), col("rn"))
+  }
+
+  /** (corpus size, checkpointed 3-NN frame) per (session, corpus):
+    * columns (vec_id, label, nbr_id, nbr_label, score, rn ∈ 1..3),
+    * ranked (score DESC, nbr_id ASC) among scaled-SRP bucket peers.
+    * The rn ≤ 3 constant cap executes as WindowGroupLimit (map-side
+    * heap); localCheckpoint makes the one build durable so the three
+    * consumers never re-run the bucket join. */
+  private def nnTop3(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): (Long, org.apache.spark.sql.DataFrame) = {
+    val e0 = load(spark, dir, "embeddings")
+    val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
+      e0.queryExecution.analyzed.semanticHash())
+    nnTopCache.getOrCompute(key, SessionScopedCache.aliveProbe(spark)) {
+      graft.plans.VectorHofRewrite.install(spark)
+      val n = e0.count()
+      (n, nnTop3Build(spark, e0, srpBits(n)).localCheckpoint(true))
+    }
+  }
+
   /** [[cosSql]] generalized to arbitrary list-valued SQL expressions
     * (e.g. a trained-centroid column) — same sequential double folds. */
   private def cosFrag(x: String, y: String): String =
@@ -696,20 +779,26 @@ object VectorQueries {
              (q / 1099511627776.0 - mean) / std AS z
       FROM n, s WHERE abs((q / 1099511627776.0 - mean) / std) > 2.0""")),
 
-    // SRP-LSH bucketed ANN — the scale path: bucket on an 8-bit
-    // sign-random-projection signature, search within bucket only.
-    // The hyperplanes are deterministic doubles, so the oracle embeds
-    // the SAME coefficients as list literals and reproduces bucket
-    // assignment bit-for-bit — a full equality oracle for an
-    // LSH operator (projections are sequential double folds on both
-    // sides). Recall vs brute force is additionally asserted in
+    // SRP-LSH bucketed ANN — the scale path: bucket on a
+    // CORPUS-SCALED sign-random-projection signature
+    // (bits = ⌈log₂(N/targetOcc)⌉ — see [[srpBits]]), search within
+    // bucket only. The bucket equi-join bounds the candidate set to a
+    // CONSTANT expected occupancy per bucket (≲ 2·targetOcc), so the
+    // pair volume is linear in N — a fixed plane count would be
+    // Θ(N²/2^p), quadratic compute behind a constant divisor. The
+    // hyperplanes are deterministic doubles, so the oracle embeds the
+    // SAME coefficients as list literals — gated per-plane on the same
+    // corpus-derived bit count — and reproduces bucket assignment
+    // bit-for-bit: a full equality oracle for an LSH operator at any
+    // corpus size. Recall vs brute force is additionally asserted in
     // VectorFunctionsSpec.
     Q("sim_lsh_bucketed", (spark, dir) => {
-      // the 8 per-plane projection folds optimize to native DotProduct
+      // the per-plane projection folds optimize to native DotProduct
       // loops (float embedding × double literal planes — same bits)
       graft.plans.VectorHofRewrite.install(spark)
-      val e = load(spark, dir, "embeddings")
-        .withColumn("bucket", graft.functions.VectorFunctions.srpBucket(col("embedding"), 8))
+      val e0 = load(spark, dir, "embeddings")
+      val e = e0.withColumn("bucket",
+        graft.functions.VectorFunctions.srpBucket(col("embedding"), srpBits(e0.count())))
       val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, Seq("bucket"))
@@ -719,9 +808,7 @@ object VectorQueries {
         .select(col("id_a"), col("id_b"), col("score"))
         .orderBy(col("id_a"), col("id_b"))
     }, oracle = Some(s"""
-      WITH bkt AS (
-        SELECT vec_id, embedding, ${srpBucketSql(8)} AS bucket
-        FROM embeddings)
+      WITH ${srpBktCte("vec_id, embedding")}
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, $oracleCos AS score
       FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE $oracleCos >= 0.3""")),
@@ -729,34 +816,20 @@ object VectorQueries {
     // NEAREST-NEIGHBOR GRAPH within LSH buckets — the kNN-graph
     // construction step semantic-dedup/clustering pipelines run over
     // a whole corpus (SemDedup's first stage): every vector's single
-    // best neighbor among its SRP-bucket peers, ties broken by id.
-    // The bucket equi-join bounds the candidate set (never all
-    // pairs), and the per-vector top-1 is a rank-1 window that
-    // Catalyst executes as WindowGroupLimit — a map-side limit, no
-    // per-vector global sort. Same deterministic hyperplanes as
-    // `sim_lsh_bucketed`, so the oracle replays bucket assignment and
-    // the cosine folds bit-for-bit.
-    Q("sim_nn_graph", (spark, dir) => {
-      graft.plans.VectorHofRewrite.install(spark)
-      val e = load(spark, dir, "embeddings")
-        .withColumn("bucket",
-          graft.functions.VectorFunctions.srpBucket(col("embedding"), 8))
-      val a = e.select(col("bucket"), col("vec_id"), col("embedding").as("va"))
-      val b = e.select(col("bucket"), col("vec_id").as("nn_id"),
-        col("embedding").as("vb"))
-      val pairs = a.join(b, Seq("bucket"))
-        .filter(col("vec_id") =!= col("nn_id"))
-        .withColumn("score",
-          VectorExpressions.cosine_sim(spark, col("va"), col("vb")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("score").desc, col("nn_id"))
-      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("nn_id"), col("score"))
-    }, oracle = Some(s"""
-      WITH bkt AS (
-        SELECT vec_id, embedding, ${srpBucketSql(8)} AS bucket
-        FROM embeddings),
+    // best neighbor among its CORPUS-SCALED SRP-bucket peers
+    // ([[srpBits]] — constant expected occupancy, linear pair
+    // volume), ties broken by id. The candidate build is the
+    // family-shared [[nnTop3]] frame (ONE bucket join + cosine +
+    // constant-cap rank per session+corpus, WindowGroupLimit
+    // map-side heap — plan-pinned on [[nnTop3Build]]); this query is
+    // its rn = 1 slice. Same deterministic hyperplanes on the oracle
+    // side, gated on the same corpus-derived bit count, so bucket
+    // assignment and the cosine folds replay bit-for-bit.
+    Q("sim_nn_graph", (spark, dir) =>
+      nnTop3(spark, dir)._2.filter(col("rn") === 1)
+        .select(col("vec_id"), col("nbr_id").as("nn_id"), col("score")),
+    oracle = Some(s"""
+      WITH ${srpBktCte("vec_id, embedding")},
       p AS (
         SELECT a.vec_id, b.vec_id AS nn_id, $oracleCos AS score,
                row_number() OVER (PARTITION BY a.vec_id
@@ -776,40 +849,32 @@ object VectorQueries {
     // (85·Σ_in r(u)) div 100 — integer sums are order-independent, so
     // the result is bit-exact cross-engine with no float-accumulation
     // caveat (the drift-monitor rule applied to an iterative op).
-    // Scale: the edge list materializes ONCE (localCheckpoint — the
-    // bucket join never re-runs), each round is one co-partitioned
-    // join on vec_id plus one shuffle-agg on nn_id over n rows of
-    // 16-byte state, and the iteration count is a constant 3 — at
-    // 100 TB the cost is 3 bounded shuffles of node-sized frames,
-    // dwarfed by the one-time edge build. Headroom: Σ_in r(u) ≤
-    // n·1e9, so the 85× product stays inside int64 to n ≈ 1e8
-    // vectors per rank partition of the corpus; beyond that the
+    // Scale: the edge list comes from the family-shared [[nnTop3]]
+    // frame (ONE bucket join + cosine + rank per session+corpus,
+    // corpus-scaled buckets — linear pair volume), each round is one
+    // co-partitioned join on vec_id plus one shuffle-agg on nn_id
+    // over n rows of 16-byte state, and the iteration count is a
+    // constant 3 — at 100 TB the cost is 3 bounded shuffles of
+    // node-sized frames, dwarfed by the one-time edge build.
+    // Headroom: Σ_in r(u) ≤ n·1e9, so the 85× product stays inside
+    // int64 to n ≈ 1e8 vectors — ENFORCED below (the oracle sums into
+    // HUGEINT and would not wrap, so a silent long wrap here would be
+    // a silent cross-engine divergence); past the bound the
     // fixed-point scale drops a decade (or the sums widen to
     // DECIMAL(38,0)) without changing the plan.
     Q("sim_nn_pagerank", (spark, dir) => {
-      graft.plans.VectorHofRewrite.install(spark)
-      val e = load(spark, dir, "embeddings")
-        .withColumn("bucket",
-          graft.functions.VectorFunctions.srpBucket(col("embedding"), 8))
-      val a = e.select(col("bucket"), col("vec_id"), col("embedding").as("va"))
-      val b = e.select(col("bucket"), col("vec_id").as("nn_id"),
-        col("embedding").as("vb"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("score").desc, col("nn_id"))
+      val (n, top3) = nnTop3(spark, dir)
+      require(n <= 100000000L,
+        s"sim_nn_pagerank int64 fixed-point headroom exceeded: n=$n > 1e8 — " +
+          "drop the rank scale a decade or widen the round sums to DECIMAL(38,0)")
       val parts = spark.sessionState.conf.numShufflePartitions
-      // materialize the (expensive) 1-NN detection once, durably, so
-      // the three rank rounds never re-run the bucket join (the
-      // DedupClusters rule: cache() alone is evictable)
-      val edges = a.join(b, Seq("bucket"))
-        .filter(col("vec_id") =!= col("nn_id"))
-        .withColumn("score",
-          VectorExpressions.cosine_sim(spark, col("va"), col("vb")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("nn_id"))
+      // re-home the rn=1 slice durably co-partitioned on vec_id so
+      // the three rank rounds join without re-shuffling the edge side
+      val edges = top3.filter(col("rn") === 1)
+        .select(col("vec_id"), col("nbr_id").as("nn_id"))
         .repartition(parts, col("vec_id"))
         .localCheckpoint(true)
-      val nodes = e.select(col("vec_id"))
+      val nodes = load(spark, dir, "embeddings").select(col("vec_id"))
         .repartition(parts, col("vec_id")).localCheckpoint(true)
       val scale = 1000000000L
       var ranks = nodes.withColumn("r", lit(scale))
@@ -824,9 +889,7 @@ object VectorQueries {
       }
       ranks.select(col("vec_id"), col("r").as("rank_fp"))
     }, oracle = Some(s"""
-      WITH bkt AS (
-        SELECT vec_id, embedding, ${srpBucketSql(8)} AS bucket
-        FROM embeddings),
+      WITH ${srpBktCte("vec_id, embedding")},
       p AS (
         SELECT a.vec_id, b.vec_id AS nn_id,
                row_number() OVER (PARTITION BY a.vec_id
@@ -863,33 +926,17 @@ object VectorQueries {
     // tie-break), and rows where the consensus disagrees with the
     // stored label are the label-QA queue. Differs from
     // `sim_knn_classify` (a fixed-64-query brute-force audit) in
-    // being the FULL-corpus pass: candidates come from the LSH
-    // bucket equi-join, the per-vector top-3 is a CONSTANT-cap
-    // rank window (WindowGroupLimit heap — never a per-vector
-    // corpus sort), and everything after the neighbor list is
-    // integer counting on 3 rows per vector. Exact integers +
-    // bit-identical cosine folds end-to-end, so the oracle is a
-    // full equality check.
+    // being the FULL-corpus pass: candidates are the family-shared
+    // [[nnTop3]] frame (corpus-scaled buckets, constant-cap
+    // WindowGroupLimit rank — never a per-vector corpus sort), and
+    // everything after the neighbor list is integer counting on 3
+    // rows per vector. Exact integers + bit-identical cosine folds
+    // end-to-end, so the oracle is a full equality check.
     Q("sim_label_consensus", (spark, dir) => {
-      graft.plans.VectorHofRewrite.install(spark)
-      val e = load(spark, dir, "embeddings")
-        .withColumn("bucket",
-          graft.functions.VectorFunctions.srpBucket(col("embedding"), 8))
-      val a = e.select(col("bucket"), col("vec_id"), col("label"),
-        col("embedding").as("va"))
-      val b = e.select(col("bucket"), col("vec_id").as("nbr_id"),
-        col("label").as("nbr_label"), col("embedding").as("vb"))
-      val wNn = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("score").desc, col("nbr_id"))
       val wVote = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id"))
         .orderBy(col("votes").desc, col("nbr_label"))
-      a.join(b, Seq("bucket"))
-        .filter(col("vec_id") =!= col("nbr_id"))
-        .withColumn("score",
-          VectorExpressions.cosine_sim(spark, col("va"), col("vb")))
-        .withColumn("rn", row_number().over(wNn)).filter(col("rn") <= 3)
+      nnTop3(spark, dir)._2
         .groupBy(col("vec_id"), col("label"), col("nbr_label"))
         .agg(count(lit(1)).as("votes"))
         .withColumn("rk", row_number().over(wVote)).filter(col("rk") === 1)
@@ -898,9 +945,7 @@ object VectorQueries {
           col("votes").as("n_votes"),
           (col("label") === col("nbr_label")).as("agrees"))
     }, oracle = Some(s"""
-      WITH bkt AS (
-        SELECT vec_id, label, embedding, ${srpBucketSql(8)} AS bucket
-        FROM embeddings),
+      WITH ${srpBktCte("vec_id, label, embedding")},
       p AS (
         SELECT a.vec_id, a.label, b.vec_id AS nbr_id, b.label AS nbr_label,
                row_number() OVER (PARTITION BY a.vec_id
@@ -1879,12 +1924,34 @@ object VectorQueries {
   /** SQL fragment computing the [[graft.functions.VectorFunctions.srpBucket]]
     * id of `embedding` with the SAME hyperplane coefficients embedded
     * as round-trip double literals. */
-  private def srpBucketSql(planes: Int): String =
-    graft.functions.VectorFunctions.srpPlanes(planes).zipWithIndex.map {
+  /** Oracle mirror of [[srpBits]]: an integer CASE chain (no float
+    * log2 — exact cross-engine) selecting the smallest b with
+    * count ≤ occ·2^b, as an aggregate over `embeddings`. */
+  private def srpBitsSql: String =
+    (1 until srpMaxBits)
+      .map(b => s"WHEN count(*) <= ${srpTargetOcc << b} THEN $b")
+      .mkString("CASE ", " ", s" ELSE $srpMaxBits END")
+
+  /** Oracle mirror of the SCALED bucket assignment: all srpMaxBits
+    * plane projections as literal-coefficient folds, each bit gated on
+    * its plane index being below the corpus-derived `nb.bits` — so the
+    * SQL reproduces `srpBucket(col, srpBits(n))` bit-for-bit at ANY
+    * corpus size with one static statement. */
+  private def srpBucketScaledSql: String =
+    graft.functions.VectorFunctions.srpPlanes(srpMaxBits).zipWithIndex.map {
       case (coeffs, p) =>
         val lst = coeffs.map(_.toString).mkString("[", ", ", "]")
-        s"""(CASE WHEN list_sum(list_transform(list_zip(embedding, $lst),
+        s"""(CASE WHEN $p < nb.bits AND list_sum(list_transform(list_zip(embedding, $lst),
            |  x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN ${1L << p} ELSE 0 END)"""
           .stripMargin
     }.mkString("\n        + ")
+
+  /** The shared oracle CTE prefix for the scaled-SRP family:
+    * `nb` (the corpus-derived plane count) + `bkt` (the bucketed
+    * corpus carrying `cols`). */
+  private def srpBktCte(cols: String): String =
+    s"""nb AS (SELECT $srpBitsSql AS bits FROM embeddings),
+       |      bkt AS (
+       |        SELECT $cols, $srpBucketScaledSql AS bucket
+       |        FROM embeddings, nb)""".stripMargin
 }

@@ -22,9 +22,12 @@ class NnGraphOpsSpec extends SparkTestBase {
     * SRP bucket assignment the operators use. */
   private def corpus(dir: String): Seq[(Long, Int, Long, Array[Float])] = {
     graft.plans.VectorHofRewrite.install(spark)
-    Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        graft.functions.VectorFunctions.srpBucket(col("embedding"), 8).as("bucket"),
+    val e = Tables.load(spark, dir, "embeddings")
+    // the operators size the SRP signature from the corpus (linear
+    // pair volume) — the reimplementation must bucket identically
+    val bits = VectorQueries.srpBits(e.count())
+    e.select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.srpBucket(col("embedding"), bits).as("bucket"),
         col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),

@@ -108,13 +108,18 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("NN-graph: bucket equi-join (no NLJ), per-vector top-1 via WindowGroupLimit") {
-    val p = planOf("sim_nn_graph")
+  test("NN-graph: bucket equi-join (no NLJ), per-vector top-3 via WindowGroupLimit") {
+    // the declared queries consume the family-shared checkpointed
+    // 3-NN frame (a checkpoint scan shows neither operator), so the
+    // pin targets the BUILD plan they all share
+    val e = Tables.load(spark, sf("0.001"), "embeddings")
+    val p = VectorQueries.nnTop3Build(spark, e, VectorQueries.srpBits(e.count()))
+      .queryExecution.executedPlan.toString
     // the candidate set is the LSH-bucket equi-join — all-pairs would
     // surface as a nested-loop/cartesian here
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(1200))
-    // rank-1 executes as the pushed-down group limit, not a full
+    // rank ≤ 3 executes as the pushed-down group limit, not a full
     // per-vector sort of every candidate
     assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
