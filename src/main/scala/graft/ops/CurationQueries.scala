@@ -26,6 +26,67 @@ object CurationQueries {
        |  (acc, c) -> acc * 16 + c - CASE WHEN c >= 97 THEN 87 ELSE 48 END)"""
       .stripMargin
 
+  /** The quality classifier's trusted-domain label set (the CCNet
+    * recipe's "Wikipedia side"): docs from these sources are the
+    * positive class its weights are trained against. */
+  private val clfPosSources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** Hashed-bigram feature stream for the quality classifier: one row
+    * per (doc, adjacent-token bigram), bucketed to b ∈ [0, 256) via
+    * the md5-prefix fold (cross-engine stable — the DSIR idiom, over
+    * 2-grams). Pure expressions end-to-end (split / zip_with / md5 /
+    * conv), no UDF — the whole feature path stays codegen-friendly. */
+  private def clfFeats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = split(col("text"), " ")
+    docs.select(col("doc_id"), col("source"),
+        explode(zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("bg"))
+      .withColumn("b",
+        conv(substring(md5(col("bg")), 1, 6), 16, 10).cast("long") % 256)
+      .select(col("doc_id"), col("source"), col("b"))
+  }
+
+  /** Trained-weights cache: root path per (session, corpus) — the
+    * `sim_ivf_served` discipline for model artifacts. */
+  private val clfWeightsCache = new SessionScopedCache[(String, Int), String](32)
+
+  /** Train (once per session+corpus) the linear quality classifier and
+    * PERSIST its weight vector as a TxLog table — scoring queries read
+    * the weights from STORAGE, not from a code constant, exactly like
+    * the served ANN indexes read their quantizers. Training is the
+    * add-one-smoothed integer log-odds surrogate over the held-out
+    * train split (doc_id % 5 = 0): per feature bucket,
+    * w = (cp+1)·1e6 div (tp+256) − (cn+1)·1e6 div (tn+256) — exact
+    * integer ppm arithmetic, so DuckDB replays the training
+    * bit-for-bit from the base table. The build (one feature pass over
+    * the 20% split + a 256-row write) is the model's OFFLINE cost,
+    * billed to [[Scale.layoutNanos]]; headroom: cp·1e6 stays in int64
+    * to ~9·10¹² train-split feature instances per bucket. */
+  private def clfWeightsRoot(spark: org.apache.spark.sql.SparkSession,
+                             dir: String,
+                             docs: org.apache.spark.sql.DataFrame): String = {
+    val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
+      docs.queryExecution.analyzed.semanticHash())
+    clfWeightsCache.getOrCompute(key, SessionScopedCache.aliveProbe(spark)) {
+      val root = s"/root/repo/target/tmp/clf_weights_${dir.hashCode.abs}_${key._2.abs}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val t0 = System.nanoTime()
+      val tr = clfFeats(docs.filter(col("doc_id") % 5 === 0))
+        .withColumn("is_pos", col("source").isin(clfPosSources: _*))
+      val bc = tr.groupBy(col("b")).agg(
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("cp"),
+        sum(when(col("is_pos"), 0L).otherwise(1L)).as("cn"))
+      val tot = bc.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"))
+      val w = bc.crossJoin(broadcast(tot))
+        .withColumn("w",
+          expr("(cp + 1) * 1000000 div (tp + 256) - (cn + 1) * 1000000 div (tn + 256)"))
+        .select(col("b"), col("w"))
+      graft.pipeline.TxLog(spark, root).overwrite(w)
+      Scale.layoutNanos.addAndGet(System.nanoTime() - t0)
+      root
+    }
+  }
+
   /** Distributed prefix-sum sharding over (doc_id, n): bucket by an
     * ARITHMETIC doc_id range (pid = doc_id div ceil(range/numParts) —
     * no `spark_partition_id`, so the bucket is a pure column and the
@@ -878,5 +939,67 @@ object CurationQueries {
              CAST(sum(len) AS BIGINT) AS sum_len,
              CAST(count(*) * max(len) - sum(len) AS BIGINT) AS padding_waste
       FROM t GROUP BY bucket""")),
+
+    // QUALITY-CLASSIFIER SCORING — the CCNet/RefinedWeb stage every
+    // production pipeline runs between heuristic filters (Gopher) and
+    // importance weights (DSIR): a linear classifier over hashed
+    // bigram features scores EVERY document, and the sign of the
+    // score is the keep/drop gate. The weight vector is TRAINED once
+    // per corpus on a held-out split ([[clfWeightsRoot]]: integer
+    // ppm log-odds vs the trusted-domain label, add-one smoothing)
+    // and PERSISTED as a 256-row TxLog table — the scoring query
+    // reads weights from STORAGE and broadcast-joins them, never
+    // from a code constant (the `sim_ivf_served` rule for model
+    // artifacts). Scale: one feature-explode pass over the corpus, a
+    // ≤256-row broadcast join, one doc-keyed aggregation — no
+    // all-to-all, no driver state; docs with no bigram (single-token)
+    // re-enter through the left join at score 0. Integer arithmetic
+    // end-to-end, so the oracle retrains AND rescores bit-exactly.
+    Q("curate_classifier_score", (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val root = clfWeightsRoot(spark, dir, docs)
+      val w = graft.pipeline.TxLog(spark, root).snapshot()
+      val sc = clfFeats(docs)
+        .join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w")).cast("long").as("s"), count(lit(1)).as("nf"))
+      docs.select(col("doc_id"), col("source"))
+        .join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("nf"), lit(0L)).as("n_feats"),
+          coalesce(col("s"), lit(0L)).as("score"),
+          (coalesce(col("s"), lit(0L)) > 0).as("keep"))
+    }, oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      bg AS (
+        SELECT doc_id, source,
+               unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+                      x -> x[1] || ' ' || x[2])) AS bg
+        FROM toks),
+      fb AS (
+        SELECT doc_id, source,
+               ${hexFoldSql("substr(md5(bg), 1, 6)")} % 256 AS b
+        FROM bg),
+      tr AS (
+        SELECT b,
+               CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+               CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        FROM fb WHERE doc_id % 5 = 0 GROUP BY b),
+      tot AS (SELECT CAST(sum(cp) AS BIGINT) AS tp,
+                     CAST(sum(cn) AS BIGINT) AS tn FROM tr),
+      w AS (SELECT b, CAST((cp + 1) * 1000000 // (tp + 256)
+                         - (cn + 1) * 1000000 // (tn + 256) AS BIGINT) AS w
+            FROM tr, tot),
+      sc AS (
+        SELECT f.doc_id, CAST(sum(w.w) AS BIGINT) AS s, count(*) AS nf
+        FROM fb f JOIN w ON w.b = f.b GROUP BY 1)
+      SELECT d.doc_id, d.source,
+             COALESCE(sc.nf, 0) AS n_feats,
+             COALESCE(sc.s, 0) AS score,
+             COALESCE(sc.s, 0) > 0 AS keep
+      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""")),
   )
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** `curate_classifier_score` checked against an independent
+  * driver-side retrain + rescore on the tiny corpus (the DuckDB
+  * oracle pins cross-engine equality; this pins the SEMANTICS — what
+  * the training split, the smoothing, and the join-dropped unseen
+  * buckets compute — independently of both engines), plus the scale
+  * pins: the weight table is a persisted storage artifact consumed
+  * through a broadcast join, with no UDF anywhere in the path.
+  */
+class ClassifierScoreSpec extends SparkTestBase {
+
+  private val pos = Set("src0", "src1", "src2", "src3", "src4")
+
+  /** Hashed-bigram buckets of a text — the exact feature stream of
+    * [[CurationQueries]]'s clfFeats (split keeps trailing empties,
+    * md5 over UTF-8, 6-hex-digit prefix mod 256). */
+  private def feats(text: String): Seq[Long] = {
+    val t = text.split(" ", -1)
+    (0 until t.length - 1).map { i =>
+      val bg = t(i) + " " + t(i + 1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(bg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(6), 16) % 256
+    }
+  }
+
+  test("curate_classifier_score matches a driver-side retrain + rescore") {
+    val dir = sf("0.001")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+    val cp = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val cn = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    docs.filter(_._1 % 5 == 0).foreach { case (_, src, text) =>
+      feats(text).foreach(b => if (pos(src)) cp(b) += 1 else cn(b) += 1)
+    }
+    val tp = cp.values.sum
+    val tn = cn.values.sum
+    // only buckets OBSERVED in training carry a weight row — unseen
+    // buckets drop out of the scoring join, exactly like the engine
+    val w = (cp.keySet ++ cn.keySet).map(b =>
+      b -> ((cp(b) + 1) * 1000000L / (tp + 256) - (cn(b) + 1) * 1000000L / (tn + 256))).toMap
+
+    val expected = docs.map { case (id, src, text) =>
+      val fs = feats(text).filter(w.contains)
+      val score = fs.map(w).sum
+      id -> ((src, fs.size.toLong, score, score > 0))
+    }.toMap
+
+    val got = graft.SparkEntry.queries("curate_classifier_score")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got === expected)
+    // the gate must actually separate: both decisions present
+    assert(got.values.exists(_._4) && got.values.exists(!_._4),
+      "classifier must keep some docs and drop others")
+  }
+
+  test("classifier scoring: persisted weights broadcast-join, no UDF") {
+    val df = graft.SparkEntry.queries("curate_classifier_score")(spark, sf("0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    // weights come from the persisted TxLog artifact, not a literal
+    assert(p.contains("clf_weights_"), p.take(1500))
+    // ≤256-row model side joins as a broadcast, never a shuffle
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // the whole feature + scoring path is expressions (codegen), no UDF
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(1500))
+  }
+}
