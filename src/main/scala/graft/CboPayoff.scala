@@ -115,17 +115,28 @@ object CboPayoff {
           hists.map(k => s"'$k'").mkString(", ") + ")")
     }
 
-    def planDigest(sql: String): String = {
-      val p = spark.sql(sql).queryExecution.executedPlan.toString
+    // digest of an ALREADY-EXECUTED query's plan: under AQE the
+    // executedPlan is the post-replanning FINAL plan only after
+    // collect() — digesting before execution would show the static
+    // initial plan and could not exhibit the runtime strategy changes
+    // the exec deltas are attributed to
+    def planDigest(df: org.apache.spark.sql.DataFrame): String = {
+      val p = df.queryExecution.executedPlan.toString
       val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
         .findAllIn(p).toSeq
       val counts = joins.groupBy(identity).map { case (k, v) => s"$k x${v.size}" }
         .toSeq.sorted.mkString(", ")
       // scan order = the join ORDER the optimizer chose — the part of
       // the decision AQE can never revisit (it replans strategies
-      // around existing exchanges, it does not re-tree the joins)
-      val order = "cbo9_([a-z]+)_".r.findAllMatchIn(p).map(_.group(1))
-        .toSeq.distinct.mkString("->")
+      // around existing exchanges, it does not re-tree the joins).
+      // TxLog scans render as LOCATION paths, not catalog names, so
+      // match the `<table>_(ns|an|nh)` directory suffix — and fail
+      // loudly if nothing matches rather than printing an empty order
+      // (the silent-[]-baseline bug this comparison exists to avoid)
+      val order = "([a-z]+)_(?:ns|an|nh)\\b".r.findAllMatchIn(p)
+        .map(_.group(1)).toSeq.distinct.mkString("->")
+      require(order.nonEmpty,
+        s"plan digest matched no cbo9 table scans:\n${p.take(2000)}")
       s"$counts  [$order]"
     }
 
@@ -140,14 +151,18 @@ object CboPayoff {
     // scales with data — folding them into one number at a small SF
     // lets a ~0.1 s planning overhead mask an execution win that is
     // the entire point at the 100 TB design scale
-    def timed(sql: String): (Double, Double) = {
+    def timed(sql: String): (Double, Double) = timedWithDf(sql)._1
+
+    // the df is returned AFTER collect so callers can digest the
+    // final (post-AQE) plan of the run they just timed
+    def timedWithDf(sql: String): ((Double, Double), org.apache.spark.sql.DataFrame) = {
       val t0 = System.nanoTime()
       val df = spark.sql(sql)
       df.queryExecution.executedPlan
       val t1 = System.nanoTime()
       df.collect()
       val t2 = System.nanoTime()
-      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+      (((t1 - t0) / 1e9, (t2 - t1) / 1e9), df)
     }
 
     graft.ops.Q.withConf(spark, conf: _*) {
@@ -171,8 +186,9 @@ object CboPayoff {
         for ((aqe, flag) <- aqes; (cond, suf) <- conds) {
           val key = s"$cond/$aqe"
           graft.ops.Q.withConf(spark, "spark.sql.adaptive.enabled" -> flag) {
-            digests(key) = planDigest(q9(suf))
-            times(key) = timed(q9(suf)) :: times(key)
+            val (t, df) = timedWithDf(q9(suf))
+            times(key) = t :: times(key)
+            digests(key) = planDigest(df)
           }
         }
       }

@@ -44,10 +44,18 @@ object Md5Draw {
     * routing draws through here (see object doc; plan-pinned in
     * PlanSpec). */
   def capConstant(df: DataFrame, parts: Seq[Column], hashCol: Column,
-                  tie: Column, cap: Int): DataFrame =
+                  tie: Column, cap: Int): DataFrame = {
+    // self-defending contract: past the session's rewrite threshold
+    // the rank filter silently degrades to a full per-group WindowExec
+    // sort — fail loudly instead (the plan-shape guarantee IS the API)
+    val threshold = df.sparkSession.sessionState.conf.windowGroupLimitThreshold
+    require(cap <= threshold,
+      s"Md5Draw.capConstant cap=$cap exceeds windowGroupLimitThreshold=" +
+        s"$threshold — the WindowGroupLimit heap rewrite would not fire")
     df.withColumn("rn", row_number().over(
         Window.partitionBy(parts: _*).orderBy(hashCol, tie)))
       .filter(col("rn") <= lit(cap))
+  }
 
   /** Variable-cap draw: aggregate column selecting, per group, the
     * `kCol` ids smallest under (keyCol ASC, idCol ASC) as an

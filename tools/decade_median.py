@@ -38,7 +38,15 @@ def main(growth, small_paths, big_paths):
             rows.append((q, sm, bm, bm / sm if sm > 0 else float("inf"),
                          len(s[q]), len(b[q])))
     rows.sort(key=lambda r: -r[3])
-    print(f"| query | small s (med/{rows[0][4]}) | big s (med/{rows[0][5]}) "
+    if not rows:
+        sys.exit("decade_median: the small and big legs share no query names "
+                 "(did a leg abort before printing any readings?)")
+    # rep counts can differ per query when a leg aborted mid-run —
+    # report the range across rows, not one arbitrary row's counts
+    def reps(idx):
+        ks = sorted({r[idx] for r in rows})
+        return str(ks[0]) if len(ks) == 1 else f"{ks[0]}-{ks[-1]}"
+    print(f"| query | small s (med/{reps(4)}) | big s (med/{reps(5)}) "
           f"| time x ({growth}x data) |")
     print("|---|---|---|---|")
     for q, sm, bm, x, _, _ in rows:
