@@ -970,7 +970,72 @@ object CurationQueries {
           coalesce(col("s"), lit(0L)).as("score"),
           (coalesce(col("s"), lit(0L)) > 0).as("keep"))
     }, oracle = Some(s"""
-      WITH toks AS (
+      WITH $clfOracleCtes
+      SELECT d.doc_id, d.source,
+             COALESCE(sc.nf, 0) AS n_feats,
+             COALESCE(sc.s, 0) AS score,
+             COALESCE(sc.s, 0) > 0 AS keep
+      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""")),
+
+    // CLASSIFIER EVALUATION on the held-out docs — the acceptance
+    // gate that closes the classifier loop (train → score → EVAL):
+    // confusion counts + precision/recall of the `score > 0` decision
+    // against the trusted-source label, restricted to documents the
+    // training never saw (doc_id % 5 ≠ 0 — the honest split). The
+    // ratios are integer ppm with explicit zero-denominator guards
+    // (ANSI division semantics on both engines), so the whole
+    // scorecard is a one-row exact-integer frame the oracle
+    // re-derives end-to-end, retraining included. Scale: the scoring
+    // pass of `curate_classifier_score` followed by one global
+    // aggregation of four conditional counters — no added shuffle
+    // beyond the doc-keyed score.
+    Q("curate_classifier_eval", (spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val root = clfWeightsRoot(spark, dir, docs)
+      val w = graft.pipeline.TxLog(spark, root).snapshot()
+      val sc = clfFeats(docs)
+        .join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id")).agg(sum(col("w")).cast("long").as("s"))
+      docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("source"))
+        .join(sc, Seq("doc_id"), "left")
+        .withColumn("pred", coalesce(col("s"), lit(0L)) > 0)
+        .withColumn("actual", col("source").isin(clfPosSources: _*))
+        .agg(
+          sum(when(col("pred") && col("actual"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") && !col("actual"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && col("actual"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("pred") && !col("actual"), 1L).otherwise(0L)).as("tn"))
+        .withColumn("precision_ppm",
+          expr("CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT) ELSE tp * 1000000 div (tp + fp) END"))
+        .withColumn("recall_ppm",
+          expr("CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT) ELSE tp * 1000000 div (tp + fn) END"))
+    }, oracle = Some(s"""
+      WITH $clfOracleCtes,
+      held AS (
+        SELECT COALESCE(sc.s, 0) > 0 AS pred,
+               d.source IN ('src0','src1','src2','src3','src4') AS actual
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        WHERE d.doc_id % 5 <> 0),
+      c AS (SELECT
+        CAST(sum(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN NOT pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM held)
+      SELECT tp, fp, fn, tn,
+             CASE WHEN tp + fp = 0 THEN 0
+                  ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT) END AS precision_ppm,
+             CASE WHEN tp + fn = 0 THEN 0
+                  ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT) END AS recall_ppm
+      FROM c""")),
+  )
+
+  /** The classifier's shared oracle CTE chain — retrain from the base
+    * table and score every document, exactly the arithmetic of
+    * [[clfWeightsRoot]] + the scoring join: `sc` ends as
+    * (doc_id, s = Σ matched-bucket weights, nf = matched features). */
+  private def clfOracleCtes: String = s"""toks AS (
         SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
       bg AS (
         SELECT doc_id, source,
@@ -995,11 +1060,5 @@ object CurationQueries {
             FROM tr, tot),
       sc AS (
         SELECT f.doc_id, CAST(sum(w.w) AS BIGINT) AS s, count(*) AS nf
-        FROM fb f JOIN w ON w.b = f.b GROUP BY 1)
-      SELECT d.doc_id, d.source,
-             COALESCE(sc.nf, 0) AS n_feats,
-             COALESCE(sc.s, 0) AS score,
-             COALESCE(sc.s, 0) > 0 AS keep
-      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""")),
-  )
+        FROM fb f JOIN w ON w.b = f.b GROUP BY 1)"""
 }

@@ -813,6 +813,57 @@ object VectorQueries {
       FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE $oracleCos >= 0.3""")),
 
+    // MULTI-TABLE SRP-LSH — the standard LSH RECALL knob: L = 4
+    // independent hash tables (distinct deterministic seeds, table 0
+    // = `sim_lsh_bucketed`'s table, so that query's result is a
+    // provable subset — spec'd), candidates = the UNION of per-table
+    // bucket matches, deduplicated BEFORE scoring so a pair colliding
+    // in several tables pays its cosine once. A pair is missed only
+    // if it separates in all L tables: recall 1−(1−p)^L for per-table
+    // collision probability p, bought at exactly L× the (linear,
+    // occupancy-bounded) candidate volume — the recall/cost dial a
+    // deployment tunes, still never all pairs. Scale: L bucket
+    // equi-joins on the scaled signature + a distinct on node-keyed
+    // pairs + two vec_id equi-joins to re-attach embeddings for
+    // scoring; everything shuffles on ids, embeddings never fan out
+    // through the union. Same literal-plane determinism per table, so
+    // the oracle replays all four assignments bit-for-bit.
+    Q("sim_lsh_multitable", (spark, dir) => {
+      graft.plans.VectorHofRewrite.install(spark)
+      val e0 = load(spark, dir, "embeddings")
+      val bits = srpBits(e0.count())
+      val cand = (0 until 4).map { t =>
+        val e = e0.withColumn("bucket",
+          graft.functions.VectorFunctions.srpBucket(col("embedding"), bits,
+            seed = 42L + 7919L * t))
+        val a = e.select(col("bucket"), col("vec_id").as("id_a"))
+        val b = e.select(col("bucket"), col("vec_id").as("id_b"))
+        a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+      }.reduce(_ unionByName _).distinct()
+      val va = e0.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val vb = e0.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+        .withColumn("score", VectorExpressions.cosine_sim(spark, col("va"), col("vb")))
+        .filter(col("score") >= 0.3)
+        .select(col("id_a"), col("id_b"), col("score"))
+    }, oracle = Some(s"""
+      WITH nb AS (SELECT $srpBitsSql AS bits FROM embeddings),
+      ${(0 until 4).map(t =>
+        s"""bt$t AS (SELECT vec_id, ${srpBucketScaledSql(42L + 7919L * t)} AS bucket
+           |         FROM embeddings, nb)""".stripMargin).mkString(",\n      ")},
+      cand AS (
+        ${(0 until 4).map(t =>
+          s"""SELECT x.vec_id AS id_a, y.vec_id AS id_b
+             |        FROM bt$t x JOIN bt$t y
+             |        ON x.bucket = y.bucket AND x.vec_id < y.vec_id""".stripMargin)
+          .mkString("\n        UNION\n        ")})
+      SELECT c.id_a, c.id_b, $oracleCos AS score
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.id_a
+      JOIN embeddings b ON b.vec_id = c.id_b
+      WHERE $oracleCos >= 0.3""")),
+
     // NEAREST-NEIGHBOR GRAPH within LSH buckets — the kNN-graph
     // construction step semantic-dedup/clustering pipelines run over
     // a whole corpus (SemDedup's first stage): every vector's single
@@ -1937,8 +1988,8 @@ object VectorQueries {
     * its plane index being below the corpus-derived `nb.bits` — so the
     * SQL reproduces `srpBucket(col, srpBits(n))` bit-for-bit at ANY
     * corpus size with one static statement. */
-  private def srpBucketScaledSql: String =
-    graft.functions.VectorFunctions.srpPlanes(srpMaxBits).zipWithIndex.map {
+  private def srpBucketScaledSql(seed: Long = 42L): String =
+    graft.functions.VectorFunctions.srpPlanes(srpMaxBits, seed = seed).zipWithIndex.map {
       case (coeffs, p) =>
         val lst = coeffs.map(_.toString).mkString("[", ", ", "]")
         s"""(CASE WHEN $p < nb.bits AND list_sum(list_transform(list_zip(embedding, $lst),
@@ -1952,6 +2003,6 @@ object VectorQueries {
   private def srpBktCte(cols: String): String =
     s"""nb AS (SELECT $srpBitsSql AS bits FROM embeddings),
        |      bkt AS (
-       |        SELECT $cols, $srpBucketScaledSql AS bucket
+       |        SELECT $cols, ${srpBucketScaledSql()} AS bucket
        |        FROM embeddings, nb)""".stripMargin
 }

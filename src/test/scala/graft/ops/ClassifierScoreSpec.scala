@@ -63,6 +63,42 @@ class ClassifierScoreSpec extends SparkTestBase {
       "classifier must keep some docs and drop others")
   }
 
+  test("curate_classifier_eval matches a driver-side confusion fold on held-out docs") {
+    val dir = sf("0.001")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+    val cp = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val cn = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    docs.filter(_._1 % 5 == 0).foreach { case (_, src, text) =>
+      feats(text).foreach(b => if (pos(src)) cp(b) += 1 else cn(b) += 1)
+    }
+    val tp0 = cp.values.sum
+    val tn0 = cn.values.sum
+    val w = (cp.keySet ++ cn.keySet).map(b =>
+      b -> ((cp(b) + 1) * 1000000L / (tp0 + 256) - (cn(b) + 1) * 1000000L / (tn0 + 256))).toMap
+
+    var (tp, fp, fn, tn) = (0L, 0L, 0L, 0L)
+    docs.filter(_._1 % 5 != 0).foreach { case (_, src, text) =>
+      val pred = feats(text).filter(w.contains).map(w).sum > 0
+      val actual = pos(src)
+      if (pred && actual) tp += 1
+      else if (pred && !actual) fp += 1
+      else if (!pred && actual) fn += 1
+      else tn += 1
+    }
+    val row = graft.SparkEntry.queries("curate_classifier_eval")(spark, dir)
+      .collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((tp, fp, fn, tn)))
+    assert(row.getLong(4) === (if (tp + fp == 0) 0L else tp * 1000000L / (tp + fp)))
+    assert(row.getLong(5) === (if (tp + fn == 0) 0L else tp * 1000000L / (tp + fn)))
+    // the scorecard must be non-degenerate on this corpus: the
+    // held-out split contains both classes and some kept docs
+    assert(tp + fn > 0 && fp + tn > 0 && tp + fp > 0)
+  }
+
   test("classifier scoring: persisted weights broadcast-join, no UDF") {
     val df = graft.SparkEntry.queries("curate_classifier_score")(spark, sf("0.001"))
     val p = df.queryExecution.executedPlan.toString
