@@ -60,6 +60,9 @@ object CboPayoff {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // the digest greps scan locations out of executedPlan.toString —
+      // default field truncation can silently drop them from wide plans
+      .config("spark.sql.debug.maxToStringFields", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.sql.TxLogSql
