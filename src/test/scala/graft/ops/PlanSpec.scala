@@ -124,6 +124,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
 
+  test("multi-table LSH: every candidate stage is a keyed join — no NLJ, no cartesian") {
+    val p = planOf("sim_lsh_multitable")
+    // four bucket equi-joins, a pair-keyed distinct, two vec_id
+    // re-attach joins — an all-pairs fallback anywhere surfaces here
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
   test("cosine calibrator: per-label sample cap executes as a WindowGroupLimit, no cartesian") {
     val p = planOf("dedup_embedding_cosine")
     // the md5-selected per-label sample (row_number ≤ cap) must run as
