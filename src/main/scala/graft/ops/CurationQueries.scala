@@ -993,11 +993,15 @@ object CurationQueries {
       val docs = load(spark, dir, "documents")
       val root = clfWeightsRoot(spark, dir, docs)
       val w = graft.pipeline.TxLog(spark, root).snapshot()
-      val sc = clfFeats(docs)
+      // score only the held-out split: the doc_id predicate cannot be
+      // pushed through the LEFT join below, so filtering before the
+      // feature explode (not after the scoring join) is what keeps the
+      // train split's 20% out of the evaluation's feature pass
+      val held = docs.filter(col("doc_id") % 5 =!= 0)
+      val sc = clfFeats(held)
         .join(broadcast(w), Seq("b"))
         .groupBy(col("doc_id")).agg(sum(col("w")).cast("long").as("s"))
-      docs.filter(col("doc_id") % 5 =!= 0)
-        .select(col("doc_id"), col("source"))
+      held.select(col("doc_id"), col("source"))
         .join(sc, Seq("doc_id"), "left")
         .withColumn("pred", coalesce(col("s"), lit(0L)) > 0)
         .withColumn("actual", col("source").isin(clfPosSources: _*))
