@@ -32,13 +32,31 @@ object Bench {
                          ref: Map[String, Double],
                          threshold: Double = 2.0,
                          minSec: Double = 0.5): Seq[(String, Double)] =
+    flaggedRegressionsLocal(cur, _ => calib, ref, threshold, minSec)
+
+  /** [[flaggedRegressions]] with a PER-QUERY calibration lookup: when
+    * the run interleaves probes ([[main]]'s calib windows), each query
+    * normalizes against the contention measured around ITS window, so
+    * a mid-run wave (r16: the probe drifted 0.340→0.612 inside one
+    * graded leg, fabricating 32 disjoint-from-confirmation flags) is
+    * divided out per query instead of smeared across the whole leg by
+    * a single endpoint mean. */
+  def flaggedRegressionsLocal(cur: Seq[(String, Double)],
+                              calibOf: String => Double,
+                              ref: Map[String, Double],
+                              threshold: Double = 2.0,
+                              minSec: Double = 0.5): Seq[(String, Double)] =
     ref.get("__calib__") match {
-      case Some(refCalib) if refCalib > 0 && calib > 0 =>
+      case Some(refCalib) if refCalib > 0 =>
         cur.flatMap { case (n, t) =>
+          val calib = calibOf(n)
           ref.get(n).filter(_ >= 0.1).flatMap { rt =>
-            val ratio = (t / calib) / (rt / refCalib)
-            if (t >= minSec && ratio >= threshold)
-              Some(n -> math.rint(ratio * 100) / 100) else None
+            if (calib <= 0) None
+            else {
+              val ratio = (t / calib) / (rt / refCalib)
+              if (t >= minSec && ratio >= threshold)
+                Some(n -> math.rint(ratio * 100) / 100) else None
+            }
           }
         }.sortBy(-_._2)
       case _ => Nil
@@ -122,9 +140,24 @@ object Bench {
     spark.sparkContext.addSparkListener(counters)
     val resources = scala.collection.mutable.ArrayBuffer
       .empty[(String, (Long, Long, Long, Long))]
+    // INTERLEAVED calibration probes (r16 verdict item 1b): host
+    // contention arrives in multi-minute waves, and a single
+    // endpoint-mean calibration cannot normalize a wave that hits the
+    // middle of a 10-minute leg (r16's graded leg drifted 0.340→0.612
+    // WITHIN the run; its 32 flags were disjoint from the confirmation
+    // leg's). Probing every K queries makes the leg self-diagnosing —
+    // the tail JSON carries the per-window readings, and each query's
+    // flag ratio normalizes against the probes BRACKETING its window.
+    // Cost: ~0.3 s per probe, ≈ 3 s per 268-query leg at K = 32.
+    val calibEvery = sys.env.get("SPARK_GRAFT_CALIB_EVERY")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+      .getOrElse(32)
+    val calibWindows = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    calibWindows += 0 -> calibFirst
     // deterministic (sorted) order: stable round-over-round per-query
     // comparison, and cache-sharing families (dedup_*) run adjacently
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = sortedQueries.zipWithIndex.map { case ((name, fn), qi) =>
       // Collect the PREVIOUS query's garbage outside the timing window:
       // heavy queries (streaming state stores, graph iterations) leave
       // multi-GB young-gen debt, and without this the full-GC pause
@@ -146,13 +179,30 @@ object Bench {
       // layout_sec, not to the query that happened to trigger them —
       // the query's reading is the steady-state cost of the READ plan
       val layout = ops.Scale.layoutNanos.get() - l0
+      // interior probe OUTSIDE any timing window, billed to nothing
+      if ((qi + 1) % calibEvery == 0 && (qi + 1) < sortedQueries.size)
+        calibWindows += (qi + 1) -> calibrate(spark)
       name -> (elapsed - layout).max(0L) / 1e9
     }
     val calibLast = calibrate(spark)
-    val calib = (calibFirst + calibLast) / 2
+    calibWindows += sortedQueries.size -> calibLast
+    // run-average contention = mean over ALL probes (the endpoint mean
+    // under-weights a mid-run wave the interior probes now see)
+    val calib = calibWindows.map(_._2).sum / calibWindows.size
+    // per-query local calibration: mean of the probes bracketing the
+    // query's window — what the flag tripwire normalizes against
+    val winSeq = calibWindows.toIndexedSeq
+    def localCalib(i: Int): Double = {
+      val before = winSeq.takeWhile(_._1 <= i).lastOption.getOrElse(winSeq.head)._2
+      val after = winSeq.find(_._1 > i).map(_._2).getOrElse(before)
+      (before + after) / 2
+    }
+    val nameCalib: Map[String, Double] = sortedQueries.zipWithIndex
+      .map { case ((n, _), i) => n -> localCalib(i) }.toMap
     val layoutSec = ops.Scale.layoutNanos.get() / 1e9
     val reference = loadReference()
-    val regressions = flaggedRegressions(results, calib, reference)
+    val regressions = flaggedRegressionsLocal(results,
+      n => nameCalib.getOrElse(n, calib), reference)
     // SELF-CONTAINED grading numbers (the judge's calibrated-ratio
     // computation, performed here so the round artifact alone carries
     // it): calibFactor divides out host contention via the CPU probe;
@@ -188,7 +238,11 @@ object Bench {
     val regs = regressions.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def r3w(x: Double) = math.rint(x * 1000) / 1000
+    val winJson = calibWindows
+      .map { case (i, c) => s"[$i,${r3w(c)}]" }.mkString("[", ",", "]")
     val extras = s""""calib_first":$calibFirst,"calib_last":$calibLast,""" +
+      s""""calib_mean":${r3w(calib)},"calib_windows":$winJson,""" +
       s""""layout_sec":$layoutSec,""" +
       vsRef.fold("")(v => v + ",") + s""""regressions":$regs"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","count":${results.size},$extras,"queries":$qs,"sf":"$sfDir"}"""
@@ -251,7 +305,8 @@ object Bench {
     val regsCapped = regressions.take(15)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val extrasCompact = s""""calib_first":${r3(calibFirst)},""" +
-      s""""calib_last":${r3(calibLast)},"layout_sec":${r3(layoutSec)},""" +
+      s""""calib_last":${r3(calibLast)},"calib_mean":${r3(calib)},""" +
+      s""""calib_windows":$winJson,"layout_sec":${r3(layoutSec)},""" +
       vsRef.fold("")(v => v + ",") +
       s""""n_flagged":${regressions.size},"regressions":$regsCapped"""
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},$extrasCompact,"queries":$heavy,"queries_truncated":true,"full_map":"tools/bench_full.json","full_map_sha256_16":"$sha","sf":"$sfDir"}""")

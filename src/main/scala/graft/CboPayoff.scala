@@ -133,10 +133,13 @@ object CboPayoff {
       // the decision AQE can never revisit (it replans strategies
       // around existing exchanges, it does not re-tree the joins).
       // TxLog scans render as LOCATION paths, not catalog names, so
-      // match the `<table>_(ns|an|nh)` directory suffix — and fail
-      // loudly if nothing matches rather than printing an empty order
-      // (the silent-[]-baseline bug this comparison exists to avoid)
-      val order = "([a-z]+)_(?:ns|an|nh)\\b".r.findAllMatchIn(p)
+      // match the `<table>_(ns|an|nh)` directory suffix ANCHORED to
+      // this run's cbo_payoff root (an unanchored suffix match could
+      // bind any plan token ending in _ns/_an/_nh — column aliases,
+      // unrelated paths) — and fail loudly if nothing matches rather
+      // than printing an empty order (the silent-[]-baseline bug this
+      // comparison exists to avoid)
+      val order = "cbo_payoff_\\d+/([a-z]+)_(?:ns|an|nh)\\b".r.findAllMatchIn(p)
         .map(_.group(1)).toSeq.distinct.mkString("->")
       require(order.nonEmpty,
         s"plan digest matched no cbo9 table scans:\n${p.take(2000)}")

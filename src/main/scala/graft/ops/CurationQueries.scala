@@ -68,7 +68,16 @@ object CurationQueries {
     val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
       docs.queryExecution.analyzed.semanticHash())
     clfWeightsCache.getOrCompute(key, SessionScopedCache.aliveProbe(spark)) {
-      val root = s"/root/repo/target/tmp/clf_weights_${dir.hashCode.abs}_${key._2.abs}"
+      // collision-resistant on-disk root matching the FULL cache key
+      // (session identity + corpus): Int.hashCode roots could silently
+      // collide across corpora (and .abs of Int.MinValue is negative),
+      // and a path without the session identity lets a second session
+      // over the same corpus clobber a directory the first session's
+      // cached root still points at
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${key._1}|${key._2}|$dir".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val root = s"/root/repo/target/tmp/clf_weights_$digest"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       val t0 = System.nanoTime()
       val tr = clfFeats(docs.filter(col("doc_id") % 5 === 0))
@@ -1028,6 +1037,73 @@ object CurationQueries {
         CAST(sum(CASE WHEN NOT pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS tn
         FROM held)
       SELECT tp, fp, fn, tn,
+             CASE WHEN tp + fp = 0 THEN 0
+                  ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT) END AS precision_ppm,
+             CASE WHEN tp + fn = 0 THEN 0
+                  ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT) END AS recall_ppm
+      FROM c""")),
+
+    // CLASSIFIER THRESHOLD SWEEP — the precision/recall curve a real
+    // pipeline reads to PICK the keep-threshold (`curate_classifier_
+    // eval` grades only the score > 0 gate; deployments trade recall
+    // for precision by moving it): confusion counts + ppm ratios of
+    // the `score > threshold` decision at 16 integer thresholds
+    // (−80k..70k ppm log-odds, step 10k — the useful span of the
+    // trained weights' score range), over the held-out split only.
+    // Scale: the identical scoring pass as the eval (feature explode +
+    // ≤256-row broadcast join + doc-keyed agg), then ONE extra grouped
+    // aggregation — each scored doc fans against a broadcast 16-row
+    // threshold frame (shuffle-free) and the groupBy reduces to 16
+    // keys with map-side partials, so the sweep adds no shuffle beyond
+    // the score pass and no driver state. Integer-exact end-to-end;
+    // the oracle retrains, rescores and re-sweeps from the base table.
+    Q("curate_classifier_pr_curve", (spark, dir) => {
+      import spark.implicits._
+      val docs = load(spark, dir, "documents")
+      val root = clfWeightsRoot(spark, dir, docs)
+      val w = graft.pipeline.TxLog(spark, root).snapshot()
+      // same honest-split discipline as the eval: filter BEFORE the
+      // feature explode so the train split never enters the pass
+      val held = docs.filter(col("doc_id") % 5 =!= 0)
+      val sc = clfFeats(held)
+        .join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id")).agg(sum(col("w")).cast("long").as("s"))
+      val scored = held.select(col("doc_id"), col("source"))
+        .join(sc, Seq("doc_id"), "left")
+        .select(coalesce(col("s"), lit(0L)).as("score"),
+          col("source").isin(clfPosSources: _*).as("actual"))
+      val thr = (-8 to 7).map(t => t * 10000L).toDF("threshold")
+      scored.crossJoin(broadcast(thr))
+        .groupBy(col("threshold"))
+        .agg(
+          sum(when(col("score") > col("threshold") && col("actual"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score") > col("threshold") && !col("actual"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(!(col("score") > col("threshold")) && col("actual"), 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(!(col("score") > col("threshold")) && !col("actual"), 1L)
+            .otherwise(0L)).as("tn"))
+        .withColumn("precision_ppm",
+          expr("CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT) ELSE tp * 1000000 div (tp + fp) END"))
+        .withColumn("recall_ppm",
+          expr("CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT) ELSE tp * 1000000 div (tp + fn) END"))
+    }, oracle = Some(s"""
+      WITH $clfOracleCtes,
+      held AS (
+        SELECT COALESCE(sc.s, 0) AS score,
+               d.source IN ('src0','src1','src2','src3','src4') AS actual
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        WHERE d.doc_id % 5 <> 0),
+      thr AS (SELECT CAST((i - 8) * 10000 AS BIGINT) AS threshold
+              FROM range(0, 16) t(i)),
+      c AS (SELECT threshold,
+        CAST(sum(CASE WHEN score > threshold AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN score > threshold AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN score <= threshold AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN score <= threshold AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM held, thr GROUP BY threshold)
+      SELECT threshold, tp, fp, fn, tn,
              CASE WHEN tp + fp = 0 THEN 0
                   ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT) END AS precision_ppm,
              CASE WHEN tp + fn = 0 THEN 0

@@ -33,7 +33,12 @@ object VectorQueries {
     * exhaustive. Mirrored verbatim in the DuckDB oracle. Kept under
     * Spark's windowGroupLimitThreshold (1000) so the row_number ≤ cap
     * filter rewrites to a WindowGroupLimit heap, never a full
-    * per-label sort. */
+    * per-label sort. NOTE: [[graft.functions.Md5Draw.capConstant]]
+    * asserts this against the LIVE session threshold — a withConf
+    * scope lowering `spark.sql.window.group.limit.threshold` below
+    * 512 turns the calibrator into a loud runtime failure by design
+    * (the plan-shape guarantee IS the API; silent degradation to a
+    * full per-label WindowExec sort is the failure mode it refuses). */
   private val cosineCalibCap = 512
 
   /** CORPUS-SCALED SRP sizing for the bucketed-NN family
@@ -59,11 +64,39 @@ object VectorQueries {
     * linearly again (raise the ceiling, not the occupancy). */
   private[graft] val srpMaxBits = 24
 
-  /** Smallest b in [1, srpMaxBits] with n ≤ srpTargetOcc·2^b. */
+  /** Smallest b in [1, srpMaxBits] with n ≤ srpTargetOcc·2^b. Past
+    * the ceiling's capacity (occ·2^maxBits ≈ 2.1·10⁹ vectors) the
+    * sizing rule can no longer pin occupancy and pair volume goes
+    * quadratic again — the exact failure mode this function exists to
+    * prevent — so refuse LOUDLY with the remedy (the same
+    * headroom-enforcement rule `sim_nn_pagerank` applies). */
   private[graft] def srpBits(n: Long): Int = {
+    require(n <= (srpTargetOcc << srpMaxBits),
+      s"srpBits: corpus n=$n exceeds the srpMaxBits=$srpMaxBits capacity " +
+        s"(${srpTargetOcc}·2^$srpMaxBits = ${srpTargetOcc << srpMaxBits} " +
+        "vectors at target occupancy) — raise srpMaxBits (one bit per " +
+        "corpus doubling; cost is 2^bits bucket ids, nothing else) " +
+        "rather than letting per-bucket occupancy grow linearly again")
     var b = 1
     while (b < srpMaxBits && n > (srpTargetOcc << b)) b += 1
     b
+  }
+
+  /** Corpus-size cache: ONE count job per (session, corpus). The LSH
+    * queries need N at plan-BUILD time to derive [[srpBits]]; without
+    * this each invocation re-ran a full-table count eagerly inside the
+    * query builder (an uncached scan billed to planning — flagged in
+    * the r16 ADVICE). Keyed and lifetime-bounded exactly like
+    * [[nnTopCache]]. */
+  private val corpusCountCache =
+    new SessionScopedCache[(String, Int), Long](64)
+
+  private[graft] def corpusCount(spark: org.apache.spark.sql.SparkSession,
+                                 e0: org.apache.spark.sql.DataFrame): Long = {
+    val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
+      e0.queryExecution.analyzed.semanticHash())
+    corpusCountCache.getOrCompute(key, SessionScopedCache.aliveProbe(spark))(
+      e0.count())
   }
 
   /** Shared 3-NN neighbor-list cache for the NN-graph family: ONE
@@ -114,9 +147,33 @@ object VectorQueries {
       e0.queryExecution.analyzed.semanticHash())
     nnTopCache.getOrCompute(key, SessionScopedCache.aliveProbe(spark)) {
       graft.plans.VectorHofRewrite.install(spark)
-      val n = e0.count()
+      val n = corpusCount(spark, e0)
       (n, nnTop3Build(spark, e0, srpBits(n)).localCheckpoint(true))
     }
+  }
+
+  /** One pagerank power-iteration round over the 1-NN edge list
+    * (out-degree exactly 1 — no out-degree division):
+    * r'(v) = 0.15·1e9 + (85·Σ_{u→v} r(u)) div 100. The in-sum and the
+    * 85× product run in DECIMAL(38,0) — Σ r(u) ≤ n·1e9 (rank mass is
+    * conserved), which exceeds int64 past n ≈ 1e8, and a BIGINT sum
+    * would WRAP SILENTLY in non-ANSI sessions while the oracle's
+    * HUGEINT sum would not: the classic silent cross-engine
+    * divergence. DECIMAL(38,0) holds 10³⁸ — unreachable by any corpus
+    * (n·1e9·85 at n = 10¹⁰ is ~10²¹) — and Spark's IntegralDivide on
+    * decimals returns BIGINT, so the output column's type (and every
+    * hash at current scales) is unchanged. Exercised past the old
+    * int64 bound with synthetic ranks in NnGraphOpsSpec. */
+  private[graft] def pagerankRound(nodes: org.apache.spark.sql.DataFrame,
+                                   edges: org.apache.spark.sql.DataFrame,
+                                   ranks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val in = edges.join(ranks, Seq("vec_id"))
+      .groupBy(col("nn_id").as("vec_id"))
+      .agg(sum(col("r").cast("decimal(38,0)")).as("i"))
+    nodes.join(in, Seq("vec_id"), "left")
+      .withColumn("r", lit(150000000L) +
+        expr("(85 * coalesce(i, CAST(0 AS DECIMAL(38,0)))) DIV 100"))
+      .select(col("vec_id"), col("r"))
   }
 
   /** [[cosSql]] generalized to arbitrary list-valued SQL expressions
@@ -798,7 +855,8 @@ object VectorQueries {
       graft.plans.VectorHofRewrite.install(spark)
       val e0 = load(spark, dir, "embeddings")
       val e = e0.withColumn("bucket",
-        graft.functions.VectorFunctions.srpBucket(col("embedding"), srpBits(e0.count())))
+        graft.functions.VectorFunctions.srpBucket(col("embedding"),
+          srpBits(corpusCount(spark, e0))))
       val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, Seq("bucket"))
@@ -831,7 +889,7 @@ object VectorQueries {
     Q("sim_lsh_multitable", (spark, dir) => {
       graft.plans.VectorHofRewrite.install(spark)
       val e0 = load(spark, dir, "embeddings")
-      val bits = srpBits(e0.count())
+      val bits = srpBits(corpusCount(spark, e0))
       val cand = (0 until 4).map { t =>
         val e = e0.withColumn("bucket",
           graft.functions.VectorFunctions.srpBucket(col("embedding"), bits,
@@ -907,17 +965,22 @@ object VectorQueries {
     // over n rows of 16-byte state, and the iteration count is a
     // constant 3 — at 100 TB the cost is 3 bounded shuffles of
     // node-sized frames, dwarfed by the one-time edge build.
-    // Headroom: Σ_in r(u) ≤ n·1e9, so the 85× product stays inside
-    // int64 to n ≈ 1e8 vectors — ENFORCED below (the oracle sums into
-    // HUGEINT and would not wrap, so a silent long wrap here would be
-    // a silent cross-engine divergence); past the bound the
-    // fixed-point scale drops a decade (or the sums widen to
-    // DECIMAL(38,0)) without changing the plan.
+    // Headroom: the in-round sums and the 85× product run in
+    // DECIMAL(38,0) ([[pagerankRound]]) — matching the oracle's
+    // HUGEINT sums, so neither engine can wrap at any corpus size;
+    // the only remaining int64 boundary is the BIGINT rank_fp output
+    // column itself (n ≈ 1.08·10¹⁰ — enforced below, loudly).
     Q("sim_nn_pagerank", (spark, dir) => {
       val (n, top3) = nnTop3(spark, dir)
-      require(n <= 100000000L,
-        s"sim_nn_pagerank int64 fixed-point headroom exceeded: n=$n > 1e8 — " +
-          "drop the rank scale a decade or widen the round sums to DECIMAL(38,0)")
+      // rank_fp itself is BIGINT: r ≤ 0.15·1e9 + 0.85·n·1e9 (rank mass
+      // is conserved under out-degree 1), so the OUTPUT column wraps
+      // past n ≈ 1.08·10¹⁰ vectors — two decades past the old in-round
+      // bound (the round sums are DECIMAL(38,0) in [[pagerankRound]]
+      // and cannot wrap at any corpus size); past it, drop the
+      // fixed-point scale a decade
+      require(n <= 10000000000L,
+        s"sim_nn_pagerank BIGINT rank_fp headroom exceeded: n=$n > 1e10 — " +
+          "drop the fixed-point rank scale a decade")
       val parts = spark.sessionState.conf.numShufflePartitions
       // re-home the rn=1 slice durably co-partitioned on vec_id so
       // the three rank rounds join without re-shuffling the edge side
@@ -929,15 +992,7 @@ object VectorQueries {
         .repartition(parts, col("vec_id")).localCheckpoint(true)
       val scale = 1000000000L
       var ranks = nodes.withColumn("r", lit(scale))
-      for (_ <- 1 to 3) {
-        val in = edges.join(ranks, Seq("vec_id"))
-          .groupBy(col("nn_id").as("vec_id"))
-          .agg(sum(col("r")).as("i"))
-        ranks = nodes.join(in, Seq("vec_id"), "left")
-          .withColumn("r", lit(scale * 15 / 100) +
-            expr("(85 * coalesce(i, 0L)) DIV 100"))
-          .select(col("vec_id"), col("r"))
-      }
+      for (_ <- 1 to 3) ranks = pagerankRound(nodes, edges, ranks)
       ranks.select(col("vec_id"), col("r").as("rank_fp"))
     }, oracle = Some(s"""
       WITH ${srpBktCte("vec_id, embedding")},
