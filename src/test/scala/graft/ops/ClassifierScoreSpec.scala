@@ -99,6 +99,57 @@ class ClassifierScoreSpec extends SparkTestBase {
     assert(tp + fn > 0 && fp + tn > 0 && tp + fp > 0)
   }
 
+  test("curate_classifier_pr_curve matches a driver-side sweep and is coherent") {
+    val dir = sf("0.001")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+    val cp = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val cn = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    docs.filter(_._1 % 5 == 0).foreach { case (_, src, text) =>
+      feats(text).foreach(b => if (pos(src)) cp(b) += 1 else cn(b) += 1)
+    }
+    val tp0 = cp.values.sum
+    val tn0 = cn.values.sum
+    val w = (cp.keySet ++ cn.keySet).map(b =>
+      b -> ((cp(b) + 1) * 1000000L / (tp0 + 256) - (cn(b) + 1) * 1000000L / (tn0 + 256))).toMap
+
+    val held = docs.filter(_._1 % 5 != 0).map { case (_, src, text) =>
+      (feats(text).filter(w.contains).map(w).sum, pos(src))
+    }
+    val expected = (-8 to 7).map(_ * 10000L).map { thr =>
+      val tp = held.count { case (s, a) => s > thr && a }.toLong
+      val fp = held.count { case (s, a) => s > thr && !a }.toLong
+      val fn = held.count { case (s, a) => s <= thr && a }.toLong
+      val tn = held.count { case (s, a) => s <= thr && !a }.toLong
+      thr -> ((tp, fp, fn, tn,
+        if (tp + fp == 0) 0L else tp * 1000000L / (tp + fp),
+        if (tp + fn == 0) 0L else tp * 1000000L / (tp + fn)))
+    }.toMap
+
+    val got = graft.SparkEntry.queries("curate_classifier_pr_curve")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got === expected)
+
+    // curve coherence: as the threshold rises, kept docs (tp+fp) can
+    // only shrink and recall's numerator (tp) is non-increasing
+    val byThr = got.toSeq.sortBy(_._1).map(_._2)
+    byThr.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(hi._1 <= lo._1, "tp must be non-increasing in the threshold")
+      assert(hi._1 + hi._2 <= lo._1 + lo._2, "keeps must be non-increasing")
+    }
+    // the threshold-0 row's confusion must equal curate_classifier_eval's
+    val eval = graft.SparkEntry.queries("curate_classifier_eval")(spark, dir)
+      .collect().head
+    assert(got(0L) === ((eval.getLong(0), eval.getLong(1), eval.getLong(2),
+      eval.getLong(3), eval.getLong(4), eval.getLong(5))))
+    // the sweep must actually move the operating point on this corpus
+    assert(byThr.map(_._1).distinct.size > 1, "a flat curve measures nothing")
+  }
+
   test("classifier scoring: persisted weights broadcast-join, no UDF") {
     val df = graft.SparkEntry.queries("curate_classifier_score")(spark, sf("0.001"))
     val p = df.queryExecution.executedPlan.toString

@@ -64,4 +64,29 @@ class LshMultitableSpec extends SparkTestBase {
     assert(single.subsetOf(got.keySet), "single-table pairs must embed")
     assert(got.size > single.size, "L=4 must add recall over L=1 here")
   }
+
+  test("measured recall contract: L=4 recall over the exact calibrator pairs dominates L=1") {
+    // The quantitative claim the operator exists for (r16 verdict item
+    // 6): against the EXACT ground truth — `dedup_embedding_cosine`'s
+    // calibrator pairs (per-label exhaustive at this corpus size: every
+    // label block is far under the 512 draw cap, and its ≥0.4 pairs all
+    // clear the LSH queries' ≥0.3 score gate) — the 4-table union's
+    // recall must be ≥ the single table's, with both MEASURED numbers
+    // on record, not just the structural containment.
+    val dir = sf("0.001")
+    val truth = graft.SparkEntry.queries("dedup_embedding_cosine")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "empty ground truth cannot measure recall")
+    val single = graft.SparkEntry.queries("sim_lsh_bucketed")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = graft.SparkEntry.queries("sim_lsh_multitable")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rSingle = (truth & single).size.toDouble / truth.size
+    val rMulti = (truth & multi).size.toDouble / truth.size
+    info(f"recall over ${truth.size} exact pairs: single-table $rSingle%.4f, 4-table $rMulti%.4f")
+    println(f"[lsh-recall] exact pairs=${truth.size} single=$rSingle%.4f multi=$rMulti%.4f")
+    assert(rMulti >= rSingle,
+      f"4-table recall $rMulti%.4f must dominate single-table $rSingle%.4f")
+    assert(rMulti > 0.0, "the multi-table recall must be measurable (> 0)")
+  }
 }

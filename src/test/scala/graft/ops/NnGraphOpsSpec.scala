@@ -127,6 +127,38 @@ class NnGraphOpsSpec extends SparkTestBase {
     assert(radii === radii.sorted.reverse, "selection distances must decrease")
   }
 
+  test("pagerankRound: DECIMAL(38,0) in-round sums stay exact past the old int64 bound") {
+    import spark.implicits._
+    // 20 nodes at rank 5·10¹⁷ each, every node's out-edge pointing at
+    // node 1: node 1's in-sum is 10¹⁹ > Long.MaxValue, so the old
+    // BIGINT sum could not represent it (silent wrap in non-ANSI
+    // sessions — the exact cross-engine divergence the r15 require
+    // refused at n > 1e8). The widened path must produce the exact
+    // BigInt arithmetic result, still typed BIGINT.
+    val n = 20
+    val big = 500000000000000000L // 5e17
+    val nodes = (1L to n).toDF("vec_id")
+    val edges = (1L to n).map(v => (v, 1L)).toDF("vec_id", "nn_id")
+    val ranks = (1L to n).map(v => (v, big)).toDF("vec_id", "r")
+    val out = VectorQueries.pagerankRound(nodes, edges, ranks)
+    assert(out.schema("r").dataType === org.apache.spark.sql.types.LongType,
+      "rank_fp's BIGINT contract must survive the decimal widening")
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect1 = BigInt(85) * (BigInt(big) * n) / 100 + Base
+    assert(expect1.isValidLong && expect1.toLong > Long.MaxValue / 2,
+      "the fixture must actually exceed the old in-round bound")
+    assert(got(1L) === expect1.toLong)
+    (2L to n.toLong).foreach(v => assert(got(v) === Base,
+      s"in-degree-0 node $v must hold the teleport base"))
+  }
+
+  test("srpBits refuses corpora past the 24-bit ceiling's capacity, loudly") {
+    assert(VectorQueries.srpBits(128L << 24) === 24) // boundary still sizes
+    val e = intercept[IllegalArgumentException](
+      VectorQueries.srpBits((128L << 24) + 1))
+    assert(e.getMessage.contains("srpMaxBits"), e.getMessage)
+  }
+
   test("label consensus plan: constant-cap neighbor window takes WindowGroupLimit; bucket join stays equi") {
     val p = graft.SparkEntry.queries("sim_label_consensus")(spark, sf("0.001"))
       .queryExecution.executedPlan.toString

@@ -353,6 +353,231 @@ class SqlFaceFuzzSpec extends SparkTestBase {
     }
   }
 
+  // ---- MERGE clause-grammar fuzz (r15 item 5 / r16 item 2) ---------------
+  // The clause surface (WHEN MATCHED [AND] UPDATE/DELETE, NOT MATCHED
+  // [BY SOURCE], SCHEMA EVOLUTION) is the largest DML grammar routed
+  // through TxLogSqlDml. Random legal clause sequences must produce
+  // IDENTICAL tables through the SQL face and the library face
+  // (TxLog.mergeInto), both equal to an independent driver-side
+  // first-passing-clause-wins fold; near-legal sequences must reject
+  // loudly with the table untouched — never a silent wrong commit.
+
+  private case class MCl(condSql: Option[String],
+                         fires: ((String, Long), (String, Long)) => Boolean,
+                         sqlAction: String,
+                         lib: graft.pipeline.MergeInto.When,
+                         apply: ((String, Long), (String, Long)) => Option[(String, Long)])
+  private case class ICl(condSql: Option[String],
+                         fires: ((Long, String, Long)) => Boolean,
+                         sqlAction: String,
+                         lib: graft.pipeline.MergeInto.When,
+                         apply: ((Long, String, Long)) => (String, Long))
+  private case class NCl(condSql: Option[String],
+                         fires: ((String, Long)) => Boolean,
+                         sqlAction: String,
+                         lib: graft.pipeline.MergeInto.When,
+                         apply: ((String, Long)) => Option[(String, Long)])
+
+  test("fuzz: MERGE clause sequences — SQL face = library face = driver model, first passing clause wins") {
+    import graft.pipeline.{MergeInto => M, TxLog}
+    import spark.implicits._
+    val rnd = new Random(7919)
+
+    // condition pools per clause family (each references only the row
+    // halves that family can see), paired with exact Scala evaluators
+    val mConds: Seq[(String, ((String, Long), (String, Long)) => Boolean)] = Seq(
+      ("s.amt >= 100", (_, s) => s._2 >= 100),
+      ("t.amt < 25", (t, _) => t._2 < 25),
+      ("s.amt % 2 = 0", (_, s) => s._2 % 2 == 0),
+      ("t.amt + s.amt > 120", (t, s) => t._2 + s._2 > 120))
+    val iConds: Seq[(String, ((Long, String, Long)) => Boolean)] = Seq(
+      ("s.amt > 50", s => s._3 > 50),
+      ("s.k % 2 = 0", s => s._1 % 2 == 0))
+    val nConds: Seq[(String, ((String, Long)) => Boolean)] = Seq(
+      ("t.amt >= 30", t => t._2 >= 30),
+      ("t.amt % 20 = 0", t => t._2 % 20 == 0))
+
+    val mActs: Seq[(String, M.Action, ((String, Long), (String, Long)) => Option[(String, Long)])] = Seq(
+      ("UPDATE SET *", M.UpdateAll, (_, s) => Some(s)),
+      ("UPDATE SET v = s.v", M.Update(Seq("v" -> "s.v")), (t, s) => Some((s._1, t._2))),
+      ("UPDATE SET amt = t.amt + s.amt", M.Update(Seq("amt" -> "t.amt + s.amt")),
+        (t, s) => Some((t._1, t._2 + s._2))),
+      ("DELETE", M.Delete, (_, _) => None))
+    val iActs: Seq[(String, M.Action, ((Long, String, Long)) => (String, Long))] = Seq(
+      ("INSERT *", M.InsertAll, s => (s._2, s._3)),
+      ("INSERT (k, v, amt) VALUES (s.k, 'new', s.amt + 1)",
+        M.Insert(Seq("k" -> "s.k", "v" -> "'new'", "amt" -> "s.amt + 1")),
+        s => ("new", s._3 + 1)))
+    val nActs: Seq[(String, M.Action, ((String, Long)) => Option[(String, Long)])] = Seq(
+      ("DELETE", M.Delete, _ => None),
+      ("UPDATE SET v = 'orphan'", M.Update(Seq("v" -> "'orphan'")),
+        t => Some(("orphan", t._2))))
+
+    def kw(s: String): String = randCase(s, rnd)
+    val fixture: Map[Long, (String, Long)] =
+      (1L to 6L).map(k => k -> ((s"r$k", 10L * k))).toMap
+
+    (1 to 30).foreach { trial =>
+      // clause groups: sizes 0-2 each, at least one clause overall;
+      // non-final clauses carry a condition (the library contract)
+      def sizes(): (Int, Int, Int) = {
+        val t = (rnd.nextInt(3), rnd.nextInt(3), rnd.nextInt(3))
+        if (t._1 + t._2 + t._3 == 0) (1, 1, 0) else t
+      }
+      val (nm, ni, nn) = sizes()
+      def draw[A](pool: Seq[A]): A = pool(rnd.nextInt(pool.size))
+      val matched = (0 until nm).map { i =>
+        val cond = if (i < nm - 1 || rnd.nextBoolean()) Some(draw(mConds)) else None
+        val act = draw(mActs)
+        MCl(cond.map(_._1), (t, s) => cond.forall(_._2(t, s)), act._1,
+          M.When(cond.map(_._1), act._2), act._3)
+      }
+      val inserted = (0 until ni).map { i =>
+        val cond = if (i < ni - 1 || rnd.nextBoolean()) Some(draw(iConds)) else None
+        val act = draw(iActs)
+        ICl(cond.map(_._1), s => cond.forall(_._2(s)), act._1,
+          M.When(cond.map(_._1), act._2), act._3)
+      }
+      val bySource = (0 until nn).map { i =>
+        val cond = if (i < nn - 1 || rnd.nextBoolean()) Some(draw(nConds)) else None
+        val act = draw(nActs)
+        NCl(cond.map(_._1), t => cond.forall(_._2(t)), act._1,
+          M.When(cond.map(_._1), act._2), act._3)
+      }
+      // source: DISTINCT keys (no cardinality violations in legal
+      // trials — the violation is its own near-legal case below)
+      val srcKeys = rnd.shuffle((0L to 9L).toList).take(rnd.nextInt(7))
+      val src = srcKeys.map(k => (k, s"s$k", rnd.nextInt(200).toLong))
+
+      // driver-side first-passing-clause-wins fold; anyFired tracks the
+      // no-op contract (a FIRED clause commits even when the new values
+      // happen to equal the old — only nothing-fired is a no-op)
+      val expected = scala.collection.mutable.Map.empty[Long, (String, Long)]
+      var anyFired = false
+      val srcByK = src.map(s => s._1 -> s).toMap
+      fixture.foreach { case (k, t) =>
+        srcByK.get(k) match {
+          case Some(s) =>
+            matched.find(_.fires(t, (s._2, s._3))) match {
+              case Some(cl) =>
+                anyFired = true
+                cl.apply(t, (s._2, s._3)).foreach(expected(k) = _)
+              case None => expected(k) = t
+            }
+          case None =>
+            bySource.find(_.fires(t)) match {
+              case Some(cl) =>
+                anyFired = true
+                cl.apply(t).foreach(expected(k) = _)
+              case None => expected(k) = t
+            }
+        }
+      }
+      src.filterNot(s => fixture.contains(s._1)).foreach { s =>
+        inserted.find(_.fires(s)).foreach { cl =>
+          anyFired = true
+          expected(s._1) = cl.apply(s)
+        }
+      }
+
+      // SQL face
+      val name = s"fz_merge_t$trial"
+      val t1 = TxLog(spark, tmpDir(s"fz_merge_sql_$trial"))
+      t1.overwrite(fixture.toSeq.map { case (k, (v, a)) => (k, v, a) }
+        .toDF("k", "v", "amt"))
+      src.toDF("k", "v", "amt").createOrReplaceTempView("fz_merge_src")
+      TxLogSql.register(name, t1)
+      val evolve = rnd.nextBoolean()
+      val sql = new StringBuilder()
+        .append(kw("MERGE "))
+        .append(if (evolve) kw("WITH SCHEMA EVOLUTION ") else "")
+        .append(kw("INTO ")).append(name).append(kw(" AS t "))
+        .append(kw("USING fz_merge_src AS s "))
+        .append(kw("ON ")).append("t.k = s.k")
+      matched.foreach(c => sql.append(kw(" WHEN MATCHED"))
+        .append(c.condSql.fold("")(x => kw(" AND ") + x))
+        .append(kw(" THEN ")).append(c.sqlAction))
+      inserted.foreach(c => sql.append(kw(" WHEN NOT MATCHED"))
+        .append(if (rnd.nextBoolean()) kw(" BY TARGET") else "")
+        .append(c.condSql.fold("")(x => kw(" AND ") + x))
+        .append(kw(" THEN ")).append(c.sqlAction))
+      bySource.foreach(c => sql.append(kw(" WHEN NOT MATCHED BY SOURCE"))
+        .append(c.condSql.fold("")(x => kw(" AND ") + x))
+        .append(kw(" THEN ")).append(c.sqlAction))
+      val vBefore = t1.currentVersion()
+      try {
+        spark.sql(sql.toString)
+        val gotSql = t1.snapshot().collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+        assert(gotSql === expected.toMap, s"trial $trial SQL face:\n$sql")
+        // nothing-fired MERGE must be a full no-op (no version churn)
+        if (!anyFired)
+          assert(t1.currentVersion() === vBefore, s"trial $trial: no-op churned")
+
+        // library face on a fresh table: identical result
+        val t2 = TxLog(spark, tmpDir(s"fz_merge_lib_$trial"))
+        t2.overwrite(fixture.toSeq.map { case (k, (v, a)) => (k, v, a) }
+          .toDF("k", "v", "amt"))
+        t2.mergeInto(src.toDF("k", "v", "amt"), "t.k = s.k",
+          matched = matched.map(_.lib), notMatched = inserted.map(_.lib),
+          notMatchedBySource = bySource.map(_.lib), evolve = evolve)
+        val gotLib = t2.snapshot().collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+        assert(gotLib === gotSql, s"trial $trial library face:\n$sql")
+      } finally TxLogSql.unregister(name)
+    }
+  }
+
+  test("fuzz: near-legal MERGE shapes reject loudly with the table untouched") {
+    import graft.pipeline.TxLog
+    import spark.implicits._
+    val t = TxLog(spark, tmpDir("fz_merge_bad"))
+    val fixture = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "amt")
+    t.overwrite(fixture)
+    Seq((1L, "x", 5L), (9L, "y", 7L)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("fz_bad_src")
+    TxLogSql.register("fz_bad_tgt", t)
+    try {
+      val pre = t.snapshot().collect().map(_.toSeq).toSet
+      val vPre = t.currentVersion()
+      val bads = Seq(
+        // non-final clause without its AND condition (library contract)
+        """MERGE INTO fz_bad_tgt t USING fz_bad_src s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v
+           WHEN MATCHED THEN DELETE""",
+        // assignment to a column the target does not have
+        """MERGE INTO fz_bad_tgt t USING fz_bad_src s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET nope = s.v""",
+        // INSERT action in a MATCHED clause (grammar violation)
+        """MERGE INTO fz_bad_tgt t USING fz_bad_src s ON t.k = s.k
+           WHEN MATCHED THEN INSERT *""",
+        // UPDATE action in a NOT MATCHED clause (grammar violation)
+        """MERGE INTO fz_bad_tgt t USING fz_bad_src s ON t.k = s.k
+           WHEN NOT MATCHED THEN UPDATE SET v = s.v""",
+        // keyword near-misses: one letter off must parse-fail, never bind
+        """MERGE INTO fz_bad_tgt t USING fz_bad_src s ON t.k = s.k
+           WHEN MATCHD THEN DELETE""",
+        """MERGE INTO fz_bad_tgt t USING fz_bad_src s ON t.k = s.k
+           WHEN NOT MATCHED BY SORCE THEN DELETE""")
+      bads.foreach { bad =>
+        val r = scala.util.Try(spark.sql(bad))
+        assert(r.isFailure, s"near-legal MERGE accepted:\n$bad")
+        assert(t.currentVersion() === vPre,
+          s"near-legal MERGE committed a version:\n$bad")
+        assert(t.snapshot().collect().map(_.toSeq).toSet === pre,
+          s"near-legal MERGE changed rows:\n$bad")
+      }
+      // cardinality violation: two source rows modifying one target row
+      Seq((1L, "x", 5L), (1L, "y", 7L)).toDF("k", "v", "amt")
+        .createOrReplaceTempView("fz_bad_dup")
+      val dup = scala.util.Try(spark.sql(
+        """MERGE INTO fz_bad_tgt t USING fz_bad_dup s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v"""))
+      assert(dup.isFailure, "duplicate-source MERGE must fail the commit")
+      assert(t.currentVersion() === vPre && t.snapshot().count() === 2)
+    } finally TxLogSql.unregister("fz_bad_tgt")
+  }
+
   test("registered-name guard: ALTER/ANALYZE forms fall through to Spark for unknown names") {
     // Spark's own grammar must keep working for catalog tables: the
     // face intercepts these shapes ONLY for registered TxLog names

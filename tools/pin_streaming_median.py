@@ -86,7 +86,77 @@ def main(ref_path, rerun_paths):
         print(f"| `{n}` | {old:.3f} | {rr} | **{med:.3f}** |")
 
 
+def selftest():
+    """Round-trip a synthetic ref + rerun set: median pins rewrite IN
+    PLACE for entries present in every rerun, non-streaming lines and
+    comments survive verbatim, and calib-less captures abort loudly.
+    This script rewrites the grading reference — verify before trust."""
+    import contextlib
+    import io
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pin_selftest_")
+    ref = os.path.join(d, "ref.txt")
+    with open(ref, "w") as f:
+        f.write("# comment line survives\n")
+        f.write("__calib__ 0.5\n")
+        f.write("s1 4.0\n")          # reruns 8.0@1.0 -> 4.0, 2.0@0.5 -> 2.0: median(4,4,2) = 4.0
+        f.write("s2 6.0\n")          # reruns 2.0@0.5 -> 2.0, 2.0@0.5 -> 2.0: median(6,2,2) = 2.0
+        f.write("untouched 1.25\n")  # absent from reruns: pin carries verbatim
+
+    def rerun(name, rows, first, last):
+        p = os.path.join(d, name)
+        with open(p, "w") as f:
+            for q, t in rows:
+                f.write(f"{q:28s} {t:8.2f} s  (5 rows)\n")
+            f.write(f"__calib__ first={first:.3f} last={last:.3f}\n")
+        return p
+
+    r1 = rerun("r1.txt", [("s1", 8.0), ("s2", 2.0)], 1.0, 1.0)
+    r2 = rerun("r2.txt", [("s1", 2.0), ("s2", 2.0)], 0.5, 0.5)
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        main(ref, [r1, r2])
+    pins = parse_ref(ref)
+    assert pins["s1"] == 4.0, pins
+    assert pins["s2"] == 2.0, pins
+    assert pins["untouched"] == 1.25, pins
+    assert pins["__calib__"] == 0.5, pins
+    text = open(ref).read()
+    assert "# comment line survives" in text, text
+    got = out.getvalue()
+    assert "| `s1` | 4.000 |" in got and "**4.000**" in got, got
+    assert "| `s2` | 6.000 |" in got and "**2.000**" in got, got
+
+    # a rerun with no __calib__ line must abort, not silently pin
+    bad = rerun("bad.txt", [("s1", 1.0)], 0.5, 0.5)
+    with open(bad, "w") as f:
+        f.write("s1    1.00 s  (5 rows)\n")
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            main(ref, [bad])
+        raise AssertionError("calib-less rerun did not abort")
+    except SystemExit as e:
+        assert "__calib__" in str(e.code), e.code
+
+    # a ref without a __calib__ pin must abort before touching anything
+    noref = os.path.join(d, "noref.txt")
+    with open(noref, "w") as f:
+        f.write("s1 4.0\n")
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            main(noref, [r1])
+        raise AssertionError("calib-less ref did not abort")
+    except SystemExit as e:
+        assert "__calib__" in str(e.code), e.code
+    print("pin_streaming_median selftest: PASS")
+
+
 if __name__ == "__main__":
-    if len(sys.argv) < 3:
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        selftest()
+    elif len(sys.argv) < 3:
         sys.exit(__doc__)
-    main(sys.argv[1], sys.argv[2:])
+    else:
+        main(sys.argv[1], sys.argv[2:])
