@@ -562,6 +562,61 @@ object VectorQueries {
         WHERE q.vec_id < 20)
       SELECT query_id, neighbor_id, rank, score FROM probed WHERE rank <= 5""")),
 
+    // FILTERED ANN against the PERSISTED index — the other production
+    // serving knob: top-k under a metadata predicate (here: neighbors
+    // sharing the QUERY's label — the labeled-retrieval shape; RAG
+    // tenancy/language/license filters are the same plan with a
+    // different predicate). The filter attribute is STORED IN THE
+    // POSTINGS, so one pruned point-read serves vector + attribute
+    // together and the predicate applies BEFORE any cosine is paid —
+    // the standard pre-filter design; a post-scoring filter would
+    // waste scores on rows the predicate drops AND under-fill the
+    // top-k (Delta/vector-db engines document this exact trap).
+    // Scale: identical read set to `sim_ivf_served` (nProbe/nlist of
+    // the index bytes, plan-pinned pruned subdirs) with the candidate
+    // set shrunk by label selectivity; the ≤20-row query-label side
+    // broadcast-joins. Ranks re-number within the filtered set, so
+    // every query still serves up to 5 passing neighbors.
+    Q("sim_ivf_served_filtered", (spark, dir) => {
+      val e = load(spark, dir, "embeddings")
+      val root = servedIvfRoot(spark, dir, e)
+      val quantizer = graft.pipeline.TxLog(spark, s"$root/quantizer").snapshot()
+      val postings = graft.pipeline.TxLog(spark, s"$root/postings",
+        statsCols = Seq("cent_id"))
+      val qset = e.filter(col("vec_id") < 20)
+      val queries = ivfAssign(spark, qset, quantizer)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("cent_id"))
+        .join(broadcast(qset.select(col("vec_id").as("query_id"),
+          col("label").as("qlabel"))), Seq("query_id"))
+      val cells = queries.select(col("cent_id")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val candidates = postings.snapshotPoints("cent_id", cells.map(_.toString))
+      queries.join(candidates.select(col("vec_id").as("neighbor_id"),
+          col("label"), col("embedding"), col("cent_id")), Seq("cent_id"))
+        .filter(col("query_id") =!= col("neighbor_id") &&
+          col("label") === col("qlabel"))
+        .withColumn("score", VectorExpressions.cosine_sim(spark, col("qv"), col("embedding")))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.expressions.TopKPairAgg
+          .topk_pair_agg(spark, col("score"), col("neighbor_id"), 5).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"), col("col.score").as("score"))
+    }, oracle = Some(s"""
+      WITH ${ivfOracleCtes()},
+      probed AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ${cosFrag("q.embedding", "n.embedding")} AS score,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosFrag("q.embedding", "n.embedding")} DESC, n.vec_id) AS INT) AS rank
+        FROM a3 q JOIN a3 n
+          ON q.cent_id = n.cent_id AND q.vec_id <> n.vec_id
+        JOIN embeddings eq ON eq.vec_id = q.vec_id
+        JOIN embeddings en ON en.vec_id = n.vec_id
+        WHERE q.vec_id < 20 AND eq.label = en.label)
+      SELECT query_id, neighbor_id, rank, score FROM probed WHERE rank <= 5""")),
+
     // INCREMENTAL ANN INDEX MAINTENANCE from the transaction log: the
     // coarse quantizer trains ONCE on the base corpus (the offline
     // index build), then the vector table's CHANGE FEED streams
@@ -1668,10 +1723,17 @@ object VectorQueries {
       val t0 = System.nanoTime()
       val cents = ivfTrainedCents(spark, e)
       graft.pipeline.TxLog(spark, s"$root/quantizer").overwrite(cents)
+      // postings carry the filterable metadata (label) alongside the
+      // vector: filtered-ANN serving (`sim_ivf_served_filtered`) reads
+      // the attribute from the SAME pruned point-read as the vector —
+      // the production layout (a post-hoc id-join to fetch attributes
+      // would re-shuffle every candidate). The unfiltered probes
+      // project it away, so their plans and results are unchanged.
       graft.pipeline.TxLog(spark, s"$root/postings", statsCols = Seq("cent_id"))
         .overwriteClustered(
           ivfAssign(spark, e, cents)
-            .select(col("vec_id"), col("embedding"), col("cent_id")),
+            .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+            .select(col("vec_id"), col("label"), col("embedding"), col("cent_id")),
           "cent_id")
       Scale.layoutNanos.addAndGet(System.nanoTime() - t0)
       root
