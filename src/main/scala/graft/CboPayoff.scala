@@ -51,6 +51,31 @@ import org.apache.spark.sql.SparkSession
   * ScaleUp first). One-time table builds land under target/tmp.
   */
 object CboPayoff {
+
+  /** Join-strategy counts + scan order from a rendered physical plan.
+    * Scan order = the join ORDER the optimizer chose — the part of
+    * the decision AQE can never revisit (it replans strategies around
+    * existing exchanges, it does not re-tree the joins). TxLog scans
+    * render as LOCATION paths, not catalog names, so the order match
+    * is the `<table>_(ns|an|nh)` directory suffix ANCHORED to this
+    * harness's own `cbo_payoff_<digits>/` root — an unanchored suffix
+    * match could bind any plan token ending in _ns/_an/_nh (column
+    * aliases, unrelated paths) — and it fails loudly when nothing
+    * matches rather than printing an empty order (the
+    * silent-[]-baseline bug this comparison exists to avoid).
+    * Hoisted out of main so the regex has a regression spec. */
+  private[graft] def digestOfPlanString(p: String): String = {
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).toSeq
+    val counts = joins.groupBy(identity).map { case (k, v) => s"$k x${v.size}" }
+      .toSeq.sorted.mkString(", ")
+    val order = "cbo_payoff_\\d+/([a-z]+)_(?:ns|an|nh)\\b".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq.distinct.mkString("->")
+    require(order.nonEmpty,
+      s"plan digest matched no cbo_payoff table scans:\n${p.take(2000)}")
+    s"$counts  [$order]"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/target/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -123,28 +148,8 @@ object CboPayoff {
     // collect() — digesting before execution would show the static
     // initial plan and could not exhibit the runtime strategy changes
     // the exec deltas are attributed to
-    def planDigest(df: org.apache.spark.sql.DataFrame): String = {
-      val p = df.queryExecution.executedPlan.toString
-      val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
-        .findAllIn(p).toSeq
-      val counts = joins.groupBy(identity).map { case (k, v) => s"$k x${v.size}" }
-        .toSeq.sorted.mkString(", ")
-      // scan order = the join ORDER the optimizer chose — the part of
-      // the decision AQE can never revisit (it replans strategies
-      // around existing exchanges, it does not re-tree the joins).
-      // TxLog scans render as LOCATION paths, not catalog names, so
-      // match the `<table>_(ns|an|nh)` directory suffix ANCHORED to
-      // this run's cbo_payoff root (an unanchored suffix match could
-      // bind any plan token ending in _ns/_an/_nh — column aliases,
-      // unrelated paths) — and fail loudly if nothing matches rather
-      // than printing an empty order (the silent-[]-baseline bug this
-      // comparison exists to avoid)
-      val order = "cbo_payoff_\\d+/([a-z]+)_(?:ns|an|nh)\\b".r.findAllMatchIn(p)
-        .map(_.group(1)).toSeq.distinct.mkString("->")
-      require(order.nonEmpty,
-        s"plan digest matched no cbo9 table scans:\n${p.take(2000)}")
-      s"$counts  [$order]"
-    }
+    def planDigest(df: org.apache.spark.sql.DataFrame): String =
+      digestOfPlanString(df.queryExecution.executedPlan.toString)
 
     val conf = Seq(
       "spark.sql.cbo.enabled" -> "true",

@@ -490,4 +490,24 @@ class CboSpec extends SparkTestBase {
     assert(t1.versionAsOf(recorded) === 2L)
     assert(oldInstant > 0L) // silence unused warning; old value was read pre-delete
   }
+
+  test("CboPayoff plan digest: anchored scan-order extraction, loud on no-match") {
+    // join order comes ONLY from scan locations under this harness's
+    // own cbo_payoff_<digits>/ root; lookalike tokens elsewhere in the
+    // plan (aliases, unrelated paths ending _ns/_an/_nh) must not bind
+    val plan = """
+      *(5) BroadcastHashJoin [l_okey], [o_okey], Inner
+      +- FileScan parquet [..] Location: InMemoryFileIndex[file:/root/repo/target/tmp/cbo_payoff_123/lineitem_ns]
+      +- SortMergeJoin [x_an], [y_an]
+         +- FileScan parquet [..] Location: [file:/root/repo/target/tmp/cbo_payoff_123/orders_ns]
+         +- FileScan parquet [..] Location: [file:/other/dir/decoy_ns]
+         +- project [alias_an, another_nh]
+         +- FileScan parquet [..] Location: [file:/root/repo/target/tmp/cbo_payoff_123/nation_ns]"""
+    val d = graft.CboPayoff.digestOfPlanString(plan)
+    assert(d === "BroadcastHashJoin x1, SortMergeJoin x1  [lineitem->orders->nation]", d)
+    // no in-scope scan at all: refuse loudly, never print an empty order
+    val e = intercept[IllegalArgumentException](
+      graft.CboPayoff.digestOfPlanString("SortMergeJoin over [decoy_ns] and [alias_an]"))
+    assert(e.getMessage.contains("matched no"), e.getMessage)
+  }
 }
