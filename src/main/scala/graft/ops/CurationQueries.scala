@@ -1057,39 +1057,89 @@ object CurationQueries {
     // keys with map-side partials, so the sweep adds no shuffle beyond
     // the score pass and no driver state. Integer-exact end-to-end;
     // the oracle retrains, rescores and re-sweeps from the base table.
-    Q("curate_classifier_pr_curve", (spark, dir) => {
-      import spark.implicits._
-      val docs = load(spark, dir, "documents")
-      val root = clfWeightsRoot(spark, dir, docs)
-      val w = graft.pipeline.TxLog(spark, root).snapshot()
-      // same honest-split discipline as the eval: filter BEFORE the
-      // feature explode so the train split never enters the pass
-      val held = docs.filter(col("doc_id") % 5 =!= 0)
-      val sc = clfFeats(held)
-        .join(broadcast(w), Seq("b"))
-        .groupBy(col("doc_id")).agg(sum(col("w")).cast("long").as("s"))
-      val scored = held.select(col("doc_id"), col("source"))
-        .join(sc, Seq("doc_id"), "left")
-        .select(coalesce(col("s"), lit(0L)).as("score"),
-          col("source").isin(clfPosSources: _*).as("actual"))
-      val thr = (-8 to 7).map(t => t * 10000L).toDF("threshold")
-      scored.crossJoin(broadcast(thr))
-        .groupBy(col("threshold"))
+    Q("curate_classifier_pr_curve", (spark, dir) => clfPrCurve(spark, dir),
+      oracle = Some(s"""
+      WITH $clfPrCurveCtes
+      SELECT threshold, tp, fp, fn, tn, precision_ppm, recall_ppm
+      FROM curve""")),
+
+    // PR-curve AREA — the single figure two classifier candidates are
+    // compared by (the sweep above picks a threshold; the area ranks
+    // MODELS): trapezoid over the 16 operating points ordered by
+    // threshold, in exact integer ppm² — each segment is
+    // (r_i − r_{i+1})·(p_i + p_{i+1}) div 2, summed (products ≤ 2·10¹²,
+    // far inside int64; per-segment DIV identical on both engines, so
+    // the figure is bit-exact). The lead() window orders 16
+    // METADATA-SIZED rows through [[GlobalRank.metaWindow]] — the
+    // declared-intent spelling of a constant-cardinality window, so
+    // the WindowExec global-window warning stays a true signal for
+    // ACCIDENTAL full-cardinality windows (QueriesSmokeSpec enforces
+    // zero such warnings across the whole sweep). Scale: the same
+    // scoring pass as the sweep plus arithmetic on 16 rows.
+    Q("curate_classifier_pr_auc", (spark, dir) => {
+      val w = graft.functions.GlobalRank.metaWindow(col("threshold"))
+        .orderBy(col("threshold"))
+      clfPrCurve(spark, dir)
+        .withColumn("r2", lead(col("recall_ppm"), 1).over(w))
+        .withColumn("p2", lead(col("precision_ppm"), 1).over(w))
+        .filter(col("r2").isNotNull)
         .agg(
-          sum(when(col("score") > col("threshold") && col("actual"), 1L)
-            .otherwise(0L)).as("tp"),
-          sum(when(col("score") > col("threshold") && !col("actual"), 1L)
-            .otherwise(0L)).as("fp"),
-          sum(when(!(col("score") > col("threshold")) && col("actual"), 1L)
-            .otherwise(0L)).as("fn"),
-          sum(when(!(col("score") > col("threshold")) && !col("actual"), 1L)
-            .otherwise(0L)).as("tn"))
-        .withColumn("precision_ppm",
-          expr("CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT) ELSE tp * 1000000 div (tp + fp) END"))
-        .withColumn("recall_ppm",
-          expr("CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT) ELSE tp * 1000000 div (tp + fn) END"))
+          sum(expr("(recall_ppm - r2) * (precision_ppm + p2) DIV 2"))
+            .cast("long").as("auc_ppm2"),
+          count(lit(1)).cast("long").as("n_segments"))
     }, oracle = Some(s"""
-      WITH $clfOracleCtes,
+      WITH $clfPrCurveCtes,
+      seg AS (
+        SELECT recall_ppm, precision_ppm,
+               lead(recall_ppm) OVER (ORDER BY threshold) AS r2,
+               lead(precision_ppm) OVER (ORDER BY threshold) AS p2
+        FROM curve)
+      SELECT CAST(sum((recall_ppm - r2) * (precision_ppm + p2) // 2) AS BIGINT) AS auc_ppm2,
+             CAST(count(*) AS BIGINT) AS n_segments
+      FROM seg WHERE r2 IS NOT NULL""")),
+  )
+
+  /** The threshold-sweep frame both `curate_classifier_pr_curve` and
+    * `curate_classifier_pr_auc` read: confusion counts + ppm ratios of
+    * `score > threshold` at 16 integer thresholds over the HELD-OUT
+    * split (filtered before the feature explode — the honest-split
+    * discipline), built as the shared scoring pass + one broadcast
+    * 16-row threshold fan + a 16-key aggregation. */
+  private def clfPrCurve(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+    val root = clfWeightsRoot(spark, dir, docs)
+    val w = graft.pipeline.TxLog(spark, root).snapshot()
+    val held = docs.filter(col("doc_id") % 5 =!= 0)
+    val sc = clfFeats(held)
+      .join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id")).agg(sum(col("w")).cast("long").as("s"))
+    val scored = held.select(col("doc_id"), col("source"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(coalesce(col("s"), lit(0L)).as("score"),
+        col("source").isin(clfPosSources: _*).as("actual"))
+    val thr = (-8 to 7).map(t => t * 10000L).toDF("threshold")
+    scored.crossJoin(broadcast(thr))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("score") > col("threshold") && col("actual"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") > col("threshold") && !col("actual"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(!(col("score") > col("threshold")) && col("actual"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(!(col("score") > col("threshold")) && !col("actual"), 1L)
+          .otherwise(0L)).as("tn"))
+      .withColumn("precision_ppm",
+        expr("CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT) ELSE tp * 1000000 div (tp + fp) END"))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT) ELSE tp * 1000000 div (tp + fn) END"))
+  }
+
+  /** Oracle CTE chain ending in `curve` — the exact arithmetic of
+    * [[clfPrCurve]], retraining included. */
+  private def clfPrCurveCtes: String = s"""$clfOracleCtes,
       held AS (
         SELECT COALESCE(sc.s, 0) AS score,
                d.source IN ('src0','src1','src2','src3','src4') AS actual
@@ -1097,19 +1147,17 @@ object CurationQueries {
         WHERE d.doc_id % 5 <> 0),
       thr AS (SELECT CAST((i - 8) * 10000 AS BIGINT) AS threshold
               FROM range(0, 16) t(i)),
-      c AS (SELECT threshold,
-        CAST(sum(CASE WHEN score > threshold AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-        CAST(sum(CASE WHEN score > threshold AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-        CAST(sum(CASE WHEN score <= threshold AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-        CAST(sum(CASE WHEN score <= threshold AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS tn
-        FROM held, thr GROUP BY threshold)
-      SELECT threshold, tp, fp, fn, tn,
-             CASE WHEN tp + fp = 0 THEN 0
-                  ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT) END AS precision_ppm,
-             CASE WHEN tp + fn = 0 THEN 0
-                  ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT) END AS recall_ppm
-      FROM c""")),
-  )
+      curve AS (SELECT threshold, tp, fp, fn, tn,
+        CASE WHEN tp + fp = 0 THEN 0
+             ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT) END AS precision_ppm,
+        CASE WHEN tp + fn = 0 THEN 0
+             ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT) END AS recall_ppm
+        FROM (SELECT threshold,
+          CAST(sum(CASE WHEN score > threshold AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN score > threshold AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(sum(CASE WHEN score <= threshold AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          CAST(sum(CASE WHEN score <= threshold AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM held, thr GROUP BY threshold))"""
 
   /** The classifier's shared oracle CTE chain — retrain from the base
     * table and score every document, exactly the arithmetic of

@@ -148,6 +148,17 @@ class ClassifierScoreSpec extends SparkTestBase {
       eval.getLong(3), eval.getLong(4), eval.getLong(5))))
     // the sweep must actually move the operating point on this corpus
     assert(byThr.map(_._1).distinct.size > 1, "a flat curve measures nothing")
+
+    // AUC: exact integer trapezoid over the same 16 points, matching
+    // the one-row curate_classifier_pr_auc summary
+    val expAuc = byThr.sliding(2).map { case Seq(a, b) =>
+      (a._6 - b._6) * (a._5 + b._5) / 2
+    }.sum
+    val auc = graft.SparkEntry.queries("curate_classifier_pr_auc")(spark, dir)
+      .collect().head
+    assert(auc.getLong(0) === expAuc, "auc_ppm2 mismatch vs driver trapezoid")
+    assert(auc.getLong(1) === 15L, "16 points must yield 15 segments")
+    assert(expAuc > 0L, "a degenerate zero-area curve measures nothing")
   }
 
   test("classifier scoring: persisted weights broadcast-join, no UDF") {
