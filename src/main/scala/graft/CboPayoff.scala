@@ -58,7 +58,7 @@ object CboPayoff {
     * existing exchanges, it does not re-tree the joins). TxLog scans
     * render as LOCATION paths, not catalog names, so the order match
     * is the `<table>_(ns|an|nh)` directory suffix ANCHORED to this
-    * harness's own `cbo_payoff_<digits>/` root — an unanchored suffix
+    * harness's own `cbo_payoff_<hex-digest>/` root — an unanchored suffix
     * match could bind any plan token ending in _ns/_an/_nh (column
     * aliases, unrelated paths) — and it fails loudly when nothing
     * matches rather than printing an empty order (the
@@ -69,7 +69,7 @@ object CboPayoff {
       .findAllIn(p).toSeq
     val counts = joins.groupBy(identity).map { case (k, v) => s"$k x${v.size}" }
       .toSeq.sorted.mkString(", ")
-    val order = "cbo_payoff_\\d+/([a-z]+)_(?:ns|an|nh)\\b".r.findAllMatchIn(p)
+    val order = "cbo_payoff_[0-9a-f]+/([a-z]+)_(?:ns|an|nh)\\b".r.findAllMatchIn(p)
       .map(_.group(1)).toSeq.distinct.mkString("->")
     require(order.nonEmpty,
       s"plan digest matched no cbo_payoff table scans:\n${p.take(2000)}")
@@ -92,7 +92,13 @@ object CboPayoff {
     spark.sparkContext.setLogLevel("WARN")
     import graft.sql.TxLogSql
 
-    val root = s"/root/repo/target/tmp/cbo_payoff_${sfDir.hashCode.abs}"
+    // md5-digest root (the clf_weights scheme): hashCode.abs is
+    // negative for Int.MinValue, which the digest regex's anchored
+    // `cbo_payoff_\d+/` would then never match (r17 ADVICE — the same
+    // .abs-of-MinValue pitfall the clf_weights root fixed)
+    val sfDigest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val root = s"/root/repo/target/tmp/cbo_payoff_$sfDigest"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     // three incarnations of each table, one per stats condition, so
     // the timed loop never mutates statistics: *_ns (never analyzed),

@@ -147,9 +147,32 @@ object ScaleUp {
     // background noise. n_chars recomputed defensively; it is provably
     // identical (per-char substitution preserves length).
     val fromChars = (0x21 to 0x7E).map(_.toChar).mkString
+    // AFFINE per-copy bijection i → a·i + b (mod 94), generalizing the
+    // rotation so copy counts past the alphabet size stay
+    // collision-free: pure rotations collide at c ≥ 94 (c·37 mod 94
+    // cycles), and a colliding pair's texts are IDENTICAL under
+    // different doc_ids — fabricated exact duplicates that would
+    // poison every dedup/novelty slope measured on the scaled corpus
+    // (the sf10 = 100-copy decade hits this). Block k = c/94 picks the
+    // multiplier a from the units mod 94 (a=1 for k=0, so copies 0–93
+    // are BIT-IDENTICAL to the historical rotations — committed sf1/
+    // sf3 decade tables stay comparable); b = 37c mod 94 as before.
+    // (a, b) pairs are distinct for all c < 94·φ(94)/... = 94·46 =
+    // 4324 copies (b cycles through all residues within each 94-copy
+    // block, a changes across blocks), and the RELATIVE map between
+    // two distinct copies is a non-identity affine map — at most a
+    // couple of fixed chars, so cross-copy token overlap stays
+    // background noise. Refuse loudly past the provable range.
+    val affineA = (1 until fromChars.length)
+      .filter(a => BigInt(a).gcd(BigInt(fromChars.length)) == 1)
+    require(copies <= fromChars.length * affineA.size,
+      s"ScaleUp: $copies copies exceeds the ${fromChars.length * affineA.size}" +
+        "-copy distinct-affine-map range — extend the per-copy transform first")
     def toChars(c: Int): String = {
-      val k = (c * 37) % fromChars.length
-      fromChars.drop(k) + fromChars.take(k)
+      val n = fromChars.length
+      val a = affineA((c / n) % affineA.size)
+      val b = (c * 37) % n
+      (0 until n).map(i => fromChars((a * i + b) % n)).mkString
     }
     write(scaled(documents, Seq("doc_id" -> docOff)) { (d, c) =>
       if (c == 0) d
@@ -160,12 +183,37 @@ object ScaleUp {
     val embeddings = read("embeddings")
     val vecOff = offsetOf(embeddings, "vec_id")
     val dims = embeddings.select(size(col("embedding"))).head().getInt(0)
+    // per-copy orthogonal transform = dimension rotation (r = c mod
+    // dims, as always) COMPOSED with a per-block sign-flip diagonal
+    // (block k = c/dims; k = 0 flips nothing, so copies 0..dims-1 are
+    // bit-identical to the historical pure rotations). Pure rotations
+    // collide at c ≥ dims — copy c and c+dims would carry IDENTICAL
+    // embeddings under different vec_ids, fabricated semantic
+    // duplicates at 100-copy scale. A signed permutation is still
+    // orthogonal (dot(PDx, PDy) = Σ (±)²xᵢyᵢ = x·y), so within-copy
+    // norms/cosines stay bit-preserved, while same-rotation copies in
+    // different blocks now differ by a ± pattern that decorrelates
+    // their cross-copy cosines to background. The pattern derives from
+    // a splitmix64 fold of (block, dim) — deterministic across runs.
+    def signOf(k: Int, i: Int): Float = {
+      var z = k.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0f else -1.0f
+    }
     write(scaled(embeddings, Seq("vec_id" -> vecOff)) { (d, c) =>
       val r = c % dims
-      if (r == 0) d
-      else d.withColumn("embedding",
-        concat(slice(col("embedding"), r + 1, dims - r),
-          slice(col("embedding"), 1, r)))
+      val k = c / dims
+      val rotated =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dims - r),
+          slice(col("embedding"), 1, r))
+      val signed =
+        if (k == 0) rotated
+        else zip_with(rotated,
+          array((0 until dims).map(i => lit(signOf(k, i))): _*),
+          (x, s) => x * s)
+      if (r == 0 && k == 0) d else d.withColumn("embedding", signed)
     }, "embeddings")
 
     println(s"""{"scaled":"$dst","copies":$copies}""")

@@ -50,6 +50,20 @@ object CurationQueries {
     * `sim_ivf_served` discipline for model artifacts. */
   private val clfWeightsCache = new SessionScopedCache[(String, Int), String](32)
 
+  /** Untimed warm-touch of the persisted classifier-weights table —
+    * the same FS-latency treatment as
+    * [[VectorQueries.warmServedIndexes]] (build if absent, billed to
+    * layoutNanos; one manifest + data read so timed classifier queries
+    * measure steady-state model serving). Called from `Bench.main`'s
+    * warm-up block. */
+  private[graft] def warmPersistedModels(spark: org.apache.spark.sql.SparkSession,
+                                         dir: String): Unit = {
+    val docs = load(spark, dir, "documents")
+    graft.pipeline.TxLog(spark, clfWeightsRoot(spark, dir, docs))
+      .snapshot().count()
+    ()
+  }
+
   /** Train (once per session+corpus) the linear quality classifier and
     * PERSIST its weight vector as a TxLog table — scoring queries read
     * the weights from STORAGE, not from a code constant, exactly like
@@ -1097,7 +1111,58 @@ object CurationQueries {
       SELECT CAST(sum((recall_ppm - r2) * (precision_ppm + p2) // 2) AS BIGINT) AS auc_ppm2,
              CAST(count(*) AS BIGINT) AS n_segments
       FROM seg WHERE r2 IS NOT NULL""")),
+
+    // THRESHOLD PICK — the one decision a deployment actually EXECUTES
+    // from the curve (r17 verdict item 7): argmax F-beta over the
+    // existing 16-point sweep, reported with its operating point. Beta
+    // is a parameterized RATIONAL ([[clfFbetaPpm]]): the declared
+    // query pins β = 1/2 (precision-weighted — a data-curation gate
+    // keeps junk out at some recall cost; β² = qn/qd = 1/4), and the
+    // F-beta arithmetic is exact integer ppm end-to-end —
+    // F = (qd+qn)·P·R div (qn·P + qd·R) with P·R ≤ 10¹², products
+    // ≤ 5·10¹², far inside int64 — so argmax cannot flip cross-engine.
+    // Ties break to the SMALLEST threshold (keep more data when two
+    // operating points grade equal). Scale: the same scoring pass as
+    // the sweep; the argmax is a rank over 16 METADATA rows through
+    // [[GlobalRank.metaWindow]] (the declared-intent constant-
+    // cardinality window — the WindowExec tripwire stays honest).
+    Q("curate_classifier_threshold_pick", (spark, dir) => {
+      val w = graft.functions.GlobalRank.metaWindow(col("threshold"))
+        .orderBy(col("fbeta_ppm").desc, col("threshold"))
+      clfPrCurve(spark, dir)
+        .withColumn("fbeta_ppm", clfFbetaPpm(qn = 1L, qd = 4L))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("threshold"), col("precision_ppm"), col("recall_ppm"),
+          col("fbeta_ppm"))
+    }, oracle = Some(s"""
+      WITH $clfPrCurveCtes,
+      fbeta AS (
+        SELECT threshold, precision_ppm, recall_ppm,
+               ${clfFbetaPpmSql(qn = 1L, qd = 4L)} AS fbeta_ppm
+        FROM curve)
+      SELECT threshold, precision_ppm, recall_ppm, fbeta_ppm
+      FROM fbeta ORDER BY fbeta_ppm DESC, threshold LIMIT 1""")),
   )
+
+  /** Exact integer-ppm F-beta over a curve row's (precision_ppm,
+    * recall_ppm), with β² = qn/qd as a parameterized rational:
+    * F_β = (1+β²)PR / (β²P + R) = ((qd+qn)·P·R) div (qn·P + qd·R).
+    * Headroom: P,R ≤ 10⁶ ppm so the numerator is ≤ (qd+qn)·10¹² —
+    * int64-safe for any sane rational; zero denominator (P = R = 0)
+    * yields 0. */
+  private def clfFbetaPpm(qn: Long, qd: Long): org.apache.spark.sql.Column =
+    expr(s"""CASE WHEN $qn * precision_ppm + $qd * recall_ppm = 0
+             THEN CAST(0 AS BIGINT)
+             ELSE ($qd + $qn) * precision_ppm * recall_ppm
+                  div ($qn * precision_ppm + $qd * recall_ppm) END""")
+
+  /** [[clfFbetaPpm]]'s DuckDB mirror — same integer arithmetic. */
+  private def clfFbetaPpmSql(qn: Long, qd: Long): String =
+    s"""CASE WHEN $qn * precision_ppm + $qd * recall_ppm = 0
+        THEN CAST(0 AS BIGINT)
+        ELSE CAST(($qd + $qn) * precision_ppm * recall_ppm
+             // ($qn * precision_ppm + $qd * recall_ppm) AS BIGINT) END"""
 
   /** The threshold-sweep frame both `curate_classifier_pr_curve` and
     * `curate_classifier_pr_auc` read: confusion counts + ppm ratios of

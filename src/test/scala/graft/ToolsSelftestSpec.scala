@@ -13,12 +13,31 @@ import scala.sys.process._
   * not the next round's grading (r15 verdict item 7). */
 class ToolsSelftestSpec extends AnyFunSuite {
 
+  /** Repo root resolved from the working directory (sbt runs tests
+    * from the project root), not a hardcoded checkout path — the spec
+    * must work from any checkout location (r17 ADVICE). */
+  private lazy val repoRoot: java.io.File = {
+    val cwd = new java.io.File(sys.props.getOrElse("user.dir", "."))
+    Iterator.iterate(cwd)(_.getParentFile).takeWhile(_ != null)
+      .find(d => new java.io.File(d, "tools/decade_median.py").isFile)
+      .getOrElse(cancel(s"repo root (tools/decade_median.py) not found above $cwd"))
+  }
+
+  /** python3 is an environment prerequisite, not a code-under-test
+    * failure: CANCEL (don't fail) the suite where it is absent. */
+  private lazy val python3: String =
+    Seq("python3", "python").find { exe =>
+      scala.util.Try(Process(Seq(exe, "--version")).!(ProcessLogger(_ => ())))
+        .toOption.contains(0)
+    }.getOrElse(cancel("python3 not on PATH — selftests need a Python interpreter"))
+
   private def selftest(script: String): Unit = {
     val out = new StringBuilder
     val logger = ProcessLogger(l => out.append(l).append('\n'),
       l => out.append(l).append('\n'))
     val code = Process(
-      Seq("python3", s"/root/repo/tools/$script", "--selftest")).!(logger)
+      Seq(python3, new java.io.File(repoRoot, s"tools/$script").getPath,
+        "--selftest")).!(logger)
     assert(code === 0, s"$script --selftest exited $code:\n$out")
     assert(out.toString.contains("PASS"), s"$script --selftest output:\n$out")
   }

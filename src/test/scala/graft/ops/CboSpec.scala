@@ -493,7 +493,7 @@ class CboSpec extends SparkTestBase {
 
   test("CboPayoff plan digest: anchored scan-order extraction, loud on no-match") {
     // join order comes ONLY from scan locations under this harness's
-    // own cbo_payoff_<digits>/ root; lookalike tokens elsewhere in the
+    // own cbo_payoff_<hex-digest>/ root; lookalike tokens elsewhere in the
     // plan (aliases, unrelated paths ending _ns/_an/_nh) must not bind
     val plan = """
       *(5) BroadcastHashJoin [l_okey], [o_okey], Inner

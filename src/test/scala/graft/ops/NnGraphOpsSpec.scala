@@ -152,11 +152,25 @@ class NnGraphOpsSpec extends SparkTestBase {
       s"in-degree-0 node $v must hold the teleport base"))
   }
 
-  test("srpBits refuses corpora past the 24-bit ceiling's capacity, loudly") {
-    assert(VectorQueries.srpBits(128L << 24) === 24) // boundary still sizes
+  test("srpBits covers the advertised 100 TB corpus scale and refuses past the 34-bit ceiling, loudly") {
+    // the old 24-bit ceiling capped the family at 128·2²⁴ ≈ 2.1·10⁹
+    // vectors — BELOW a 100 TB corpus (≥3·10¹⁰ rows at ~3 KB/row).
+    // The advertised scale must now size INSIDE the ceiling…
+    assert(VectorQueries.srpBits(30000000000L) === 28,
+      "a 3·10¹⁰-vector corpus must size without refusal")
+    // …sizing stays monotone and occupancy-pinned across the widened
+    // range (n ≤ occ·2^b < 2n at every doubling)…
+    (25 to 34).foreach { b =>
+      assert(VectorQueries.srpBits(128L << b) === b, s"boundary at $b bits")
+      assert(VectorQueries.srpBits((128L << (b - 1)) + 1) === b,
+        s"one past the previous boundary must take $b bits")
+    }
+    // …and past the NEW ceiling's capacity the refusal stays loud,
+    // with the remedy in the message
     val e = intercept[IllegalArgumentException](
-      VectorQueries.srpBits((128L << 24) + 1))
+      VectorQueries.srpBits((128L << 34) + 1))
     assert(e.getMessage.contains("srpMaxBits"), e.getMessage)
+    assert(e.getMessage.contains("raise srpMaxBits"), e.getMessage)
   }
 
   test("label consensus plan: constant-cap neighbor window takes WindowGroupLimit; bucket join stays equi") {

@@ -578,6 +578,170 @@ class SqlFaceFuzzSpec extends SparkTestBase {
     } finally TxLogSql.unregister("fz_bad_tgt")
   }
 
+  // ---- time-travel / table_changes literal-typed dispatch fuzz (r17 item 5) --
+  // The next-riskiest literal surface after MERGE: read bounds route on
+  // the literal's TYPE (integral = version; string/DATE/TIMESTAMP =
+  // commit clock — SURVEY §7.6), and a `v: Number` match would silently
+  // read DATE'2024-01-01' as starting version ~19700. Random legal
+  // forms must produce EXACTLY the library face's frames (snapshot /
+  // snapshotAsOf / changes); near-legal forms must reject loudly —
+  // never resolve a different version than the one addressed.
+
+  test("fuzz: VERSION/TIMESTAMP AS OF resolves the library snapshot in plain, subquery, CTE and scalar positions") {
+    import graft.pipeline.TxLog
+    import spark.implicits._
+    val rnd = new Random(24601)
+    val t = TxLog(spark, tmpDir("fz_tt_read"))
+    t.overwrite((1L to 10L).map(k => (k, k * 10L)).toDF("k", "v"))     // v0
+    t.append((11L to 15L).map(k => (k, k * 10L)).toDF("k", "v"))      // v1
+    t.deleteWhere("k % 3 = 0")                                        // v2
+    t.append((16L to 18L).map(k => (k, k * 10L)).toDF("k", "v"))      // v3
+    val maxV = t.currentVersion()
+    assert(maxV === 3L)
+    TxLogSql.register("fz_tt_tbl", t, keys = Seq("k"))
+    try {
+      def libSum(ver: Long): Long =
+        t.snapshot(ver).agg(org.apache.spark.sql.functions.sum("v"))
+          .collect().head.getLong(0)
+      (1 to 40).foreach { trial =>
+        val v = rnd.nextInt(maxV.toInt + 1).toLong
+        // VERSION AS OF in a random structural position — the nested
+        // positions item: the HINTS-batch substitution must fire
+        // wherever the RelationTimeTravel node lands in the tree
+        val sql = rnd.nextInt(4) match {
+          case 0 => s"SELECT sum(v) AS s FROM fz_tt_tbl VERSION AS OF $v"
+          case 1 => s"SELECT sum(v) AS s FROM (SELECT * FROM fz_tt_tbl VERSION AS OF $v) x"
+          case 2 => s"WITH snap AS (SELECT * FROM fz_tt_tbl VERSION AS OF $v) " +
+            "SELECT sum(v) AS s FROM snap"
+          case _ => s"SELECT (SELECT sum(v) FROM fz_tt_tbl VERSION AS OF $v) AS s"
+        }
+        assert(spark.sql(sql).collect().head.getLong(0) === libSum(v),
+          s"trial $trial: $sql")
+        // TIMESTAMP AS OF — three literal spellings of the same commit
+        // instant must all resolve through the SAME commit-clock path
+        // the library uses (snapshotAsOf), never through the version path
+        val ts = t.commitInstant(v)
+        val tsStr = spark.sql(s"SELECT CAST(timestamp_millis($ts) AS STRING)")
+          .collect().head.getString(0)
+        val expectAsOf = t.snapshotAsOf(ts)
+          .agg(org.apache.spark.sql.functions.sum("v")).collect().head.getLong(0)
+        Seq(
+          s"timestamp_millis($ts)",          // deterministic expression
+          s"'$tsStr'",                       // plain string literal
+          s"TIMESTAMP '$tsStr'"              // typed TIMESTAMP literal
+        ).foreach { spelling =>
+          val q = s"SELECT sum(v) AS s FROM fz_tt_tbl TIMESTAMP AS OF $spelling"
+          assert(spark.sql(q).collect().head.getLong(0) === expectAsOf,
+            s"trial $trial: $q")
+        }
+      }
+      // near-legal: a non-integer VERSION must reject loudly, and a
+      // mutated keyword must fail the statement — never resolve some
+      // other snapshot
+      Seq(
+        "SELECT * FROM fz_tt_tbl VERSION AS OF 'abc'",
+        "SELECT * FROM fz_tt_tbl VERSION AS OF 1.5",
+        "SELECT * FROM fz_tt_tbl VERSON AS OF 1",
+        "SELECT * FROM fz_tt_tbl VERSION AS FO 1",
+        "SELECT * FROM fz_tt_tbl TIMESTAMP AS OF NULL").foreach { bad =>
+        assert(scala.util.Try(spark.sql(bad).collect()).isFailure,
+          s"near-legal time travel accepted: $bad")
+      }
+    } finally TxLogSql.unregister("fz_tt_tbl")
+  }
+
+  test("fuzz: table_changes bounds — integer=version, string/DATE/TIMESTAMP=commit clock, mixed freely; mis-typed bounds reject") {
+    import graft.pipeline.TxLog
+    import spark.implicits._
+    val rnd = new Random(86400)
+    val t = TxLog(spark, tmpDir("fz_tt_cdf"))
+    t.overwrite((1L to 8L).map(k => (k, s"a$k")).toDF("k", "s"))      // v0
+    t.append((9L to 12L).map(k => (k, s"b$k")).toDF("k", "s"))        // v1
+    t.deleteWhere("k % 4 = 0")                                        // v2
+    t.append((13L to 14L).map(k => (k, s"c$k")).toDF("k", "s"))       // v3
+    val maxV = t.currentVersion()
+    TxLogSql.register("fz_cdf_tbl", t, keys = Seq("k"))
+    try {
+      def libChanges(f: Long, to: Long): Long = t.changes(f, to, Seq("k")).count()
+      def tsStrOf(ms: Long): String =
+        spark.sql(s"SELECT CAST(timestamp_millis($ms) AS STRING)")
+          .collect().head.getString(0)
+      (1 to 40).foreach { trial =>
+        val from = rnd.nextInt(maxV.toInt + 1).toLong
+        val to = from + rnd.nextInt(maxV.toInt + 1 - from.toInt).toLong
+        // each bound independently draws a spelling; timestamps resolve
+        // on the commit clock exactly as the library does (starting
+        // bound: versionAtOrAfter; ending bound: versionAsOf), so the
+        // expectation is computed through those SAME library calls
+        def spell(v: Long, starting: Boolean): (String, Long) =
+          rnd.nextInt(3) match {
+            case 0 => (v.toString, v)
+            case _ =>
+              val ms = t.commitInstant(v)
+              val resolved = if (starting) t.versionAtOrAfter(ms) else t.versionAsOf(ms)
+              val lit = if (rnd.nextBoolean()) s"'${tsStrOf(ms)}'"
+                        else s"TIMESTAMP '${tsStrOf(ms)}'"
+              (lit, resolved)
+          }
+        val (fLit, fRes) = spell(from, starting = true)
+        val (tLit, tRes) = spell(to, starting = false)
+        if (fRes <= tRes) {
+          val q = s"SELECT count(*) AS c FROM table_changes('fz_cdf_tbl', $fLit, $tLit)"
+          assert(spark.sql(q).collect().head.getLong(0) === libChanges(fRes, tRes),
+            s"trial $trial: $q (resolved $fRes..$tRes)")
+        }
+      }
+      // THE regression this dispatch exists for: a DATE literal is an
+      // Int internally (days since epoch) — a Number match would read
+      // it as starting version ~20000 and serve wrong results silently.
+      // Routed on type, today's midnight precedes every commit, so the
+      // window equals changes-from-v0.
+      val today = java.time.LocalDate.now(java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)).toString
+      val dq = s"SELECT count(*) AS c FROM table_changes('fz_cdf_tbl', DATE '$today', $maxV)"
+      assert(spark.sql(dq).collect().head.getLong(0) === libChanges(0L, maxV), dq)
+      // mis-typed / malformed bounds reject loudly, never mis-bind
+      Seq(
+        s"SELECT * FROM table_changes('fz_cdf_tbl', 1.5, $maxV)",
+        s"SELECT * FROM table_changes('fz_cdf_tbl', CAST(1.5 AS DOUBLE), $maxV)",
+        s"SELECT * FROM table_changes('fz_cdf_tbl', 0)",
+        s"SELECT * FROM table_changes('fz_cdf_tbl', 0, 1, 2)",
+        s"SELECT * FROM table_changes('no_such_tbl_xyz', 0, 1)",
+        s"SELECT * FROM table_changes(k, 0, 1)").foreach { bad =>
+        assert(scala.util.Try(spark.sql(bad).collect()).isFailure,
+          s"mis-typed table_changes accepted: $bad")
+      }
+    } finally TxLogSql.unregister("fz_cdf_tbl")
+  }
+
+  test("fuzz: RESTORE dispatch executes against the addressed version and rejects near-legal tails") {
+    import graft.pipeline.TxLog
+    import spark.implicits._
+    val rnd = new Random(51423)
+    (1 to 6).foreach { trial =>
+      val t = TxLog(spark, tmpDir(s"fz_tt_restore_$trial"))
+      t.overwrite((1L to 5L).map(k => (k, k)).toDF("k", "v"))
+      t.append(Seq((6L, 6L), (7L, 7L)).toDF("k", "v"))
+      t.deleteWhere("k <= 2")
+      val name = s"fz_restore_tbl_$trial"
+      TxLogSql.register(name, t)
+      try {
+        val v = rnd.nextInt(3).toLong
+        val want = t.snapshot(v).collect().map(_.toSeq).toSet
+        spark.sql(render(Seq(K("RESTORE"), K("TABLE"), T(name), K("TO"),
+          K("VERSION"), K("AS"), K("OF"), T(v.toString)), rnd))
+        assert(t.snapshot().collect().map(_.toSeq).toSet === want,
+          s"trial $trial: RESTORE to $v served different rows than snapshot($v)")
+        // near-legal tail: garbage after the version must fail loudly
+        // with no version committed
+        val vAfter = t.currentVersion()
+        val bad = s"RESTORE TABLE $name TO VERSION AS OF 1 EXTRA"
+        assert(scala.util.Try(spark.sql(bad)).isFailure, bad)
+        assert(t.currentVersion() === vAfter, s"near-legal RESTORE committed: $bad")
+      } finally TxLogSql.unregister(name)
+    }
+  }
+
   test("registered-name guard: ALTER/ANALYZE forms fall through to Spark for unknown names") {
     // Spark's own grammar must keep working for catalog tables: the
     // face intercepts these shapes ONLY for registered TxLog names
