@@ -980,15 +980,27 @@ object AnalyticsQueries {
         .select(col("l_returnflag"), col("l_extendedprice"),
           col("l_orderkey"), col("l_linenumber"))
         .localCheckpoint(true)
+      // med/mad are 3-row (one per returnflag) METADATA frames, but
+      // each embeds a full GlobalRank pass over the fact. Left lazy,
+      // every consumer INLINES that pass: the r18 plan audit measured
+      // the un-truncated query at 213 physical operators / 112
+      // Exchanges (med's rank subtree replicated up to 6×, each copy
+      // re-sorting the fact at runtime — expression-id renaming defeats
+      // AQE exchange reuse across the copies). Checkpointing the 3-row
+      // results truncates the lineage (guide §3.3: materialise an
+      // intermediate to stop a plan replaying expensive subtrees): each
+      // median pass now executes exactly once, and the final plan is
+      // two broadcast joins over the cached projection.
       val med = groupedMedian(li, "l_returnflag", "l_extendedprice",
         Seq(col("l_orderkey"), col("l_linenumber"))).withColumnRenamed("__med", "med")
-      // dev is NOT checkpointed: its consumers re-derive it from the
-      // cached projection with one broadcast join + an abs — cheaper
-      // than a second materialization
+        .localCheckpoint(true)
+      // dev stays lazy: from the cached projection it is one broadcast
+      // join + an abs — cheaper to re-derive than to materialize
       val dev = li.join(broadcast(med), "l_returnflag")
         .withColumn("ad", abs(col("l_extendedprice") - col("med")))
       val mad = groupedMedian(dev, "l_returnflag", "ad",
         Seq(col("l_orderkey"), col("l_linenumber"))).withColumnRenamed("__med", "mad")
+        .localCheckpoint(true)
       dev.join(broadcast(mad), "l_returnflag")
         .filter(col("ad") > lit(1.5) * col("mad"))
         .groupBy(col("l_returnflag"))

@@ -163,7 +163,12 @@ object ScaleQueries {
         .select(col("id_a").as("a"), col("id_b").as("b"))
       val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
         .distinct().localCheckpoint(true)
+      // deg is referenced by every iteration (twice per round + the
+      // rank seed); left lazy each reference re-aggregates the edge
+      // list — 7 E-sized aggregations instead of 1 at scale. One
+      // node-sized materialization (guide §3.3).
       val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
       var ranks: DataFrame = deg.select(col("node"), lit(1L << 40).as("rank"))
       for (_ <- 1 to 3) {
         val contribs = edges
@@ -310,10 +315,17 @@ object ScaleQueries {
           .agg(count(lit(1)).as("d"))
           .filter(col("d") >= 2)
           .select(col("node"))
+        // checkpoint each peel: left lazy, round N's plan inlines
+        // rounds 1..N-1 once per semi-join side (the r18 plan audit
+        // measured the 3-round plan at 1677 formatted lines / 106
+        // Exchanges, with earlier rounds re-executed inside each
+        // keep subtree). The edge list only shrinks, so each
+        // materialization is at most the pair graph (guide §3.3).
         edges = edges
           .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
           .select(col("a"), col("b"))
+          .localCheckpoint(true)
       }
       edges.groupBy(col("a").as("doc_id"))
         .agg(count(lit(1)).as("core_degree"))
