@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
+  /** Session cache for resolved component frames, keyed on the pair
+    * graph's analyzed plan (the [[graft.ops.SessionScopedCache]]
+    * pattern — same scope and same immutable-corpus assumption as
+    * `ExactJaccard`'s postings/pairs caches one layer down). Two
+    * declared operators (`dedup_clusters`, `dedup_survivor_quality`)
+    * resolve components of the IDENTICAL cached pair graph; without
+    * this the second runs the whole label-propagation loop — its
+    * per-round driver actions included — again for the same answer.
+    * The cached value is the loop's final `localCheckpoint`ed label
+    * frame, so a hit is a cached-RDD scan, not a lineage replay. */
+  private val ccCache =
+    new graft.ops.SessionScopedCache[(String, Int, String), DataFrame](8)
+
   /** @param pairs edge list (undirected, one row per pair)
     * @param numPartitions parallelism for the iteration; 0 → derive
     *        from the session's shuffle partitions. The pair graph is
@@ -40,6 +53,18 @@ object DedupClusters {
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIter: Int = 20, numPartitions: Int = 0,
                  maxBroadcastNodes: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
+      pairs.queryExecution.analyzed.semanticHash(),
+      s"$aCol|$bCol|$maxIter|$numPartitions|$maxBroadcastNodes")
+    ccCache.getOrCompute(key, graft.ops.SessionScopedCache.aliveProbe(spark)) {
+      components0(pairs, aCol, bCol, maxIter, numPartitions, maxBroadcastNodes)
+    }
+  }
+
+  private def components0(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int, numPartitions: Int,
+                          maxBroadcastNodes: Long): DataFrame = {
     val spark = pairs.sparkSession
     // Materialize the (possibly expensive) pair detection ONCE and
     // DURABLY before iterating. cache() alone is evictable: under
