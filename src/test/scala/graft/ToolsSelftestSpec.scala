@@ -46,6 +46,10 @@ class ToolsSelftestSpec extends AnyFunSuite {
     selftest("decade_median.py")
   }
 
+  test("optleg_compare.py --selftest round-trips local calibration and medians") {
+    selftest("optleg_compare.py")
+  }
+
   test("pin_streaming_median.py --selftest round-trips synthetic pins") {
     selftest("pin_streaming_median.py")
   }

@@ -64,6 +64,27 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("DedupClusters caches resolved components per (session, pair graph, params)") {
+    val edges = ((0L until 50L).sliding(2).map(s => (s(0), s(1))).toSeq
+      :+ (100L, 101L)).toDF("id_a", "id_b")
+    // same pair-graph plan + same params → the SECOND call must return
+    // the SAME resolved frame (cache hit: no second propagation loop)
+    val first = DedupClusters.components(edges, "id_a", "id_b")
+    val second = DedupClusters.components(edges, "id_a", "id_b")
+    assert(first eq second, "identical (plan, params) must hit the session cache")
+    // any param in the key (here the broadcast cutoff) must MISS — the
+    // broadcast-vs-shuffle agreement test above depends on both paths
+    // actually running
+    val shuffled = DedupClusters.components(edges, "id_a", "id_b",
+      maxBroadcastNodes = 0L)
+    assert(!(first eq shuffled), "different loop params must not share an entry")
+    // and the cached frame is the correct answer either way
+    val expected = unionFind((0L until 50L).sliding(2).map(s => (s(0), s(1))).toSeq
+      :+ (100L, 101L))
+    assert(second.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+    assert(shuffled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+  }
+
   test("Upsert.merge is idempotent on 10 random keyed frames") {
     val rnd = new Random(7)
     (1 to 10).foreach { trial =>
