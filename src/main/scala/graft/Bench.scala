@@ -252,8 +252,16 @@ object Bench {
     def r3w(x: Double) = math.rint(x * 1000) / 1000
     val winJson = calibWindows
       .map { case (i, c) => s"[$i,${r3w(c)}]" }.mkString("[", ",", "]")
+    // effective-parallelism PROOF fields (r18 verdict item 2: the
+    // scaling harness could not distinguish "ignores $SPARK_GRAFT_CPUS"
+    // from "overhead-bound at this SF" because the bench never recorded
+    // what parallelism it actually ran with)
+    val parallelism = s""""cpus":$cpus,""" +
+      s""""default_parallelism":${spark.sparkContext.defaultParallelism},""" +
+      s""""shuffle_partitions":${spark.sessionState.conf.numShufflePartitions}"""
     val extras = s""""calib_first":$calibFirst,"calib_last":$calibLast,""" +
       s""""calib_mean":${r3w(calib)},"calib_windows":$winJson,""" +
+      s"""$parallelism,""" +
       s""""layout_sec":$layoutSec,""" +
       vsRef.fold("")(v => v + ",") + s""""regressions":$regs"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","count":${results.size},$extras,"queries":$qs,"sf":"$sfDir"}"""
@@ -317,7 +325,8 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val extrasCompact = s""""calib_first":${r3(calibFirst)},""" +
       s""""calib_last":${r3(calibLast)},"calib_mean":${r3(calib)},""" +
-      s""""calib_windows":$winJson,"layout_sec":${r3(layoutSec)},""" +
+      s""""calib_windows":$winJson,$parallelism,""" +
+      s""""layout_sec":${r3(layoutSec)},""" +
       vsRef.fold("")(v => v + ",") +
       s""""n_flagged":${regressions.size},"regressions":$regsCapped"""
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","count":${results.size},$extrasCompact,"queries":$heavy,"queries_truncated":true,"full_map":"tools/bench_full.json","full_map_sha256_16":"$sha","sf":"$sfDir"}""")

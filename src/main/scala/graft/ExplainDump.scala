@@ -9,10 +9,12 @@ import org.apache.spark.sql.SparkSession
   *
   *   runMain graft.ExplainDump <outDir> [query ...]
   *
-  * Captures the ANALYZED→physical plan WITHOUT executing the query
-  * (`queryExecution.explainString`), so a full-suite dump is minutes,
-  * not a bench run. Queries whose builders write layout as a side
-  * effect still pay that write once.
+  * Captures the ANALYZED→physical plan via
+  * `queryExecution.explainString`: the final action is never run, but
+  * BUILDERS with eager steps still execute at construction time —
+  * layout writes, `localCheckpoint(true)` materializations
+  * (sim_recall_report, the dedup CC loop), session-cache fills — so a
+  * full-suite dump is minutes, not a bench run, rather than zero work.
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
@@ -33,6 +35,10 @@ object ExplainDump {
     val names =
       if (args.length > 1) args.tail.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
+    // validate names up front: a typo aborts with the full list of
+    // unknowns instead of throwing mid-dump after partial output
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val txt =

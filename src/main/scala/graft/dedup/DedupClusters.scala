@@ -32,7 +32,17 @@ object DedupClusters {
     * this the second runs the whole label-propagation loop — its
     * per-round driver actions included — again for the same answer.
     * The cached value is the loop's final `localCheckpoint`ed label
-    * frame, so a hit is a cached-RDD scan, not a lineage replay. */
+    * frame, so a hit is a cached-RDD scan, not a lineage replay.
+    *
+    * KEY-COLLISION EXPOSURE (r18 ADVICE): the key carries the pair
+    * graph's 32-bit `semanticHash`, so two DIFFERENT pair graphs
+    * colliding within one session would serve the wrong component
+    * frame — the same accepted exposure as the ExactJaccard and
+    * VectorQueries caches one layer down, and the same immutable-corpus
+    * assumption (a deployment over mutating inputs keys by table
+    * VERSION instead, as the TxLog-backed caches do). In this engine a
+    * session resolves components of a handful of pair graphs, so the
+    * birthday bound is ~n²/2³³ ≈ 10⁻⁸ per session at n = 10. */
   private val ccCache =
     new graft.ops.SessionScopedCache[(String, Int, String), DataFrame](8)
 

@@ -734,15 +734,32 @@ object DedupQueries {
     Q("dedup_substring_removal", (spark, dir) => {
       val docs = load(spark, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // ARGMAX as a hash-aggregable BIGINT max (guide: prefer
+      // fixed-width aggregate buffers): max(struct(...)) forced a
+      // SortAggregate over the 21.7 MB pair-candidate shuffle because
+      // struct buffers are not mutable-fixed-width. The pick order
+      // (cut_len DESC, cut_pos ASC) packs ORDER-ISOMORPHICALLY into
+      // one BIGINT — pack = cut_len·2³¹ + (2³¹−1−cut_pos) — since both
+      // fields are non-negative token offsets/lengths into a split()
+      // array, which the engine Int-indexes (< 2³¹) by construction;
+      // comparing packs IS comparing (cut_len, −cut_pos) lexically.
+      // The old third key (id_a ASC) only broke ties between rows
+      // whose (cut_len, cut_pos) already matched — rows this SELECT
+      // cannot distinguish — so dropping it cannot change the result.
+      // SubstringArgmaxSpec proves both properties against the struct
+      // form. Oracle (row_number ... cut_len DESC, cut_pos ASC, id_a)
+      // unchanged.
+      val posMask = (1L << 31) - 1
       val best = substringRuns(spark, dir)
         .withColumn("cut_len", col("run") + lit(7L))
         .withColumn("cut_pos", (col("pa0") - col("diag")).cast("long"))
         .filter(col("cut_len") >= 12)
         .groupBy(col("id_b").as("doc_id"))
-        .agg(max(struct(col("cut_len"), (-col("cut_pos")).as("np"),
-          (-col("id_a")).as("ni"), col("cut_pos"))).as("m"))
-        .select(col("doc_id"), col("m.cut_len").as("cut_len"),
-          col("m.cut_pos").as("cut_pos"))
+        .agg(max(shiftleft(col("cut_len"), 31)
+          + (lit(posMask) - col("cut_pos"))).as("m"))
+        .select(col("doc_id"),
+          shiftright(col("m"), 31).as("cut_len"),
+          (lit(posMask) - col("m").bitwiseAND(lit(posMask))).as("cut_pos"))
       best.join(docs, "doc_id")
         .withColumn("remaining", expr(
           "concat(slice(t, 1, cut_pos), " +

@@ -167,6 +167,13 @@ object ScaleQueries {
       // rank seed); left lazy each reference re-aggregates the edge
       // list — 7 E-sized aggregations instead of 1 at scale. One
       // node-sized materialization (guide §3.3).
+      // CLUSTER CAVEAT: localCheckpoint blocks are executor-local and
+      // non-replicated — on a real cluster, losing an executor makes
+      // this truncated lineage unrecoverable MID-QUERY and fails the
+      // job (it re-runs clean; the query is a deterministic batch).
+      // Deployments that cannot afford the retry set a reliable
+      // checkpoint dir and swap these for .checkpoint(), trading the
+      // re-run risk for a DFS round-trip per materialization.
       val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
       var ranks: DataFrame = deg.select(col("node"), lit(1L << 40).as("rank"))
@@ -321,6 +328,10 @@ object ScaleQueries {
         // Exchanges, with earlier rounds re-executed inside each
         // keep subtree). The edge list only shrinks, so each
         // materialization is at most the pair graph (guide §3.3).
+        // CLUSTER CAVEAT: executor-local, non-replicated blocks —
+        // executor loss mid-query fails the job (clean deterministic
+        // re-run); swap for .checkpoint() under a reliable checkpoint
+        // dir where that retry is unaffordable (see pagerank's deg).
         edges = edges
           .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")

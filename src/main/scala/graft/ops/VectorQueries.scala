@@ -1564,15 +1564,24 @@ object VectorQueries {
       val e = load(spark, dir, "embeddings")
       val cents = ivfTrainedCents(spark, e)
       val residCol = ivfResidCol
+      // resid stays LAZY: its one consumer is pqTrainedCodes, whose
+      // `subs` checkpoint materializes this plan exactly once — and a
+      // lazy plan keeps a stable semanticHash, so the session trainer
+      // cache is SHARED with servedIvfPqRoot's identical residual frame
+      // (the sim_pq family already shares its trainer this way; the
+      // old eager checkpoint minted a fresh RDD id per call and broke
+      // the key)
       val resid = ivfAssign(spark, e, cents)
         .join(broadcast(cents), Seq("cent_id"))
         .select(col("vec_id"), col("cent_id").as("cell"),
           residCol.as("embedding"))
-        .localCheckpoint(true)
-      val (codes, books) = pqTrainedCodes(spark,
-        resid.select(col("vec_id"), col("embedding")))
-      val codesWithCell = codes.join(resid.select(col("vec_id"), col("cell")),
-        Seq("vec_id"))
+      // `cell` rides through training (pqTrainedCodes carries it), so
+      // the coded corpus is already (vec_id, cell, s, cent_id) — no
+      // N-sized codes⟷assignment join at ANY scale (guide §3; the old
+      // join was broadcast at bench scale but an N-row shuffle beyond
+      // the 8 GB broadcast cap)
+      val (codesWithCell, books) = pqTrainedCodes(spark,
+        resid.select(col("vec_id"), col("cell"), col("embedding")))
       // queries probe their 2 nearest cells; the residual is PER CELL
       val qresid = ivfAssign(spark, e.filter(col("vec_id") < 20), cents, nProbe = 2)
         .withColumnRenamed("cent_id", "cell")
@@ -1990,19 +1999,24 @@ object VectorQueries {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       val t0 = System.nanoTime()
       val cents = ivfTrainedCents(spark, e)
+      // lazy, single-consumer, and STRUCTURALLY IDENTICAL to
+      // sim_ivfpq_adc's residual frame (same cached `cents` RDD, same
+      // source relation) — so both share one pqCache training entry
+      // per session instead of training twice
       val resid = ivfAssign(spark, e, cents)
         .join(broadcast(cents), Seq("cent_id"))
         .select(col("vec_id"), col("cent_id").as("cell"),
           ivfResidCol.as("embedding"))
-        .localCheckpoint(true)
+      // same cell-carry as sim_ivfpq_adc: the codes frame arrives as
+      // (vec_id, cell, s, cent_id), so packing needs no join back to
+      // the assignment
       val (codes, books) = pqTrainedCodes(spark,
-        resid.select(col("vec_id"), col("embedding")))
+        resid.select(col("vec_id"), col("cell"), col("embedding")))
       graft.pipeline.TxLog(spark, s"$root/quantizer").overwrite(cents)
       graft.pipeline.TxLog(spark, s"$root/codebooks").overwrite(books)
       graft.pipeline.TxLog(spark, s"$root/codes", statsCols = Seq("cell"))
         .overwriteClustered(
-          codes.join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
-            .groupBy(col("vec_id"), col("cell"))
+          codes.groupBy(col("vec_id"), col("cell"))
             .agg(transform(
               array_sort(collect_list(struct(col("s"), col("cent_id")))),
               x => x.getField("cent_id")).as("codes")),
@@ -2266,10 +2280,17 @@ object VectorQueries {
 
   /** (vec_id, s, sv): the `pqM` subvectors of each embedding — pure
     * array arithmetic on the row, no shuffle. */
-  private def pqSubvectors(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    e.select(col("vec_id"), posexplode(transform(sequence(lit(0), lit(pqM - 1)),
-        s => slice(col("embedding"), s * pqSubDim + 1, lit(pqSubDim)))))
-      .select(col("vec_id"), col("pos").as("s"), col("col").as("sv"))
+  /** Explode (vec_id, embedding) into pqM (vec_id, s, sv) subvector
+    * rows. A `cell` column on the input (the IVF-PQ residual path) is
+    * CARRIED THROUGH so the final encoding can keep it — see
+    * [[pqTrainedCodes]]. */
+  private def pqSubvectors(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val carry = if (e.columns.contains("cell"))
+      Seq(col("vec_id"), col("cell")) else Seq(col("vec_id"))
+    e.select(carry :+ posexplode(transform(sequence(lit(0), lit(pqM - 1)),
+        s => slice(col("embedding"), s * pqSubDim + 1, lit(pqSubDim)))): _*)
+      .select(carry ++ Seq(col("pos").as("s"), col("col").as("sv")): _*)
+  }
 
   /** Per-subspace nearest-centroid code: min squared-L2 over the
     * broadcast codebook, ties to the lowest cent_id. Implemented as a
@@ -2280,13 +2301,20 @@ object VectorQueries {
     * re-reads it. */
   private def pqAssign(spark: org.apache.spark.sql.SparkSession,
                        subs: org.apache.spark.sql.DataFrame,
-                       cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+                       cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // a carried `cell` is functionally dependent on vec_id (one coarse
+    // cell per vector, nProbe = 1 assignment), so adding it to the
+    // grouping key leaves the (vec_id, s) groups — and every aggregate
+    // over them — bit-identical (PqCellCarrySpec asserts this)
+    val grp = if (subs.columns.contains("cell"))
+      Seq(col("vec_id"), col("cell"), col("s")) else Seq(col("vec_id"), col("s"))
     subs.join(broadcast(cents), Seq("s"))
       .withColumn("d", VectorExpressions.l2_sq(spark, col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("s"))
+      .groupBy(grp: _*)
       .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("cent_id"),
         min(col("sv")).as("sv"))
-      .select(col("vec_id"), col("s"), col("sv"), col("cent_id"))
+      .select(grp ++ Seq(col("sv"), col("cent_id")): _*)
+  }
 
   /** Per-subspace Lloyd step — the same quantized exact mean as
     * [[ivfRetrain]], keyed by (s, cent_id). */
@@ -2308,8 +2336,17 @@ object VectorQueries {
     new SessionScopedCache[(String, Int),
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](32)
 
-  private def pqTrainedCodes(spark: org.apache.spark.sql.SparkSession,
-                             e: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+  /** Train per-subspace codebooks and encode `e`. When `e` carries a
+    * `cell` column (the IVF-PQ residual path), the codes frame keeps
+    * it — (vec_id, cell, s, cent_id) — so consumers that need the
+    * coarse cell per code NEVER join the N-sized codes table back to
+    * the assignment (guide §3: the join was an N-row shuffle at scale;
+    * AQE hid it at bench scale by broadcasting). Training itself runs
+    * on a cell-STRIPPED view, so the Lloyd passes shuffle exactly the
+    * bytes they always did and the trained codebooks are bit-identical
+    * with or without the carry. */
+  private[graft] def pqTrainedCodes(spark: org.apache.spark.sql.SparkSession,
+                                    e: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val key = (s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}",
       e.queryExecution.analyzed.semanticHash())
     pqCache.getOrCompute(key, SessionScopedCache.aliveProbe(spark)) {
@@ -2317,15 +2354,20 @@ object VectorQueries {
       // materialize it once — it is the corpus re-shaped, not a copy
       // per pass
       val subs = pqSubvectors(e).localCheckpoint(true)
+      val trainSubs = if (subs.columns.contains("cell")) subs.drop("cell") else subs
       // codebook size: every-25th vector, CAPPED at K=64 per subspace
       // (6-bit codes — codebook cardinality is a property of the
       // format, not the corpus; uncapped K∝N made training cost N·K
       // quadratic in the corpus)
-      val seeds = subs.filter(col("vec_id") % 25 === 0 && col("vec_id") < 25L * 64)
+      val seeds = trainSubs.filter(col("vec_id") % 25 === 0 && col("vec_id") < 25L * 64)
         .select(col("s"), col("vec_id").as("cent_id"), col("sv").as("cv"))
-      val cents2 = pqRetrain(pqAssign(spark, subs, pqRetrain(pqAssign(spark, subs, seeds))))
+      val cents2 = pqRetrain(pqAssign(spark, trainSubs,
+        pqRetrain(pqAssign(spark, trainSubs, seeds))))
+      val codeCols = if (subs.columns.contains("cell"))
+        Seq(col("vec_id"), col("cell"), col("s"), col("cent_id"))
+      else Seq(col("vec_id"), col("s"), col("cent_id"))
       val codes = pqAssign(spark, subs, cents2)
-        .select(col("vec_id"), col("s"), col("cent_id"))
+        .select(codeCols: _*)
         .localCheckpoint(true)
       (codes, cents2)
     }

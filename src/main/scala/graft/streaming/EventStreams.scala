@@ -94,7 +94,8 @@ object EventStreams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
-    SessionizeStream.withStatePartitions(spark, 8) {
+    SessionizeStream.withStatePartitions(spark,
+        SessionizeStream.statePartitionsFor(spark, stagePath)) {
       val q = agg.writeStream
         .outputMode("append")
         .format("memory")
@@ -134,7 +135,8 @@ object EventStreams {
         sum(col("v_hour")).cast("double").as("total_value"))
       .select(col("window.start").as("day_start"), col("event_type"),
         col("n_events"), col("total_value"))
-    SessionizeStream.withStatePartitions(spark, 8) {
+    SessionizeStream.withStatePartitions(spark,
+        SessionizeStream.statePartitionsFor(spark, stagePath)) {
       val q = daily.writeStream
         .outputMode("append")
         .format("memory")
@@ -188,7 +190,8 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"),
         to_date(col("window.start")).as("event_date"))
-    SessionizeStream.withStatePartitions(spark, 8) {
+    SessionizeStream.withStatePartitions(spark,
+        SessionizeStream.statePartitionsFor(spark, stagePath)) {
       val q = agg.writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -240,7 +243,8 @@ object EventStreams {
       col("ts").as("v_ts"), col("event_id").as("view_id"))
     val joined = p.join(v, expr(
       "p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"))
-    SessionizeStream.withStatePartitions(spark, 8) {
+    SessionizeStream.withStatePartitions(spark,
+        SessionizeStream.statePartitionsFor(spark, stagePath)) {
       val q = joined.writeStream
         .outputMode("append").format("memory").queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
@@ -283,7 +287,8 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"),
         to_date(col("window.start")).as("event_date"))
-    SessionizeStream.withStatePartitions(spark, 8) {
+    SessionizeStream.withStatePartitions(spark,
+        SessionizeStream.statePartitionsFor(spark, stagePath)) {
       val q = agg.writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -336,7 +341,8 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(col("ts")))
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    SessionizeStream.withStatePartitions(spark, 8) {
+    SessionizeStream.withStatePartitions(spark,
+        SessionizeStream.statePartitionsFor(spark, stagePath)) {
       val q = stream.writeStream
         .outputMode("append").format("memory").queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
@@ -367,7 +373,8 @@ object EventStreams {
       .select(col("ts"), col("user_id"), col("event_type"), col("hour_start"))
       .dropDuplicatesWithinWatermark("user_id", "event_type", "hour_start")
       .select(col("user_id"), col("event_type"), col("hour_start"))
-    SessionizeStream.withStatePartitions(spark, 8) {
+    SessionizeStream.withStatePartitions(spark,
+        SessionizeStream.statePartitionsFor(spark, stagePath)) {
       val q = stream.writeStream
         .outputMode("append").format("memory").queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
@@ -397,7 +404,8 @@ object EventStreams {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-    SessionizeStream.withStatePartitions(spark, 8) {
+    SessionizeStream.withStatePartitions(spark,
+        SessionizeStream.statePartitionsFor(spark, s"$dir/events.parquet")) {
       val q = agg.writeStream
         .outputMode("complete")
         .format("memory")
@@ -437,7 +445,8 @@ object EventStreams {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("session_value"))
-    SessionizeStream.withStatePartitions(spark, 8) {
+    SessionizeStream.withStatePartitions(spark,
+        SessionizeStream.statePartitionsFor(spark, stagePath)) {
       val q = agg.writeStream
         .outputMode("append").format("memory").queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
@@ -471,7 +480,8 @@ object EventStreams {
     val joined = p.join(v, expr(
       "p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"),
       "leftOuter")
-    SessionizeStream.withStatePartitions(spark, 8) {
+    SessionizeStream.withStatePartitions(spark,
+        SessionizeStream.statePartitionsFor(spark, stagePath)) {
       val q = joined.writeStream
         .outputMode("append").format("memory").queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
@@ -506,7 +516,8 @@ object EventStreams {
     val joined = p.join(v, expr(
       "p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"),
       "fullOuter")
-    SessionizeStream.withStatePartitions(spark, 8) {
+    SessionizeStream.withStatePartitions(spark,
+        SessionizeStream.statePartitionsFor(spark, stagePath)) {
       val q = joined.writeStream
         .outputMode("append").format("memory").queryName(queryName).start()
       try q.processAllAvailable() finally q.stop()
@@ -542,7 +553,8 @@ object EventStreams {
       .parquet(stagePath)
       .filter(col("event_type") =!= "sentinel")
       .select(col("event_id"), col("event_type"), col("value"))
-    SessionizeStream.withStatePartitions(spark, 8) {
+    SessionizeStream.withStatePartitions(spark,
+        SessionizeStream.statePartitionsFor(spark, stagePath)) {
       val q = stream.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -572,7 +584,8 @@ object EventStreams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
-    SessionizeStream.withStatePartitions(spark, 8) {
+    SessionizeStream.withStatePartitions(spark,
+        SessionizeStream.statePartitionsFor(spark, s"$dir/events.parquet")) {
       val q = agg.writeStream
         .outputMode("complete")
         .format("memory")
@@ -611,7 +624,8 @@ object EventStreams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
-    SessionizeStream.withStatePartitions(spark, 8) {
+    SessionizeStream.withStatePartitions(spark,
+        SessionizeStream.statePartitionsFor(spark, s"$dir/events.parquet")) {
       val q = agg.writeStream
         .outputMode("complete")
         .format("memory")

@@ -81,7 +81,8 @@ object RunningTotals {
       spark.conf.set(confKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       spark.conf.set(clKey, "true")
-      try SessionizeStream.withStatePartitions(spark, 8) {
+      try SessionizeStream.withStatePartitions(spark,
+          SessionizeStream.statePartitionsFor(spark, stagePath)) {
         val out = stream.groupByKey(_._1)
           .transformWithState(new RunningTotalsProcessor,
             TimeMode.None(), OutputMode.Update())

@@ -121,7 +121,8 @@ object SessionTimers {
     val prev = spark.conf.getOption(confKey)
     spark.conf.set(confKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try SessionizeStream.withStatePartitions(spark, 8) {
+    try SessionizeStream.withStatePartitions(spark,
+        SessionizeStream.statePartitionsFor(spark, stagePath)) {
       val out = stream.groupByKey(_.user_id)
         .transformWithState(new SessionTimeoutProcessor,
           TimeMode.EventTime(), OutputMode.Append())

@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
-"""Round-18 optimization evidence: per-query medians across the three
-committed BEFORE legs (bench_r18_leg{1,2,3}.json, the inherited binary)
-vs the three AFTER legs (bench_r18_optleg{1,2,3}.json). Each median is
-also locally calibrated: the query's reading in each leg is scaled by
-(0.25 / that leg's bracketing-probe mean) so a wave hitting one leg's
-window does not masquerade as code movement. --selftest round-trips the
-calibration on synthetic legs."""
+"""Optimization-round evidence: per-query medians across N BEFORE legs
+vs N AFTER legs (defaults: the round-19 legs; --before/--after override).
+Each median is also locally calibrated: the query's reading in each leg
+is scaled by (0.25 / that leg's bracketing-probe mean) so a wave hitting
+one leg's window does not masquerade as code movement. Summary sums are
+computed over the INTERSECTION of the two key sets on both sides (a
+query missing from one side is reported, never silently summed — the
+r18 ADVICE asymmetry). --selftest round-trips calibration, medians, and
+the symmetric-sum rule on synthetic legs."""
 import json, statistics, sys
 
 PROBE_BASE = 0.25  # the host's historical clean-probe band (BASELINE.md)
@@ -60,16 +62,42 @@ def selftest():
     mr, mc = medians(paths)
     for p in paths: _os.unlink(p)
     assert abs(mr["q"] - 1.0) < 1e-12 and abs(mc["q"] - 1.0) < 1e-12
-    print("PASS optleg_compare selftest (local calibration + medians)")
+    # symmetric-sum rule: a query present only on the BEFORE side must
+    # not inflate the improvement ratio — both sums run over the
+    # intersection (r18 ADVICE item 1)
+    common, drop = summary_sets({"x": 1.0, "only_b": 9.0}, {"x": 1.0})
+    assert common == ["x"] and drop == ["only_b"]
+    print("PASS optleg_compare selftest (local calibration + medians + symmetric sums)")
+
+def summary_sets(b, a):
+    common = sorted(set(b) & set(a))
+    dropped = sorted(set(b) ^ set(a))
+    return common, dropped
+
+def leg_args(argv, flag, default):
+    if flag in argv:
+        i = argv.index(flag)
+        paths = []
+        for tok in argv[i + 1:]:
+            if tok.startswith("--"):
+                break
+            paths.append(tok)
+        return paths or default
+    return default
 
 if __name__ == "__main__":
     if "--selftest" in sys.argv:
         selftest(); sys.exit(0)
-    before = [f"tools/bench_r18_leg{i}.json" for i in (1, 2, 3)]
-    after = [f"tools/bench_r18_optleg{i}.json" for i in (1, 2, 3)]
+    argv = sys.argv[1:]
+    before = leg_args(argv, "--before",
+                      [f"tools/bench_r19_leg{i}.json" for i in (1, 2, 3)])
+    after = leg_args(argv, "--after",
+                     [f"tools/bench_r19_optleg{i}.json" for i in (1, 2, 3)])
+    consumed = set(before + after + ["--before", "--after"])
     braw, bcal = medians(before)
     araw, acal = medians(after)
-    watch = sys.argv[1:] or sorted(set(braw) & set(araw))
+    common, dropped = summary_sets(braw, araw)
+    watch = [a for a in argv if a not in consumed] or common
     print(f"{'query':40s} {'before':>8s} {'after':>8s} {'raw x':>6s}   "
           f"{'b-cal':>8s} {'a-cal':>8s} {'cal x':>6s}")
     for q in watch:
@@ -79,7 +107,10 @@ if __name__ == "__main__":
         cr = acal[q] / bcal[q] if bcal[q] else float("nan")
         print(f"{q:40s} {braw[q]:8.2f} {araw[q]:8.2f} {rr:6.2f}   "
               f"{bcal[q]:8.2f} {acal[q]:8.2f} {cr:6.2f}")
-    tb, ta = sum(braw.values()), sum(araw[k] for k in braw if k in araw)
-    cb, ca = sum(bcal.values()), sum(acal[k] for k in bcal if k in acal)
+    if dropped:
+        print(f"\n[excluded from sums — present on one side only] {dropped}")
+    tb, ta = sum(braw[k] for k in common), sum(araw[k] for k in common)
+    cb, ca = sum(bcal[k] for k in common), sum(acal[k] for k in common)
     print(f"\nsum-of-medians raw {tb:.1f} -> {ta:.1f} ({ta/tb:.3f}x); "
-          f"calibrated {cb:.1f} -> {ca:.1f} ({ca/cb:.3f}x)")
+          f"calibrated {cb:.1f} -> {ca:.1f} ({ca/cb:.3f}x)  "
+          f"[n={len(common)} common queries]")
