@@ -89,10 +89,15 @@ if __name__ == "__main__":
     if "--selftest" in sys.argv:
         selftest(); sys.exit(0)
     argv = sys.argv[1:]
+    # defaults = the round-19 evidence sets: 5 same-binary before legs
+    # (two fresh + the three r18 after-legs, no source change between),
+    # 4 after legs (the fourth committed to before it ran)
     before = leg_args(argv, "--before",
-                      [f"tools/bench_r19_leg{i}.json" for i in (1, 2, 3)])
+                      ["tools/bench_r19_leg1.json", "tools/bench_r19_leg2.json",
+                       "tools/bench_r18_optleg1.json", "tools/bench_r18_optleg2.json",
+                       "tools/bench_r18_optleg3.json"])
     after = leg_args(argv, "--after",
-                     [f"tools/bench_r19_optleg{i}.json" for i in (1, 2, 3)])
+                     [f"tools/bench_r19_optleg{i}.json" for i in (1, 2, 3, 4)])
     consumed = set(before + after + ["--before", "--after"])
     braw, bcal = medians(before)
     araw, acal = medians(after)
